@@ -1,0 +1,318 @@
+"""Single-node oracle index + searcher with Lucene-exact semantics.
+
+This plays the role of Lucene's test oracle (CheckHits delta-0 standard,
+``test-framework/.../search/CheckHits.java:329``): every Spark result —
+top-k docIDs AND float32 scores, including tie-breaks — must match this
+implementation exactly.
+
+Scoring / combination semantics (cited in oracle.bm25 and here):
+- term score: float32 ``weight - weight / (1 + freq * cache[norm])``
+  (``BM25Similarity.java:246-258``)
+- conjunction & disjunction-sum & WAND: per-clause float32 scores summed
+  in DOUBLE, cast once to float32 (``ConjunctionScorer.java:59-64``,
+  ``DisjunctionSumScorer.java:38-44``, ``WANDScorer.java:518-525``)
+- required+optional: float32 add (``ReqOptSumScorer.java:260-277``)
+- dismax: ``(float)(max + otherSum_double * tieBreaker)``
+  (``DisjunctionMaxScorer.java:60-74``)
+- synonym: pseudo-term df = max(sub df), ttf = sum; per-doc freq = sum of
+  sub freqs, scored ONCE (``SynonymQuery.java:198-215``)
+- phrase: weight = boost * Σ(double) per-term float32 idfs
+  (``BM25Similarity.java:191-199``); exact-phrase freq = match count
+  (``search/ExactPhraseMatcher.java:109-155``)
+- top-k tie-break: score desc, then docID ASC (``search/HitQueue.java:78-84``)
+- FILTER/ConstantScore: match without scoring; constant score = boost
+  (``BooleanClause.java:93``, ``ConstantScoreQuery.java:29``)
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+from dataclasses import dataclass
+
+import numpy as np
+
+from lucene_solr_spark.oracle import bm25, smallfloat
+from lucene_solr_spark.oracle.tokenizer import analyze
+from lucene_solr_spark.plans import ir
+
+__all__ = ["OracleIndex", "ScoreDoc"]
+
+
+@dataclass(frozen=True)
+class ScoreDoc:
+    doc_id: int
+    score: float  # exact float32 value (stored as Python float)
+
+
+def _f32(x) -> np.float32:
+    return np.float32(x)
+
+
+class OracleIndex:
+    """In-memory inverted index over (doc_id, text) with BM25 search."""
+
+    def __init__(
+        self,
+        docs,  # iterable[(doc_id:int, text:str)]
+        *,
+        k1: float = bm25.K1_DEFAULT,
+        b: float = bm25.B_DEFAULT,
+        lowercase: bool = True,
+        stopwords: frozenset[str] = frozenset(),
+        max_token_length: int = 255,
+    ) -> None:
+        self.k1, self.b = k1, b
+        # postings: term -> {doc_id: tf}; positions: term -> {doc_id: [pos...]}
+        self.postings: dict[str, dict[int, int]] = defaultdict(dict)
+        self.positions: dict[str, dict[int, list[int]]] = defaultdict(dict)
+        self.norms: dict[int, int] = {}  # doc_id -> unsigned norm byte
+        self.doc_count = 0
+        self.sum_ttf = 0  # sumTotalTermFreq = total surviving tokens
+        self.all_docs: list[int] = []
+        for doc_id, text in docs:
+            toks = analyze(
+                text,
+                lowercase=lowercase,
+                stopwords=stopwords,
+                max_token_length=max_token_length,
+            )
+            tf = Counter(t.term for t in toks)
+            for term, f in tf.items():
+                self.postings[term][doc_id] = f
+                self.positions[term][doc_id] = [t.pos for t in toks if t.term == term]
+            length = len(toks)  # FieldInvertState.length, numOverlap=0
+            self.norms[doc_id] = int(smallfloat.int_to_byte4(length))
+            self.doc_count += 1
+            self.sum_ttf += length
+            self.all_docs.append(doc_id)
+        self.all_docs.sort()
+        self.avgdl = bm25.avg_field_length(self.sum_ttf, self.doc_count) if self.doc_count else _f32(0)
+        self.cache = bm25.norm_inverse_cache(self.k1, self.b, self.avgdl)
+
+    # ---- stats ----
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, ()))
+
+    def ttf(self, term: str) -> int:
+        return sum(self.postings.get(term, {}).values())
+
+    def dictionary(self) -> list[str]:
+        return sorted(self.postings.keys())
+
+    # ---- scoring primitives ----
+    def _term_scores(self, term: str, boost: float = 1.0) -> dict[int, np.float32]:
+        plist = self.postings.get(term)
+        if not plist:
+            return {}
+        w = bm25.term_weight(boost, bm25.idf(len(plist), self.doc_count))
+        out = {}
+        for doc, tf in plist.items():
+            out[doc] = bm25.score(tf, self.norms[doc], weight=w, cache=self.cache)[()]
+        return out
+
+    # ---- recursive evaluation: query -> {doc_id: float32 score} ----
+    def matches(self, q: ir.Query, boost: float = 1.0) -> dict[int, np.float32]:
+        if isinstance(q, ir.TermQuery):
+            return self._term_scores(q.term, boost)
+        if isinstance(q, ir.BoostQuery):
+            return self.matches(q.query, _f32(_f32(boost) * _f32(q.boost))[()])
+        if isinstance(q, ir.ConstantScoreQuery):
+            inner = self.matches(q.query, 1.0)
+            return {d: _f32(boost) for d in inner}
+        if isinstance(q, ir.MatchAllDocsQuery):
+            return {d: _f32(boost) for d in self.all_docs}
+        if isinstance(q, ir.MatchNoDocsQuery):
+            return {}
+        if isinstance(q, ir.TermInSetQuery):
+            # rewrites to constant-score over the union
+            docs = set()
+            for t in q.terms:
+                docs.update(self.postings.get(t, ()))
+            return {d: _f32(boost) for d in docs}
+        if isinstance(q, ir.SynonymQuery):
+            return self._synonym_scores(q.terms, boost)
+        if isinstance(q, ir.PhraseQuery):
+            return self._phrase_scores(q, boost)
+        if isinstance(q, ir.DisjunctionMaxQuery):
+            subs = [self.matches(s, boost) for s in q.queries]
+            docs = set().union(*[set(s) for s in subs]) if subs else set()
+            out = {}
+            for d in docs:
+                score_max = _f32(0.0)
+                other = 0.0  # double
+                for s in subs:
+                    if d in s:
+                        v = s[d]
+                        if v >= score_max:
+                            other += float(score_max)
+                            score_max = v
+                        else:
+                            other += float(v)
+                out[d] = _f32(float(score_max) + other * q.tie_breaker)
+            return out
+        if isinstance(q, (ir.PrefixQuery, ir.WildcardQuery, ir.RegexpQuery, ir.FuzzyQuery, ir.TermRangeQuery)):
+            expanded = self.expand_multiterm(q)
+            # CONSTANT_SCORE_REWRITE (MultiTermQuery.java / QueryParserBase.java:66)
+            docs = set()
+            for t in expanded:
+                docs.update(self.postings.get(t, ()))
+            return {d: _f32(boost) for d in docs}
+        if isinstance(q, ir.BooleanQuery):
+            return self._boolean_scores(q, boost)
+        raise TypeError(f"unsupported query: {type(q).__name__}")
+
+    # ---- multi-term expansion over the dictionary ----
+    def expand_multiterm(self, q: ir.Query) -> list[str]:
+        terms = self.dictionary()
+        if isinstance(q, ir.PrefixQuery):
+            return [t for t in terms if t.startswith(q.prefix)]
+        if isinstance(q, ir.WildcardQuery):
+            pat = re.compile(
+                "".join(
+                    ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                    for c in q.pattern
+                )
+                + r"\Z"
+            )
+            return [t for t in terms if pat.match(t)]
+        if isinstance(q, ir.RegexpQuery):
+            pat = re.compile(q.regexp + r"\Z")
+            return [t for t in terms if pat.match(t)]
+        if isinstance(q, ir.TermRangeQuery):
+            out = []
+            for t in terms:
+                if q.lower is not None:
+                    if t < q.lower or (t == q.lower and not q.include_lower):
+                        continue
+                if q.upper is not None:
+                    if t > q.upper or (t == q.upper and not q.include_upper):
+                        continue
+                out.append(t)
+            return out
+        if isinstance(q, ir.FuzzyQuery):
+            return [
+                t
+                for t in terms
+                if t[: q.prefix_length] == q.term[: q.prefix_length]
+                and _levenshtein(t, q.term) <= q.max_edits
+            ]
+        raise TypeError(type(q).__name__)
+
+    def _synonym_scores(self, terms, boost) -> dict[int, np.float32]:
+        plists = [self.postings.get(t, {}) for t in terms]
+        df = max((len(p) for p in plists), default=0)
+        if df == 0:
+            return {}
+        w = bm25.term_weight(boost, bm25.idf(df, self.doc_count))
+        freqs: dict[int, int] = Counter()
+        for p in plists:
+            for d, tf in p.items():
+                freqs[d] += tf
+        return {
+            d: bm25.score(f, self.norms[d], weight=w, cache=self.cache)[()]
+            for d, f in freqs.items()
+        }
+
+    def _phrase_freq(self, q: ir.PhraseQuery, doc: int) -> int:
+        """Exact-phrase match count (slop=0): positions of term i must equal
+        first-term position + positions[i] offset."""
+        pos_lists = []
+        for t in q.terms:
+            pl = self.positions.get(t, {}).get(doc)
+            if not pl:
+                return 0
+            pos_lists.append(set(pl))
+        base_off = q.positions[0]
+        count = 0
+        for p0 in sorted(pos_lists[0]):
+            if all(
+                (p0 - base_off + off) in pos_lists[i]
+                for i, off in enumerate(q.positions)
+            ):
+                count += 1
+        return count
+
+    def _phrase_scores(self, q: ir.PhraseQuery, boost) -> dict[int, np.float32]:
+        if q.slop != 0:
+            raise NotImplementedError("sloppy phrase: phase 2")
+        dfs = [self.df(t) for t in q.terms]
+        if min(dfs, default=0) == 0:
+            return {}
+        w = bm25.term_weight(boost, bm25.idf_sum(dfs, self.doc_count))
+        out = {}
+        cand = set(self.postings[q.terms[0]])
+        for t in q.terms[1:]:
+            cand &= set(self.postings[t])
+        for d in cand:
+            f = self._phrase_freq(q, d)
+            if f > 0:
+                out[d] = bm25.score(f, self.norms[d], weight=w, cache=self.cache)[()]
+        return out
+
+    def _boolean_scores(self, q: ir.BooleanQuery, boost) -> dict[int, np.float32]:
+        must = [self.matches(c.query, boost) for c in q.clauses if c.occur == ir.Occur.MUST]
+        filt = [set(self.matches(c.query, 1.0)) for c in q.clauses if c.occur == ir.Occur.FILTER]
+        should = [self.matches(c.query, boost) for c in q.clauses if c.occur == ir.Occur.SHOULD]
+        must_not = [set(self.matches(c.query, 1.0)) for c in q.clauses if c.occur == ir.Occur.MUST_NOT]
+        msm = q.min_should_match
+
+        excluded = set().union(*must_not) if must_not else set()
+
+        if must or filt:
+            # required conjunction
+            req_sets = [set(m) for m in must] + filt
+            docs = set.intersection(*req_sets) - excluded
+            out = {}
+            for d in docs:
+                if should:
+                    matching = [s[d] for s in should if d in s]
+                    if len(matching) < msm:
+                        continue
+                    if msm > 0:
+                        # WAND-with-required path: everything sums double→float
+                        total = sum(float(m[d]) for m in must) + sum(float(v) for v in matching)
+                        out[d] = _f32(total)
+                    else:
+                        req = _f32(sum(float(m[d]) for m in must))
+                        if matching:
+                            opt = _f32(sum(float(v) for v in matching))
+                            out[d] = _f32(req + opt)  # float add (ReqOptSumScorer)
+                        else:
+                            out[d] = req
+                else:
+                    out[d] = _f32(sum(float(m[d]) for m in must))
+            return out
+
+        # pure disjunction
+        need = max(msm, 1)
+        docs = set().union(*[set(s) for s in should]) if should else set()
+        out = {}
+        for d in docs - excluded:
+            matching = [s[d] for s in should if d in s]
+            if len(matching) < need:
+                continue
+            out[d] = _f32(sum(float(v) for v in matching))
+        return out
+
+    # ---- top-k ----
+    def search(self, q: ir.Query, k: int = 10) -> list[ScoreDoc]:
+        """Top-k by (score desc, docID asc) — HitQueue.java:78-84 tie-break."""
+        scored = self.matches(q, 1.0)
+        ranked = sorted(scored.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+        return [ScoreDoc(d, float(s)) for d, s in ranked[:k]]
+
+    def count(self, q: ir.Query) -> int:
+        return len(self.matches(q, 1.0))
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]

@@ -1,0 +1,168 @@
+"""StandardAnalyzer-equivalent tokenizer kernel (pure Python, shared by the
+single-node oracle and the Spark Arrow UDF in functions.analysis).
+
+Semantics parity (cited, not copied) with the reference:
+
+- Pipeline = StandardTokenizer → LowerCaseFilter → StopFilter, default
+  maxTokenLength=255, default stopword set EMPTY
+  (``lucene/core/.../analysis/standard/StandardAnalyzer.java:84-96, :37,
+  :51-53``).
+- UAX#29 word-break rules from the jflex grammar
+  (``analysis/standard/StandardTokenizerImpl.jflex:95-112`` char classes,
+  ``:228-230`` numeric rule WB8/11/12/13, ``:239-265`` word rule WB5-13b):
+  * AHLetter×AHLetter, AHLetter×Numeric, Numeric×AHLetter join directly
+    (``utf8``, ``sha256`` are single tokens);
+  * ``_`` is ExtendNumLet — joins everything (``foo_bar``);
+  * MidLetterQ = ``:`` ``.``-as-MidNumLet ``'`` — joins only *between*
+    letters (``obj.method``, ``can't``; trailing ``.`` splits);
+  * MidNumericQ = ``,`` ``;`` ``.`` ``'`` — joins only between digits
+    (``3.14``, ``1,000``);
+  * all other punctuation always splits.
+- Tokens longer than maxTokenLength are SKIPPED but still consume a
+  position (``analysis/standard/StandardTokenizer.java:145-168``
+  skippedPositions).
+- LowerCaseFilter = per-codepoint toLowerCase
+  (``analysis/LowerCaseFilter.java:46``); Python ``str.lower()`` matches on
+  ASCII (non-ASCII deltas covered by goldens).
+- StopFilter drops tokens *after* position assignment, so surviving tokens
+  keep their original position gaps
+  (``analysis/FilteringTokenFilter.java:49-63``).
+- CJK ideographs are emitted as single-character tokens; Katakana/Hangul
+  runs and emoji are single tokens (``StandardTokenizer.java:43-57`` types).
+
+Positions are 0-based term positions (Lucene's positionIncrement chain
+started at -1 + increments of 1 yields the same 0-based sequence).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+__all__ = [
+    "Token",
+    "ENGLISH_STOP_WORDS",
+    "MAX_TOKEN_LENGTH_DEFAULT",
+    "tokenize",
+    "analyze",
+]
+
+MAX_TOKEN_LENGTH_DEFAULT = 255
+
+#: Lucene's classic 33-word English stop set
+#: (``analysis/common/.../en/EnglishAnalyzer.java:46-52``). The
+#: StandardAnalyzer DEFAULT is the EMPTY set (StandardAnalyzer.java:51-53).
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+
+class Token(NamedTuple):
+    term: str
+    pos: int
+
+
+# --- character classes (ASCII + common Unicode subset) ---------------------
+# CJK ranges emitted as per-char (ideographic) or per-run (katakana) tokens.
+_IDEO = "一-鿿㐀-䶿豈-﫿぀-ゟ가-힯"
+_KATA = "゠-ヿㇰ-ㇿ"
+_EMOJI = "\U0001f000-\U0001fbff☀-➿⬀-⯿️"
+
+_MID_LETTER = ".:'’"  # MidLetter ∪ MidNumLet ∪ SingleQuote (letters ctx)
+_MID_NUM = ".,;'’"  # MidNum ∪ MidNumLet ∪ SingleQuote (digits ctx)
+_MID_ALL = ".:'’,;"
+
+# A raw candidate: word chars, with single mid-chars only in the interior.
+# Validation of mid-char context (letter vs digit) happens in _split_candidate.
+_TOKEN_RE = re.compile(
+    rf"[\w](?:[\w]|[{_MID_ALL}][\w])*"  # word-ish run
+    rf"|[{_EMOJI}]",  # emoji single
+    re.UNICODE,
+)
+
+_MID_SET = set(_MID_ALL)
+_IDEO_RE = re.compile(rf"[{_IDEO}]")
+_KATA_RE = re.compile(rf"[{_KATA}]+|[^{_KATA}]+")
+
+
+def _is_letter(ch: str) -> bool:
+    # ALetter approximation: a Unicode letter that is not CJK/Katakana.
+    return ch.isalpha() and not _IDEO_RE.match(ch) and ch not in _MID_SET
+
+
+def _split_candidate(cand: str) -> list[str]:
+    """Split a raw candidate at mid-chars whose context is invalid, and
+    break CJK ideographs into single-char tokens."""
+    parts: list[str] = []
+    start = 0
+    for i, ch in enumerate(cand):
+        if ch in _MID_SET:
+            prev, nxt = cand[i - 1], cand[i + 1]
+            ok = (
+                (ch in _MID_LETTER and _is_letter(prev) and _is_letter(nxt))
+                or (ch in _MID_NUM and prev.isdigit() and nxt.isdigit())
+            )
+            if not ok:
+                if i > start:
+                    parts.append(cand[start:i])
+                start = i + 1
+    parts.append(cand[start:])
+    # explode CJK ideographs / separate katakana runs
+    out: list[str] = []
+    for p in parts:
+        if not p:
+            continue
+        if _IDEO_RE.search(p):
+            buf = ""
+            for ch in p:
+                if _IDEO_RE.match(ch):
+                    if buf:
+                        out.append(buf)
+                        buf = ""
+                    out.append(ch)  # one token per ideograph
+                else:
+                    buf += ch
+            if buf:
+                out.append(buf)
+        else:
+            out.append(p)
+    return out
+
+
+def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT) -> list[Token]:
+    """StandardTokenizer: raw (not lowercased, not stop-filtered) tokens with
+    0-based positions; over-long tokens are skipped but consume a position."""
+    raw: list[str] = []
+    for m in _TOKEN_RE.finditer(text):
+        cand = m.group(0)
+        if len(cand) == 1 or not (set(cand) & _MID_SET or _IDEO_RE.search(cand)):
+            raw.append(cand)
+        else:
+            raw.extend(_split_candidate(cand))
+    out: list[Token] = []
+    for pos, term in enumerate(raw):
+        if len(term) > max_token_length:
+            continue  # skipped, but pos was consumed (skippedPositions)
+        out.append(Token(term, pos))
+    return out
+
+
+def analyze(
+    text: str,
+    *,
+    lowercase: bool = True,
+    stopwords: frozenset[str] = frozenset(),
+    max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
+) -> list[Token]:
+    """Full StandardAnalyzer chain. Default = Lucene StandardAnalyzer
+    (lowercase, NO stopwords). Pass stopwords=ENGLISH_STOP_WORDS for the
+    EnglishAnalyzer-style chain. Positions keep gaps across dropped tokens."""
+    out: list[Token] = []
+    for term, pos in tokenize(text, max_token_length):
+        if lowercase:
+            term = term.lower()
+        if term in stopwords:
+            continue
+        out.append(Token(term, pos))
+    return out
