@@ -1,0 +1,228 @@
+"""Index build: corpus DataFrame → inverted-index tables.
+
+The Spark re-expression of Lucene's indexing chain
+(``index/IndexingChain.java:583,625,641`` processDocument/invert →
+``index/TermsHashPerField.java:132-154`` term hash →
+``index/FreqProxTermsWriterPerField.java:113-200`` postings in RAM):
+
+    corpus ──tokenize UDF──▶ (doc_id, term, pos)
+           ──groupBy(term, doc_id)──▶ (term, doc_id, tf, positions)   [shuffle 1]
+           ──groupBy(term)──▶ (term, df, ttf)                         [map-side partial agg]
+    corpus ──length/norm──▶ (doc_id, norm)
+
+Design-for-scale notes (10^12 files / 100 TB):
+- docID assignment is a deterministic dense rank over the PK
+  (repo, path, commit) — NOT arrival order, so results are identical at
+  any parallelism (replaces Lucene's per-segment arrival docIDs,
+  ``index/LeafReaderContext.java`` docBase). Implemented scalably:
+  range-repartition by PK, local sort, per-partition offsets computed
+  from partition counts (one tiny collect of num-partitions rows) —
+  no global window / single-partition sort.
+- the ONLY wide shuffle is groupBy(term, doc_id); Spark's hash
+  aggregation does map-side partial combine, which is exactly the role
+  of Lucene's in-RAM TermsHash. Zipfian head terms are no problem at
+  THIS stage because (term, doc_id) is high-cardinality; skew matters at
+  segment-encode time (see operators.segments head-term salting).
+- per-doc stats (length → norm byte) aggregate from the token table
+  before the big shuffle; norms is ~1 row/doc, broadcastable at query
+  time (norm byte = SmallFloat.intToByte4(length - numOverlap),
+  ``index/IndexingChain.java:1104``, ``BM25Similarity.java:138-148``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucene_solr_spark.functions.analysis import make_tokenize_udf
+from lucene_solr_spark.oracle.smallfloat import int_to_byte4_np
+
+__all__ = ["InvertedIndex", "assign_doc_ids", "build_index", "norm_udf"]
+
+
+@F.pandas_udf(T.IntegerType())
+def norm_udf(length: pd.Series) -> pd.Series:
+    """SmallFloat.intToByte4 of the field length, vectorized (uint8 0..255)."""
+    return pd.Series(
+        int_to_byte4_np(length.to_numpy()).astype("int32"), index=length.index
+    )
+
+
+@dataclass
+class InvertedIndex:
+    """Handles to the index tables (in-memory DataFrames or parquet-backed).
+
+    Tables (Spark equivalents of the Lucene90 segment files — see
+    SURVEY.md §1.1):
+      docs:       doc_id, repo?, path?, commit?, length, norm (+sha256)
+      postings:   term, doc_id, tf, positions (array<int>)   [.doc/.pos]
+      term_stats: term, df, ttf                               [.tim dictionary]
+      doc_count, sum_ttf: collection stats                    [FieldInfos/segment meta]
+    """
+
+    docs: DataFrame
+    postings: DataFrame
+    term_stats: DataFrame
+    doc_count: int
+    sum_ttf: int
+
+    @property
+    def norms(self) -> DataFrame:
+        return self.docs.select("doc_id", "norm")
+
+    def persist(self) -> "InvertedIndex":
+        self.docs.persist()
+        self.postings.persist()
+        self.term_stats.persist()
+        return self
+
+    def write_parquet(self, base: str, num_term_partitions: int = 8) -> None:
+        """Write the index as term-range-partitioned parquet: the parquet
+        min/max column stats on ``term`` play the role of the FST prefix
+        index (``codecs/lucene90/blocktree/...:172-187``) — a term-filtered
+        query prunes row groups without any custom structure."""
+        self.docs.write.mode("overwrite").parquet(f"{base}/docs")
+        (
+            self.postings.repartitionByRange(num_term_partitions, "term")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{base}/postings")
+        )
+        self.term_stats.repartitionByRange(
+            max(1, num_term_partitions // 4), "term"
+        ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+            f"{base}/term_stats"
+        )
+
+    @staticmethod
+    def read_parquet(spark: SparkSession, base: str) -> "InvertedIndex":
+        docs = spark.read.parquet(f"{base}/docs")
+        agg = docs.agg(
+            F.count("*").alias("n"), F.sum("length").alias("s")
+        ).collect()[0]
+        return InvertedIndex(
+            docs=docs,
+            postings=spark.read.parquet(f"{base}/postings"),
+            term_stats=spark.read.parquet(f"{base}/term_stats"),
+            doc_count=int(agg["n"]),
+            sum_ttf=int(agg["s"]),
+        )
+
+
+def assign_doc_ids(
+    corpus: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic dense doc_id = rank of the row in the total order of
+    ``key_cols`` (must be a unique key).
+
+    Scalable pattern (no global window): range-repartition on the key,
+    sort within partitions, then doc_id = partition_offset + local rank,
+    where offsets come from one collect of per-partition counts (O(num
+    partitions) driver data). The result is independent of the range
+    boundaries because the key order is total.
+    """
+    if num_partitions is None:
+        num_partitions = max(corpus.rdd.getNumPartitions(), 1)
+    keyed = corpus.repartitionByRange(num_partitions, *key_cols).sortWithinPartitions(
+        *key_cols
+    )
+
+    schema = T.StructType(
+        keyed.schema.fields + [T.StructField("doc_id", T.LongType(), False)]
+    )
+
+    # per-partition counts (tiny job: count per spark_partition_id)
+    counts = (
+        keyed.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .count()
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    offsets_b = {int(k): int(v) for k, v in offsets.items()}
+
+    def with_ids(iterator):
+        import pandas as _pd  # noqa: F401
+
+        base = None
+        seen = 0
+        for pdf in iterator:
+            if base is None:
+                # TaskContext partitionId identifies the range partition
+                from pyspark import TaskContext
+
+                base = offsets_b.get(TaskContext.get().partitionId(), 0)
+            pdf = pdf.copy()
+            pdf["doc_id"] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return keyed.mapInPandas(with_ids, schema=schema)
+
+
+def build_index(
+    corpus: DataFrame,
+    *,
+    text_col: str = "content",
+    doc_id_col: str | None = None,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    keep_cols: tuple[str, ...] = (),
+    lowercase: bool = True,
+    stopwords: frozenset[str] = frozenset(),
+    max_token_length: int = 255,
+    with_positions: bool = True,
+) -> InvertedIndex:
+    """Corpus → InvertedIndex. If ``doc_id_col`` is given it is trusted as a
+    unique long id; otherwise docIDs are assigned over ``key_cols``."""
+    if doc_id_col is None:
+        docs_src = assign_doc_ids(corpus, key_cols)
+    else:
+        docs_src = corpus.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+
+    tokenize = make_tokenize_udf(
+        lowercase=lowercase, stopwords=stopwords, max_token_length=max_token_length
+    )
+    tokens = docs_src.select(
+        "doc_id", F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).select("doc_id", F.col("tok.term").alias("term"), F.col("tok.pos").alias("pos"))
+
+    # posting lists: the Spark analog of TermsHashPerField.add +
+    # FreqProxTermsWriter (tf + sorted positions per (term, doc))
+    agg_cols = [F.count("*").alias("tf")]
+    if with_positions:
+        agg_cols.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    postings = tokens.groupBy("term", "doc_id").agg(*agg_cols)
+
+    # FieldInvertState.length per doc (stopwords/overlong never reach the
+    # inverter, so length = surviving token count; numOverlap = 0)
+    doc_len = tokens.groupBy("doc_id").agg(F.count("*").alias("length"))
+    keep = [c for c in keep_cols if c in docs_src.columns]
+    docs = (
+        docs_src.select("doc_id", *keep)
+        .join(doc_len, "doc_id", "left")
+        .fillna({"length": 0})
+        .withColumn("norm", norm_udf(F.col("length")))
+    )
+
+    term_stats = postings.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("ttf")
+    )
+
+    g = docs.agg(F.count("*").alias("n"), F.sum("length").alias("s")).collect()[0]
+    return InvertedIndex(
+        docs=docs,
+        postings=postings,
+        term_stats=term_stats,
+        doc_count=int(g["n"]),
+        sum_ttf=int(g["s"] or 0),
+    )
