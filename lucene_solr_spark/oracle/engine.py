@@ -270,8 +270,11 @@ class OracleIndex:
                     if len(matching) < msm:
                         continue
                     if msm > 0:
-                        # WAND-with-required path: everything sums double→float
-                        total = sum(float(m[d]) for m in must) + sum(float(v) for v in matching)
+                        # planner: conjunction( musts..., WAND(shoulds, msm) );
+                        # WAND casts its double sum to f32 first, then the
+                        # conjunction double-sums the f32 sub-scores
+                        wand = _f32(sum(float(v) for v in matching))
+                        total = sum(float(m[d]) for m in must) + float(wand)
                         out[d] = _f32(total)
                     else:
                         req = _f32(sum(float(m[d]) for m in must))

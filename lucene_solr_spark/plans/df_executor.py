@@ -1,0 +1,447 @@
+"""Relational (pure-DataFrame) query executor.
+
+The role of Lucene's Weight/Scorer tree (``search/Weight.java:135-180``,
+``search/Boolean2ScorerSupplier.java:109-247``) expressed as Catalyst
+operators — Lucene's Boolean retrieval IS relational algebra over posting
+lists (SURVEY.md §2.3):
+
+  TermQuery     → partition-pruned filter on postings + norm join + score
+  AND           → multi-way inner join on doc_id, Σ(double)→f32
+  OR            → union + groupBy(doc_id).sum, Σ(double)→f32
+  MUST_NOT      → left_anti join
+  FILTER        → left_semi join (no score contribution)
+  REQ+OPT       → left join, float add (ReqOptSumScorer.java:260-277)
+  dismax        → groupBy max/sum combine (DisjunctionMaxScorer.java:60-74)
+  phrase        → positions-array join + vectorized offset intersection
+  multi-term    → dictionary scan (term_stats) → TermInSet constant-score
+  top-k         → ORDER BY score DESC, doc_id ASC LIMIT k
+                  (HitQueue.java:78-84 tie-break)
+
+Two scoring modes:
+  "float32" — Lucene-exact float32 BM25 via an Arrow UDF kernel (the
+    rank-identity mode, tested bit-for-bit against oracle.engine).
+  "double"  — same formulas in pure double built-in expressions (no UDF,
+    whole-stage codegen) — the mode mirrored 1:1 by ANSI-SQL oracles in
+    __spark_entry__.oracle_sql for the DuckDB correctness gate.
+
+Note on accumulation order: Lucene double-sums sub-scores in heap order,
+which is doc-dependent and unspecified; the f32 cast absorbs permutation
+differences. We therefore let Spark's SUM aggregate in any order — same
+contract as the reference.
+
+Scale: term filters prune parquet row groups (postings written term-range
+sorted); norms join broadcasts when small; the many-term OR unions first
+and joins norms ONCE. The block-kernel executor (operators.topk) is the
+high-throughput path; this executor is the always-correct fallback.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucene_solr_spark.operators.index_build import InvertedIndex
+from lucene_solr_spark.oracle import bm25
+from lucene_solr_spark.plans import ir
+from lucene_solr_spark.plans.rewriter import rewrite
+
+__all__ = ["DFExecutor"]
+
+
+def _f32(x) -> np.float32:
+    return np.float32(x)
+
+
+@dataclass
+class DFExecutor:
+    index: InvertedIndex
+    k1: float = bm25.K1_DEFAULT
+    b: float = bm25.B_DEFAULT
+    mode: str = "float32"  # or "double"
+    broadcast_norms_threshold: int = 5_000_000
+    _stats_cache: dict = field(default_factory=dict)
+
+    # ------------------------------------------------------------------ api
+    def topk(self, q: ir.Query, k: int = 10) -> DataFrame:
+        scored = self.matches(q)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def count(self, q: ir.Query) -> int:
+        return self.matches(q).count()
+
+    def matches(self, q: ir.Query) -> DataFrame:
+        """DataFrame (doc_id, score) of all matching docs."""
+        q = rewrite(q)
+        q = self._expand_multiterm(q)
+        q = rewrite(q)
+        self._prefetch_stats(q)
+        return self._eval(q, 1.0)
+
+    # ------------------------------------------------------- stats plumbing
+    def _prefetch_stats(self, q: ir.Query) -> None:
+        """ONE dictionary lookup for all leaf terms of the query tree (the
+        role of TermStates/IndexReaderContext stats gathering)."""
+        terms = sorted(_collect_terms(q) - set(self._stats_cache))
+        if not terms:
+            return
+        rows = (
+            self.index.term_stats.filter(F.col("term").isin(terms))
+            .select("term", "df", "ttf")
+            .collect()
+        )
+        found = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+        for t in terms:
+            self._stats_cache[t] = found.get(t, (0, 0))
+
+    def _df(self, term: str) -> int:
+        if term not in self._stats_cache:
+            self._prefetch_stats(ir.TermQuery(term))
+        return self._stats_cache[term][0]
+
+    @property
+    def _avgdl_f32(self) -> np.float32:
+        return bm25.avg_field_length(self.index.sum_ttf, self.index.doc_count)
+
+    @property
+    def _avgdl_double(self) -> float:
+        return self.index.sum_ttf / float(self.index.doc_count)
+
+    def _norms(self) -> DataFrame:
+        n = self.index.norms
+        if self.index.doc_count <= self.broadcast_norms_threshold:
+            return F.broadcast(n)
+        return n
+
+    # ------------------------------------------------------------- scoring
+    def _score_f32_udf(self, weight: np.float32):
+        cache = bm25.norm_inverse_cache(self.k1, self.b, self._avgdl_f32)
+        w = np.float32(weight)
+
+        @F.pandas_udf(T.FloatType())
+        def score_udf(tf: pd.Series, norm: pd.Series) -> pd.Series:
+            s = bm25.score(
+                tf.to_numpy(np.int64), norm.to_numpy(np.int64), weight=w, cache=cache
+            )
+            return pd.Series(s, index=tf.index)
+
+        return score_udf
+
+    def _score_double_col(self, weight: float) -> Column:
+        """Built-in double expression: w - w/(1 + tf * inv(norm)).  The norm
+        byte decodes through the SmallFloat LUT as a CASE-free expression:
+        join-free via element_at on a literal 256-array."""
+        lut = F.lit(bm25.LENGTH_TABLE_F32.astype(float).tolist())
+        declen = F.element_at(lut, F.col("norm") + 1)
+        inv = F.lit(1.0) / (
+            F.lit(float(self.k1))
+            * (
+                F.lit(1.0 - self.b)
+                + F.lit(float(self.b)) * declen / F.lit(self._avgdl_double)
+            )
+        )
+        w = F.lit(float(weight))
+        return w - w / (F.lit(1.0) + F.col("tf").cast("double") * inv)
+
+    def _scored_term_rows(self, rows: DataFrame, weight) -> DataFrame:
+        """(doc_id, tf) rows + norm join → (doc_id, score)."""
+        with_norm = rows.join(self._norms(), "doc_id")
+        if self.mode == "float32":
+            udf = self._score_f32_udf(weight)
+            return with_norm.select(
+                "doc_id", udf(F.col("tf"), F.col("norm")).alias("score")
+            )
+        return with_norm.select(
+            "doc_id", self._score_double_col(float(weight)).alias("score")
+        )
+
+    def _term_weight(self, boost: float, df: int):
+        if self.mode == "float32":
+            return bm25.term_weight(boost, bm25.idf(df, self.index.doc_count))
+        import math
+
+        n = self.index.doc_count
+        return boost * math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def _sum_weight(self, boost: float, dfs) -> float:
+        if self.mode == "float32":
+            return bm25.term_weight(boost, bm25.idf_sum(dfs, self.index.doc_count))
+        import math
+
+        n = self.index.doc_count
+        return boost * sum(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) for df in dfs)
+
+    def _score_type(self) -> str:
+        return "float" if self.mode == "float32" else "double"
+
+    def _cast(self, col: Column) -> Column:
+        return col.cast(self._score_type())
+
+    # ---------------------------------------------------------- evaluation
+    def _eval(self, q: ir.Query, boost: float) -> DataFrame:  # noqa: C901
+        ix = self.index
+        if isinstance(q, ir.TermQuery):
+            if self._df(q.term) == 0:
+                return self._empty()
+            rows = ix.postings.filter(F.col("term") == q.term).select("doc_id", "tf")
+            return self._scored_term_rows(rows, self._term_weight(boost, self._df(q.term)))
+        if isinstance(q, ir.BoostQuery):
+            inner_boost = (
+                float(_f32(_f32(boost) * _f32(q.boost)))
+                if self.mode == "float32"
+                else boost * q.boost
+            )
+            return self._eval(q.query, inner_boost)
+        if isinstance(q, ir.ConstantScoreQuery):
+            inner = self._eval(q.query, 1.0)
+            return inner.select(
+                "doc_id", F.lit(float(_f32(boost))).cast(self._score_type()).alias("score")
+            )
+        if isinstance(q, ir.MatchAllDocsQuery):
+            return ix.docs.select(
+                "doc_id", F.lit(float(_f32(boost))).cast(self._score_type()).alias("score")
+            )
+        if isinstance(q, ir.MatchNoDocsQuery):
+            return self._empty()
+        if isinstance(q, ir.TermInSetQuery):
+            rows = ix.postings.filter(F.col("term").isin(list(q.terms)))
+            return rows.select("doc_id").distinct().select(
+                "doc_id", F.lit(float(_f32(boost))).cast(self._score_type()).alias("score")
+            )
+        if isinstance(q, ir.SynonymQuery):
+            dfs = [self._df(t) for t in q.terms]
+            df_max = max(dfs, default=0)
+            if df_max == 0:
+                return self._empty()
+            rows = (
+                ix.postings.filter(F.col("term").isin(list(q.terms)))
+                .groupBy("doc_id")
+                .agg(F.sum("tf").alias("tf"))
+            )
+            return self._scored_term_rows(rows, self._term_weight(boost, df_max))
+        if isinstance(q, ir.PhraseQuery):
+            return self._eval_phrase(q, boost)
+        if isinstance(q, ir.DisjunctionMaxQuery):
+            subs = [self._eval(s, boost) for s in q.queries]
+            unioned = reduce(DataFrame.unionAll, subs)
+            agg = unioned.groupBy("doc_id").agg(
+                F.max(F.col("score").cast("double")).alias("_mx"),
+                F.sum(F.col("score").cast("double")).alias("_sm"),
+            )
+            return agg.select(
+                "doc_id",
+                self._cast(
+                    F.col("_mx") + (F.col("_sm") - F.col("_mx")) * F.lit(float(q.tie_breaker))
+                ).alias("score"),
+            )
+        if isinstance(q, ir.BooleanQuery):
+            return self._eval_boolean(q, boost)
+        raise TypeError(f"unsupported query type {type(q).__name__}")
+
+    def _eval_boolean(self, q: ir.BooleanQuery, boost: float) -> DataFrame:
+        musts = [self._eval(c, boost) for c in q.by_occur(ir.Occur.MUST)]
+        filters = [self._eval(c, 1.0).select("doc_id") for c in q.by_occur(ir.Occur.FILTER)]
+        should_qs = q.by_occur(ir.Occur.SHOULD)
+        shoulds = [self._eval(c, boost) for c in should_qs]
+        nots = [self._eval(c, 1.0).select("doc_id") for c in q.by_occur(ir.Occur.MUST_NOT)]
+        msm = q.min_should_match
+
+        # required side: conjunction = chained inner joins on doc_id
+        req: DataFrame | None = None
+        if musts:
+            req = musts[0].withColumnRenamed("score", "s0")
+            for i, m in enumerate(musts[1:], 1):
+                req = req.join(
+                    m.withColumnRenamed("score", f"s{i}"), "doc_id", "inner"
+                )
+            total = reduce(
+                lambda a, c: a + c,
+                [F.col(f"s{i}").cast("double") for i in range(len(musts))],
+            )
+            req = req.select("doc_id", self._cast(total).alias("score"))
+        for f in filters:
+            req = f.withColumn("score", F.lit(0.0).cast(self._score_type())) if req is None else req.join(f, "doc_id", "left_semi")
+
+        # optional side: disjunction-sum with match count (for msm)
+        opt: DataFrame | None = None
+        if shoulds:
+            unioned = reduce(DataFrame.unionAll, shoulds)
+            opt = unioned.groupBy("doc_id").agg(
+                self._cast(F.sum(F.col("score").cast("double"))).alias("opt_score"),
+                F.count("*").alias("n_matching"),
+            )
+
+        if req is not None:
+            out = req
+            if opt is not None:
+                if msm > 0:
+                    joined = out.join(opt, "doc_id", "inner").filter(
+                        F.col("n_matching") >= msm
+                    )
+                    # conjunction(musts..., WAND(shoulds,msm)): double sum of
+                    # the f32 req total and the f32 WAND total
+                    out = joined.select(
+                        "doc_id",
+                        self._cast(
+                            F.col("score").cast("double")
+                            + F.col("opt_score").cast("double")
+                        ).alias("score"),
+                    )
+                else:
+                    joined = out.join(opt, "doc_id", "left")
+                    # ReqOptSumScorer: FLOAT add (ReqOptSumScorer.java:273)
+                    out = joined.select(
+                        "doc_id",
+                        F.when(
+                            F.col("opt_score").isNotNull(),
+                            self._cast(F.col("score") + F.col("opt_score")),
+                        )
+                        .otherwise(F.col("score"))
+                        .alias("score"),
+                    )
+        else:
+            if opt is None:
+                return self._empty()
+            need = max(msm, 1)
+            out = opt.filter(F.col("n_matching") >= need).select(
+                "doc_id", F.col("opt_score").alias("score")
+            )
+
+        for n in nots:
+            out = out.join(n, "doc_id", "left_anti")
+        return out
+
+    def _eval_phrase(self, q: ir.PhraseQuery, boost: float) -> DataFrame:
+        if q.slop != 0:
+            raise NotImplementedError("sloppy phrase: phase 2")
+        ix = self.index
+        dfs = [self._df(t) for t in q.terms]
+        if min(dfs, default=0) == 0:
+            return self._empty()
+        if "positions" not in ix.postings.columns:
+            raise ValueError("index built without positions; phrase queries need them")
+        # conjunction approximation: join positions arrays per term
+        parts = []
+        for i, t in enumerate(q.terms):
+            parts.append(
+                ix.postings.filter(F.col("term") == t).select(
+                    "doc_id", F.col("positions").alias(f"p{i}")
+                )
+            )
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = joined.join(p, "doc_id", "inner")
+        arrays = F.array(*[F.col(f"p{i}") for i in range(len(q.terms))])
+        offsets = tuple(int(p) for p in q.positions)
+
+        @F.pandas_udf(T.IntegerType())
+        def phrase_freq(pos_lists: pd.Series) -> pd.Series:
+            """ExactPhraseMatcher: count base positions where every term i
+            appears at base + offset_i (ExactPhraseMatcher.java:109-155)."""
+            base_off = offsets[0]
+
+            def count(lists) -> int:
+                cand = np.asarray(lists[0], dtype=np.int64) - base_off
+                for i in range(1, len(offsets)):
+                    nxt = np.asarray(lists[i], dtype=np.int64) - offsets[i]
+                    cand = np.intersect1d(cand, nxt, assume_unique=True)
+                    if cand.size == 0:
+                        return 0
+                return int(cand.size)
+
+            return pos_lists.map(count)
+
+        freq = joined.select("doc_id", phrase_freq(arrays).alias("tf")).filter(
+            F.col("tf") > 0
+        )
+        return self._scored_term_rows(freq, self._sum_weight(boost, dfs))
+
+    # -------------------------------------------------- multi-term expansion
+    def _expand_multiterm(self, q: ir.Query) -> ir.Query:
+        """Dictionary scan (term_stats) replaces the FST/automaton
+        intersection (search/AutomatonQuery.java:45); rewritten to
+        constant-score TermInSet (MultiTermQueryConstantScoreWrapper)."""
+        if isinstance(q, ir.PrefixQuery):
+            return ir.TermInSetQuery(self._dict_scan(F.col("term").startswith(q.prefix)))
+        if isinstance(q, ir.WildcardQuery):
+            import re as _re
+
+            rx = "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in q.pattern
+            )
+            return ir.TermInSetQuery(self._dict_scan(F.col("term").rlike(f"^(?:{rx})$")))
+        if isinstance(q, ir.RegexpQuery):
+            return ir.TermInSetQuery(
+                self._dict_scan(F.col("term").rlike(f"^(?:{q.regexp})$"))
+            )
+        if isinstance(q, ir.TermRangeQuery):
+            cond = F.lit(True)
+            if q.lower is not None:
+                cond = cond & (
+                    F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
+                )
+            if q.upper is not None:
+                cond = cond & (
+                    F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
+                )
+            return ir.TermInSetQuery(self._dict_scan(cond))
+        if isinstance(q, ir.FuzzyQuery):
+            cond = F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
+            if q.prefix_length:
+                cond = cond & F.col("term").startswith(q.term[: q.prefix_length])
+            return ir.TermInSetQuery(self._dict_scan(cond))
+        if isinstance(q, ir.BooleanQuery):
+            return ir.BooleanQuery(
+                tuple(
+                    ir.BooleanClause(c.occur, self._expand_multiterm(c.query))
+                    for c in q.clauses
+                ),
+                q.min_should_match,
+            )
+        if isinstance(q, ir.BoostQuery):
+            return ir.BoostQuery(self._expand_multiterm(q.query), q.boost)
+        if isinstance(q, ir.ConstantScoreQuery):
+            return ir.ConstantScoreQuery(self._expand_multiterm(q.query))
+        if isinstance(q, ir.DisjunctionMaxQuery):
+            return ir.DisjunctionMaxQuery(
+                tuple(self._expand_multiterm(s) for s in q.queries), q.tie_breaker
+            )
+        return q
+
+    def _dict_scan(self, cond: Column) -> tuple[str, ...]:
+        rows = self.index.term_stats.filter(cond).select("term").collect()
+        return tuple(sorted(r["term"] for r in rows))
+
+    def _empty(self) -> DataFrame:
+        spark = self.index.postings.sparkSession
+        return spark.createDataFrame(
+            [], schema=f"doc_id long, score {self._score_type()}"
+        )
+
+
+def _collect_terms(q: ir.Query) -> set[str]:
+    if isinstance(q, ir.TermQuery):
+        return {q.term}
+    if isinstance(q, (ir.SynonymQuery, ir.TermInSetQuery)):
+        return set(q.terms)
+    if isinstance(q, ir.PhraseQuery):
+        return set(q.terms)
+    if isinstance(q, ir.BooleanQuery):
+        out: set[str] = set()
+        for c in q.clauses:
+            out |= _collect_terms(c.query)
+        return out
+    if isinstance(q, (ir.BoostQuery, ir.ConstantScoreQuery)):
+        return _collect_terms(q.query)
+    if isinstance(q, ir.DisjunctionMaxQuery):
+        out = set()
+        for s in q.queries:
+            out |= _collect_terms(s)
+        return out
+    return set()
