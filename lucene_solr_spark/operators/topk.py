@@ -1,0 +1,663 @@
+"""Segment-parallel top-k search kernel.
+
+The Spark re-expression of Lucene's search path (SURVEY.md §3.2): the
+compiled query plan + global term stats are broadcast; every segment
+(doc-range partition, operators.segments) scores locally with a vectorized
+numpy kernel over DECODED POSTING BLOCKS and returns its top-k; the driver
+merges with the ``TopDocs.merge`` tie-break (score desc, docID asc —
+``search/HitQueue.java:78-84``; docID order subsumes shard order because
+segments are docID ranges).
+
+Kernel operators (reference semantics, vectorized):
+- term scoring      = BM25 float32 kernel (``BM25Similarity.java:211-258``)
+- conjunction       = sorted-array intersection — the vectorized stand-in
+  for leapfrog (``search/ConjunctionDISI.java:212-268``)
+- disjunction       = concat + unique + segment-sum, the numpy form of the
+  windowed BooleanScorer (``search/BooleanScorer.java:112-193``)
+- MUST_NOT / FILTER = setdiff / semi-membership (``ReqExclScorer``)
+- req+opt           = float32 add (``ReqOptSumScorer.java:260-277``)
+- block-max pruning (``prune="block_max"``): per-(term, block) max scores
+  derive from the stored impact frontiers (``search/MaxScoreCache.java:
+  58-97``); doc-space windows are processed in decreasing upper-bound
+  order and skipped once ub < θ (the minCompetitiveScore feedback,
+  ``search/WANDScorer.java:273-335``, ``TopScoreDocCollector.java:84-98``)
+  — windows with ub == θ are still processed so tie-breaks stay exact.
+
+Two scoring modes (same contract as plans.df_executor):
+  "float32" — Lucene-exact float32 arithmetic (rank-identity mode);
+  "double"  — pure float64, mirroring the DuckDB ANSI-SQL oracle.
+Both accumulate multi-clause sums in float64 and cast once, matching
+``ConjunctionScorer.java:59-64`` / ``DisjunctionSumScorer.java:38-44``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from lucene_solr_spark.codecs.postings_codec import EncodedPostings, decode_blocks
+from lucene_solr_spark.operators.segments import SegmentIndex
+from lucene_solr_spark.oracle import bm25
+from lucene_solr_spark.plans import ir
+from lucene_solr_spark.plans.rewriter import rewrite
+
+__all__ = ["SegmentSearcher"]
+
+_WINDOW = 2048  # BooleanScorer window size (BooleanScorer.java:33-37, 1<<11)
+
+_RESULT_SCHEMA_F32 = T.StructType(
+    [
+        T.StructField("query_id", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.FloatType(), False),
+    ]
+)
+_RESULT_SCHEMA_F64 = T.StructType(
+    [
+        T.StructField("query_id", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+# ------------------------------------------------------------------ compile
+def _collect_terms(q: ir.Query) -> set[str]:
+    if isinstance(q, ir.TermQuery):
+        return {q.term}
+    if isinstance(q, (ir.SynonymQuery, ir.TermInSetQuery)):
+        return set(q.terms)
+    if isinstance(q, ir.BooleanQuery):
+        s: set[str] = set()
+        for c in q.clauses:
+            s |= _collect_terms(c.query)
+        return s
+    if isinstance(q, (ir.BoostQuery, ir.ConstantScoreQuery)):
+        return _collect_terms(q.query)
+    if isinstance(q, ir.DisjunctionMaxQuery):
+        s = set()
+        for sub in q.queries:
+            s |= _collect_terms(sub)
+        return s
+    return set()
+
+
+@dataclass
+class _Compiler:
+    """Query IR → serializable kernel plan (plain dicts), with term weights
+    resolved driver-side from the global dictionary — the Weight-tree
+    construction (``search/IndexSearcher.java:684`` createWeight)."""
+
+    stats: dict[str, tuple[int, int]]
+    doc_count: int
+    mode: str
+    k1: float
+    b: float
+
+    def weight(self, boost: float, df: int) -> float:
+        if self.mode == "float32":
+            return float(bm25.term_weight(boost, bm25.idf(df, self.doc_count)))
+        return boost * math.log(1.0 + (self.doc_count - df + 0.5) / (df + 0.5))
+
+    def compile(self, q: ir.Query, boost: float = 1.0) -> dict:
+        if isinstance(q, ir.TermQuery):
+            df = self.stats.get(q.term, (0, 0))[0]
+            if df == 0:
+                return {"op": "none"}
+            return {"op": "term", "term": q.term, "weight": self.weight(boost, df)}
+        if isinstance(q, ir.SynonymQuery):
+            dfs = [self.stats.get(t, (0, 0))[0] for t in q.terms]
+            df_max = max(dfs, default=0)
+            if df_max == 0:
+                return {"op": "none"}
+            return {
+                "op": "synonym",
+                "terms": list(q.terms),
+                "weight": self.weight(boost, df_max),
+            }
+        if isinstance(q, ir.TermInSetQuery):
+            score = float(np.float32(boost)) if self.mode == "float32" else float(boost)
+            return {"op": "term_set", "terms": list(q.terms), "score": score}
+        if isinstance(q, ir.BoostQuery):
+            inner = (
+                float(np.float32(np.float32(boost) * np.float32(q.boost)))
+                if self.mode == "float32"
+                else boost * q.boost
+            )
+            return self.compile(q.query, inner)
+        if isinstance(q, ir.ConstantScoreQuery):
+            score = float(np.float32(boost)) if self.mode == "float32" else float(boost)
+            return {"op": "const", "sub": self.compile(q.query, 1.0), "score": score}
+        if isinstance(q, ir.MatchAllDocsQuery):
+            score = float(np.float32(boost)) if self.mode == "float32" else float(boost)
+            return {"op": "match_all", "score": score}
+        if isinstance(q, ir.MatchNoDocsQuery):
+            return {"op": "none"}
+        if isinstance(q, ir.DisjunctionMaxQuery):
+            return {
+                "op": "dismax",
+                "subs": [self.compile(s, boost) for s in q.queries],
+                "tie": float(q.tie_breaker),
+            }
+        if isinstance(q, ir.BooleanQuery):
+            return {
+                "op": "bool",
+                "musts": [self.compile(c, boost) for c in q.by_occur(ir.Occur.MUST)],
+                "filters": [self.compile(c, 1.0) for c in q.by_occur(ir.Occur.FILTER)],
+                "shoulds": [self.compile(c, boost) for c in q.by_occur(ir.Occur.SHOULD)],
+                "nots": [self.compile(c, 1.0) for c in q.by_occur(ir.Occur.MUST_NOT)],
+                "msm": q.min_should_match,
+            }
+        raise TypeError(f"kernel cannot compile {type(q).__name__}")
+
+
+# ------------------------------------------------------------------- kernel
+class _SegmentEval:
+    """Evaluates compiled plans over one segment's decoded postings."""
+
+    def __init__(
+        self,
+        term_enc: dict[str, EncodedPostings],
+        seg_docs: np.ndarray,
+        seg_norms: np.ndarray,
+        mode: str,
+        cache_f32: np.ndarray,
+        inv_f64: np.ndarray,
+    ):
+        self.term_enc = term_enc
+        self.seg_docs = seg_docs  # sorted doc_ids of the segment
+        self.seg_norms = seg_norms
+        self.mode = mode
+        self.cache_f32 = cache_f32
+        self.inv_f64 = inv_f64
+        self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    # --- postings access ---
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        if term not in self._decoded:
+            enc = self.term_enc.get(term)
+            if enc is None:
+                self._decoded[term] = (
+                    np.empty(0, np.int64),
+                    np.empty(0, np.int64),
+                )
+            else:
+                self._decoded[term] = decode_blocks(enc, None)
+        return self._decoded[term]
+
+    def norms_of(self, docs: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.seg_docs, docs)
+        return self.seg_norms[idx]
+
+    # --- scoring ---
+    def score_tf_norm(self, tfs: np.ndarray, norms: np.ndarray, weight: float) -> np.ndarray:
+        if self.mode == "float32":
+            return bm25.score(tfs, norms, weight=np.float32(weight), cache=self.cache_f32)
+        w = np.float64(weight)
+        return w - w / (1.0 + tfs.astype(np.float64) * self.inv_f64[norms])
+
+    def _out_dtype(self):
+        return np.float32 if self.mode == "float32" else np.float64
+
+    # --- evaluation: returns (docs sorted, scores, match_counts|None) ---
+    def eval(self, plan: dict) -> tuple[np.ndarray, np.ndarray]:
+        op = plan["op"]
+        empty = (np.empty(0, np.int64), np.empty(0, self._out_dtype()))
+        if op == "none":
+            return empty
+        if op == "term":
+            docs, tfs = self.postings(plan["term"])
+            if not docs.size:
+                return empty
+            return docs, self.score_tf_norm(tfs, self.norms_of(docs), plan["weight"])
+        if op == "synonym":
+            parts = [self.postings(t) for t in plan["terms"]]
+            alldocs = np.concatenate([p[0] for p in parts])
+            alltfs = np.concatenate([p[1] for p in parts])
+            if not alldocs.size:
+                return empty
+            docs, inv = np.unique(alldocs, return_inverse=True)
+            tfs = np.zeros(len(docs), np.int64)
+            np.add.at(tfs, inv, alltfs)
+            return docs, self.score_tf_norm(tfs, self.norms_of(docs), plan["weight"])
+        if op == "term_set":
+            parts = [self.postings(t)[0] for t in plan["terms"]]
+            docs = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+            return docs, np.full(len(docs), plan["score"], self._out_dtype())
+        if op == "const":
+            docs, _ = self.eval(plan["sub"])
+            return docs, np.full(len(docs), plan["score"], self._out_dtype())
+        if op == "match_all":
+            return self.seg_docs, np.full(
+                len(self.seg_docs), plan["score"], self._out_dtype()
+            )
+        if op == "dismax":
+            subs = [self.eval(s) for s in plan["subs"]]
+            alldocs = np.concatenate([s[0] for s in subs])
+            if not alldocs.size:
+                return empty
+            docs, inv = np.unique(alldocs, return_inverse=True)
+            mx = np.full(len(docs), -np.inf)
+            sm = np.zeros(len(docs))
+            allsc = np.concatenate([s[1] for s in subs]).astype(np.float64)
+            np.maximum.at(mx, inv, allsc)
+            np.add.at(sm, inv, allsc)
+            out = mx + (sm - mx) * plan["tie"]
+            return docs, out.astype(self._out_dtype())
+        if op == "bool":
+            return self._eval_bool(plan)
+        raise ValueError(f"unknown op {op}")
+
+    def _disjunction(self, subs: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        parts = [self.eval(s) for s in subs]
+        alldocs = np.concatenate([p[0] for p in parts])
+        if not alldocs.size:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, self._out_dtype()),
+                np.empty(0, np.int64),
+            )
+        docs, inv = np.unique(alldocs, return_inverse=True)
+        sums = np.zeros(len(docs))
+        np.add.at(sums, inv, np.concatenate([p[1] for p in parts]).astype(np.float64))
+        counts = np.zeros(len(docs), np.int64)
+        np.add.at(counts, inv, 1)
+        return docs, sums.astype(self._out_dtype()), counts
+
+    def _eval_bool(self, plan: dict) -> tuple[np.ndarray, np.ndarray]:
+        dt = self._out_dtype()
+        req_docs = req_scores = None
+        if plan["musts"]:
+            m0 = self.eval(plan["musts"][0])
+            req_docs = m0[0]
+            acc = m0[1].astype(np.float64)
+            for sub in plan["musts"][1:]:
+                d, s = self.eval(sub)
+                keep_a = np.isin(req_docs, d, assume_unique=True)
+                req_docs = req_docs[keep_a]
+                acc = acc[keep_a]
+                keep_b = np.isin(d, req_docs, assume_unique=True)
+                acc = acc + s.astype(np.float64)[keep_b]
+            req_scores = acc.astype(dt)
+        for f in plan["filters"]:
+            fd, _ = self.eval(f)
+            if req_docs is None:
+                req_docs = fd
+                req_scores = np.zeros(len(fd), dt)
+            else:
+                keep = np.isin(req_docs, fd, assume_unique=True)
+                req_docs = req_docs[keep]
+                req_scores = req_scores[keep]
+
+        opt = None
+        if plan["shoulds"]:
+            opt = self._disjunction(plan["shoulds"])
+        msm = plan["msm"]
+
+        if req_docs is not None:
+            out_docs, out_scores = req_docs, req_scores
+            if opt is not None:
+                od, osc, ocnt = opt
+                if msm > 0:
+                    ok = ocnt >= msm
+                    od, osc = od[ok], osc[ok]
+                    keep = np.isin(out_docs, od, assume_unique=True)
+                    out_docs = out_docs[keep]
+                    base = out_scores[keep].astype(np.float64)
+                    add = osc[np.isin(od, out_docs, assume_unique=True)].astype(np.float64)
+                    out_scores = (base + add).astype(dt)
+                else:
+                    pos = np.searchsorted(od, out_docs)
+                    has = (pos < len(od)) & (od[np.clip(pos, 0, max(len(od) - 1, 0))] == out_docs) if len(od) else np.zeros(len(out_docs), bool)
+                    out_scores = out_scores.copy()
+                    if self.mode == "float32":
+                        out_scores[has] = (
+                            out_scores[has] + osc[pos[has]]
+                        ).astype(np.float32)
+                    else:
+                        out_scores[has] = out_scores[has] + osc[pos[has]]
+        else:
+            if opt is None:
+                return np.empty(0, np.int64), np.empty(0, dt)
+            od, osc, ocnt = opt
+            ok = ocnt >= max(msm, 1)
+            out_docs, out_scores = od[ok], osc[ok]
+
+        for n in plan["nots"]:
+            nd, _ = self.eval(n)
+            keep = ~np.isin(out_docs, nd, assume_unique=True)
+            out_docs = out_docs[keep]
+            out_scores = out_scores[keep]
+        return out_docs, out_scores
+
+    # --- block-max pruned top-k (flat disjunction / conjunction of terms) ---
+    def blockmax_topk(self, plan: dict, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Window-batched block-max pruning (WANDScorer/ImpactsDISI family).
+        Supported shapes: {"op":"term"} and flat bool of term musts XOR term
+        shoulds (msm<=1, no filters/nots). Caller guarantees the shape."""
+        if plan["op"] == "term":
+            terms = [(plan["term"], plan["weight"])]
+            conj = False
+        else:
+            subs = plan["musts"] or plan["shoulds"]
+            conj = bool(plan["musts"])
+            terms = [(s["term"], s["weight"]) for s in subs]
+
+        metas = []
+        for t, w in terms:
+            enc = self.term_enc.get(t)
+            if enc is None:
+                if conj:
+                    return np.empty(0, np.int64), np.empty(0, self._out_dtype())
+                continue
+            first, last, bmax = self._block_bounds(enc, w)
+            metas.append((t, w, enc, first, last, bmax))
+        if not metas or (conj and len(metas) < len(terms)):
+            return np.empty(0, np.int64), np.empty(0, self._out_dtype())
+
+        lo = int(min(m[3][0] for m in metas))
+        hi = int(max(m[4][-1] for m in metas))
+        n_win = (hi - lo) // _WINDOW + 1
+        ub = np.zeros(n_win + 1)
+        touched = np.zeros(n_win, np.int64)
+        for _, _, _, first, last, bmax in metas:
+            w0 = (first - lo) // _WINDOW
+            w1 = (last - lo) // _WINDOW
+            per_win_max = np.zeros(n_win + 1)
+            # a term's bound per window = max over its blocks overlapping it;
+            # accumulate via per-term max array then add into ub
+            for a, b_, m in zip(w0.tolist(), w1.tolist(), bmax.tolist()):
+                seg = per_win_max[a : b_ + 1]
+                np.maximum(seg, m, out=seg)
+            ub[:n_win] += per_win_max[:n_win]
+            cover = np.zeros(n_win + 1, np.int64)
+            cover[w0] += 1
+            np.add.at(cover, w1 + 1, -1)
+            touched += np.cumsum(cover[:-1]) > 0
+        if conj:
+            ub[:n_win][touched < len(metas)] = 0.0
+
+        order = np.argsort(-ub[:n_win], kind="stable")
+        cand_docs: list[np.ndarray] = []
+        cand_scores: list[np.ndarray] = []
+        theta = -np.inf
+        n_cand = 0
+        for wi in order.tolist():
+            if ub[wi] < theta or ub[wi] <= 0.0:
+                break
+            w_lo = lo + wi * _WINDOW
+            w_hi = w_lo + _WINDOW - 1
+            parts_d = []
+            parts_s = []
+            n_present = 0
+            for t, w, enc, first, last, bmax in metas:
+                blocks = np.nonzero((first <= w_hi) & (last >= w_lo))[0]
+                if not blocks.size:
+                    continue
+                d, tf = self._decode_cached(t, enc, blocks)
+                mask = (d >= w_lo) & (d <= w_hi)
+                d = d[mask]
+                if not d.size:
+                    continue
+                n_present += 1
+                sc = self.score_tf_norm(tf[mask], self.norms_of(d), w)
+                parts_d.append(d)
+                parts_s.append(sc.astype(np.float64))
+            if not parts_d or (conj and n_present < len(metas)):
+                continue
+            alld = np.concatenate(parts_d)
+            docs, inv = np.unique(alld, return_inverse=True)
+            sums = np.zeros(len(docs))
+            np.add.at(sums, inv, np.concatenate(parts_s))
+            if conj:
+                cnt = np.zeros(len(docs), np.int64)
+                np.add.at(cnt, inv, 1)
+                sel = cnt == len(metas)
+                docs, sums = docs[sel], sums[sel]
+            if not docs.size:
+                continue
+            scores = sums.astype(self._out_dtype())
+            cand_docs.append(docs)
+            cand_scores.append(scores)
+            n_cand += len(docs)
+            if n_cand >= k:
+                allsc = np.concatenate(cand_scores)
+                theta = float(np.partition(allsc, -k)[-k])
+        if not cand_docs:
+            return np.empty(0, np.int64), np.empty(0, self._out_dtype())
+        return np.concatenate(cand_docs), np.concatenate(cand_scores)
+
+    def _block_bounds(self, enc: EncodedPostings, weight: float):
+        if enc.singleton_doc >= 0:
+            first = np.asarray([enc.singleton_doc], np.int64)
+            last = first
+        else:
+            n_blocks = len(enc.block_last)
+            first = np.empty(n_blocks, np.int64)
+            first[: enc.n_full_blocks] = enc.block_first
+            if n_blocks > enc.n_full_blocks:  # tail block
+                first[-1] = (
+                    enc.block_last[enc.n_full_blocks - 1] + 1
+                    if enc.n_full_blocks
+                    else 0
+                )
+            last = enc.block_last
+        # max score per block from the impact frontier (MaxScoreCache.java)
+        off = enc.imp_off
+        bmax = np.empty(len(last))
+        for i in range(len(last)):
+            f = enc.imp_freq[off[i] : off[i + 1]].astype(np.int64)
+            n = enc.imp_norm[off[i] : off[i + 1]].astype(np.int64)
+            bmax[i] = float(self.score_tf_norm(f, n, weight).max())
+        return first, last, bmax
+
+    def _decode_cached(self, term: str, enc: EncodedPostings, blocks: np.ndarray):
+        # full-list decode cache; per-block caching would save more on huge
+        # lists, but lists are bounded by segment_size so this is fine
+        return self.postings(term)
+
+
+# ---------------------------------------------------------------- searcher
+@dataclass
+class SegmentSearcher:
+    spark: SparkSession
+    index: SegmentIndex
+    mode: str = "float32"
+    k1: float = bm25.K1_DEFAULT
+    b: float = bm25.B_DEFAULT
+    prune: str = "exhaustive"  # or "block_max"
+    _stats_cache: dict = field(default_factory=dict)
+
+    # --- global stats ---
+    def _stats(self, terms: set[str]) -> dict[str, tuple[int, int]]:
+        missing = sorted(terms - set(self._stats_cache))
+        if missing:
+            rows = (
+                self.index.term_stats(self.spark)
+                .filter(F.col("term").isin(missing))
+                .collect()
+            )
+            found = {r["term"]: (int(r["df"]), int(r["ttf"])) for r in rows}
+            for t in missing:
+                self._stats_cache[t] = found.get(t, (0, 0))
+        return self._stats_cache
+
+    def _expand_multiterm(self, q: ir.Query) -> ir.Query:
+        """Dictionary-scan expansion of prefix/wildcard/regexp/range/fuzzy
+        (MultiTermQuery CONSTANT_SCORE rewrite) against the global
+        term_stats parquet."""
+        ts = self.index.term_stats(self.spark)
+
+        def scan(cond) -> tuple[str, ...]:
+            return tuple(
+                sorted(r["term"] for r in ts.filter(cond).select("term").collect())
+            )
+
+        if isinstance(q, ir.PrefixQuery):
+            return ir.TermInSetQuery(scan(F.col("term").startswith(q.prefix)))
+        if isinstance(q, ir.TermRangeQuery):
+            cond = F.lit(True)
+            if q.lower is not None:
+                cond = cond & (
+                    F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
+                )
+            if q.upper is not None:
+                cond = cond & (
+                    F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
+                )
+            return ir.TermInSetQuery(scan(cond))
+        if isinstance(q, ir.BooleanQuery):
+            return ir.BooleanQuery(
+                tuple(
+                    ir.BooleanClause(c.occur, self._expand_multiterm(c.query))
+                    for c in q.clauses
+                ),
+                q.min_should_match,
+            )
+        return q
+
+    # --- public API ---
+    def topk(self, q: ir.Query, k: int = 10) -> DataFrame:
+        return (
+            self.topk_batch({"q": q}, k=k)
+            .select("doc_id", "score")
+        )
+
+    def matches(self, q: ir.Query) -> DataFrame:
+        return self.topk_batch({"q": q}, k=None).select("doc_id", "score")
+
+    def topk_batch(
+        self, queries: dict[str, ir.Query], k: int | None = 10
+    ) -> DataFrame:
+        """Batched search: ONE Spark job scores every query against every
+        segment (broadcast plans), then a driver-side window merge — the
+        per-query-job latency answer at benchmark scale (SURVEY.md §7.1.6)."""
+        compiled: dict[str, dict] = {}
+        all_terms: set[str] = set()
+        prepared = {}
+        for qid, q in queries.items():
+            q = rewrite(self._expand_multiterm(rewrite(q)))
+            prepared[qid] = q
+            all_terms |= _collect_terms(q)
+        stats = self._stats(all_terms)
+        comp = _Compiler(stats, self.index.doc_count, self.mode, self.k1, self.b)
+        for qid, q in prepared.items():
+            compiled[qid] = comp.compile(q)
+
+        needed_terms = sorted(all_terms)
+        mode = self.mode
+        k1, b_ = self.k1, self.b
+        avgdl_f32 = bm25.avg_field_length(self.index.sum_ttf, self.index.doc_count)
+        cache_f32 = bm25.norm_inverse_cache(k1, b_, avgdl_f32)
+        avgdl_f64 = self.index.sum_ttf / float(self.index.doc_count)
+        inv_f64 = 1.0 / (
+            k1 * ((1.0 - b_) + b_ * bm25.LENGTH_TABLE_F32.astype(np.float64) / avgdl_f64)
+        )
+        prune = self.prune
+        kk = k
+        schema = _RESULT_SCHEMA_F32 if mode == "float32" else _RESULT_SCHEMA_F64
+
+        seg_rows = self.index.segments(self.spark).filter(
+            F.col("term").isin(needed_terms)
+        )
+        seg_docs = self.index.seg_docs(self.spark)
+
+        def kernel(key: tuple, post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame):
+            if docs_pdf.empty:
+                return pd.DataFrame(columns=["query_id", "doc_id", "score"])
+            def _arr(v, dtype):
+                if v is None:
+                    return np.empty(0, dtype)
+                return np.asarray(v, dtype)
+
+            term_enc = {
+                r.term: EncodedPostings(
+                    df=int(r.df),
+                    ttf=int(r.ttf),
+                    doc_blob=bytes(r.doc_blob) if r.doc_blob is not None else b"",
+                    tf_blob=bytes(r.tf_blob) if r.tf_blob is not None else b"",
+                    tail_blob=bytes(r.tail_blob) if r.tail_blob is not None else b"",
+                    n_full_blocks=int(r.n_full_blocks),
+                    block_first=_arr(r.block_first, np.int64),
+                    block_last=_arr(r.block_last, np.int64),
+                    imp_freq=_arr(r.imp_freq, np.int32),
+                    imp_norm=_arr(r.imp_norm, np.int32),
+                    imp_off=_arr(r.imp_off, np.int32),
+                    singleton_doc=int(r.singleton_doc),
+                    singleton_tf=int(r.singleton_tf),
+                )
+                for r in post_pdf.itertuples()
+            }
+            docs_pdf = docs_pdf.sort_values("doc_id")
+            ev = _SegmentEval(
+                term_enc,
+                docs_pdf["doc_id"].to_numpy(np.int64),
+                docs_pdf["norm"].to_numpy(np.int64),
+                mode,
+                cache_f32,
+                inv_f64,
+            )
+            out_q: list[str] = []
+            out_d: list[np.ndarray] = []
+            out_s: list[np.ndarray] = []
+            for qid, plan in compiled.items():
+                if (
+                    kk is not None
+                    and prune == "block_max"
+                    and _blockmax_eligible(plan)
+                ):
+                    docs, scores = ev.blockmax_topk(plan, kk)
+                else:
+                    docs, scores = ev.eval(plan)
+                if kk is not None and len(docs) > kk:
+                    # per-segment top-k (TopScoreDocCollector heap role)
+                    order = np.lexsort((docs, -scores.astype(np.float64)))[:kk]
+                    docs, scores = docs[order], scores[order]
+                out_q.append(qid)
+                out_d.append(docs)
+                out_s.append(scores)
+            qcol = np.repeat(out_q, [len(d) for d in out_d])
+            return pd.DataFrame(
+                {
+                    "query_id": qcol,
+                    "doc_id": np.concatenate(out_d) if out_d else [],
+                    "score": np.concatenate(out_s) if out_s else [],
+                }
+            )
+
+        res = (
+            seg_rows.groupBy("segment_id")
+            .cogroup(seg_docs.groupBy("segment_id"))
+            .applyInPandas(kernel, schema=schema)
+        )
+        if k is None:
+            return res
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            res.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+
+def _blockmax_eligible(plan: dict) -> bool:
+    if plan["op"] == "term":
+        return True
+    if plan["op"] != "bool":
+        return False
+    if plan["filters"] or plan["nots"] or plan["msm"] > 1:
+        return False
+    if plan["musts"] and not plan["shoulds"]:
+        return all(s["op"] == "term" for s in plan["musts"])
+    if plan["shoulds"] and not plan["musts"]:
+        return all(s["op"] == "term" for s in plan["shoulds"])
+    return False

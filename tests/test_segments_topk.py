@@ -1,0 +1,163 @@
+"""Segment layer + kernel searcher tests.
+
+(a) rank identity: SegmentSearcher (float32, exhaustive) vs the single-node
+    oracle — exact (doc_id, float32 bits) top-k equality;
+(b) block-max pruned mode ≡ exhaustive mode (pruning must never change
+    results — the WANDScorer soundness contract);
+(c) segment build determinism / manifest lineage / resume idempotency.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from lucene_solr_spark.operators.index_build import build_index
+from lucene_solr_spark.operators.segments import SegmentIndex, build_segments
+from lucene_solr_spark.operators.topk import SegmentSearcher
+from lucene_solr_spark.plans import ir
+from lucene_solr_spark.sources.corpus import corpus_to_spark
+
+T = ir.TermQuery
+C = ir.BooleanClause
+O = ir.Occur
+
+
+def B(*cs, msm=0):
+    return ir.BooleanQuery(tuple(cs), msm)
+
+
+def bits(x) -> int:
+    return struct.unpack("<I", struct.pack("<f", float(x)))[0]
+
+
+KERNEL_QUERIES = {
+    "term_head": T("def"),
+    "term_mid": T("error"),
+    "term_tail": T("obj.method2"),
+    "and2": B(C(O.MUST, T("import")), C(O.MUST, T("return"))),
+    "and3": B(C(O.MUST, T("def")), C(O.MUST, T("class")), C(O.MUST, T("data"))),
+    "or2": B(C(O.SHOULD, T("error")), C(O.SHOULD, T("warning"))),
+    "or3": B(
+        C(O.SHOULD, T("merge")), C(O.SHOULD, T("segment")), C(O.SHOULD, T("posting"))
+    ),
+    "must_not": B(C(O.MUST, T("def")), C(O.MUST_NOT, T("class"))),
+    "filter": B(C(O.MUST, T("def")), C(O.FILTER, T("import"))),
+    "req_opt": B(C(O.MUST, T("def")), C(O.SHOULD, T("error"))),
+    "msm2": B(
+        C(O.SHOULD, T("error")),
+        C(O.SHOULD, T("warning")),
+        C(O.SHOULD, T("fixme")),
+        msm=2,
+    ),
+    "boost": B(
+        C(O.SHOULD, ir.BoostQuery(T("error"), 2.0)), C(O.SHOULD, T("warning"))
+    ),
+    "dismax": ir.DisjunctionMaxQuery((T("error"), T("warning")), tie_breaker=0.3),
+    "synonym": ir.SynonymQuery(("error", "warning")),
+    "prefix": ir.PrefixQuery("ret"),
+    "range": ir.TermRangeQuery("merge", "query"),
+    "term_in_set": ir.TermInSetQuery(("merge", "segment", "posting")),
+    "const_score": ir.ConstantScoreQuery(
+        B(C(O.MUST, T("def")), C(O.MUST, T("class")))
+    ),
+    "match_all": ir.MatchAllDocsQuery(),
+    "nested": B(
+        C(O.MUST, B(C(O.SHOULD, T("error")), C(O.SHOULD, T("warning")))),
+        C(O.MUST, T("def")),
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def seg_base(spark, tmp_path_factory):
+    corpus = corpus_to_spark(spark, 100, seed=42, num_partitions=5)
+    ix = build_index(corpus).persist()
+    base = str(tmp_path_factory.mktemp("segix"))
+    # small segment_size so the tiny corpus spans multiple segments
+    build_segments(ix, base, segment_size=16)
+    return base
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, seg_base):
+    return SegmentSearcher(spark, SegmentIndex.open(seg_base), mode="float32")
+
+
+@pytest.mark.parametrize("name", sorted(KERNEL_QUERIES))
+def test_kernel_rank_identity(name, searcher, tiny_oracle):
+    q = KERNEL_QUERIES[name]
+    expected = tiny_oracle.search(q, k=10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in searcher.topk(q, k=10).collect()
+    ]
+    exp = [(sd.doc_id, bits(sd.score)) for sd in expected]
+    assert [(d, bits(s)) for d, s in got] == exp, f"{name}: {got} != {expected}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["term_head", "term_mid", "and2", "and3", "or2", "or3"],
+)
+def test_blockmax_equals_exhaustive(name, spark, seg_base, tiny_oracle):
+    q = KERNEL_QUERIES[name]
+    ex = SegmentSearcher(spark, SegmentIndex.open(seg_base), mode="float32")
+    bm = SegmentSearcher(
+        spark, SegmentIndex.open(seg_base), mode="float32", prune="block_max"
+    )
+    a = [(r["doc_id"], bits(r["score"])) for r in ex.topk(q, k=10).collect()]
+    b = [(r["doc_id"], bits(r["score"])) for r in bm.topk(q, k=10).collect()]
+    assert a == b
+
+
+def test_batched_queries_one_job(searcher, tiny_oracle):
+    res = searcher.topk_batch(
+        {name: q for name, q in list(KERNEL_QUERIES.items())[:6]}, k=10
+    )
+    rows = res.collect()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], bits(r["score"])))
+    for name in list(KERNEL_QUERIES)[:6]:
+        expected = [
+            (sd.doc_id, bits(sd.score))
+            for sd in tiny_oracle.search(KERNEL_QUERIES[name], k=10)
+        ]
+        assert by_q.get(name, []) == expected, name
+
+
+def test_manifest_lineage(seg_base):
+    six = SegmentIndex.open(seg_base)
+    m = six.manifest()
+    assert m["doc_count"] == 100
+    segs = m["segments"]
+    assert len(segs) == 100 // 16 + 1
+    assert sum(s["n_docs"] for s in segs) == 100
+    for s in segs:
+        assert s["min_doc"] >= s["segment_id"] * m["segment_size"]
+        assert s["max_doc"] < (s["segment_id"] + 1) * m["segment_size"]
+        assert s["n_postings"] > 0 and s["content_crc"] != 0
+
+
+def test_rebuild_is_deterministic(spark, seg_base, tmp_path_factory):
+    """Same input → identical manifest (the idempotency/resume invariant)."""
+    corpus = corpus_to_spark(spark, 100, seed=42, num_partitions=3)
+    ix = build_index(corpus).persist()
+    base2 = str(tmp_path_factory.mktemp("segix2"))
+    build_segments(ix, base2, segment_size=16)
+    m1 = SegmentIndex.open(seg_base).manifest()
+    m2 = SegmentIndex.open(base2).manifest()
+    assert m1["manifest_sha256"] == m2["manifest_sha256"]
+
+
+def test_resume_skips_done_segments(spark, seg_base, tmp_path_factory):
+    """resume=True with a complete manifest rewrites nothing and leaves the
+    manifest hash unchanged."""
+    corpus = corpus_to_spark(spark, 100, seed=42, num_partitions=3)
+    ix = build_index(corpus).persist()
+    before = SegmentIndex.open(seg_base).manifest()["manifest_sha256"]
+    build_segments(ix, seg_base, segment_size=16, resume=True)
+    after = SegmentIndex.open(seg_base).manifest()["manifest_sha256"]
+    assert before == after
