@@ -79,31 +79,65 @@ def _bit_width(max_val: int) -> int:
 
 # ----------------------------------------------------------------- VInt
 def vint_encode(vals: np.ndarray) -> bytes:
-    """Standard 7-bit VInt stream (vectorized byte emission)."""
-    out = bytearray()
-    for v in vals.tolist():  # tail is < 128 values — loop is bounded
-        v = int(v)
-        while v >= 0x80:
-            out.append((v & 0x7F) | 0x80)
-            v >>= 7
-        out.append(v)
-    return bytes(out)
+    """Standard 7-bit VInt stream. Vectorized for values < 2^35 (the hot
+    path: position/doc deltas); loop fallback for larger."""
+    v = np.asarray(vals, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    if v.size > 8 and int(v.max()) < (1 << 35):
+        # bytes needed per value: ceil(bitlength/7), min 1
+        bl = np.zeros(len(v), np.int64)
+        tmp = v.copy()
+        while True:
+            nz = tmp > 0
+            if not nz.any():
+                break
+            bl[nz] += 1
+            tmp = tmp >> np.uint64(7)
+        bl[bl == 0] = 1
+        total = int(bl.sum())
+        out = np.empty(total, np.uint8)
+        ends = np.cumsum(bl)
+        starts = ends - bl
+        # emit up to 5 byte-slots
+        rem = v.copy()
+        for slot in range(5):
+            active = bl > slot
+            if not active.any():
+                break
+            pos = starts[active] + slot
+            is_last = bl[active] == slot + 1
+            byte = (rem[active] & np.uint64(0x7F)).astype(np.uint8)
+            byte[~is_last] |= 0x80
+            out[pos] = byte
+            rem[active] = rem[active] >> np.uint64(7)
+        return out.tobytes()
+    out_b = bytearray()
+    for x in v.tolist():
+        x = int(x)
+        while x >= 0x80:
+            out_b.append((x & 0x7F) | 0x80)
+            x >>= 7
+        out_b.append(x)
+    return bytes(out_b)
 
 
 def vint_decode(data: bytes) -> np.ndarray:
+    """Vectorized VInt decode: group bytes by terminator, combine 7-bit
+    payloads with per-byte shifts via segmented cumulation."""
     arr = np.frombuffer(data, dtype=np.uint8)
-    out = []
-    v = 0
-    shift = 0
-    for b in arr.tolist():
-        v |= (b & 0x7F) << shift
-        if b & 0x80:
-            shift += 7
-        else:
-            out.append(v)
-            v = 0
-            shift = 0
-    return np.asarray(out, dtype=np.int64)
+    if arr.size == 0:
+        return np.empty(0, np.int64)
+    is_last = (arr & 0x80) == 0
+    group = np.r_[0, np.cumsum(is_last)[:-1]]  # value index per byte
+    n = int(is_last.sum())
+    # position of each byte within its group
+    group_start = np.r_[0, np.nonzero(is_last)[0][:-1] + 1]
+    pos_in_group = np.arange(len(arr)) - group_start[group]
+    contrib = (arr & 0x7F).astype(np.uint64) << (7 * pos_in_group).astype(np.uint64)
+    out = np.zeros(n, np.uint64)
+    np.add.at(out, group, contrib)
+    return out.astype(np.int64)
 
 
 # -------------------------------------------------------------- impacts
@@ -147,6 +181,9 @@ class EncodedPostings:
     imp_off: np.ndarray  # int32, len n_blocks_total + 1
     singleton_doc: int = -1
     singleton_tf: int = 0
+    # optional .pos-file analog: per-posting VInt-delta position lists
+    pos_blob: bytes = b""
+    pos_off: np.ndarray | None = None  # int64, len df + 1
 
 
 def encode_postings(
@@ -351,3 +388,29 @@ def decode_blocks(
 def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray]:
     """Full decode → (doc_ids, tfs)."""
     return decode_blocks(enc, None)
+
+
+# ------------------------------------------------------------- positions
+def encode_positions(pos_lists: list[np.ndarray]) -> tuple[bytes, np.ndarray]:
+    """Per-posting position lists → (VInt-delta blob, byte offsets).
+
+    The .pos-file role (``Lucene90PostingsWriter.addPosition`` ``:288``):
+    positions are per-doc delta-encoded VInts; ``offsets[i]:offsets[i+1]``
+    is posting i's byte range, so phrase verification decodes ONLY the
+    candidate docs that survive the conjunction approximation
+    (``search/ExactPhraseMatcher.java:39`` two-phase contract)."""
+    parts: list[bytes] = []
+    offsets = np.zeros(len(pos_lists) + 1, np.int64)
+    for i, p in enumerate(pos_lists):
+        arr = np.asarray(p, np.int64)
+        deltas = np.diff(np.r_[0, arr])  # first position stored absolute
+        b = vint_encode(deltas)
+        parts.append(b)
+        offsets[i + 1] = offsets[i] + len(b)
+    return b"".join(parts), offsets
+
+
+def decode_positions(blob: bytes, offsets: np.ndarray, idx: int) -> np.ndarray:
+    """Decode posting ``idx``'s position list."""
+    lo, hi = int(offsets[idx]), int(offsets[idx + 1])
+    return np.cumsum(vint_decode(blob[lo:hi]))

@@ -129,45 +129,44 @@ def assign_doc_ids(
     """
     if num_partitions is None:
         num_partitions = max(corpus.rdd.getNumPartitions(), 1)
-    keyed = corpus.repartitionByRange(num_partitions, *key_cols).sortWithinPartitions(
-        *key_cols
-    )
 
-    schema = T.StructType(
-        keyed.schema.fields + [T.StructField("doc_id", T.LongType(), False)]
+    # Work on the slim key projection only. The ranged DF is persisted and
+    # materialized by the counting job, and `_pid` travels as a COLUMN of
+    # the cached data — so the offset table and the id assignment read the
+    # SAME partitioning. (repartitionByRange samples boundaries per
+    # execution; two separate jobs over an unpersisted ranged DF may see
+    # different partitions, which mis-bases every id.)
+    keys = corpus.select(*key_cols)
+    keyed = (
+        keys.repartitionByRange(num_partitions, *key_cols)
+        .sortWithinPartitions(*key_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
-
-    # per-partition counts (tiny job: count per spark_partition_id)
-    counts = (
-        keyed.withColumn("_pid", F.spark_partition_id())
-        .groupBy("_pid")
-        .count()
-        .collect()
-    )
-    offsets = {}
+    counts = keyed.groupBy("_pid").count().collect()
+    offsets_b: dict[int, int] = {}
     acc = 0
     for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = acc
+        offsets_b[int(row["_pid"])] = acc
         acc += row["count"]
-    offsets_b = {int(k): int(v) for k, v in offsets.items()}
+
+    id_schema = T.StructType(
+        keys.schema.fields + [T.StructField("doc_id", T.LongType(), False)]
+    )
 
     def with_ids(iterator):
-        import pandas as _pd  # noqa: F401
-
         base = None
         seen = 0
         for pdf in iterator:
-            if base is None:
-                # TaskContext partitionId identifies the range partition
-                from pyspark import TaskContext
+            if base is None and len(pdf):
+                base = offsets_b.get(int(pdf["_pid"].iloc[0]), 0)
+            out = pdf.drop(columns=["_pid"])
+            out["doc_id"] = range((base or 0) + seen, (base or 0) + seen + len(out))
+            seen += len(out)
+            yield out
 
-                base = offsets_b.get(TaskContext.get().partitionId(), 0)
-            pdf = pdf.copy()
-            pdf["doc_id"] = range(base + seen, base + seen + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    return keyed.mapInPandas(with_ids, schema=schema)
+    ids = keyed.mapInPandas(with_ids, schema=id_schema)
+    return corpus.join(ids, on=list(key_cols))
 
 
 def build_index(

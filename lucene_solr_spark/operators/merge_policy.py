@@ -1,0 +1,311 @@
+"""Tiered segment merging: policy + merge job.
+
+Mirrors Lucene's ``TieredMergePolicy`` (``index/TieredMergePolicy.java``):
+knobs (``:85-92``): segsPerTier=10.0, maxMergeAtOnce=10, maxMergedSegment
+=5 GB, floorSegment=2 MB; selection (``findMerges`` ``:321``): sort
+segments by size desc, compute the allowed segment budget from the total
+index size (tiers of segsPerTier per size level), and while over budget
+score candidate merges, picking the LOWEST score:
+``score = skew * pow(totalMergeBytes, 0.05)`` where
+``skew = floorSize(largest) / totalFloored`` (``:658-703``; the deletes
+reclaim factor is 1 here — append-only corpus, SURVEY.md §1.1).
+
+The merge itself is a Spark job over the doc-range segments of
+operators.segments: child doc ranges are disjoint and ordered, so a merge
+is a per-term CONCATENATION of decoded postings in child order followed by
+re-encode — the ``SegmentMerger``/``DocIDMerger`` path
+(``index/SegmentMerger.java:109-136``) with no docID remapping needed
+(docIDs are globally dense already). Runs as: read child term rows →
+groupBy(term) applyInPandas re-encode → write new segment dir → commit
+manifest (children removed, merged added) → delete child dirs. The
+manifest commit is last, so a crash mid-merge leaves the old manifest
+valid (two-phase commit, ``index/IndexWriter.java:3367``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.codecs.postings_codec import decode_postings, encode_postings
+from lucene_solr_spark.operators.segments import SEGMENT_SCHEMA, SegmentIndex
+
+__all__ = ["TieredMergePolicy", "find_merges", "merge_segments", "run_merges"]
+
+
+@dataclass
+class TieredMergePolicy:
+    segs_per_tier: float = 10.0  # TieredMergePolicy.java:88
+    max_merge_at_once: int = 10  # :85
+    max_merged_segment_bytes: int = 5 * 1024**3  # :86 (5 GB)
+    floor_segment_bytes: int = 2 * 1024**2  # :87 (2 MB)
+
+    def floored(self, size: int) -> int:
+        return max(int(size), self.floor_segment_bytes)
+
+
+def _segment_size_bytes(seg: dict) -> int:
+    """Size proxy: encoded posting volume. On disk this is what the merged
+    parquet will roughly weigh; the policy only needs relative sizes."""
+    return int(seg.get("size_bytes") or seg["n_postings"] * 8)
+
+
+def find_merges(
+    segments: list[dict], policy: TieredMergePolicy = TieredMergePolicy()
+) -> list[list[int]]:
+    """Segment manifest rows → list of merges (each a list of segment_ids).
+
+    Follows findMerges: compute allowedSegCount from the tier structure,
+    then repeatedly pick the lowest-score window of up to maxMergeAtOnce
+    consecutive (in size-desc order) segments whose merged size fits."""
+    segs = [
+        {"id": s["segment_id"], "bytes": _segment_size_bytes(s)} for s in segments
+    ]
+    segs.sort(key=lambda s: -s["bytes"])
+    total = sum(policy.floored(s["bytes"]) for s in segs)
+
+    # allowed count: levels of segsPerTier starting at the smallest
+    # (floored) segment size, ×maxMergeAtOnce per level (findMerges :378-401)
+    allowed = 0.0
+    level = float(
+        policy.floored(min((s["bytes"] for s in segs), default=policy.floor_segment_bytes))
+    )
+    remaining = float(total)
+    while True:
+        seg_count_level = remaining / level
+        if seg_count_level < policy.segs_per_tier:
+            allowed += np.ceil(seg_count_level)
+            break
+        allowed += policy.segs_per_tier
+        remaining -= policy.segs_per_tier * level
+        level *= policy.max_merge_at_once
+
+    merges: list[list[int]] = []
+    eligible = list(segs)
+    while len(eligible) > max(allowed, 1):
+        best: tuple[float, list[dict]] | None = None
+        for i in range(len(eligible)):
+            cand: list[dict] = []
+            cand_bytes = 0
+            for j in range(i, min(i + policy.max_merge_at_once, len(eligible))):
+                nxt = cand_bytes + eligible[j]["bytes"]
+                if nxt > policy.max_merged_segment_bytes and cand:
+                    break
+                cand.append(eligible[j])
+                cand_bytes = nxt
+            if len(cand) < 2:
+                continue
+            floored = [policy.floored(c["bytes"]) for c in cand]
+            skew = max(floored) / sum(floored)  # :678-686
+            score = skew * (cand_bytes ** 0.05)  # :699-703
+            if best is None or score < best[0]:
+                best = (score, cand)
+        if best is None:
+            break
+        chosen = best[1]
+        merges.append([c["id"] for c in chosen])
+        chosen_ids = {c["id"] for c in chosen}
+        eligible = [s for s in eligible if s["id"] not in chosen_ids]
+    return merges
+
+
+def _reencode_term(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Concatenate child postings for one (segment_id, term) and re-encode.
+    Children are disjoint doc ranges; sorting rows by min block doc (or
+    singleton doc) restores global doc order before concat."""
+    rows = []
+    for _, g in pdf.groupby("term", sort=True):
+        recs = list(g.itertuples())
+
+        def first_doc(r):
+            if r.singleton_doc >= 0:
+                return r.singleton_doc
+            bf = r.block_first
+            bl = r.block_last
+            if bf is not None and len(bf):
+                return bf[0]
+            return bl[0] if bl is not None and len(bl) else 0
+
+        recs.sort(key=first_doc)
+        docs_parts, tf_parts, norm_parts = [], [], []
+        for r in recs:
+            from lucene_solr_spark.operators.topk import _row_to_encoded
+
+            enc = _row_to_encoded(r)
+            d, t = decode_postings(enc)
+            docs_parts.append(d)
+            tf_parts.append(t)
+            # norms for impacts: reconstruct from the child impacts is lossy;
+            # instead carry per-posting norms through the merge input
+            norm_parts.append(np.asarray(r.norms_concat, np.int64))
+        docs = np.concatenate(docs_parts)
+        tfs = np.concatenate(tf_parts)
+        norms = np.concatenate(norm_parts)
+        enc = encode_postings(docs, tfs, norms)
+        # positions merge = byte-concat of per-posting blobs in doc order
+        # (each posting's VInt-delta list is self-contained) + offset rebase
+        pos_blobs = []
+        pos_offs = [np.zeros(1, np.int64)]
+        has_pos = all(getattr(r, "pos_off", None) is not None for r in recs)
+        if has_pos:
+            base_off = 0
+            for r in recs:
+                blob = bytes(r.pos_blob) if r.pos_blob is not None else b""
+                off = np.asarray(r.pos_off, np.int64)
+                pos_blobs.append(blob)
+                pos_offs.append(off[1:] + base_off)
+                base_off += len(blob)
+        rows.append(
+            {
+                "segment_id": int(key[0]),
+                "term": recs[0].term,
+                "df": enc.df,
+                "ttf": enc.ttf,
+                "doc_blob": enc.doc_blob,
+                "tf_blob": enc.tf_blob,
+                "tail_blob": enc.tail_blob,
+                "n_full_blocks": enc.n_full_blocks,
+                "block_first": enc.block_first.tolist(),
+                "block_last": enc.block_last.tolist(),
+                "imp_freq": enc.imp_freq.tolist(),
+                "imp_norm": enc.imp_norm.tolist(),
+                "imp_off": enc.imp_off.tolist(),
+                "singleton_doc": enc.singleton_doc,
+                "singleton_tf": enc.singleton_tf,
+                "pos_blob": b"".join(pos_blobs) if has_pos else None,
+                "pos_off": np.concatenate(pos_offs).tolist() if has_pos else None,
+            }
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+
+
+def merge_segments(
+    spark: SparkSession, index: SegmentIndex, child_ids: list[int]
+) -> int:
+    """Merge the given segments into one new segment; returns its id."""
+    manifest = index.manifest()
+    by_id = {s["segment_id"]: s for s in manifest["segments"]}
+    children = [by_id[c] for c in child_ids]
+    # ids are opaque ordinals (doc ranges live in the manifest); max+1 is
+    # always collision-free, including with streaming-appended segments
+    new_id = max(s["segment_id"] for s in manifest["segments"]) + 1
+
+    seg_paths = [f"{index.segments_path}/segment_id={c}" for c in child_ids]
+    rows = spark.read.parquet(*seg_paths)
+    # per-posting norms travel with the merge input so re-encoded impact
+    # frontiers are exact (CompetitiveImpactAccumulator over merged lists)
+    doc_paths = [f"{index.seg_docs_path}/segment_id={c}" for c in child_ids]
+    norms = spark.read.parquet(*doc_paths).select("doc_id", "norm")
+
+    # attach the norm array per (term-row) by re-deriving per-posting norms
+    # from decoded docIDs — done kernel-side via a broadcast norm map
+    norm_rows = norms.collect() if norms.count() <= 50_000_000 else None
+    if norm_rows is None:
+        raise NotImplementedError(
+            "merge of segments > 50M docs: stream norms per doc-range"
+        )
+    norm_map_docs = np.asarray([r["doc_id"] for r in norm_rows], np.int64)
+    order = np.argsort(norm_map_docs)
+    norm_map_docs = norm_map_docs[order]
+    norm_map_vals = np.asarray([r["norm"] for r in norm_rows], np.int64)[order]
+    b_docs = spark.sparkContext.broadcast(norm_map_docs)
+    b_vals = spark.sparkContext.broadcast(norm_map_vals)
+
+    def add_norms(pdf_iter):
+        from lucene_solr_spark.operators.topk import _row_to_encoded
+
+        for pdf in pdf_iter:
+            out = pdf.copy()
+            norms_col = []
+            for r in pdf.itertuples():
+                d, _ = decode_postings(_row_to_encoded(r))
+                idx = np.searchsorted(b_docs.value, d)
+                norms_col.append(b_vals.value[idx].tolist())
+            out["norms_concat"] = norms_col
+            yield out
+
+    import pyspark.sql.types as T
+
+    with_norms_schema = T.StructType(
+        rows.schema.fields
+        + [T.StructField("norms_concat", T.ArrayType(T.LongType()), True)]
+    )
+    enriched = rows.mapInPandas(add_norms, schema=with_norms_schema)
+    merged = (
+        enriched.withColumn("segment_id", F.lit(new_id).cast("long"))
+        .groupBy("segment_id")
+        .applyInPandas(_reencode_term, schema=SEGMENT_SCHEMA)
+    )
+    # tmp dirs live OUTSIDE the partitioned layout so concurrent readers
+    # never see a half-written partition value
+    tmp_path = f"{index.base}/tmp_merge/segments_{new_id}"
+    merged.drop("segment_id").coalesce(1).write.mode("overwrite").parquet(tmp_path)
+
+    # seg_docs for the merged range = concat of children (already disjoint)
+    tmp_docs = f"{index.base}/tmp_merge/seg_docs_{new_id}"
+    spark.read.parquet(*doc_paths).coalesce(1).sortWithinPartitions(
+        "doc_id"
+    ).write.mode("overwrite").parquet(tmp_docs)
+
+    # commit: move tmp dirs into place, rewrite manifest, drop children
+    final_path = f"{index.segments_path}/segment_id={new_id}"
+    final_docs = f"{index.seg_docs_path}/segment_id={new_id}"
+    for c in child_ids:
+        shutil.rmtree(f"{index.segments_path}/segment_id={c}", ignore_errors=True)
+        shutil.rmtree(f"{index.seg_docs_path}/segment_id={c}", ignore_errors=True)
+    os.replace(tmp_path, final_path)
+    os.replace(tmp_docs, final_docs)
+    shutil.rmtree(f"{index.base}/tmp_merge", ignore_errors=True)
+
+    merged_meta = {
+        "segment_id": int(new_id),
+        "n_docs": sum(c["n_docs"] for c in children),
+        "min_doc": min(c["min_doc"] for c in children),
+        "max_doc": max(c["max_doc"] for c in children),
+        "n_terms": -1,  # refreshed below
+        "n_postings": sum(c["n_postings"] for c in children),
+        "sum_tf": sum(c["sum_tf"] for c in children),
+        "content_crc": 0,
+    }
+    stats = (
+        spark.read.parquet(final_path)
+        .agg(F.count("*").alias("nt"), F.sum("df").alias("np"))
+        .collect()[0]
+    )
+    merged_meta["n_terms"] = int(stats["nt"])
+    merged_meta["n_postings"] = int(stats["np"])
+    manifest["segments"] = sorted(
+        [s for s in manifest["segments"] if s["segment_id"] not in set(child_ids)]
+        + [merged_meta],
+        key=lambda s: s["segment_id"],
+    )
+    import hashlib
+
+    manifest["manifest_sha256"] = hashlib.sha256(
+        json.dumps(manifest["segments"], sort_keys=True).encode()
+    ).hexdigest()
+    with open(f"{index.base}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return int(new_id)
+
+
+def run_merges(
+    spark: SparkSession,
+    index: SegmentIndex,
+    policy: TieredMergePolicy = TieredMergePolicy(),
+) -> list[int]:
+    """ConcurrentMergeScheduler stand-in: run selected merges sequentially
+    (concurrency on a cluster = independent Spark jobs; driver-side loop
+    keeps the manifest single-writer)."""
+    out = []
+    merges = find_merges(index.manifest()["segments"], policy)
+    for child_ids in merges:
+        out.append(merge_segments(spark, index, child_ids))
+    return out

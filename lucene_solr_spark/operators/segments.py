@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lucene_solr_spark.codecs.postings_codec import encode_postings
+from lucene_solr_spark.codecs.postings_codec import encode_positions, encode_postings
 from lucene_solr_spark.operators.index_build import InvertedIndex
 
 __all__ = ["SegmentIndex", "build_segments", "SEGMENT_SCHEMA"]
@@ -61,6 +61,8 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("imp_off", T.ArrayType(T.IntegerType()), True),
         T.StructField("singleton_doc", T.LongType(), False),
         T.StructField("singleton_tf", T.LongType(), False),
+        T.StructField("pos_blob", T.BinaryType(), True),
+        T.StructField("pos_off", T.ArrayType(T.LongType()), True),
     ]
 )
 
@@ -126,6 +128,7 @@ def _encode_partition(segment_size: int):
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         seg_id = int(key[0])
         pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        has_pos = "positions" in pdf.columns
         rows = []
         for term, g in pdf.groupby("term", sort=True):
             enc = encode_postings(
@@ -133,6 +136,12 @@ def _encode_partition(segment_size: int):
                 g["tf"].to_numpy(np.int64),
                 g["norm"].to_numpy(np.int64),
             )
+            if has_pos:
+                pos_blob, pos_off = encode_positions(
+                    [np.asarray(p, np.int64) for p in g["positions"]]
+                )
+            else:
+                pos_blob, pos_off = None, None
             rows.append(
                 {
                     "segment_id": seg_id,
@@ -150,6 +159,8 @@ def _encode_partition(segment_size: int):
                     "imp_off": enc.imp_off.tolist(),
                     "singleton_doc": enc.singleton_doc,
                     "singleton_tf": enc.singleton_tf,
+                    "pos_blob": pos_blob,
+                    "pos_off": pos_off.tolist() if pos_off is not None else None,
                 }
             )
         return pd.DataFrame(
@@ -176,10 +187,11 @@ def build_segments(
     if resume and os.path.exists(f"{base}/manifest.json"):
         done = {str(s["segment_id"]): s for s in SegmentIndex.open(base).manifest()["segments"]}
 
+    pos_cols = ["positions"] if "positions" in ix.postings.columns else []
     with_seg = (
         ix.postings.join(F.broadcast(ix.norms), "doc_id")
         .withColumn("segment_id", (F.col("doc_id") / segment_size).cast("long"))
-        .select("segment_id", "term", "doc_id", "tf", "norm")
+        .select("segment_id", "term", "doc_id", "tf", "norm", *pos_cols)
     )
     if done:
         with_seg = with_seg.filter(

@@ -52,6 +52,33 @@ __all__ = ["SegmentSearcher"]
 
 _WINDOW = 2048  # BooleanScorer window size (BooleanScorer.java:33-37, 1<<11)
 
+
+def _row_to_encoded(r) -> EncodedPostings:
+    """Arrow/pandas row (itertuples) of SEGMENT_SCHEMA → EncodedPostings."""
+
+    def arr(v, dtype):
+        return np.empty(0, dtype) if v is None else np.asarray(v, dtype)
+
+    return EncodedPostings(
+        df=int(r.df),
+        ttf=int(r.ttf),
+        doc_blob=bytes(r.doc_blob) if r.doc_blob is not None else b"",
+        tf_blob=bytes(r.tf_blob) if r.tf_blob is not None else b"",
+        tail_blob=bytes(r.tail_blob) if r.tail_blob is not None else b"",
+        n_full_blocks=int(r.n_full_blocks),
+        block_first=arr(r.block_first, np.int64),
+        block_last=arr(r.block_last, np.int64),
+        imp_freq=arr(r.imp_freq, np.int32),
+        imp_norm=arr(r.imp_norm, np.int32),
+        imp_off=arr(r.imp_off, np.int32),
+        singleton_doc=int(r.singleton_doc),
+        singleton_tf=int(r.singleton_tf),
+        pos_blob=bytes(r.pos_blob) if getattr(r, "pos_blob", None) is not None else b"",
+        pos_off=arr(getattr(r, "pos_off", None), np.int64)
+        if getattr(r, "pos_off", None) is not None
+        else None,
+    )
+
 _RESULT_SCHEMA_F32 = T.StructType(
     [
         T.StructField("query_id", T.StringType(), False),
@@ -72,7 +99,7 @@ _RESULT_SCHEMA_F64 = T.StructType(
 def _collect_terms(q: ir.Query) -> set[str]:
     if isinstance(q, ir.TermQuery):
         return {q.term}
-    if isinstance(q, (ir.SynonymQuery, ir.TermInSetQuery)):
+    if isinstance(q, (ir.SynonymQuery, ir.TermInSetQuery, ir.PhraseQuery)):
         return set(q.terms)
     if isinstance(q, ir.BooleanQuery):
         s: set[str] = set()
@@ -105,6 +132,16 @@ class _Compiler:
         if self.mode == "float32":
             return float(bm25.term_weight(boost, bm25.idf(df, self.doc_count)))
         return boost * math.log(1.0 + (self.doc_count - df + 0.5) / (df + 0.5))
+
+    def sum_weight(self, boost: float, dfs: list[int]) -> float:
+        """Multi-term (phrase) weight: per-term idfs summed in double, one
+        f32 cast (BM25Similarity.java:191-199) — mirrors DFExecutor._sum_weight."""
+        if self.mode == "float32":
+            return float(bm25.term_weight(boost, bm25.idf_sum(dfs, self.doc_count)))
+        n = self.doc_count
+        return boost * sum(
+            math.log(1.0 + (n - df + 0.5) / (df + 0.5)) for df in dfs
+        )
 
     def compile(self, q: ir.Query, boost: float = 1.0) -> dict:
         if isinstance(q, ir.TermQuery):
@@ -140,6 +177,18 @@ class _Compiler:
             return {"op": "match_all", "score": score}
         if isinstance(q, ir.MatchNoDocsQuery):
             return {"op": "none"}
+        if isinstance(q, ir.PhraseQuery):
+            if q.slop != 0:
+                raise TypeError("sloppy phrase: not in kernel scope yet")
+            dfs = [self.stats.get(t, (0, 0))[0] for t in q.terms]
+            if min(dfs, default=0) == 0:
+                return {"op": "none"}
+            return {
+                "op": "phrase",
+                "terms": list(q.terms),
+                "offsets": [int(p) for p in q.positions],
+                "weight": self.sum_weight(boost, dfs),
+            }
         if isinstance(q, ir.DisjunctionMaxQuery):
             return {
                 "op": "dismax",
@@ -251,9 +300,52 @@ class _SegmentEval:
             np.add.at(sm, inv, allsc)
             out = mx + (sm - mx) * plan["tie"]
             return docs, out.astype(self._out_dtype())
+        if op == "phrase":
+            return self._eval_phrase(plan)
         if op == "bool":
             return self._eval_bool(plan)
         raise ValueError(f"unknown op {op}")
+
+    def _eval_phrase(self, plan: dict) -> tuple[np.ndarray, np.ndarray]:
+        """Two-phase phrase matching (ExactPhraseMatcher.java:109-155):
+        conjunction approximation over doc arrays, then position-verify by
+        decoding ONLY candidate docs\' position lists."""
+        from lucene_solr_spark.codecs.postings_codec import decode_positions
+
+        empty = (np.empty(0, np.int64), np.empty(0, self._out_dtype()))
+        terms = plan["terms"]
+        offsets = plan["offsets"]
+        doc_arrays = []
+        for t in terms:
+            d, _tf = self.postings(t)
+            if not d.size:
+                return empty
+            doc_arrays.append(d)
+        cand = doc_arrays[0]
+        for d in doc_arrays[1:]:
+            cand = cand[np.isin(cand, d, assume_unique=True)]
+            if not cand.size:
+                return empty
+        encs = [self.term_enc[t] for t in terms]
+        idxs = [np.searchsorted(doc_arrays[i], cand) for i in range(len(terms))]
+        tfs = np.zeros(len(cand), np.int64)
+        for ci in range(len(cand)):
+            base = decode_positions(
+                encs[0].pos_blob, encs[0].pos_off, int(idxs[0][ci])
+            ) - offsets[0]
+            for ti in range(1, len(terms)):
+                nxt = decode_positions(
+                    encs[ti].pos_blob, encs[ti].pos_off, int(idxs[ti][ci])
+                ) - offsets[ti]
+                base = np.intersect1d(base, nxt, assume_unique=True)
+                if not base.size:
+                    break
+            tfs[ci] = base.size
+        keep = tfs > 0
+        cand, tfs = cand[keep], tfs[keep]
+        if not cand.size:
+            return empty
+        return cand, self.score_tf_norm(tfs, self.norms_of(cand), plan["weight"])
 
     def _disjunction(self, subs: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         parts = [self.eval(s) for s in subs]
@@ -572,29 +664,7 @@ class SegmentSearcher:
         def kernel(key: tuple, post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame):
             if docs_pdf.empty:
                 return pd.DataFrame(columns=["query_id", "doc_id", "score"])
-            def _arr(v, dtype):
-                if v is None:
-                    return np.empty(0, dtype)
-                return np.asarray(v, dtype)
-
-            term_enc = {
-                r.term: EncodedPostings(
-                    df=int(r.df),
-                    ttf=int(r.ttf),
-                    doc_blob=bytes(r.doc_blob) if r.doc_blob is not None else b"",
-                    tf_blob=bytes(r.tf_blob) if r.tf_blob is not None else b"",
-                    tail_blob=bytes(r.tail_blob) if r.tail_blob is not None else b"",
-                    n_full_blocks=int(r.n_full_blocks),
-                    block_first=_arr(r.block_first, np.int64),
-                    block_last=_arr(r.block_last, np.int64),
-                    imp_freq=_arr(r.imp_freq, np.int32),
-                    imp_norm=_arr(r.imp_norm, np.int32),
-                    imp_off=_arr(r.imp_off, np.int32),
-                    singleton_doc=int(r.singleton_doc),
-                    singleton_tf=int(r.singleton_tf),
-                )
-                for r in post_pdf.itertuples()
-            }
+            term_enc = {r.term: _row_to_encoded(r) for r in post_pdf.itertuples()}
             docs_pdf = docs_pdf.sort_values("doc_id")
             ev = _SegmentEval(
                 term_enc,

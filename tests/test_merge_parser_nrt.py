@@ -1,0 +1,242 @@
+"""TieredMergePolicy + merge job, query parser, and streaming NRT tests."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from lucene_solr_spark.operators.index_build import build_index
+from lucene_solr_spark.operators.merge_policy import (
+    TieredMergePolicy,
+    find_merges,
+    merge_segments,
+)
+from lucene_solr_spark.operators.segments import SegmentIndex, build_segments
+from lucene_solr_spark.operators.topk import SegmentSearcher
+from lucene_solr_spark.plans import ir
+from lucene_solr_spark.plans.parser import parse_query
+from lucene_solr_spark.sources.corpus import corpus_to_spark, make_corpus_rows
+
+T = ir.TermQuery
+C = ir.BooleanClause
+O = ir.Occur
+
+
+def bits(x) -> int:
+    return struct.unpack("<I", struct.pack("<f", float(x)))[0]
+
+
+# ------------------------------------------------------------ merge policy
+def test_find_merges_respects_tiers():
+    policy = TieredMergePolicy(
+        segs_per_tier=4, max_merge_at_once=4, floor_segment_bytes=10,
+        max_merged_segment_bytes=10_000,
+    )
+    segs = [
+        {"segment_id": i, "n_postings": 0, "size_bytes": 100} for i in range(12)
+    ]
+    merges = find_merges(segs, policy)
+    assert merges, "12 equal segments over a 4-per-tier budget must merge"
+    for m in merges:
+        assert 2 <= len(m) <= 4
+    # no segment merged twice
+    flat = [i for m in merges for i in m]
+    assert len(flat) == len(set(flat))
+
+
+def test_find_merges_max_size_cap():
+    policy = TieredMergePolicy(
+        segs_per_tier=2, max_merge_at_once=10, floor_segment_bytes=1,
+        max_merged_segment_bytes=250,
+    )
+    segs = [
+        {"segment_id": i, "n_postings": 0, "size_bytes": 100} for i in range(8)
+    ]
+    for m in find_merges(segs, policy):
+        assert len(m) * 100 <= 250 or len(m) == 2
+
+
+def test_find_merges_prefers_balanced():
+    """Skew term: merging equal-size segments scores lower (better) than a
+    merge dominated by one big segment (TieredMergePolicy.java:678-686)."""
+    policy = TieredMergePolicy(
+        segs_per_tier=1, max_merge_at_once=2, floor_segment_bytes=1000,
+        max_merged_segment_bytes=10**9,
+    )
+    segs = [
+        {"segment_id": 0, "n_postings": 0, "size_bytes": 1000},
+        {"segment_id": 1, "n_postings": 0, "size_bytes": 100},
+        {"segment_id": 2, "n_postings": 0, "size_bytes": 100},
+    ]
+    merges = find_merges(segs, policy)
+    assert merges and set(merges[0]) == {1, 2}
+
+
+@pytest.fixture(scope="module")
+def merged_base(spark, tmp_path_factory):
+    corpus = corpus_to_spark(spark, 100, seed=42, num_partitions=4)
+    ix = build_index(corpus).persist()
+    base = str(tmp_path_factory.mktemp("mergeix"))
+    build_segments(ix, base, segment_size=8)  # 13 small segments
+    return base
+
+
+def test_merge_preserves_rank_identity(spark, merged_base, tiny_oracle):
+    six = SegmentIndex.open(merged_base)
+    n_before = len(six.manifest()["segments"])
+    policy = TieredMergePolicy(
+        segs_per_tier=3, max_merge_at_once=5, floor_segment_bytes=1,
+        max_merged_segment_bytes=10**9,
+    )
+    merges = find_merges(six.manifest()["segments"], policy)
+    assert merges
+    merge_segments(spark, six, merges[0])
+    m_after = SegmentIndex.open(merged_base).manifest()
+    assert len(m_after["segments"]) == n_before - len(merges[0]) + 1
+    assert sum(s["n_docs"] for s in m_after["segments"]) == 100
+
+    searcher = SegmentSearcher(
+        spark, SegmentIndex.open(merged_base), mode="float32"
+    )
+    for q in (
+        T("def"),
+        ir.BooleanQuery(
+            (C(O.SHOULD, T("error")), C(O.SHOULD, T("warning"))), 0
+        ),
+        ir.PhraseQuery(("x", "y")),
+    ):
+        expected = [(sd.doc_id, bits(sd.score)) for sd in tiny_oracle.search(q, k=10)]
+        got = [
+            (r["doc_id"], bits(r["score"]))
+            for r in searcher.topk(q, k=10).collect()
+        ]
+        assert got == expected
+
+
+# ----------------------------------------------------------------- parser
+@pytest.mark.parametrize(
+    "s,expected",
+    [
+        ("merge", T("merge")),
+        ("Merge", T("merge")),
+        (
+            "merge window",
+            ir.BooleanQuery(
+                (C(O.SHOULD, T("merge")), C(O.SHOULD, T("window"))), 0
+            ),
+        ),
+        (
+            "+merge +window",
+            ir.BooleanQuery((C(O.MUST, T("merge")), C(O.MUST, T("window"))), 0),
+        ),
+        (
+            "merge AND window",
+            ir.BooleanQuery((C(O.MUST, T("merge")), C(O.MUST, T("window"))), 0),
+        ),
+        (
+            "merge OR window",
+            ir.BooleanQuery(
+                (C(O.SHOULD, T("merge")), C(O.SHOULD, T("window"))), 0
+            ),
+        ),
+        (
+            "+scan -filter",
+            ir.BooleanQuery(
+                (C(O.MUST, T("scan")), C(O.MUST_NOT, T("filter"))), 0
+            ),
+        ),
+        ('"table scan"', ir.PhraseQuery(("table", "scan"))),
+        ('"table scan"~2', ir.PhraseQuery(("table", "scan"), slop=2)),
+        ("seg*", ir.PrefixQuery("seg")),
+        ("s?g*", ir.WildcardQuery("s?g*")),
+        ("mrge~1", ir.FuzzyQuery("mrge", max_edits=1)),
+        ("[merge TO query]", ir.TermRangeQuery("merge", "query", True, True)),
+        ("merge^2", ir.BoostQuery(T("merge"), 2.0)),
+        ("Can't", T("can't")),
+    ],
+)
+def test_parse_query(s, expected):
+    assert parse_query(s) == expected
+
+
+def test_parse_group():
+    q = parse_query("+(error warning) +def")
+    assert isinstance(q, ir.BooleanQuery)
+    musts = q.by_occur(O.MUST)
+    assert len(musts) == 2
+    assert T("def") in musts
+
+
+def test_parse_vs_engine(spark, tiny_oracle):
+    """Parsed text queries produce the same results as hand-built IR."""
+    corpus = corpus_to_spark(spark, 100, seed=42, num_partitions=4)
+    ix = build_index(corpus).persist()
+    from lucene_solr_spark.plans.df_executor import DFExecutor
+
+    ex = DFExecutor(ix, mode="float32")
+    q = parse_query("+def +class")
+    expected = [(sd.doc_id, bits(sd.score)) for sd in tiny_oracle.search(q, k=10)]
+    got = [
+        (r["doc_id"], bits(r["score"])) for r in ex.topk(q, k=10).collect()
+    ]
+    assert got == expected
+
+
+# ------------------------------------------------------------------- NRT
+def test_nrt_two_batches_then_search(spark, tmp_path_factory):
+    """Two foreachBatch-style appends → manifest grows, searches score with
+    refreshed global stats, rank-identical to an oracle over the same
+    arrival order."""
+    from lucene_solr_spark.oracle.engine import OracleIndex
+    from lucene_solr_spark.streaming.nrt import append_batch
+
+    rows = make_corpus_rows(60, seed=7)
+    base = str(tmp_path_factory.mktemp("nrt"))
+    df_all = corpus_to_spark(spark, 60, seed=7, num_partitions=3)
+    batch1 = df_all.limit(0).unionByName(
+        spark.createDataFrame(rows[:40], df_all.schema)
+    )
+    batch2 = spark.createDataFrame(rows[40:], df_all.schema)
+
+    s1 = append_batch(batch1, base)
+    six = SegmentIndex.open(base)
+    assert six.doc_count == 40
+    s2 = append_batch(batch2, base)
+    assert s2 == s1 + 1
+    six = SegmentIndex.open(base)
+    assert six.doc_count == 60
+    assert len(six.manifest()["segments"]) == 2
+
+    # oracle with identical arrival order (rows pre-sorted per batch)
+    oracle = OracleIndex(
+        (i, r["content"]) for i, r in enumerate(rows)
+    )
+    searcher = SegmentSearcher(spark, six, mode="float32")
+    for q in (T("def"), T("error")):
+        expected = [(sd.doc_id, bits(sd.score)) for sd in oracle.search(q, k=10)]
+        got = [
+            (r["doc_id"], bits(r["score"]))
+            for r in searcher.topk(q, k=10).collect()
+        ]
+        assert got == expected
+
+
+def test_nrt_streaming_end_to_end(spark, tmp_path_factory):
+    """Real Structured Streaming: file source → index_stream(availableNow)
+    → searchable SegmentIndex."""
+    from lucene_solr_spark.streaming.nrt import index_stream
+
+    src = tmp_path_factory.mktemp("stream_src")
+    base = str(tmp_path_factory.mktemp("nrt_stream"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    df_all = corpus_to_spark(spark, 30, seed=9, num_partitions=1)
+    df_all.write.mode("overwrite").parquet(str(src / "files"))
+
+    stream = spark.readStream.schema(df_all.schema).parquet(str(src / "files"))
+    q = index_stream(stream, base, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+    six = SegmentIndex.open(base)
+    assert six.doc_count == 30
+    searcher = SegmentSearcher(spark, six, mode="float32")
+    assert searcher.topk(T("def"), k=5).count() > 0

@@ -63,6 +63,8 @@ KERNEL_QUERIES = {
         B(C(O.MUST, T("def")), C(O.MUST, T("class")))
     ),
     "match_all": ir.MatchAllDocsQuery(),
+    "phrase2": ir.PhraseQuery(("x", "y")),
+    "phrase3": ir.PhraseQuery(("def", "foo")),
     "nested": B(
         C(O.MUST, B(C(O.SHOULD, T("error")), C(O.SHOULD, T("warning")))),
         C(O.MUST, T("def")),
