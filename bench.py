@@ -1,49 +1,39 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract).
 
-Runs the engine's headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line::
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
-
-Two timed phases, mirroring BASELINE.md's protocol:
-  1. index build — corpus scan → tokenize → postings/norms/term-stats,
-     materialized (GB/hour derived from the content byte volume);
-  2. ranked retrieval — the headline BM25/boolean/phrase/dedup/ANN query
-     set from ``__spark_entry__.queries()``, each timed to completion.
+Phases (BASELINE.md protocol):
+  1. index build — relational inverted index (tokenize → postings/norms/
+     dictionary) + encoded doc-range segments; GB/hour over content bytes.
+  2. ranked retrieval — a deterministic wikimedium-style query set
+     (terms / AND / OR / phrases from the index's own dictionary) executed
+     as ONE batched Spark job through the segment kernel (block-max BM25
+     float32, per-segment top-k, driver merge) → queries/sec.
+  3. training-pipeline ops — dedup / token stats / quality / ANN /
+     windowed events, individually timed.
 
 Scaling-efficiency evidence (local[8] vs local[32]) is produced by
-``tools/bench_scaling.py``, which shells out to this file at two
-parallelism levels and writes BENCH/BASELINE.md.
+``tools/bench_scaling.py`` → ``BENCH/BASELINE.md``.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline query subset (each key must exist in __spark_entry__.queries()).
-HEADLINE = [
-    "term_topk",
-    "term_topk_head",
-    "and2_topk",
-    "and3_topk",
-    "or2_topk",
-    "req_opt_topk",
-    "dismax_topk",
-    "synonym_topk",
-    "msm2_set",
-    "phrase_freq",
-    "prefix_set",
-    "term_stats_all",
+PIPELINE_OPS = [
     "dedup_exact",
     "token_stats",
     "quality_score",
+    "doc_fingerprint",
     "ann_cosine_topk",
     "events_window",
 ]
@@ -52,56 +42,79 @@ HEADLINE = [
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    k = int(os.environ.get("SPARK_GRAFT_TOPK", "10"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
 
     import __spark_entry__ as entry_mod
+    from lucene_solr_spark.operators.index_build import build_index
+    from lucene_solr_spark.operators.segments import build_segments
+    from lucene_solr_spark.operators.topk import SegmentSearcher
     from lucene_solr_spark.session import get_spark
+    from lucene_solr_spark.sources.queryset import generate_queryset
 
     spark = get_spark("bench", cores=cores)
+    timings: dict[str, float] = {}
 
-    # ---- phase 1: index build (GB/hour) --------------------------------
+    # ---- phase 1: index build ------------------------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    content_bytes = docs.selectExpr(
-        "sum(octet_length(text)) AS b"
-    ).collect()[0]["b"]
+    content_bytes = docs.selectExpr("sum(octet_length(text)) AS b").collect()[0]["b"]
     gb = (content_bytes or 0) / 1e9
 
     t0 = time.perf_counter()
-    ex = entry_mod._executor(spark, sf_dir)  # builds + persists the index
-    # materialize every index table so build cost is fully inside this timer
-    ex.index.postings.count()
-    ex.index.docs.count()
-    ex.index.term_stats.count()
-    index_sec = time.perf_counter() - t0
+    ix = build_index(docs, text_col="text", doc_id_col="doc_id").persist()
+    ix.postings.count()
+    ix.docs.count()
+    ix.term_stats.count()
+    timings["index_build_relational"] = time.perf_counter() - t0
+
+    seg_base = os.environ.get("SPARK_GRAFT_SEG_DIR", "/tmp/bench_segments")
+    shutil.rmtree(seg_base, ignore_errors=True)
+    t0 = time.perf_counter()
+    six = build_segments(ix, seg_base, segment_size=1 << 13)
+    timings["index_build_segments"] = time.perf_counter() - t0
+    index_sec = timings["index_build_relational"] + timings["index_build_segments"]
     gb_per_hour = gb / (index_sec / 3600.0) if index_sec > 0 else 0.0
 
-    # ---- phase 2: query set --------------------------------------------
+    # ---- phase 2: batched ranked retrieval (ONE job) -------------------
+    searcher = SegmentSearcher(spark, six, mode="float32", prune="block_max")
+    sample_texts = [
+        r["text"] for r in docs.orderBy("doc_id").limit(20).collect()
+    ]
+    qset = generate_queryset(spark, six.term_stats(spark), sample_texts)
+    t0 = time.perf_counter()
+    n_hits = searcher.topk_batch(qset, k=k).count()
+    batch_sec = time.perf_counter() - t0
+    timings[f"bm25_batch_{len(qset)}q"] = batch_sec
+    qps = len(qset) / batch_sec if batch_sec > 0 else 0.0
+
+    # ---- phase 3: pipeline ops -----------------------------------------
     qs = entry_mod.queries()
-    per_query: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in PIPELINE_OPS:
         if name not in qs:
             continue
-        t = time.perf_counter()
+        t0 = time.perf_counter()
         qs[name](spark, sf_dir).collect()
-        per_query[name] = round(time.perf_counter() - t, 4)
+        timings[name] = time.perf_counter() - t0
 
-    query_sec = sum(per_query.values())
-    total = index_sec + query_sec
-    qps = len(per_query) / query_sec if query_sec > 0 else 0.0
-
+    total = sum(timings.values())
     print(
         json.dumps(
             {
-                "metric": "index_build_plus_headline_queries",
+                "metric": "index_build_plus_bm25_batch_plus_pipeline",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": per_query,
+                "queries": {n: round(s, 4) for n, s in timings.items()},
                 "sf": sf,
                 "index_build_sec": round(index_sec, 3),
                 "index_gb": round(gb, 6),
                 "index_gb_per_hour": round(gb_per_hour, 3),
-                "query_sec": round(query_sec, 3),
-                "queries_per_sec": round(qps, 3),
+                "bm25_queries": len(qset),
+                "bm25_batch_sec": round(batch_sec, 3),
+                "bm25_queries_per_sec": round(qps, 2),
+                "bm25_topk_rows": int(n_hits),
                 "cores": cores,
             }
         )

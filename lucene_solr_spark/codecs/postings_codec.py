@@ -414,3 +414,36 @@ def decode_positions(blob: bytes, offsets: np.ndarray, idx: int) -> np.ndarray:
     """Decode posting ``idx``'s position list."""
     lo, hi = int(offsets[idx]), int(offsets[idx + 1])
     return np.cumsum(vint_decode(blob[lo:hi]))
+
+
+def decode_positions_batch(
+    blob: bytes, offsets: np.ndarray, idxs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY postings' position lists in one vectorized pass →
+    (positions concatenated, counts per posting). The phrase hot path:
+    selected byte ranges are gathered, VInt-decoded together, and the
+    per-posting cumsum is restored by segmented adjustment."""
+    idxs = np.asarray(idxs, np.int64)
+    if idxs.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    starts = offsets[idxs]
+    ends = offsets[idxs + 1]
+    lens = ends - starts
+    # gather selected byte ranges
+    take = np.concatenate(
+        [np.arange(s, e) for s, e in zip(starts.tolist(), ends.tolist())]
+    )
+    sel = arr[take]
+    deltas = vint_decode(sel.tobytes())
+    # values per posting = number of terminator bytes in each range
+    is_last_cum = np.r_[0, np.cumsum((arr & 0x80) == 0)]
+    counts = is_last_cum[ends] - is_last_cum[starts]
+    # segmented cumsum
+    csum = np.cumsum(deltas)
+    seg_starts = np.r_[0, np.cumsum(counts)[:-1]].astype(np.int64)
+    nonzero = counts > 0
+    adjust = np.zeros(len(counts), np.int64)
+    adjust[nonzero] = csum[seg_starts[nonzero]] - deltas[seg_starts[nonzero]]
+    positions = csum - np.repeat(adjust, counts)
+    return positions, counts

@@ -82,6 +82,8 @@ class SegmentIndex:
     doc_count: int
     sum_ttf: int
     segment_size: int
+    _df_cache: dict = None  # lazy DataFrame handles (read.parquet is a
+    # JVM round-trip with file listing — do it once per table, not per call)
 
     @property
     def segments_path(self) -> str:
@@ -95,14 +97,25 @@ class SegmentIndex:
     def term_stats_path(self) -> str:
         return f"{self.base}/term_stats"
 
+    def _cached(self, spark: SparkSession, path: str) -> DataFrame:
+        if self._df_cache is None:
+            object.__setattr__(self, "_df_cache", {})
+        if path not in self._df_cache:
+            self._df_cache[path] = spark.read.parquet(path)
+        return self._df_cache[path]
+
     def segments(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.segments_path)
+        return self._cached(spark, self.segments_path)
 
     def seg_docs(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.seg_docs_path)
+        return self._cached(spark, self.seg_docs_path)
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.term_stats_path)
+        return self._cached(spark, self.term_stats_path)
+
+    def invalidate(self) -> None:
+        """Drop cached DataFrame handles (after appends/merges)."""
+        object.__setattr__(self, "_df_cache", {})
 
     def manifest(self) -> dict:
         with open(f"{self.base}/manifest.json") as f:

@@ -140,6 +140,61 @@ def corpus_to_spark(spark, n_docs: int, seed: int = 42, num_partitions: int | No
     return df
 
 
+def corpus_distributed(spark, n_docs: int, seed: int = 42, num_partitions: int | None = None):
+    """Distributed deterministic corpus: content derives from the doc index
+    alone (per-row seeded RNG), so ANY partitioning yields identical rows —
+    the generator scales with the cluster instead of the driver (the
+    benchmark corpus path; driver-side make_corpus_rows stays for tiny
+    test fixtures)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("idx", T.LongType(), False),
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("commit", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+            T.StructField("content", T.StringType(), False),
+            T.StructField("content_sha256", T.StringType(), False),
+        ]
+    )
+
+    def gen(iterator):
+        for pdf in iterator:
+            rows = []
+            for i in pdf["id"].tolist():
+                rng = random.Random((seed << 32) ^ i)
+                repo = f"org{i % 7}/repo{i % 23}"
+                ext = rng.choice(list(_EXTS))
+                path = f"src/dir{rng.randint(0, 40)}/file{i}.{ext}"
+                commit = hashlib.sha1(f"{repo}|{path}|{seed}".encode()).hexdigest()[:12]
+                n_tokens = int(10 * (500 ** rng.random()))
+                content = _make_content(rng, n_tokens)
+                rows.append(
+                    {
+                        "idx": i,
+                        "repo": repo,
+                        "path": path,
+                        "commit": commit,
+                        "lang": _EXTS[ext],
+                        "content": content,
+                        "content_sha256": hashlib.sha256(
+                            content.encode("utf-8")
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    return (
+        spark.range(0, n_docs, numPartitions=parts)
+        .mapInPandas(gen, schema=schema)
+        .drop("idx")
+    )
+
+
 def write_corpus_parquet(spark, out_dir: str, n_docs: int, seed: int = 42) -> str:
     corpus_to_spark(spark, n_docs, seed).write.mode("overwrite").parquet(out_dir)
     return out_dir

@@ -1,0 +1,89 @@
+"""One scaling-run: index a deterministic synthetic source-code corpus and
+execute a batched BM25 query set at a given parallelism; prints one JSON
+line. Invoked twice (local[8], local[32]) by tools/bench_scaling.py — the
+sandbox proxy for the north rule's N vs 4N executor requirement.
+
+The corpus parquet is generated once (seed-fixed, distributed generator)
+and shared by both runs, so the job and input are identical; only the
+parallelism differs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_docs = int(os.environ.get("SCALING_DOCS", "30000"))
+    n_queries = int(os.environ.get("SCALING_QUERIES", "200"))
+    corpus_dir = os.environ.get("SCALING_CORPUS", f"/tmp/scaling_corpus_{n_docs}")
+    seg_base = f"/tmp/scaling_segments_{n_docs}_{cores}"
+
+    import shutil
+
+    from lucene_solr_spark.operators.index_build import build_index
+    from lucene_solr_spark.operators.segments import build_segments
+    from lucene_solr_spark.operators.topk import SegmentSearcher
+    from lucene_solr_spark.session import get_spark
+    from lucene_solr_spark.sources.corpus import corpus_distributed
+    from lucene_solr_spark.sources.queryset import generate_queryset
+
+    spark = get_spark(f"scaling_{cores}", cores=cores)
+
+    if not os.path.exists(f"{corpus_dir}/_SUCCESS"):
+        corpus_distributed(spark, n_docs, seed=42, num_partitions=64).write.mode(
+            "overwrite"
+        ).parquet(corpus_dir)
+    corpus = spark.read.parquet(corpus_dir)
+    gb = (
+        corpus.selectExpr("sum(octet_length(content)) AS b").collect()[0]["b"] or 0
+    ) / 1e9
+
+    shutil.rmtree(seg_base, ignore_errors=True)
+    t0 = time.perf_counter()
+    ix = build_index(corpus).persist()
+    ix.postings.count()
+    six = build_segments(ix, seg_base, segment_size=1 << 12)
+    index_sec = time.perf_counter() - t0
+
+    searcher = SegmentSearcher(spark, six, mode="float32", prune="block_max")
+    sample = [r["content"] for r in corpus.limit(20).collect()]
+    qset = generate_queryset(
+        spark,
+        six.term_stats(spark),
+        sample,
+        n_terms=n_queries // 2,
+        n_and=n_queries // 4,
+        n_or=n_queries // 4,
+        n_phrase=20,
+    )
+    t0 = time.perf_counter()
+    searcher.topk_batch(qset, k=10).count()
+    query_sec = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "n_docs": n_docs,
+                "gb": round(gb, 6),
+                "index_sec": round(index_sec, 3),
+                "index_gb_per_hour": round(gb / (index_sec / 3600.0), 3),
+                "n_queries": len(qset),
+                "query_sec": round(query_sec, 3),
+                "qps": round(len(qset) / query_sec, 2),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
