@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lucene_solr_spark.functions.bm25_sql import bm25_score_sql, index_ctes
+from lucene_solr_spark.functions.bm25_sql import bm25_score_sql, idf_sql, index_ctes
 from lucene_solr_spark.plans import ir
 
 _T = ir.TermQuery
@@ -36,6 +36,27 @@ def _B(*cs, msm: int = 0) -> ir.BooleanQuery:
 
 # ---------------------------------------------------------------- index cache
 _CACHE: dict[str, object] = {}
+
+
+def _seg_searcher(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the ENCODED doc-range segment index and
+    return a double-mode SegmentSearcher — the block-kernel execution path
+    (operators.segments + operators.topk), gate-checked against the same
+    SQL oracles as the relational executor."""
+    key = f"seg::{sf_dir}"
+    if key not in _CACHE:
+        import hashlib as _hl
+
+        from lucene_solr_spark.operators.segments import SegmentIndex, build_segments
+        from lucene_solr_spark.operators.topk import SegmentSearcher
+
+        ex = _executor(spark, sf_dir)
+        base = f"/tmp/entry_segments_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+        build_segments(ex.index, base, segment_size=1 << 10)
+        _CACHE[key] = SegmentSearcher(
+            spark, SegmentIndex.open(base), mode="double", prune="block_max"
+        )
+    return _CACHE[key]
 
 
 def _executor(spark: SparkSession, sf_dir: str):
@@ -238,6 +259,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["events_window"] = events_window
 
+    # --- multi-term expansions (Wildcard/Regexp/Fuzzy via dictionary) ----
+    out["wildcard_set"] = _match_set(ir.WildcardQuery("*an"))
+    out["regexp_set"] = _match_set(ir.RegexpQuery("s.an"))
+    out["fuzzy_set"] = _match_set(ir.FuzzyQuery("scon", max_edits=1))
+
+    # --- boosted + phrase scoring --------------------------------------
+    out["boost_topk"] = _topk(
+        _B(
+            _C(_O.SHOULD, ir.BoostQuery(_T("merge"), 2.0)),
+            _C(_O.SHOULD, _T("window")),
+        )
+    )
+    out["phrase_topk"] = _topk(ir.PhraseQuery(("table", "scan")))
+
+    # --- block-kernel (encoded segments) execution path ------------------
+    def _kernel_topk(q: ir.Query, k: int = 10):
+        def run(spark, sf_dir):
+            return _seg_searcher(spark, sf_dir).topk(q, k=k).select("doc_id", "score")
+
+        return run
+
+    def _kernel_set(q: ir.Query):
+        def run(spark, sf_dir):
+            return _seg_searcher(spark, sf_dir).matches(q).select("doc_id")
+
+        return run
+
+    out["kernel_term_topk"] = _kernel_topk(_T("dup"))
+    out["kernel_and_topk"] = _kernel_topk(
+        _B(_C(_O.MUST, _T("hash")), _C(_O.MUST, _T("join")))
+    )
+    out["kernel_or_topk"] = _kernel_topk(
+        _B(_C(_O.SHOULD, _T("merge")), _C(_O.SHOULD, _T("window")))
+    )
+    out["kernel_phrase_topk"] = _kernel_topk(ir.PhraseQuery(("table", "scan")))
+    out["kernel_msm2_set"] = _kernel_set(
+        _B(
+            _C(_O.SHOULD, _T("dup")),
+            _C(_O.SHOULD, _T("vector")),
+            _C(_O.SHOULD, _T("spark")),
+            msm=2,
+        )
+    )
+
+    # --- near-dup scale path + text/token ops ----------------------------
+    def minhash_near_dups(spark, sf_dir):
+        """MinHash-LSH candidates (64 hashes, 32 bands → recall ≈ 1 at
+        j≥0.8) verified by exact Jaccard — output equals the exact
+        all-pairs oracle; the LSH stage only bounds the candidate set."""
+        from lucene_solr_spark.functions.dedup import minhash_near_duplicates
+
+        return minhash_near_duplicates(
+            _docs(spark, sf_dir), text_col="text", threshold=0.8,
+            num_hashes=64, bands=32,
+        )
+
+    out["minhash_near_dups"] = minhash_near_dups
+
+    def simhash_sig(spark, sf_dir):
+        from lucene_solr_spark.functions.dedup import simhash
+
+        return simhash(_docs(spark, sf_dir), text_col="text")
+
+    out["simhash_sig"] = simhash_sig  # weak check: FNV-1a not in DuckDB
+
+    def token_counts_q(spark, sf_dir):
+        from lucene_solr_spark.functions.text import token_counts
+
+        return token_counts(_docs(spark, sf_dir), text_col="text")
+
+    out["token_counts"] = token_counts_q
+
+    def language_id_q(spark, sf_dir):
+        from lucene_solr_spark.functions.text import language_id
+
+        return language_id(_docs(spark, sf_dir), text_col="text")
+
+    out["language_id"] = language_id_q
+
+    def embedding_near_dup(spark, sf_dir):
+        """All-pairs cosine near-duplicates over the embedding table
+        (the exact oracle for the LSH-bucketed scale path)."""
+        from lucene_solr_spark.functions.similarity import _dot
+
+        e = _emb(spark, sf_dir)
+        a = e.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        )
+        b = e.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+        )
+        j = a.join(b, F.col("vec_a") < F.col("vec_b"))
+        cos = _dot(F.col("ea"), F.col("eb")) / (
+            F.sqrt(_dot(F.col("ea"), F.col("ea")))
+            * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+        )
+        return j.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+            F.col("cosine") >= 0.42
+        )
+
+    out["embedding_near_dup"] = embedding_near_dup
+
+    def lsh_ann_topk(spark, sf_dir):
+        from lucene_solr_spark.functions.similarity import lsh_bucketed_topk
+
+        e = _emb(spark, sf_dir)
+        qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return lsh_bucketed_topk(e.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+    out["lsh_ann_topk"] = lsh_ann_topk  # weak check: LSH recall < 1 by design
+
     return out
 
 
@@ -417,5 +549,98 @@ def oracle_sql() -> dict[str, str]:
       SELECT date_trunc('hour', ts) AS window_start, event_type,
              count(*)::BIGINT AS n, min(value) AS min_value, max(value) AS max_value
       FROM events GROUP BY 1, 2"""
+
+    # --- multi-term expansions ------------------------------------------
+    out["wildcard_set"] = f"""WITH {_IX}
+      SELECT DISTINCT doc_id FROM postings WHERE regexp_full_match(term, '.*an')"""
+    out["regexp_set"] = f"""WITH {_IX}
+      SELECT DISTINCT doc_id FROM postings WHERE regexp_full_match(term, 's.an')"""
+    out["fuzzy_set"] = f"""WITH {_IX}
+      SELECT DISTINCT doc_id FROM postings WHERE levenshtein(term, 'scon') <= 1"""
+
+    # --- boosted + phrase scoring ---------------------------------------
+    boost_w = f"(2.0 * {idf_sql('merge')})"
+    out["boost_topk"] = f"""WITH {_IX},
+      sa AS (SELECT p.doc_id, {bm25_score_sql(w_expr=boost_w)} AS score
+             FROM postings p JOIN norms n ON n.doc_id = p.doc_id
+             CROSS JOIN gstats g WHERE p.term = 'merge'),
+      sb AS ({_leaf_scores('window')}),
+      u AS (SELECT * FROM sa UNION ALL SELECT * FROM sb)
+      SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+    phrase_w = f"({idf_sql('table')} + {idf_sql('scan')})"
+    phrase_topk_sql = f"""WITH {_IX},
+      ph AS (
+        SELECT a.doc_id, count(*)::BIGINT AS tf
+        FROM tokens a JOIN tokens b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'table' AND b.term = 'scan'
+        GROUP BY a.doc_id
+      )
+      SELECT p.doc_id, {bm25_score_sql(tf_expr='p.tf', w_expr=phrase_w)} AS score
+      FROM ph p JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+    out["phrase_topk"] = phrase_topk_sql
+
+    # --- block-kernel path: same semantics → same oracles ----------------
+    out["kernel_term_topk"] = out["term_topk"]
+    out["kernel_and_topk"] = out["and2_topk"]
+    out["kernel_or_topk"] = out["or2_topk"]
+    out["kernel_phrase_topk"] = phrase_topk_sql
+    out["kernel_msm2_set"] = out["msm2_set"]
+
+    # --- near-dup / token / language ops ---------------------------------
+    out["minhash_near_dups"] = out["jaccard_pairs"]
+
+    out["token_counts"] = r"""
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+'))::INT AS ws_tokens,
+             list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                     w -> ceil(length(w) / 4.0)::INT))::INT AS bpe_est_tokens
+      FROM documents"""
+
+    langs = {
+        "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "ein"),
+        "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that"),
+        "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con"),
+        "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "est"),
+    }
+    hit_cols = ", ".join(
+        "sum(CASE WHEN term IN ({}) THEN 1 ELSE 0 END)::BIGINT AS hits_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(ws)), lang
+        )
+        for lang, ws in langs.items()
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, n, '{lang}' AS lang, hits_{lang} AS hits FROM hits"
+        for lang in langs
+    )
+    out["language_id"] = f"""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+        FROM documents
+      ),
+      hits AS (SELECT doc_id, count(*)::BIGINT AS n, {hit_cols} FROM tok GROUP BY doc_id),
+      unp AS ({unpivot}),
+      best AS (
+        SELECT doc_id, n, lang, hits,
+               row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+        FROM unp
+      )
+      SELECT doc_id,
+             CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
+             hits::DOUBLE / n AS lang_confidence
+      FROM best WHERE rn = 1"""
+
+    out["embedding_near_dup"] = """
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                 * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.42"""
 
     return out

@@ -12,7 +12,7 @@ from __future__ import annotations
 from lucene_solr_spark.oracle import bm25
 from lucene_solr_spark.oracle.smallfloat import LENGTH_TABLE
 
-__all__ = ["norm_lut_sql", "tokens_cte", "index_ctes", "bm25_score_sql"]
+__all__ = ["norm_lut_sql", "tokens_cte", "index_ctes", "bm25_score_sql", "idf_sql"]
 
 
 def norm_lut_sql() -> str:
@@ -66,10 +66,23 @@ def index_ctes() -> str:
     )"""
 
 
-def bm25_score_sql(tf_expr: str = "p.tf", df_expr: str = "ts.df") -> str:
-    """score = w - w/(1 + tf*inv); w = ln(1 + (N-df+0.5)/(df+0.5));
+def bm25_score_sql(
+    tf_expr: str = "p.tf", df_expr: str = "ts.df", w_expr: str | None = None
+) -> str:
+    """score = w - w/(1 + tf*inv); w = boost * ln(1 + (N-df+0.5)/(df+0.5));
     inv = 1/(k1*((1-b) + b*declen/avgdl)) — mirrors
-    DFExecutor._score_double_col exactly (k1=1.2, b=0.75)."""
-    w = f"ln(1.0 + (g.doc_count - {df_expr} + 0.5) / ({df_expr} + 0.5))"
+    DFExecutor._score_double_col exactly (k1=1.2, b=0.75). ``w_expr``
+    overrides the weight (boosted / multi-term-summed idf)."""
+    w = w_expr or f"ln(1.0 + (g.doc_count - {df_expr} + 0.5) / ({df_expr} + 0.5))"
     inv = "(1.0 / (1.2 * (0.25 + (0.75 * n.declen) / g.avgdl)))"
     return f"({w} - {w} / (1.0 + {tf_expr}::DOUBLE * {inv}))"
+
+
+def idf_sql(term: str) -> str:
+    """Weight of one term via a scalar subquery on term_stats (for boosted
+    and phrase weights composed outside the standard join shape)."""
+    return (
+        "ln(1.0 + (g.doc_count - "
+        f"(SELECT df FROM term_stats WHERE term = '{term}') + 0.5) / "
+        f"((SELECT df FROM term_stats WHERE term = '{term}') + 0.5))"
+    )

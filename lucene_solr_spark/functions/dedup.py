@@ -19,6 +19,8 @@ are almost surely boilerplate/templates — cap them (max_bucket_size).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -174,8 +176,6 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """64-bit SimHash per doc: sign of tf-weighted sums over token-hash
     bits. Arrow UDF (numpy bit matrix), deterministic (xxhash-free Python
     FNV-1a 64 so the kernel is self-contained)."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
     @F.pandas_udf(T.LongType())
@@ -191,7 +191,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             acc = np.zeros(64, dtype=np.int64)
             for t, f in zip(tlist, flist):
                 h = fnv1a(t)
-                bits = (h >> np.arange(64)) & 1
+                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
                 acc += np.where(bits == 1, f, -f)
             v = 0
             for i in range(64):
