@@ -370,6 +370,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["lsh_ann_topk"] = lsh_ann_topk  # weak check: LSH recall < 1 by design
 
+    # --- facets / grouping / join / counting (SURVEY.md §2.5) ------------
+    def facet_counts(spark, sf_dir):
+        """FacetsCollector role: per-value counts over a doc-values field."""
+        return (
+            _docs(spark, sf_dir)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+        )
+
+    out["facet_counts"] = facet_counts
+
+    def group_topk(spark, sf_dir):
+        """Grouping module (BlockGroupingCollector): top-3 docs per group."""
+        from pyspark.sql.window import Window
+
+        d = _docs(spark, sf_dir)
+        w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("lang", "doc_id", "n_chars", "rn")
+        )
+
+    out["group_topk"] = group_topk
+
+    def join_parent_child(spark, sf_dir):
+        """Query-time join module: orders↔customer, top-10 by totalprice
+        (broadcast the dimension side)."""
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        return (
+            o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .select("o_orderkey", "c_name", "o_totalprice")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(10)
+        )
+
+    out["join_parent_child"] = join_parent_child
+
+    def term_doc_count(spark, sf_dir):
+        """TermQuery count shortcut: totalHits = df straight from the
+        dictionary, no postings scan (IndexSearcher.java:420-427)."""
+        ex = _executor(spark, sf_dir)
+        return ex.index.term_stats.filter(F.col("term") == "scan").select("term", "df")
+
+    out["term_doc_count"] = term_doc_count
+
+    def custom_sim_topk(spark, sf_dir):
+        """Pluggable similarity: same engine, BM25(k1=0.9, b=0.4)
+        (BM25Similarity ctor args)."""
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        ex = _executor(spark, sf_dir)
+        ex2 = DFExecutor(ex.index, k1=0.9, b=0.4, mode="double")
+        return ex2.topk(_T("dup"), k=10).select("doc_id", "score")
+
+    out["custom_sim_topk"] = custom_sim_topk
+
     return out
 
 
@@ -642,5 +700,34 @@ def oracle_sql() -> dict[str, str]:
       WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
               / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                  * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.42"""
+
+    # --- facets / grouping / join / counting -----------------------------
+    out["facet_counts"] = """
+      SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_chars
+      FROM documents GROUP BY lang"""
+
+    out["group_topk"] = """
+      SELECT lang, doc_id, n_chars, rn FROM (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM documents
+      ) WHERE rn <= 3"""
+
+    out["join_parent_child"] = """
+      SELECT o.o_orderkey, c.c_name, o.o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 10"""
+
+    out["term_doc_count"] = f"""WITH {_IX}
+      SELECT term, df FROM term_stats WHERE term = 'scan'"""
+
+    out["custom_sim_topk"] = f"""WITH {_IX}
+    SELECT p.doc_id, {bm25_score_sql(k1=0.9, b=0.4)} AS score
+    FROM postings p
+    JOIN term_stats ts USING (term)
+    JOIN norms n ON n.doc_id = p.doc_id
+    CROSS JOIN gstats g
+    WHERE p.term = 'dup'
+    ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
 
     return out

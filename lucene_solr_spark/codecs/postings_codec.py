@@ -391,6 +391,20 @@ def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray]:
 
 
 # ------------------------------------------------------------- positions
+def _vint_lengths(vals: np.ndarray) -> np.ndarray:
+    """Bytes each value needs in the VInt stream (ceil(bitlen/7), min 1)."""
+    bl = np.zeros(len(vals), np.int64)
+    tmp = np.asarray(vals, np.uint64).copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        bl[nz] += 1
+        tmp = tmp >> np.uint64(7)
+    bl[bl == 0] = 1
+    return bl
+
+
 def encode_positions(pos_lists: list[np.ndarray]) -> tuple[bytes, np.ndarray]:
     """Per-posting position lists → (VInt-delta blob, byte offsets).
 
@@ -398,16 +412,25 @@ def encode_positions(pos_lists: list[np.ndarray]) -> tuple[bytes, np.ndarray]:
     positions are per-doc delta-encoded VInts; ``offsets[i]:offsets[i+1]``
     is posting i's byte range, so phrase verification decodes ONLY the
     candidate docs that survive the conjunction approximation
-    (``search/ExactPhraseMatcher.java:39`` two-phase contract)."""
-    parts: list[bytes] = []
-    offsets = np.zeros(len(pos_lists) + 1, np.int64)
-    for i, p in enumerate(pos_lists):
-        arr = np.asarray(p, np.int64)
-        deltas = np.diff(np.r_[0, arr])  # first position stored absolute
-        b = vint_encode(deltas)
-        parts.append(b)
-        offsets[i + 1] = offsets[i] + len(b)
-    return b"".join(parts), offsets
+    (``search/ExactPhraseMatcher.java:39`` two-phase contract).
+
+    Fully vectorized across the term's postings: one concatenated delta
+    array → one VInt emission; per-posting byte offsets derive from the
+    vectorized per-value byte lengths."""
+    counts = np.fromiter((len(p) for p in pos_lists), np.int64, len(pos_lists))
+    n = int(counts.sum())
+    if n == 0:
+        return b"", np.zeros(len(pos_lists) + 1, np.int64)
+    allpos = np.concatenate([np.asarray(p, np.int64) for p in pos_lists])
+    starts = np.r_[0, np.cumsum(counts)[:-1]]
+    deltas = allpos.copy()
+    deltas[1:] -= allpos[:-1]
+    nz = counts > 0
+    deltas[starts[nz]] = allpos[starts[nz]]  # first position absolute
+    blob = vint_encode(deltas)
+    byte_cum = np.r_[0, np.cumsum(_vint_lengths(deltas))]
+    offsets = np.r_[byte_cum[starts], byte_cum[-1]]
+    return blob, offsets
 
 
 def decode_positions(blob: bytes, offsets: np.ndarray, idx: int) -> np.ndarray:

@@ -67,14 +67,19 @@ def index_ctes() -> str:
 
 
 def bm25_score_sql(
-    tf_expr: str = "p.tf", df_expr: str = "ts.df", w_expr: str | None = None
+    tf_expr: str = "p.tf",
+    df_expr: str = "ts.df",
+    w_expr: str | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
 ) -> str:
     """score = w - w/(1 + tf*inv); w = boost * ln(1 + (N-df+0.5)/(df+0.5));
     inv = 1/(k1*((1-b) + b*declen/avgdl)) — mirrors
-    DFExecutor._score_double_col exactly (k1=1.2, b=0.75). ``w_expr``
-    overrides the weight (boosted / multi-term-summed idf)."""
+    DFExecutor._score_double_col exactly. ``w_expr`` overrides the weight
+    (boosted / multi-term-summed idf); k1/b parametrize the pluggable-
+    similarity entries (BM25Similarity ctor args, BM25Similarity.java:52)."""
     w = w_expr or f"ln(1.0 + (g.doc_count - {df_expr} + 0.5) / ({df_expr} + 0.5))"
-    inv = "(1.0 / (1.2 * (0.25 + (0.75 * n.declen) / g.avgdl)))"
+    inv = f"(1.0 / ({k1!r} * ({(1.0 - b)!r} + ({b!r} * n.declen) / g.avgdl)))"
     return f"({w} - {w} / (1.0 + {tf_expr}::DOUBLE * {inv}))"
 
 

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lucene_solr_spark.functions.analysis import make_tokenize_udf
+from lucene_solr_spark.functions.analysis import postings_frame
 from lucene_solr_spark.oracle.smallfloat import int_to_byte4_np
 
 __all__ = ["InvertedIndex", "assign_doc_ids", "build_index", "norm_udf"]
@@ -130,12 +130,14 @@ def assign_doc_ids(
     if num_partitions is None:
         num_partitions = max(corpus.rdd.getNumPartitions(), 1)
 
-    # Work on the slim key projection only. The ranged DF is persisted and
-    # materialized by the counting job, and `_pid` travels as a COLUMN of
-    # the cached data — so the offset table and the id assignment read the
-    # SAME partitioning. (repartitionByRange samples boundaries per
-    # execution; two separate jobs over an unpersisted ranged DF may see
-    # different partitions, which mis-bases every id.)
+    # Ids are computed on the slim KEY PROJECTION (content never round-trips
+    # through Arrow), then reattached by an equality join — broadcast when
+    # the id table is small, shuffle join at 10^12-row scale. The ranged
+    # key DF is PERSISTED and materialized by the counting job, and `_pid`
+    # travels as a COLUMN of the cached data — so the offset table and the
+    # id assignment read the SAME partitioning. (repartitionByRange samples
+    # boundaries per execution; two separate jobs over an unpersisted
+    # ranged DF may see different partitions, mis-basing every id.)
     keys = corpus.select(*key_cols)
     keyed = (
         keys.repartitionByRange(num_partitions, *key_cols)
@@ -166,6 +168,8 @@ def assign_doc_ids(
             yield out
 
     ids = keyed.mapInPandas(with_ids, schema=id_schema)
+    if acc <= 20_000_000:  # ids table is tiny relative to the corpus
+        ids = F.broadcast(ids)
     return corpus.join(ids, on=list(key_cols))
 
 
@@ -188,23 +192,23 @@ def build_index(
     else:
         docs_src = corpus.withColumn("doc_id", F.col(doc_id_col).cast("long"))
 
-    tokenize = make_tokenize_udf(
-        lowercase=lowercase, stopwords=stopwords, max_token_length=max_token_length
-    )
-    tokens = docs_src.select(
-        "doc_id", F.explode(tokenize(F.col(text_col))).alias("tok")
-    ).select("doc_id", F.col("tok.term").alias("term"), F.col("tok.pos").alias("pos"))
+    # Posting rows inverted MAP-SIDE inside the tokenizer pass (Lucene's
+    # DWPT model — functions.analysis.postings_frame): no token-level
+    # shuffle exists anywhere in the build. PERSISTED: every downstream
+    # table (doc lengths, dictionary, global stats) derives from postings,
+    # so the corpus is tokenized exactly ONCE.
+    postings = postings_frame(
+        docs_src,
+        text_col=text_col,
+        lowercase=lowercase,
+        stopwords=stopwords,
+        max_token_length=max_token_length,
+        with_positions=with_positions,
+    ).persist()
 
-    # posting lists: the Spark analog of TermsHashPerField.add +
-    # FreqProxTermsWriter (tf + sorted positions per (term, doc))
-    agg_cols = [F.count("*").alias("tf")]
-    if with_positions:
-        agg_cols.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    postings = tokens.groupBy("term", "doc_id").agg(*agg_cols)
-
-    # FieldInvertState.length per doc (stopwords/overlong never reach the
-    # inverter, so length = surviving token count; numOverlap = 0)
-    doc_len = tokens.groupBy("doc_id").agg(F.count("*").alias("length"))
+    # FieldInvertState.length per doc = Σtf (stopwords/overlong never reach
+    # the inverter, so length = surviving token count; numOverlap = 0)
+    doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("length"))
     keep = [c for c in keep_cols if c in docs_src.columns]
     docs = (
         docs_src.select("doc_id", *keep)

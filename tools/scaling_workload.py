@@ -21,7 +21,7 @@ sys.path.insert(0, "/root/repo")
 def main() -> int:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_docs = int(os.environ.get("SCALING_DOCS", "30000"))
-    n_queries = int(os.environ.get("SCALING_QUERIES", "200"))
+    n_queries = int(os.environ.get("SCALING_QUERIES", "1000"))
     corpus_dir = os.environ.get("SCALING_CORPUS", f"/tmp/scaling_corpus_{n_docs}")
     seg_base = f"/tmp/scaling_segments_{n_docs}_{cores}"
 
@@ -49,7 +49,7 @@ def main() -> int:
     t0 = time.perf_counter()
     ix = build_index(corpus).persist()
     ix.postings.count()
-    six = build_segments(ix, seg_base, segment_size=1 << 12)
+    six = build_segments(ix, seg_base, segment_size=1 << 10)
     index_sec = time.perf_counter() - t0
 
     searcher = SegmentSearcher(spark, six, mode="float32", prune="block_max")
