@@ -428,6 +428,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["custom_sim_topk"] = custom_sim_topk
 
+    def media_features(spark, sf_dir):
+        """Multimodal plumbing: synthesize deterministic binary media for
+        the docs, decode + extract per-channel features via mapInPandas
+        (real dataflow, stub codec — functions.multimodal)."""
+        from lucene_solr_spark.functions.multimodal import (
+            image_features,
+            synthesize_media,
+        )
+
+        d = _docs(spark, sf_dir).select("doc_id").limit(100)
+        return image_features(synthesize_media(d))
+
+    out["media_features"] = media_features  # weak check: binary codec op
+
+    # SloppyPhraseMatcher semantics (float freq = Σ 1/(1+matchLength)) —
+    # not ANSI-SQL-expressible; pinned instead by rank-identity tests vs
+    # the single-node oracle (tests/test_sloppy_phrase.py)
+    out["sloppy_phrase_topk"] = _topk(ir.PhraseQuery(("table", "scan"), slop=2))
+
     return out
 
 

@@ -178,8 +178,6 @@ class _Compiler:
         if isinstance(q, ir.MatchNoDocsQuery):
             return {"op": "none"}
         if isinstance(q, ir.PhraseQuery):
-            if q.slop != 0:
-                raise TypeError("sloppy phrase: not in kernel scope yet")
             dfs = [self.stats.get(t, (0, 0))[0] for t in q.terms]
             if min(dfs, default=0) == 0:
                 return {"op": "none"}
@@ -187,6 +185,7 @@ class _Compiler:
                 "op": "phrase",
                 "terms": list(q.terms),
                 "offsets": [int(p) for p in q.positions],
+                "slop": int(q.slop),
                 "weight": self.sum_weight(boost, dfs),
             }
         if isinstance(q, ir.DisjunctionMaxQuery):
@@ -329,6 +328,9 @@ class _SegmentEval:
             if not cand.size:
                 return empty
 
+        if plan.get("slop"):
+            return self._eval_sloppy(plan, cand, doc_arrays)
+
         base_keys: np.ndarray | None = None
         for ti, t in enumerate(terms):
             enc = self.term_enc[t]
@@ -348,6 +350,33 @@ class _SegmentEval:
         keep = tfs > 0
         cand, tfs = cand[keep], tfs[keep].astype(np.int64)
         return cand, self.score_tf_norm(tfs, self.norms_of(cand), plan["weight"])
+
+    def _eval_sloppy(self, plan: dict, cand: np.ndarray, doc_arrays: list):
+        """SloppyPhraseMatcher path: per-candidate float freq via the shared
+        oracle.sloppy kernel over batch-decoded positions."""
+        from lucene_solr_spark.codecs.postings_codec import decode_positions_batch
+        from lucene_solr_spark.oracle.sloppy import sloppy_phrase_freq
+
+        terms = plan["terms"]
+        offsets = plan["offsets"]
+        pos_per_term = []
+        for ti, t in enumerate(terms):
+            enc = self.term_enc[t]
+            idxs = np.searchsorted(doc_arrays[ti], cand)
+            pos, counts = decode_positions_batch(enc.pos_blob, enc.pos_off, idxs)
+            pos_per_term.append(np.split(pos, np.cumsum(counts)[:-1]))
+        freqs = np.empty(len(cand), np.float64)
+        for ci in range(len(cand)):
+            freqs[ci] = sloppy_phrase_freq(
+                [pos_per_term[ti][ci] for ti in range(len(terms))],
+                offsets,
+                plan["slop"],
+            )
+        keep = freqs > 0
+        cand, freqs = cand[keep], freqs[keep]
+        if not cand.size:
+            return np.empty(0, np.int64), np.empty(0, self._out_dtype())
+        return cand, self.score_tf_norm(freqs, self.norms_of(cand), plan["weight"])
 
     def _disjunction(self, subs: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         parts = [self.eval(s) for s in subs]

@@ -234,8 +234,6 @@ class OracleIndex:
         return count
 
     def _phrase_scores(self, q: ir.PhraseQuery, boost) -> dict[int, np.float32]:
-        if q.slop != 0:
-            raise NotImplementedError("sloppy phrase: phase 2")
         dfs = [self.df(t) for t in q.terms]
         if min(dfs, default=0) == 0:
             return {}
@@ -245,7 +243,17 @@ class OracleIndex:
         for t in q.terms[1:]:
             cand &= set(self.postings[t])
         for d in cand:
-            f = self._phrase_freq(q, d)
+            if q.slop == 0:
+                f = self._phrase_freq(q, d)
+            else:
+                # SloppyPhraseMatcher semantics (float freq into BM25)
+                from lucene_solr_spark.oracle.sloppy import sloppy_phrase_freq
+
+                f = sloppy_phrase_freq(
+                    [self.positions[t][d] for t in q.terms],
+                    list(q.positions),
+                    q.slop,
+                )
             if f > 0:
                 out[d] = bm25.score(f, self.norms[d], weight=w, cache=self.cache)[()]
         return out

@@ -125,8 +125,9 @@ class DFExecutor:
 
         @F.pandas_udf(T.FloatType())
         def score_udf(tf: pd.Series, norm: pd.Series) -> pd.Series:
+            # tf may be int (term/exact phrase) or float32 (sloppy phrase)
             s = bm25.score(
-                tf.to_numpy(np.int64), norm.to_numpy(np.int64), weight=w, cache=cache
+                tf.to_numpy(), norm.to_numpy(np.int64), weight=w, cache=cache
             )
             return pd.Series(s, index=tf.index)
 
@@ -317,8 +318,6 @@ class DFExecutor:
         return out
 
     def _eval_phrase(self, q: ir.PhraseQuery, boost: float) -> DataFrame:
-        if q.slop != 0:
-            raise NotImplementedError("sloppy phrase: phase 2")
         ix = self.index
         dfs = [self._df(t) for t in q.terms]
         if min(dfs, default=0) == 0:
@@ -339,22 +338,42 @@ class DFExecutor:
         arrays = F.array(*[F.col(f"p{i}") for i in range(len(q.terms))])
         offsets = tuple(int(p) for p in q.positions)
 
-        @F.pandas_udf(T.IntegerType())
-        def phrase_freq(pos_lists: pd.Series) -> pd.Series:
-            """ExactPhraseMatcher: count base positions where every term i
-            appears at base + offset_i (ExactPhraseMatcher.java:109-155)."""
-            base_off = offsets[0]
+        slop = q.slop
 
-            def count(lists) -> int:
-                cand = np.asarray(lists[0], dtype=np.int64) - base_off
-                for i in range(1, len(offsets)):
-                    nxt = np.asarray(lists[i], dtype=np.int64) - offsets[i]
-                    cand = np.intersect1d(cand, nxt, assume_unique=True)
-                    if cand.size == 0:
-                        return 0
-                return int(cand.size)
+        if slop == 0:
 
-            return pos_lists.map(count)
+            @F.pandas_udf(T.IntegerType())
+            def phrase_freq(pos_lists: pd.Series) -> pd.Series:
+                """ExactPhraseMatcher: count base positions where every term
+                i appears at base + offset_i (ExactPhraseMatcher.java:109-155)."""
+                base_off = offsets[0]
+
+                def count(lists) -> int:
+                    cand = np.asarray(lists[0], dtype=np.int64) - base_off
+                    for i in range(1, len(offsets)):
+                        nxt = np.asarray(lists[i], dtype=np.int64) - offsets[i]
+                        cand = np.intersect1d(cand, nxt, assume_unique=True)
+                        if cand.size == 0:
+                            return 0
+                    return int(cand.size)
+
+                return pos_lists.map(count)
+
+        else:
+
+            @F.pandas_udf(T.FloatType())
+            def phrase_freq(pos_lists: pd.Series) -> pd.Series:
+                """SloppyPhraseMatcher: float freq = Σ 1/(1+matchLength)
+                (oracle.sloppy kernel — shared with the oracle)."""
+                from lucene_solr_spark.oracle.sloppy import sloppy_phrase_freq
+
+                return pos_lists.map(
+                    lambda lists: sloppy_phrase_freq(
+                        [np.asarray(x, np.int64) for x in lists],
+                        list(offsets),
+                        slop,
+                    )
+                )
 
         freq = joined.select("doc_id", phrase_freq(arrays).alias("tf")).filter(
             F.col("tf") > 0

@@ -1,0 +1,82 @@
+"""Multimodal column plumbing tests: opaque binary blobs + typed metadata
+through mapInPandas kernels — schema, determinism, batch behavior."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.functions.multimodal import (
+    _decode_fake,
+    _encode_fake,
+    decode_dims,
+    image_features,
+    resize_images,
+    sample_frames,
+    synthesize_media,
+)
+
+
+def test_fake_codec_roundtrip():
+    blob = _encode_fake(7, 12, 8, 3, 4)
+    arr = _decode_fake(blob)
+    assert arr.shape == (4, 8, 12, 3)
+    # deterministic: same doc_id → same pixels
+    np.testing.assert_array_equal(arr, _decode_fake(_encode_fake(7, 12, 8, 3, 4)))
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    return synthesize_media(docs, media_type="image").persist()
+
+
+def test_media_schema_and_meta(media):
+    rows = media.collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert r["media_type"] == "image"
+        assert r["meta"]["format"] == "fimg"
+        assert len(r["blob"]) > 20
+
+
+def test_decode_dims_match_meta(media):
+    joined = decode_dims(media).join(
+        media.select("doc_id", "meta"), "doc_id"
+    )
+    for r in joined.collect():
+        assert r["width"] == r["meta"]["width"]
+        assert r["height"] == r["meta"]["height"]
+        assert r["channels"] == r["meta"]["channels"]
+
+
+def test_image_features_deterministic(media, spark):
+    f1 = {r["doc_id"]: r["features"] for r in image_features(media).collect()}
+    # recompute from a re-synthesized (differently partitioned) table
+    docs2 = spark.range(0, 40).repartition(7).select(F.col("id").alias("doc_id"))
+    f2 = {
+        r["doc_id"]: r["features"]
+        for r in image_features(synthesize_media(docs2)).collect()
+    }
+    assert f1 == f2
+    assert all(len(v) == 6 for v in f1.values())  # 3 means + 3 stds
+
+
+def test_resize_changes_dims_only(media):
+    resized = resize_images(media, 4, 4)
+    dims = decode_dims(resized).collect()
+    for r in dims:
+        assert (r["width"], r["height"]) == (4, 4)
+    # channel count preserved
+    assert all(r["channels"] == 3 for r in dims)
+
+
+def test_video_frame_sampling(spark):
+    docs = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    vids = synthesize_media(docs, media_type="video", n_frames=6)
+    frames = sample_frames(vids, every_n=2).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 2, 4] for v in per_doc.values())

