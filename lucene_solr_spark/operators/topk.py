@@ -101,6 +101,8 @@ def _collect_terms(q: ir.Query) -> set[str]:
         return {q.term}
     if isinstance(q, (ir.SynonymQuery, ir.TermInSetQuery, ir.PhraseQuery)):
         return set(q.terms)
+    if isinstance(q, ir.MultiPhraseQuery):
+        return set(q.all_terms)
     if isinstance(q, ir.BooleanQuery):
         s: set[str] = set()
         for c in q.clauses:
@@ -188,6 +190,24 @@ class _Compiler:
                 "slop": int(q.slop),
                 "weight": self.sum_weight(boost, dfs),
             }
+        if isinstance(q, ir.MultiPhraseQuery):
+            dfs = [
+                self.stats.get(t, (0, 0))[0]
+                for t in q.all_terms
+                if self.stats.get(t, (0, 0))[0] > 0
+            ]
+            if any(
+                all(self.stats.get(t, (0, 0))[0] == 0 for t in g)
+                for g in q.term_groups
+            ):
+                return {"op": "none"}
+            return {
+                "op": "multi_phrase",
+                "groups": [list(g) for g in q.term_groups],
+                "offsets": [int(p) for p in q.positions],
+                "slop": int(q.slop),
+                "weight": self.sum_weight(boost, dfs),
+            }
         if isinstance(q, ir.DisjunctionMaxQuery):
             return {
                 "op": "dismax",
@@ -226,6 +246,7 @@ class _SegmentEval:
         self.cache_f32 = cache_f32
         self.inv_f64 = inv_f64
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._gmax_cache: dict[str, np.ndarray] = {}
 
     # --- postings access ---
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
@@ -301,6 +322,8 @@ class _SegmentEval:
             return docs, out.astype(self._out_dtype())
         if op == "phrase":
             return self._eval_phrase(plan)
+        if op == "multi_phrase":
+            return self._eval_multi_phrase(plan)
         if op == "bool":
             return self._eval_bool(plan)
         raise ValueError(f"unknown op {op}")
@@ -349,6 +372,69 @@ class _SegmentEval:
         tfs = np.bincount(base_keys >> np.int64(32), minlength=len(cand))
         keep = tfs > 0
         cand, tfs = cand[keep], tfs[keep].astype(np.int64)
+        return cand, self.score_tf_norm(tfs, self.norms_of(cand), plan["weight"])
+
+    def _eval_multi_phrase(self, plan: dict) -> tuple[np.ndarray, np.ndarray]:
+        """MultiPhraseQuery: per-slot union of group postings + merged
+        position sets (UnionPostingsEnum role), then the shared exact /
+        sloppy matching."""
+        from lucene_solr_spark.codecs.postings_codec import decode_positions_batch
+        from lucene_solr_spark.oracle.sloppy import sloppy_phrase_freq
+
+        empty = (np.empty(0, np.int64), np.empty(0, self._out_dtype()))
+        groups = plan["groups"]
+        offsets = plan["offsets"]
+        # per slot: docs array + per-doc merged position lists
+        slot_docs: list[np.ndarray] = []
+        slot_pos: list[dict[int, np.ndarray]] = []
+        for g in groups:
+            merged: dict[int, list] = {}
+            for t in g:
+                d, _tf = self.postings(t)
+                if not d.size:
+                    continue
+                enc = self.term_enc[t]
+                pos, counts = decode_positions_batch(
+                    enc.pos_blob, enc.pos_off, np.arange(len(d))
+                )
+                lists = np.split(pos, np.cumsum(counts)[:-1])
+                for di, pl in zip(d.tolist(), lists):
+                    merged.setdefault(di, []).append(pl)
+            if not merged:
+                return empty
+            slot_docs.append(np.asarray(sorted(merged), np.int64))
+            slot_pos.append(
+                {
+                    di: np.unique(np.concatenate(pls))
+                    for di, pls in merged.items()
+                }
+            )
+        cand = slot_docs[0]
+        for d in slot_docs[1:]:
+            cand = cand[np.isin(cand, d, assume_unique=True)]
+            if not cand.size:
+                return empty
+        slop = plan.get("slop", 0)
+        tfs = np.empty(len(cand), np.float64)
+        for ci, di in enumerate(cand.tolist()):
+            pos_lists = [sp[di] for sp in slot_pos]
+            if slop == 0:
+                base = pos_lists[0] - offsets[0]
+                for i in range(1, len(offsets)):
+                    base = np.intersect1d(
+                        base, pos_lists[i] - offsets[i], assume_unique=True
+                    )
+                    if not base.size:
+                        break
+                tfs[ci] = base.size
+            else:
+                tfs[ci] = sloppy_phrase_freq(pos_lists, offsets, slop)
+        keep = tfs > 0
+        cand, tfs = cand[keep], tfs[keep]
+        if not cand.size:
+            return empty
+        if slop == 0:
+            tfs = tfs.astype(np.int64)
         return cand, self.score_tf_norm(tfs, self.norms_of(cand), plan["weight"])
 
     def _eval_sloppy(self, plan: dict, cand: np.ndarray, doc_arrays: list):
@@ -480,7 +566,11 @@ class _SegmentEval:
                 if conj:
                     return np.empty(0, np.int64), np.empty(0, self._out_dtype())
                 continue
-            first, last, bmax = self._block_bounds(enc, w)
+            first, last, gmax = self._block_bounds(t, enc)
+            # score = w * (1 - 1/(1+f*inv[n])) is LINEAR in the query
+            # weight, so gmax caches per (term, block) across ALL queries;
+            # the 1e-6 inflation keeps the bound sound vs float32 rounding
+            bmax = w * gmax * (1.0 + 1e-6)
             metas.append((t, w, enc, first, last, bmax))
         if not metas or (conj and len(metas) < len(terms)):
             return np.empty(0, np.int64), np.empty(0, self._out_dtype())
@@ -557,7 +647,7 @@ class _SegmentEval:
             return np.empty(0, np.int64), np.empty(0, self._out_dtype())
         return np.concatenate(cand_docs), np.concatenate(cand_scores)
 
-    def _block_bounds(self, enc: EncodedPostings, weight: float):
+    def _block_bounds(self, term: str, enc: EncodedPostings):
         if enc.singleton_doc >= 0:
             first = np.asarray([enc.singleton_doc], np.int64)
             last = first
@@ -572,14 +662,18 @@ class _SegmentEval:
                     else 0
                 )
             last = enc.block_last
-        # max score per block from the impact frontier (MaxScoreCache.java)
-        off = enc.imp_off
-        bmax = np.empty(len(last))
-        for i in range(len(last)):
-            f = enc.imp_freq[off[i] : off[i + 1]].astype(np.int64)
-            n = enc.imp_norm[off[i] : off[i + 1]].astype(np.int64)
-            bmax[i] = float(self.score_tf_norm(f, n, weight).max())
-        return first, last, bmax
+        # weight-free per-block bound factor from the impact frontier
+        # (MaxScoreCache.java role): gmax = max over frontier of
+        # 1 - 1/(1 + f*inv[n]) in float64, VECTORIZED over all blocks via
+        # np.maximum.reduceat on the flattened frontier arrays
+        if term not in self._gmax_cache:
+            f = np.asarray(enc.imp_freq, np.float64)
+            n = np.asarray(enc.imp_norm, np.int64)
+            g = 1.0 - 1.0 / (1.0 + f * self.inv_f64[n])
+            off = np.asarray(enc.imp_off[:-1], np.int64)
+            gmax = np.maximum.reduceat(g, off) if len(g) else np.empty(0)
+            self._gmax_cache[term] = gmax
+        return first, last, self._gmax_cache[term]
 
     def _decode_cached(self, term: str, enc: EncodedPostings, blocks: np.ndarray):
         # full-list decode cache; per-block caching would save more on huge
@@ -657,11 +751,20 @@ class SegmentSearcher:
         return self.topk_batch({"q": q}, k=None).select("doc_id", "score")
 
     def topk_batch(
-        self, queries: dict[str, ir.Query], k: int | None = 10
+        self,
+        queries: dict[str, ir.Query],
+        k: int | None = 10,
+        direct: bool = True,
     ) -> DataFrame:
         """Batched search: ONE Spark job scores every query against every
         segment (broadcast plans), then a driver-side window merge — the
-        per-query-job latency answer at benchmark scale (SURVEY.md §7.1.6)."""
+        per-query-job latency answer at benchmark scale (SURVEY.md §7.1.6).
+
+        ``direct=True`` (default) runs MAP-ONLY: one task per segment
+        pyarrow-reads its own segment files (term predicate pushed to
+        parquet row groups, which are term-sorted) — no JVM shuffle at all;
+        the only exchange is the tiny per-segment top-k. ``direct=False``
+        keeps the cogroup path (works on any DataFrame-readable storage)."""
         compiled: dict[str, dict] = {}
         all_terms: set[str] = set()
         prepared = {}
@@ -687,14 +790,11 @@ class SegmentSearcher:
         kk = k
         schema = _RESULT_SCHEMA_F32 if mode == "float32" else _RESULT_SCHEMA_F64
 
-        seg_rows = self.index.segments(self.spark).filter(
-            F.col("term").isin(needed_terms)
-        )
-        seg_docs = self.index.seg_docs(self.spark)
-
-        def kernel(key: tuple, post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame):
+        def eval_segment(post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame):
             if docs_pdf.empty:
-                return pd.DataFrame(columns=["query_id", "doc_id", "score"])
+                return pd.DataFrame(
+                    {"query_id": [], "doc_id": [], "score": []}
+                ).astype({"doc_id": "int64"})
             term_enc = {r.term: _row_to_encoded(r) for r in post_pdf.itertuples()}
             docs_pdf = docs_pdf.sort_values("doc_id")
             ev = _SegmentEval(
@@ -733,11 +833,49 @@ class SegmentSearcher:
                 }
             )
 
-        res = (
-            seg_rows.groupBy("segment_id")
-            .cogroup(seg_docs.groupBy("segment_id"))
-            .applyInPandas(kernel, schema=schema)
-        )
+        if direct:
+            base = self.index.base
+            seg_ids = [
+                s["segment_id"] for s in self.index.manifest()["segments"]
+            ]
+
+            def direct_kernel(iterator):
+                import pyarrow.parquet as pq
+
+                for pdf in iterator:
+                    for sid in pdf["segment_id"].tolist():
+                        post_tbl = pq.read_table(
+                            f"{base}/segments/segment_id={sid}",
+                            filters=[("term", "in", needed_terms)]
+                            if needed_terms
+                            else None,
+                        )
+                        docs_tbl = pq.read_table(
+                            f"{base}/seg_docs/segment_id={sid}",
+                            columns=["doc_id", "norm"],
+                        )
+                        yield eval_segment(
+                            post_tbl.to_pandas(), docs_tbl.to_pandas()
+                        )
+
+            ids_df = self.spark.createDataFrame(
+                [(int(s),) for s in seg_ids], "segment_id long"
+            ).repartition(max(len(seg_ids), 1), "segment_id")
+            res = ids_df.mapInPandas(direct_kernel, schema=schema)
+        else:
+            seg_rows = self.index.segments(self.spark).filter(
+                F.col("term").isin(needed_terms)
+            )
+            seg_docs = self.index.seg_docs(self.spark)
+
+            def kernel(key: tuple, post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame):
+                return eval_segment(post_pdf, docs_pdf)
+
+            res = (
+                seg_rows.groupBy("segment_id")
+                .cogroup(seg_docs.groupBy("segment_id"))
+                .applyInPandas(kernel, schema=schema)
+            )
         if k is None:
             return res
         w = Window.partitionBy("query_id").orderBy(

@@ -134,6 +134,8 @@ class OracleIndex:
             return self._synonym_scores(q.terms, boost)
         if isinstance(q, ir.PhraseQuery):
             return self._phrase_scores(q, boost)
+        if isinstance(q, ir.MultiPhraseQuery):
+            return self._multi_phrase_scores(q, boost)
         if isinstance(q, ir.DisjunctionMaxQuery):
             subs = [self.matches(s, boost) for s in q.queries]
             docs = set().union(*[set(s) for s in subs]) if subs else set()
@@ -251,6 +253,56 @@ class OracleIndex:
 
                 f = sloppy_phrase_freq(
                     [self.positions[t][d] for t in q.terms],
+                    list(q.positions),
+                    q.slop,
+                )
+            if f > 0:
+                out[d] = bm25.score(f, self.norms[d], weight=w, cache=self.cache)[()]
+        return out
+
+    def _multi_phrase_scores(self, q: "ir.MultiPhraseQuery", boost) -> dict[int, np.float32]:
+        """MultiPhraseQuery: per-slot union postings, summed idf of ALL
+        terms (MultiPhraseQuery.java:222-235), exact or sloppy matching
+        over the merged per-slot position sets."""
+        all_terms = q.all_terms
+        # only terms with docFreq > 0 contribute to the summed idf
+        # (MultiPhraseQuery.java:234-235)
+        dfs = [self.df(t) for t in all_terms if self.df(t) > 0]
+        if any(
+            all(self.df(t) == 0 for t in g) for g in q.term_groups
+        ):
+            return {}
+        w = bm25.term_weight(boost, bm25.idf_sum(dfs, self.doc_count))
+        # per-slot doc -> merged position set
+        slot_pos: list[dict[int, list[int]]] = []
+        for g in q.term_groups:
+            merged: dict[int, set] = {}
+            for t in g:
+                for d, pl in self.positions.get(t, {}).items():
+                    merged.setdefault(d, set()).update(pl)
+            slot_pos.append({d: sorted(ps) for d, ps in merged.items()})
+        cand = set(slot_pos[0])
+        for sp in slot_pos[1:]:
+            cand &= set(sp)
+        out = {}
+        for d in cand:
+            pos_lists = [sp[d] for sp in slot_pos]
+            if q.slop == 0:
+                base_off = q.positions[0]
+                sets = [set(pl) for pl in pos_lists]
+                f = sum(
+                    1
+                    for p0 in pos_lists[0]
+                    if all(
+                        (p0 - base_off + off) in sets[i]
+                        for i, off in enumerate(q.positions)
+                    )
+                )
+            else:
+                from lucene_solr_spark.oracle.sloppy import sloppy_phrase_freq
+
+                f = sloppy_phrase_freq(
+                    [np.asarray(pl, np.int64) for pl in pos_lists],
                     list(q.positions),
                     q.slop,
                 )

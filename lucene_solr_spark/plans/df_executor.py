@@ -227,6 +227,8 @@ class DFExecutor:
             return self._scored_term_rows(rows, self._term_weight(boost, df_max))
         if isinstance(q, ir.PhraseQuery):
             return self._eval_phrase(q, boost)
+        if isinstance(q, ir.MultiPhraseQuery):
+            return self._eval_multi_phrase(q, boost)
         if isinstance(q, ir.DisjunctionMaxQuery):
             subs = [self._eval(s, boost) for s in q.queries]
             unioned = reduce(DataFrame.unionAll, subs)
@@ -380,6 +382,71 @@ class DFExecutor:
         )
         return self._scored_term_rows(freq, self._sum_weight(boost, dfs))
 
+    def _eval_multi_phrase(self, q: "ir.MultiPhraseQuery", boost: float) -> DataFrame:
+        """Per-slot union of the group's postings (UnionPostingsEnum role):
+        positions flattened+deduped per doc, then the same exact/sloppy
+        phrase machinery as _eval_phrase."""
+        ix = self.index
+        all_terms = list(q.all_terms)
+        # df==0 terms are excluded from the summed idf (MultiPhraseQuery.java:234)
+        dfs = [self._df(t) for t in all_terms if self._df(t) > 0]
+        if any(all(self._df(t) == 0 for t in g) for g in q.term_groups):
+            return self._empty()
+        parts = []
+        for i, g in enumerate(q.term_groups):
+            slot = (
+                ix.postings.filter(F.col("term").isin(list(g)))
+                .groupBy("doc_id")
+                .agg(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("positions")))
+                    ).alias(f"p{i}")
+                )
+            )
+            parts.append(slot)
+        joined = parts[0]
+        for p_ in parts[1:]:
+            joined = joined.join(p_, "doc_id", "inner")
+        arrays = F.array(*[F.col(f"p{i}") for i in range(len(q.term_groups))])
+        offsets = tuple(int(p_) for p_ in q.positions)
+        slop = q.slop
+
+        if slop == 0:
+
+            @F.pandas_udf(T.IntegerType())
+            def mp_freq(pos_lists: pd.Series) -> pd.Series:
+                base_off = offsets[0]
+
+                def count(lists) -> int:
+                    cand = np.asarray(lists[0], dtype=np.int64) - base_off
+                    for i in range(1, len(offsets)):
+                        nxt = np.asarray(lists[i], dtype=np.int64) - offsets[i]
+                        cand = np.intersect1d(cand, nxt, assume_unique=True)
+                        if cand.size == 0:
+                            return 0
+                    return int(cand.size)
+
+                return pos_lists.map(count)
+
+        else:
+
+            @F.pandas_udf(T.FloatType())
+            def mp_freq(pos_lists: pd.Series) -> pd.Series:
+                from lucene_solr_spark.oracle.sloppy import sloppy_phrase_freq
+
+                return pos_lists.map(
+                    lambda lists: sloppy_phrase_freq(
+                        [np.asarray(x, np.int64) for x in lists],
+                        list(offsets),
+                        slop,
+                    )
+                )
+
+        freq = joined.select("doc_id", mp_freq(arrays).alias("tf")).filter(
+            F.col("tf") > 0
+        )
+        return self._scored_term_rows(freq, self._sum_weight(boost, dfs))
+
     # -------------------------------------------------- multi-term expansion
     def _expand_multiterm(self, q: ir.Query) -> ir.Query:
         """Dictionary scan (term_stats) replaces the FST/automaton
@@ -451,6 +518,8 @@ def _collect_terms(q: ir.Query) -> set[str]:
         return set(q.terms)
     if isinstance(q, ir.PhraseQuery):
         return set(q.terms)
+    if isinstance(q, ir.MultiPhraseQuery):
+        return set(q.all_terms)
     if isinstance(q, ir.BooleanQuery):
         out: set[str] = set()
         for c in q.clauses:

@@ -95,6 +95,31 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with term ALTERNATIVES per position
+    (``search/MultiPhraseQuery.java:53``): slot i matches any of
+    ``term_groups[i]``; scoring uses the summed idf of ALL terms
+    (``MultiPhraseQuery.java:222-235`` getStats) and the per-slot postings
+    union (``UnionPostingsEnum`` ``:420``). Positions are unioned as a SET
+    per slot — identical to the reference unless index-time synonyms put
+    two alternatives at one position (our analyzer cannot)."""
+
+    term_groups: Tuple[Tuple[str, ...], ...]
+    slop: int = 0
+    positions: Tuple[int, ...] = field(default=None)  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.positions is None:
+            object.__setattr__(
+                self, "positions", tuple(range(len(self.term_groups)))
+            )
+
+    @property
+    def all_terms(self) -> Tuple[str, ...]:
+        return tuple(t for g in self.term_groups for t in g)
+
+
+@dataclass(frozen=True)
 class SynonymQuery(Query):
     """Terms scored as one pseudo-term: df = max(sub df), ttf = sum
     (search/SynonymQuery.java:514-545 collectionStatistics merge)."""
