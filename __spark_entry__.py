@@ -447,6 +447,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the single-node oracle (tests/test_sloppy_phrase.py)
     out["sloppy_phrase_topk"] = _topk(ir.PhraseQuery(("table", "scan"), slop=2))
 
+    out["multi_phrase_topk"] = _topk(
+        ir.MultiPhraseQuery((("table", "hash"), ("scan", "join")))
+    )
+
     return out
 
 
@@ -739,6 +743,22 @@ def oracle_sql() -> dict[str, str]:
 
     out["term_doc_count"] = f"""WITH {_IX}
       SELECT term, df FROM term_stats WHERE term = 'scan'"""
+
+    mp_w = (
+        f"({idf_sql('table')} + {idf_sql('hash')} + "
+        f"{idf_sql('scan')} + {idf_sql('join')})"
+    )
+    out["multi_phrase_topk"] = f"""WITH {_IX},
+      g0 AS (SELECT DISTINCT doc_id, pos FROM tokens WHERE term IN ('table','hash')),
+      g1 AS (SELECT DISTINCT doc_id, pos FROM tokens WHERE term IN ('scan','join')),
+      ph AS (
+        SELECT a.doc_id, count(*)::BIGINT AS tf
+        FROM g0 a JOIN g1 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.doc_id
+      )
+      SELECT p.doc_id, {bm25_score_sql(tf_expr='p.tf', w_expr=mp_w)} AS score
+      FROM ph p JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
 
     out["custom_sim_topk"] = f"""WITH {_IX}
     SELECT p.doc_id, {bm25_score_sql(k1=0.9, b=0.4)} AS score

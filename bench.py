@@ -15,7 +15,7 @@ Phases (BASELINE.md protocol):
   3. training-pipeline ops — dedup / token stats / quality / ANN /
      windowed events, individually timed.
 
-Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+Scaling-efficiency evidence (local[4] vs local[16], alternating best-of) is produced by
 ``tools/bench_scaling.py`` → ``BENCH/BASELINE.md``.
 """
 
@@ -73,7 +73,7 @@ def main() -> int:
     seg_base = os.environ.get("SPARK_GRAFT_SEG_DIR", "/tmp/bench_segments")
     shutil.rmtree(seg_base, ignore_errors=True)
     t0 = time.perf_counter()
-    six = build_segments(ix, seg_base, segment_size=1 << 13)
+    six = build_segments(ix, seg_base, segment_size=1 << 9)
     timings["index_build_segments"] = time.perf_counter() - t0
     index_sec = timings["index_build_relational"] + timings["index_build_segments"]
     gb_per_hour = gb / (index_sec / 3600.0) if index_sec > 0 else 0.0
