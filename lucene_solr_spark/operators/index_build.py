@@ -80,15 +80,41 @@ class InvertedIndex:
         self.term_stats.persist()
         return self
 
-    def write_parquet(self, base: str, num_term_partitions: int = 8) -> None:
+    def write_parquet(
+        self,
+        base: str,
+        num_term_partitions: int = 8,
+        salt_head_terms: int = 16,
+        salt_factor: int = 8,
+    ) -> None:
         """Write the index as term-range-partitioned parquet: the parquet
         min/max column stats on ``term`` play the role of the FST prefix
         index (``codecs/lucene90/blocktree/...:172-187``) — a term-filtered
-        query prunes row groups without any custom structure."""
+        query prunes row groups without any custom structure.
+
+        Zipf-skew handling for THIS (term-partitioned) layout: the top
+        ``salt_head_terms`` terms by df are split into ``salt_factor``
+        deterministic sub-keys (``doc_id % salt_factor``) before the range
+        shuffle, so no single reducer owns a head term's whole posting
+        list (SURVEY §7.1.4; the doc-range segment layout needs no salting
+        because a segment bounds every term's list by its doc range)."""
         self.docs.write.mode("overwrite").parquet(f"{base}/docs")
+        head = [
+            r["term"]
+            for r in self.term_stats.orderBy(F.desc("df"), F.asc("term"))
+            .limit(salt_head_terms)
+            .collect()
+        ]
+        salted = self.postings.withColumn(
+            "_salt",
+            F.when(
+                F.col("term").isin(head), F.col("doc_id") % salt_factor
+            ).otherwise(F.lit(0)),
+        )
         (
-            self.postings.repartitionByRange(num_term_partitions, "term")
-            .sortWithinPartitions("term", "doc_id")
+            salted.repartitionByRange(num_term_partitions, "term", "_salt")
+            .sortWithinPartitions("term", "_salt", "doc_id")
+            .drop("_salt")
             .write.mode("overwrite")
             .parquet(f"{base}/postings")
         )

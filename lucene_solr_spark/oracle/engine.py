@@ -330,12 +330,16 @@ class OracleIndex:
                     if len(matching) < msm:
                         continue
                     if msm > 0:
-                        # planner: conjunction( musts..., WAND(shoulds, msm) );
-                        # WAND casts its double sum to f32 first, then the
-                        # conjunction double-sums the f32 sub-scores
+                        # planner: ConjunctionScorer([req, WAND(shoulds,msm)])
+                        # (Boolean2ScorerSupplier.java:134-141). BOTH sides
+                        # are float Scorer.score() outputs: the inner req
+                        # conjunction rounds its double sum to f32 BEFORE
+                        # the outer conjunction double-sums the two f32s
+                        # (ConjunctionScorer.score is a float method) —
+                        # caught by randomized fuzzing at 1 ulp.
                         wand = _f32(sum(float(v) for v in matching))
-                        total = sum(float(m[d]) for m in must) + float(wand)
-                        out[d] = _f32(total)
+                        req_f32 = _f32(sum(float(m[d]) for m in must))
+                        out[d] = _f32(float(req_f32) + float(wand))
                     else:
                         req = _f32(sum(float(m[d]) for m in must))
                         if matching:
@@ -360,8 +364,16 @@ class OracleIndex:
 
     # ---- top-k ----
     def search(self, q: ir.Query, k: int = 10) -> list[ScoreDoc]:
-        """Top-k by (score desc, docID asc) — HitQueue.java:78-84 tie-break."""
-        scored = self.matches(q, 1.0)
+        """Top-k by (score desc, docID asc) — HitQueue.java:78-84 tie-break.
+
+        The query is REWRITTEN to fixpoint first, exactly like
+        ``IndexSearcher.search`` (``IndexSearcher.java:683`` rewrite loop):
+        rules such as nested-disjunction flattening change float32 rounding
+        boundaries, so scoring the unrewritten tree is NOT equivalent —
+        randomized fuzzing caught a 1-ulp divergence without this."""
+        from lucene_solr_spark.plans.rewriter import rewrite
+
+        scored = self.matches(rewrite(q), 1.0)
         ranked = sorted(scored.items(), key=lambda kv: (-float(kv[1]), kv[0]))
         return [ScoreDoc(d, float(s)) for d, s in ranked[:k]]
 
