@@ -1,0 +1,126 @@
+"""High-level facade: the user-facing surface a reference (Lucene/Solr)
+user would switch to.
+
+    from lucene_solr_spark.api import SearchEngine
+
+    eng = SearchEngine.index_corpus(spark, corpus_df, "/data/myindex")
+    hits = eng.search('+merge "table scan" window^2', k=10)
+    eng.append(more_docs_df)          # NRT-style segment append
+    eng.merge()                       # tiered compaction
+    eng2 = SearchEngine.open(spark, "/data/myindex")   # reopen anywhere
+
+Query strings use the classic syntax subset (plans.parser); results are
+Lucene-parity BM25 float32 rankings from the block-max segment kernel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lucene_solr_spark.operators.segments import SegmentIndex, build_segments
+from lucene_solr_spark.operators.topk import SegmentSearcher
+from lucene_solr_spark.plans import ir
+from lucene_solr_spark.plans.parser import parse_query
+
+__all__ = ["SearchEngine", "Hit"]
+
+
+@dataclass(frozen=True)
+class Hit:
+    doc_id: int
+    score: float
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index: SegmentIndex):
+        self.spark = spark
+        self.index = index
+        self._searcher = SegmentSearcher(
+            spark, index, mode="float32", prune="block_max"
+        )
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def index_corpus(
+        cls,
+        spark: SparkSession,
+        corpus: DataFrame,
+        base: str,
+        *,
+        text_col: str = "content",
+        key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+        doc_id_col: str | None = None,
+        segment_size: int = 1 << 16,
+        resume: bool = False,
+    ) -> "SearchEngine":
+        from lucene_solr_spark.operators.index_build import build_index
+
+        ix = build_index(
+            corpus, text_col=text_col, key_cols=key_cols, doc_id_col=doc_id_col
+        )
+        six = build_segments(ix, base, segment_size=segment_size, resume=resume)
+        return cls(spark, six)
+
+    @classmethod
+    def open(cls, spark: SparkSession, base: str) -> "SearchEngine":
+        return cls(spark, SegmentIndex.open(base))
+
+    def refresh(self) -> None:
+        """Reopen the latest committed snapshot (SearcherManager role)."""
+        self.index = SegmentIndex.open(self.index.base)
+        self._searcher = SegmentSearcher(
+            self.spark, self.index, mode="float32", prune="block_max"
+        )
+
+    # ------------------------------------------------------------ search
+    def search(self, query: str | ir.Query, k: int = 10) -> list[Hit]:
+        q = parse_query(query) if isinstance(query, str) else query
+        rows = self._searcher.topk(q, k=k).collect()
+        return [Hit(r["doc_id"], r["score"]) for r in rows]
+
+    def search_batch(
+        self, queries: dict[str, str | ir.Query], k: int = 10
+    ) -> DataFrame:
+        """Whole query set in ONE Spark job → (query_id, doc_id, score)."""
+        qs = {
+            qid: parse_query(q) if isinstance(q, str) else q
+            for qid, q in queries.items()
+        }
+        return self._searcher.topk_batch(qs, k=k)
+
+    def count(self, query: str | ir.Query) -> int:
+        q = parse_query(query) if isinstance(query, str) else query
+        return self._searcher.matches(q).count()
+
+    # ----------------------------------------------------------- mutate
+    def append(self, docs: DataFrame, **kwargs) -> int | None:
+        """Index a batch of new documents as one appended segment (NRT)."""
+        from lucene_solr_spark.streaming.nrt import append_batch
+
+        sid = append_batch(docs, self.index.base, **kwargs)
+        self.refresh()
+        return sid
+
+    def merge(self, policy=None) -> list[int]:
+        """Run tiered merges; returns new segment ids."""
+        from lucene_solr_spark.operators.merge_policy import (
+            TieredMergePolicy,
+            run_merges,
+        )
+
+        out = run_merges(
+            self.spark, self.index, policy or TieredMergePolicy()
+        )
+        self.refresh()
+        return out
+
+    # ------------------------------------------------------------ stats
+    def stats(self) -> dict:
+        m = self.index.manifest()
+        return {
+            "doc_count": m["doc_count"],
+            "sum_ttf": m["sum_ttf"],
+            "n_segments": len(m["segments"]),
+        }

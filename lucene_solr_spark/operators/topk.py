@@ -853,6 +853,12 @@ class SegmentSearcher:
             def direct_kernel(iterator):
                 import pyarrow.parquet as pq
 
+                # evaluate every segment in this task, then merge top-k
+                # ACROSS the task's segments per query before emitting —
+                # a two-level TopDocs.merge that cuts the final exchange
+                # by the segments-per-task factor
+                acc_d: dict[str, list[np.ndarray]] = {}
+                acc_s: dict[str, list[np.ndarray]] = {}
                 for pdf in iterator:
                     for sid in pdf["segment_id"].tolist():
                         post_tbl = pq.read_table(
@@ -865,13 +871,45 @@ class SegmentSearcher:
                             f"{base}/seg_docs/segment_id={sid}",
                             columns=["doc_id", "norm"],
                         )
-                        yield eval_segment(
+                        part = eval_segment(
                             post_tbl.to_pandas(), docs_tbl.to_pandas()
                         )
+                        for qid, g in part.groupby("query_id", sort=False):
+                            acc_d.setdefault(qid, []).append(
+                                g["doc_id"].to_numpy(np.int64)
+                            )
+                            acc_s.setdefault(qid, []).append(
+                                g["score"].to_numpy()
+                            )
+                out_q: list[str] = []
+                out_d: list[np.ndarray] = []
+                out_s: list[np.ndarray] = []
+                for qid, dl in acc_d.items():
+                    docs = np.concatenate(dl)
+                    scores = np.concatenate(acc_s[qid])
+                    if kk is not None and len(docs) > kk:
+                        order = np.lexsort((docs, -scores.astype(np.float64)))[:kk]
+                        docs, scores = docs[order], scores[order]
+                    out_q.append(qid)
+                    out_d.append(docs)
+                    out_s.append(scores)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(out_q, [len(d) for d in out_d])
+                        if out_q
+                        else [],
+                        "doc_id": np.concatenate(out_d) if out_d else [],
+                        "score": np.concatenate(out_s) if out_s else [],
+                    }
+                )
 
+            # 2 segments per task: halves per-task fixed cost and the
+            # final exchange, independent of cluster size (fair at any
+            # parallelism; still >= cores tasks for realistic indexes)
+            n_parts = max(1, (len(seg_ids) + 1) // 2)
             ids_df = self.spark.createDataFrame(
                 [(int(s),) for s in seg_ids], "segment_id long"
-            ).repartition(max(len(seg_ids), 1), "segment_id")
+            ).repartition(n_parts, "segment_id")
             res = ids_df.mapInPandas(direct_kernel, schema=schema)
         else:
             seg_rows = self.index.segments(self.spark).filter(

@@ -31,7 +31,7 @@ sys.path.insert(0, "/root/repo")
 def main() -> int:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n_docs = int(os.environ.get("SCALING_DOCS", "120000"))
-    n_queries = int(os.environ.get("SCALING_QUERIES", "1000"))
+    n_queries = int(os.environ.get("SCALING_QUERIES", "4000"))
     corpus_dir = os.environ.get("SCALING_CORPUS", f"/tmp/scaling_corpus_{n_docs}")
     seg_base = f"/tmp/scaling_segments_{n_docs}_{cores}"
 
