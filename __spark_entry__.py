@@ -510,6 +510,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["collection_stats"] = collection_stats
 
+    def docs_only_topk(spark, sf_dir):
+        """IndexOptions.DOCS field: no freqs stored — scoring with tf=1 and
+        uniqueTermCount norms (BM25Similarity.java:139-141)."""
+        key = f"ixdocs::{sf_dir}"
+        if key not in _CACHE:
+            from lucene_solr_spark.operators.index_build import build_index
+            from lucene_solr_spark.plans.df_executor import DFExecutor
+
+            d = _docs(spark, sf_dir)
+            ixd = build_index(
+                d, text_col="text", doc_id_col="doc_id", index_options="docs"
+            ).persist()
+            _CACHE[key] = DFExecutor(ixd, mode="double")
+        return _CACHE[key].topk(_T("dup"), k=10).select("doc_id", "score")
+
+    out["docs_only_topk"] = docs_only_topk
+
     return out
 
 
@@ -846,6 +863,17 @@ def oracle_sql() -> dict[str, str]:
 
     out["collection_stats"] = f"""WITH {_IX}
       SELECT doc_count, sum_ttf, sum_ttf::DOUBLE / doc_count AS avgdl FROM gstats"""
+
+    from lucene_solr_spark.functions.bm25_sql import index_ctes as _ictes
+
+    out["docs_only_topk"] = f"""WITH {_ictes("docs")}
+    SELECT p.doc_id, {bm25_score_sql()} AS score
+    FROM postings p
+    JOIN term_stats ts USING (term)
+    JOIN norms n ON n.doc_id = p.doc_id
+    CROSS JOIN gstats g
+    WHERE p.term = 'dup'
+    ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
 
     out["custom_sim_topk"] = f"""WITH {_IX}
     SELECT p.doc_id, {bm25_score_sql(k1=0.9, b=0.4)} AS score

@@ -43,14 +43,26 @@ def tokens_cte(text_col: str = "text", table: str = "documents") -> str:
     )"""
 
 
-def index_ctes() -> str:
-    """The inverted-index tables as CTEs over `documents`."""
+def index_ctes(index_options: str = "positions") -> str:
+    """The inverted-index tables as CTEs over `documents`.
+
+    ``index_options="docs"`` mirrors Lucene's DOCS-only fields: tf
+    collapses to 1 and the norm length is the uniqueTermCount
+    (``BM25Similarity.java:139-141``)."""
+    if index_options == "docs":
+        postings = (
+            "SELECT term, doc_id, 1::BIGINT AS tf FROM tokens GROUP BY term, doc_id"
+        )
+        doclen = "SELECT doc_id, count(*)::BIGINT AS length FROM postings GROUP BY doc_id"
+    else:
+        postings = (
+            "SELECT term, doc_id, count(*)::BIGINT AS tf FROM tokens GROUP BY term, doc_id"
+        )
+        doclen = "SELECT doc_id, count(*)::BIGINT AS length FROM tokens GROUP BY doc_id"
     return f"""{norm_lut_sql()},
     {tokens_cte()},
-    postings AS (
-      SELECT term, doc_id, count(*)::BIGINT AS tf FROM tokens GROUP BY term, doc_id
-    ),
-    doclen AS (SELECT doc_id, count(*)::BIGINT AS length FROM tokens GROUP BY doc_id),
+    postings AS ({postings}),
+    doclen AS ({doclen}),
     norms AS (
       SELECT d.doc_id, d.length, l.norm, l.declen
       FROM doclen d JOIN norm_lut l ON d.length >= l.lo AND d.length < l.hi

@@ -5,28 +5,29 @@ The Spark re-expression of Lucene's indexing chain
 ``index/TermsHashPerField.java:132-154`` term hash →
 ``index/FreqProxTermsWriterPerField.java:113-200`` postings in RAM):
 
-    corpus ──tokenize UDF──▶ (doc_id, term, pos)
-           ──groupBy(term, doc_id)──▶ (term, doc_id, tf, positions)   [shuffle 1]
-           ──groupBy(term)──▶ (term, df, ttf)                         [map-side partial agg]
-    corpus ──length/norm──▶ (doc_id, norm)
+    corpus ──ONE mapInPandas pass──▶ (doc_id, term, tf, positions)
+      (tokenize + per-document MAP-SIDE inversion — Lucene's DWPT model;
+       functions.analysis.postings_frame. NO token-level shuffle exists.)
+    postings ──groupBy(doc_id)──▶ lengths → norms      [small agg]
+    postings ──groupBy(term)──▶ (term, df, ttf)        [map-side partial agg]
 
 Design-for-scale notes (10^12 files / 100 TB):
 - docID assignment is a deterministic dense rank over the PK
   (repo, path, commit) — NOT arrival order, so results are identical at
   any parallelism (replaces Lucene's per-segment arrival docIDs,
-  ``index/LeafReaderContext.java`` docBase). Implemented scalably:
-  range-repartition by PK, local sort, per-partition offsets computed
-  from partition counts (one tiny collect of num-partitions rows) —
+  ``index/LeafReaderContext.java`` docBase). Implemented scalably on the
+  key projection with a persisted range shuffle (see assign_doc_ids) —
   no global window / single-partition sort.
-- the ONLY wide shuffle is groupBy(term, doc_id); Spark's hash
-  aggregation does map-side partial combine, which is exactly the role
-  of Lucene's in-RAM TermsHash. Zipfian head terms are no problem at
-  THIS stage because (term, doc_id) is high-cardinality; skew matters at
-  segment-encode time (see operators.segments head-term salting).
-- per-doc stats (length → norm byte) aggregate from the token table
-  before the big shuffle; norms is ~1 row/doc, broadcastable at query
-  time (norm byte = SmallFloat.intToByte4(length - numOverlap),
+- inversion is per-document, so no shuffle ever carries individual token
+  rows; the only wide exchanges are LAYOUT shuffles (doc-range
+  repartition in operators.segments, term-range in write_parquet — the
+  latter with explicit head-term salting for Zipf skew).
+- per-doc stats (length → norm byte) derive from postings; norms is
+  ~1 row/doc, broadcastable at query time (norm byte =
+  SmallFloat.intToByte4(length - numOverlap),
   ``index/IndexingChain.java:1104``, ``BM25Similarity.java:138-148``).
+- the corpus is tokenized exactly ONCE: postings is persisted and every
+  downstream table derives from it.
 """
 
 from __future__ import annotations
@@ -210,9 +211,20 @@ def build_index(
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = 255,
     with_positions: bool = True,
+    index_options: str = "positions",  # "positions" | "freqs" | "docs"
 ) -> InvertedIndex:
     """Corpus → InvertedIndex. If ``doc_id_col`` is given it is trusted as a
-    unique long id; otherwise docIDs are assigned over ``key_cols``."""
+    unique long id; otherwise docIDs are assigned over ``key_cols``.
+
+    ``index_options`` mirrors Lucene's per-field IndexOptions
+    (``index/IndexOptions.java:24-50``): "positions" stores tf+positions,
+    "freqs" stores tf only, "docs" stores docIDs only — queries then score
+    with freq=1 and the norm derives from uniqueTermCount instead of
+    length (``BM25Similarity.java:138-147``)."""
+    if index_options not in ("positions", "freqs", "docs"):
+        raise ValueError(f"bad index_options {index_options!r}")
+    if index_options != "positions":
+        with_positions = False
     if doc_id_col is None:
         docs_src = assign_doc_ids(corpus, key_cols)
     else:
@@ -233,8 +245,12 @@ def build_index(
     ).persist()
 
     # FieldInvertState.length per doc = Σtf (stopwords/overlong never reach
-    # the inverter, so length = surviving token count; numOverlap = 0)
-    doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("length"))
+    # the inverter, so length = surviving token count; numOverlap = 0).
+    # DOCS-only fields norm by uniqueTermCount (BM25Similarity.java:139-141)
+    if index_options == "docs":
+        doc_len = postings.groupBy("doc_id").agg(F.count("*").alias("length"))
+    else:
+        doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("length"))
     keep = [c for c in keep_cols if c in docs_src.columns]
     docs = (
         docs_src.select("doc_id", *keep)
@@ -243,6 +259,9 @@ def build_index(
         .withColumn("norm", norm_udf(F.col("length")))
     )
 
+    if index_options == "docs":
+        # freq information is NOT stored: tf collapses to 1 (DOCS semantics)
+        postings = postings.withColumn("tf", F.lit(1).cast("long"))
     term_stats = postings.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").alias("ttf")
     )

@@ -61,8 +61,10 @@ class OracleIndex:
         lowercase: bool = True,
         stopwords: frozenset[str] = frozenset(),
         max_token_length: int = 255,
+        index_options: str = "positions",
     ) -> None:
         self.k1, self.b = k1, b
+        self.index_options = index_options
         # postings: term -> {doc_id: tf}; positions: term -> {doc_id: [pos...]}
         self.postings: dict[str, dict[int, int]] = defaultdict(dict)
         self.positions: dict[str, dict[int, list[int]]] = defaultdict(dict)
@@ -79,9 +81,13 @@ class OracleIndex:
             )
             tf = Counter(t.term for t in toks)
             for term, f in tf.items():
-                self.postings[term][doc_id] = f
+                self.postings[term][doc_id] = 1 if index_options == "docs" else f
                 self.positions[term][doc_id] = [t.pos for t in toks if t.term == term]
-            length = len(toks)  # FieldInvertState.length, numOverlap=0
+            if index_options == "docs":
+                # DOCS-only: norm from uniqueTermCount (BM25Similarity.java:139-141)
+                length = len(tf)
+            else:
+                length = len(toks)  # FieldInvertState.length, numOverlap=0
             self.norms[doc_id] = int(smallfloat.int_to_byte4(length))
             self.doc_count += 1
             self.sum_ttf += length

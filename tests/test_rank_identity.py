@@ -101,3 +101,24 @@ def test_phrase_rank_identity(executor, tiny_oracle):
         (r["doc_id"], bits(r["score"])) for r in executor.topk(q, k=10).collect()
     ]
     assert got == exp
+
+
+def test_docs_only_rank_identity(spark):
+    """IndexOptions.DOCS: tf=1 scoring + uniqueTermCount norms
+    (BM25Similarity.java:139-141) — engine vs oracle bit equality."""
+    from lucene_solr_spark.oracle.engine import OracleIndex
+    from lucene_solr_spark.sources.corpus import corpus_to_spark, make_corpus_rows
+
+    rows = make_corpus_rows(80, seed=5)
+    oracle = OracleIndex(
+        ((i, r["content"]) for i, r in enumerate(rows)), index_options="docs"
+    )
+    corpus = corpus_to_spark(spark, 80, seed=5, num_partitions=3)
+    ix = build_index(corpus, index_options="docs").persist()
+    ex = DFExecutor(ix, mode="float32")
+    for q in (T("def"), B(C(O.SHOULD, T("error")), C(O.SHOULD, T("warning")))):
+        expected = [(sd.doc_id, bits(sd.score)) for sd in oracle.search(q, k=10)]
+        got = [
+            (r["doc_id"], bits(r["score"])) for r in ex.topk(q, k=10).collect()
+        ]
+        assert got == expected
