@@ -602,7 +602,11 @@ class _SegmentEval:
                 np.maximum(seg, m, out=seg)
             ub[:n_win] += per_win_max[:n_win]
             cover = np.zeros(n_win + 1, np.int64)
-            cover[w0] += 1
+            # np.add.at, NOT fancy-index +=: several blocks of one term can
+            # start in the same window and += drops the duplicate increments,
+            # leaving cumsum<0 and under-counting coverage (conj mode would
+            # then zero windows all MUST terms do cover — dropped hits)
+            np.add.at(cover, w0, 1)
             np.add.at(cover, w1 + 1, -1)
             touched += np.cumsum(cover[:-1]) > 0
         if conj:

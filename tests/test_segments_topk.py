@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
 import pytest
 
 from lucene_solr_spark.operators.index_build import build_index
@@ -112,6 +113,82 @@ def test_blockmax_equals_exhaustive(name, spark, seg_base, tiny_oracle):
     a = [(r["doc_id"], bits(r["score"])) for r in ex.topk(q, k=10).collect()]
     b = [(r["doc_id"], bits(r["score"])) for r in bm.topk(q, k=10).collect()]
     assert a == b
+
+
+def test_blockmax_multiwindow_coverage_regression():
+    """Regression (ADVICE r1, high): window coverage used ``cover[w0] += 1``,
+    which drops duplicate increments when several 128-posting blocks of one
+    term start in the same 2048-doc window (any term denser than ~1 posting
+    per 16 docs). The cumsum then went negative, ``touched`` under-counted,
+    and conjunction mode zeroed windows that every MUST term does cover —
+    silently dropping valid hits. This builds exactly that layout (dense
+    term: 8 block-starts per window over a 4-window segment) and asserts
+    block-max == exhaustive, including hits in the later windows."""
+    from lucene_solr_spark.codecs.postings_codec import encode_postings
+    from lucene_solr_spark.operators.topk import _SegmentEval
+    from lucene_solr_spark.oracle import bm25, smallfloat
+
+    n_docs = 8192  # 4 windows of 2048
+    seg_docs = np.arange(n_docs, dtype=np.int64)
+    norm_byte = smallfloat.int_to_byte4(7)
+    seg_norms = np.full(n_docs, norm_byte, np.int64)
+
+    # dense term: every 2nd doc -> 4096 postings = 32 full blocks, each
+    # spanning 256 docIDs -> 8 blocks START in each 2048-doc window
+    a_docs = np.arange(0, n_docs, 2, dtype=np.int64)
+    # sparse term with hits in windows 0..3 (all even => all intersect a)
+    b_docs = np.asarray([100, 3000, 4098, 7000], np.int64)
+    enc = {
+        "a": encode_postings(
+            a_docs, np.ones(len(a_docs), np.int64), seg_norms[a_docs]
+        ),
+        "b": encode_postings(
+            b_docs, np.ones(len(b_docs), np.int64), seg_norms[b_docs]
+        ),
+    }
+    avgdl = np.float32(7.0)
+    cache_f32 = bm25.norm_inverse_cache(1.2, 0.75, avgdl)
+    inv_f64 = 1.0 / (
+        1.2 * (0.25 + 0.75 * bm25.LENGTH_TABLE_F32.astype(np.float64) / 7.0)
+    )
+    ev = _SegmentEval(enc, seg_docs, seg_norms, "float32", cache_f32, inv_f64)
+    wa = float(bm25.term_weight(1.0, bm25.idf(len(a_docs), n_docs)))
+    wb = float(bm25.term_weight(1.0, bm25.idf(len(b_docs), n_docs)))
+    sub_a = {"op": "term", "term": "a", "weight": wa}
+    sub_b = {"op": "term", "term": "b", "weight": wb}
+
+    def topk(docs, scores, k=10):
+        order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+        return [(int(d), bits(s)) for d, s in zip(docs[order], scores[order])]
+
+    for musts, shoulds in [
+        ([sub_a, sub_b], []),  # conj: the hit-dropping shape
+        ([], [sub_a, sub_b]),  # disjunction: bound under-count shape
+    ]:
+        plan = {
+            "op": "bool",
+            "musts": musts,
+            "filters": [],
+            "shoulds": shoulds,
+            "nots": [],
+            "msm": 0,
+        }
+        exhaustive = topk(*ev.eval(plan))
+        pruned = topk(*ev.blockmax_topk(plan, 10))
+        assert pruned == exhaustive
+        assert len(exhaustive) > 0
+    # the conjunction has exactly the 4 sparse-term docs as hits
+    d, _ = ev.eval(
+        {
+            "op": "bool",
+            "musts": [sub_a, sub_b],
+            "filters": [],
+            "shoulds": [],
+            "nots": [],
+            "msm": 0,
+        }
+    )
+    assert d.tolist() == b_docs.tolist()
 
 
 def test_batched_queries_one_job(searcher, tiny_oracle):
