@@ -98,8 +98,9 @@ def bm25_score_sql(
 def idf_sql(term: str) -> str:
     """Weight of one term via a scalar subquery on term_stats (for boosted
     and phrase weights composed outside the standard join shape)."""
+    t = term.replace("'", "''")  # the analyzer preserves apostrophes (can't)
     return (
         "ln(1.0 + (g.doc_count - "
-        f"(SELECT df FROM term_stats WHERE term = '{term}') + 0.5) / "
-        f"((SELECT df FROM term_stats WHERE term = '{term}') + 0.5))"
+        f"(SELECT df FROM term_stats WHERE term = '{t}') + 0.5) / "
+        f"((SELECT df FROM term_stats WHERE term = '{t}') + 0.5))"
     )

@@ -269,6 +269,20 @@ class _SegmentEval:
         idx = np.searchsorted(self.seg_docs, docs)
         return self.seg_norms[idx]
 
+    def _enc_with_positions(self, term: str) -> EncodedPostings:
+        """Positional access guard — the reference raises
+        IllegalStateException("field was indexed without position data")
+        (PhraseQuery/ExactPhraseMatcher); mirror that instead of an opaque
+        TypeError from decode_positions_batch on pos_off=None."""
+        enc = self.term_enc[term]
+        if enc.pos_off is None:
+            raise ValueError(
+                "cannot run a positional (phrase/span) query: the index "
+                "was built without positions (index_options="
+                "'docs'/'freqs'); rebuild with index_options='positions'"
+            )
+        return enc
+
     # --- scoring ---
     def score_tf_norm(self, tfs: np.ndarray, norms: np.ndarray, weight: float) -> np.ndarray:
         if self.mode == "float32":
@@ -367,7 +381,7 @@ class _SegmentEval:
 
         base_keys: np.ndarray | None = None
         for ti, t in enumerate(terms):
-            enc = self.term_enc[t]
+            enc = self._enc_with_positions(t)
             idxs = np.searchsorted(doc_arrays[ti], cand)
             pos, counts = decode_positions_batch(enc.pos_blob, enc.pos_off, idxs)
             ci = np.repeat(np.arange(len(cand), dtype=np.int64), counts)
@@ -404,7 +418,7 @@ class _SegmentEval:
                 d, _tf = self.postings(t)
                 if not d.size:
                     continue
-                enc = self.term_enc[t]
+                enc = self._enc_with_positions(t)
                 pos, counts = decode_positions_batch(
                     enc.pos_blob, enc.pos_off, np.arange(len(d))
                 )
@@ -458,7 +472,7 @@ class _SegmentEval:
         offsets = plan["offsets"]
         pos_per_term = []
         for ti, t in enumerate(terms):
-            enc = self.term_enc[t]
+            enc = self._enc_with_positions(t)
             idxs = np.searchsorted(doc_arrays[ti], cand)
             pos, counts = decode_positions_batch(enc.pos_blob, enc.pos_off, idxs)
             pos_per_term.append(np.split(pos, np.cumsum(counts)[:-1]))

@@ -61,13 +61,20 @@ def append_batch(
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
     lowercase: bool = True,
     stopwords: frozenset[str] = frozenset(),
+    batch_id: int | None = None,
 ) -> int | None:
     """Index one (micro-)batch as a new segment; returns its id.
 
     Callable directly on a static DataFrame (unit tests / backfill) or
     from ``foreachBatch``. Commit order: segment files → seg_docs →
     term_stats swap → manifest last (crash-safe: an unreferenced segment
-    dir is invisible until the manifest names it)."""
+    dir is invisible until the manifest names it).
+
+    ``batch_id`` makes the append idempotent per micro-batch: Structured
+    Streaming's foreachBatch is at-least-once, so a replayed batch would
+    otherwise re-index as a fresh segment with new doc_ids (duplicated
+    docs + inflated doc_count/sum_ttf → wrong BM25 stats). The last
+    applied id is committed in the manifest and replays are no-ops."""
     if batch_df.isEmpty():
         return None
     spark = batch_df.sparkSession
@@ -76,6 +83,12 @@ def append_batch(
         if os.path.exists(f"{base}/manifest.json")
         else _init_manifest(base)
     )
+    if (
+        batch_id is not None
+        and manifest.get("last_batch_id") is not None
+        and batch_id <= manifest["last_batch_id"]
+    ):
+        return None  # at-least-once replay of an already-committed batch
     base_doc = manifest["doc_count"]
     seg_id = (
         max((s["segment_id"] for s in manifest["segments"]), default=-1) + 1
@@ -153,6 +166,8 @@ def append_batch(
     )
     manifest["doc_count"] = base_doc + ix.doc_count
     manifest["sum_ttf"] = manifest["sum_ttf"] + ix.sum_ttf
+    if batch_id is not None:
+        manifest["last_batch_id"] = int(batch_id)
     if not manifest.get("segment_size"):
         manifest["segment_size"] = max(ix.doc_count, 1)
     manifest["manifest_sha256"] = hashlib.sha256(
@@ -180,7 +195,9 @@ def index_stream(
     the tiered merge policy after each commit (ConcurrentMergeScheduler)."""
 
     def on_batch(df: DataFrame, batch_id: int) -> None:
-        append_batch(df, base, text_col=text_col, key_cols=key_cols)
+        append_batch(
+            df, base, text_col=text_col, key_cols=key_cols, batch_id=batch_id
+        )
         if merge_after_batch:
             from lucene_solr_spark.operators.merge_policy import run_merges
 

@@ -222,6 +222,41 @@ def test_nrt_two_batches_then_search(spark, tmp_path_factory):
         assert got == expected
 
 
+def test_nrt_batch_replay_is_idempotent(spark, tmp_path_factory):
+    """foreachBatch is at-least-once: a replayed batch_id must be a no-op,
+    not a duplicate segment with fresh doc_ids (ADVICE r1)."""
+    from lucene_solr_spark.streaming.nrt import append_batch
+
+    rows = make_corpus_rows(30, seed=11)
+    base = str(tmp_path_factory.mktemp("nrt_replay"))
+    df_all = corpus_to_spark(spark, 30, seed=11, num_partitions=2)
+    b1 = spark.createDataFrame(rows[:20], df_all.schema)
+    b2 = spark.createDataFrame(rows[20:], df_all.schema)
+    assert append_batch(b1, base, batch_id=0) is not None
+    assert append_batch(b1, base, batch_id=0) is None  # replay -> no-op
+    m = SegmentIndex.open(base).manifest()
+    assert m["doc_count"] == 20 and len(m["segments"]) == 1
+    assert append_batch(b2, base, batch_id=1) is not None
+    assert append_batch(b2, base, batch_id=1) is None
+    m = SegmentIndex.open(base).manifest()
+    assert m["doc_count"] == 30 and m["last_batch_id"] == 1
+    assert len(m["segments"]) == 2
+
+
+def test_phrase_on_positionless_index_raises(spark, tmp_path_factory):
+    """Clear error (reference: IllegalStateException 'field was indexed
+    without position data') instead of an opaque TypeError when a phrase
+    runs against an index built with index_options='freqs' (ADVICE r1)."""
+    corpus = corpus_to_spark(spark, 40, seed=3, num_partitions=2)
+    ix = build_index(corpus, index_options="freqs").persist()
+    base = str(tmp_path_factory.mktemp("nopos"))
+    build_segments(ix, base, segment_size=16)
+    searcher = SegmentSearcher(spark, SegmentIndex.open(base), mode="float32")
+    with pytest.raises(Exception) as ei:
+        searcher.topk(ir.PhraseQuery(("x", "y")), k=5).collect()
+    assert "without positions" in str(ei.value)
+
+
 def test_nrt_streaming_end_to_end(spark, tmp_path_factory):
     """Real Structured Streaming: file source → index_stream(availableNow)
     → searchable SegmentIndex."""
