@@ -322,7 +322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return simhash(_docs(spark, sf_dir), text_col="text")
 
-    out["simhash_sig"] = simhash_sig  # weak check: FNV-1a not in DuckDB
+    out["simhash_sig"] = simhash_sig
 
     def token_counts_q(spark, sf_dir):
         from lucene_solr_spark.functions.text import token_counts
@@ -368,7 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return lsh_bucketed_topk(e.filter(F.col("vec_id") != 0), list(qvec), k=10)
 
-    out["lsh_ann_topk"] = lsh_ann_topk  # weak check: LSH recall < 1 by design
+    out["lsh_ann_topk"] = lsh_ann_topk
 
     # --- facets / grouping / join / counting (SURVEY.md §2.5) ------------
     def facet_counts(spark, sf_dir):
@@ -437,15 +437,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             synthesize_media,
         )
 
-        d = _docs(spark, sf_dir).select("doc_id").limit(100)
+        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 100)
         return image_features(synthesize_media(d))
 
-    out["media_features"] = media_features  # weak check: binary codec op
+    out["media_features"] = media_features
 
-    # SloppyPhraseMatcher semantics (float freq = Σ 1/(1+matchLength)) —
-    # not ANSI-SQL-expressible; pinned instead by rank-identity tests vs
-    # the single-node oracle (tests/test_sloppy_phrase.py)
+    # SloppyPhraseMatcher scoring (float freq = Σ 1/(1+matchLength)) is a
+    # sequential greedy matcher — not ANSI-SQL-expressible; the scored
+    # top-k stays rows-only, pinned by bit-exact rank-identity tests vs
+    # the single-node oracle (tests/test_sloppy_phrase.py). The MATCH SET
+    # is exactly SQL-expressible (∃ pa,pb: |pb-pa-1| ≤ slop) and gets a
+    # full-value gate below.
     out["sloppy_phrase_topk"] = _topk(ir.PhraseQuery(("table", "scan"), slop=2))
+    out["sloppy_phrase_set"] = _match_set(
+        ir.PhraseQuery(("table", "scan"), slop=2)
+    )
 
     out["multi_phrase_topk"] = _topk(
         ir.MultiPhraseQuery((("table", "hash"), ("scan", "join")))
@@ -740,6 +746,14 @@ def oracle_sql() -> dict[str, str]:
       ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
     out["phrase_topk"] = phrase_topk_sql
 
+    # sloppy phrase MATCH SET: 2-term slop-s match ⟺ ∃ pa, pb with
+    # |pb - pa - 1| ≤ s (SloppyPhraseMatcher matchLength for two pps)
+    out["sloppy_phrase_set"] = f"""WITH {_IX}
+      SELECT DISTINCT a.doc_id
+      FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id
+      WHERE a.term = 'table' AND b.term = 'scan'
+        AND abs(b.pos - a.pos - 1) <= 2"""
+
     # --- block-kernel path: same semantics → same oracles ----------------
     out["kernel_term_topk"] = out["term_topk"]
     out["kernel_and_topk"] = out["and2_topk"]
@@ -799,6 +813,79 @@ def oracle_sql() -> dict[str, str]:
       WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
               / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                  * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.42"""
+
+    # lsh_ann_topk: the oracle reproduces the LSH bucketing EXACTLY
+    # (hyperplanes inlined as literal arrays) then re-ranks candidates by
+    # exact cosine — validating the real algorithm, not a recall guess
+    from lucene_solr_spark.functions.similarity import lsh_match_condition_sql
+
+    _lsh_cond = lsh_match_condition_sql(
+        "e.embedding::DOUBLE[]", "q.qv", dim=64, n_planes=8, n_tables=4, seed=42
+    )
+    out["lsh_ann_topk"] = f"""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      cand AS (
+        SELECT e.vec_id, e.embedding FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0 AND {_lsh_cond}
+      )
+      SELECT c.vec_id,
+             list_inner_product(c.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                  * sqrt(list_inner_product(q.qv, q.qv))) AS cosine
+      FROM cand c CROSS JOIN q
+      ORDER BY cosine DESC, c.vec_id ASC LIMIT 10"""
+
+    # simhash: the SAME bit/fold expressions drive Spark and the oracle
+    from lucene_solr_spark.functions.dedup import (
+        simhash_sum_exprs,
+        simhash_value_expr,
+    )
+
+    sim_aggs = ", ".join(
+        f"{e} AS b{i}" for i, e in enumerate(simhash_sum_exprs())
+    )
+    out["simhash_sig"] = f"""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+        FROM documents
+      ),
+      acc AS (SELECT doc_id, {sim_aggs} FROM tok GROUP BY doc_id)
+      SELECT doc_id, {simhash_value_expr()}::BIGINT AS simhash FROM acc"""
+
+    # media_features: the FIMG pixel stream is closed-form
+    # (pix[k] = (doc_id*A + k*B) mod 256), so the decoded per-channel
+    # mean/std aggregates are exactly recomputable relationally
+    from lucene_solr_spark.functions.multimodal import PIX_A, PIX_B
+
+    _mf_cols = []
+    for ch in range(3):
+        _mf_cols.append(
+            f"max(CASE WHEN ch={ch} THEN s::DOUBLE / n END) AS mean_c{ch}"
+        )
+    for ch in range(3):
+        _mf_cols.append(
+            f"max(CASE WHEN ch={ch} THEN sqrt(greatest(ss::DOUBLE / n"
+            f" - (s::DOUBLE / n) * (s::DOUBLE / n), 0)) END) AS std_c{ch}"
+        )
+    out["media_features"] = f"""
+      WITH d AS (
+        SELECT doc_id,
+               (8 + (doc_id % 5) * 4)::BIGINT AS w,
+               (8 + (doc_id % 3) * 4)::BIGINT AS h
+        FROM documents WHERE doc_id < 100
+      ),
+      pix AS (
+        SELECT d.doc_id, (t.j % 3) AS ch,
+               ((d.doc_id * {PIX_A} + t.j * {PIX_B}) % 256) AS v
+        FROM d CROSS JOIN generate_series(0, 24 * 16 * 3 - 1) AS t(j)
+        WHERE t.j < d.w * d.h * 3
+      ),
+      agg AS (
+        SELECT doc_id, ch, count(*)::BIGINT AS n,
+               sum(v)::BIGINT AS s, sum(v * v)::BIGINT AS ss
+        FROM pix GROUP BY doc_id, ch
+      )
+      SELECT doc_id, {", ".join(_mf_cols)} FROM agg GROUP BY doc_id"""
 
     # --- facets / grouping / join / counting -----------------------------
     out["facet_counts"] = """

@@ -19,8 +19,6 @@ are almost surely boilerplate/templates — cap them (max_bucket_size).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -172,37 +170,48 @@ def minhash_near_duplicates(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc: sign of tf-weighted sums over token-hash
-    bits. Arrow UDF (numpy bit matrix), deterministic (xxhash-free Python
-    FNV-1a 64 so the kernel is self-contained)."""
-    from pyspark.sql import types as T
+def _simhash_bit_expr(i: int) -> str:
+    """SQL for bit i (0 = MSB of the leading hex digit) of md5(term):
+    hex-digit value via instr on the hex alphabet, then shift+mask. Pure
+    string/integer ops present in both Spark SQL and ANSI-ish engines, so
+    the whole fingerprint admits an exact relational oracle."""
+    digit = f"(instr('0123456789abcdef', substring(md5(term), {i // 4 + 1}, 1)) - 1)"
+    return f"((({digit}) >> {3 - i % 4}) & 1)"
 
-    @F.pandas_udf(T.LongType())
-    def simhash_udf(terms: pd.Series, tfs: pd.Series) -> pd.Series:
-        def fnv1a(s: str) -> int:
-            h = 0xCBF29CE484222325
-            for ch in s.encode("utf-8"):
-                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            return h
 
-        out = []
-        for tlist, flist in zip(terms, tfs):
-            acc = np.zeros(64, dtype=np.int64)
-            for t, f in zip(tlist, flist):
-                h = fnv1a(t)
-                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits == 1, f, -f)
-            v = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    v |= 1 << i
-            out.append(v - (1 << 64) if v >= (1 << 63) else v)
-        return pd.Series(out)
+def simhash_sum_exprs() -> list[str]:
+    """The 64 per-bit ±1 aggregation inputs (shared with the oracle SQL)."""
+    return [
+        f"sum(CASE WHEN {_simhash_bit_expr(i)} = 1 THEN 1 ELSE -1 END)"
+        for i in range(64)
+    ]
 
-    tok = _tokens(df, text_col, id_col)
-    per_term = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    grouped = per_term.groupBy("doc_id").agg(
-        F.collect_list("term").alias("terms"), F.collect_list("tf").alias("tfs")
+
+def simhash_value_expr(col: str = "b{i}") -> str:
+    """Fold 64 sign columns into one signed 64-bit fingerprint; bit 63
+    contributes -2^63 so the fold stays in BIGINT range."""
+    parts = []
+    for i in range(63):
+        parts.append(f"(CASE WHEN {col.format(i=i)} > 0 THEN {1 << i} ELSE 0 END)")
+    parts.append(
+        f"(CASE WHEN {col.format(i=63)} > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
     )
-    return grouped.select("doc_id", simhash_udf("terms", "tfs").alias("simhash"))
+    return "(" + " + ".join(parts) + ")"
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: bit i of the fingerprint = sign of the
+    occurrence-weighted sum of bit i of md5(term) over all token
+    occurrences (Σ ±tf over distinct terms ≡ Σ ±1 over occurrences).
+
+    Fully relational and JVM-side — md5 + string/bit expressions inside
+    whole-stage codegen, ONE shuffle (groupBy doc_id), no Python in the
+    hot path (the round-1 per-token FNV loop was the scale-killer)."""
+    tok = _tokens(df, text_col, id_col)
+    aggs = [
+        F.expr(e).alias(f"b{i}") for i, e in enumerate(simhash_sum_exprs())
+    ]
+    acc = tok.groupBy("doc_id").agg(*aggs)
+    return acc.select(
+        "doc_id", F.expr(simhash_value_expr()).cast("long").alias("simhash")
+    )

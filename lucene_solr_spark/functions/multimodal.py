@@ -19,6 +19,7 @@ not frames.
 
 from __future__ import annotations
 
+import math
 import struct as _struct
 import zlib
 
@@ -62,12 +63,22 @@ MEDIA_SCHEMA = T.StructType(
 
 
 # ------------------------------------------------------------ fake codec
+# Pixel stream: pix[k] = (doc_id*PIX_A + k*PIX_B) mod 256 over the flat
+# C-order index k of (frames, h, w, channels). A Weyl-style sequence —
+# deterministic, parallelism-independent, AND closed-form reproducible in
+# plain SQL (generate_series), so feature aggregates over the decoded
+# pixels admit an exact relational oracle.
+PIX_A = 2654435761  # Knuth multiplicative constant
+PIX_B = 40503
+
+
 def _encode_fake(doc_id: int, w: int, h: int, c: int, n_frames: int) -> bytes:
-    """Self-describing deterministic container: header + zlib'd seeded
-    pixels. Stands in for JPEG/PNG/MP4 bytes with REAL structure so decode
+    """Self-describing deterministic container: header + zlib'd pixel
+    stream. Stands in for JPEG/PNG/MP4 bytes with REAL structure so decode
     paths must actually parse."""
-    rng = np.random.default_rng(doc_id)
-    pix = rng.integers(0, 256, size=(n_frames, h, w, c), dtype=np.uint8)
+    k = np.arange(n_frames * h * w * c, dtype=np.int64)
+    pix = ((doc_id * PIX_A + k * PIX_B) % 256).astype(np.uint8)
+    pix = pix.reshape(n_frames, h, w, c)
     header = _MAGIC + _struct.pack("<IIII", w, h, c, n_frames)
     return header + zlib.compress(pix.tobytes(), 1)
 
@@ -163,25 +174,45 @@ def decode_dims(media: DataFrame) -> DataFrame:
 
 
 def image_features(media: DataFrame) -> DataFrame:
-    """Per-channel mean/std feature vector (the feature-extraction seam a
-    real pipeline fills with an embedding model)."""
+    """Per-channel mean/std features as FLAT scalar columns
+    (mean_c0..2, std_c0..2) — scalar schema so results sort/hash cleanly
+    downstream (array columns break order-insensitive comparators).
+
+    Exactness contract: aggregates go through integer pixel sums
+    (sum, sum-of-squares are exact int64), then ONE fixed float64 op
+    sequence — mean = s/n; std = sqrt(max(ss/n - mean², 0)) — the same
+    sequence a SQL engine evaluates, so values are bit-reproducible."""
     schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType(), False),
-            T.StructField("features", T.ArrayType(T.DoubleType()), False),
+        [T.StructField("doc_id", T.LongType(), False)]
+        + [
+            T.StructField(f"{k}_c{c}", T.DoubleType(), False)
+            for k in ("mean", "std")
+            for c in range(3)
         ]
     )
 
     def fn(iterator):
         for pdf in iterator:
-            ids, feats = [], []
+            rows = []
             for doc_id, blob in zip(pdf["doc_id"].tolist(), pdf["blob"]):
-                arr = _decode(bytes(blob)).astype(np.float64)
-                means = arr.mean(axis=(0, 1, 2))
-                stds = arr.std(axis=(0, 1, 2))
-                ids.append(doc_id)
-                feats.append(np.r_[means, stds].tolist())
-            yield pd.DataFrame({"doc_id": ids, "features": feats})
+                arr = _decode(bytes(blob))
+                c = arr.shape[-1]
+                flat = arr.reshape(-1, c).astype(np.int64)
+                n = flat.shape[0]
+                s = flat.sum(axis=0)
+                ss = (flat * flat).sum(axis=0)
+                row = {"doc_id": doc_id}
+                for ch in range(3):
+                    if ch < c:
+                        mean = float(s[ch]) / n
+                        var = float(ss[ch]) / n - mean * mean
+                        std = math.sqrt(max(var, 0.0))
+                    else:
+                        mean = std = 0.0
+                    row[f"mean_c{ch}"] = mean
+                    row[f"std_c{ch}"] = std
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return media.select("doc_id", "blob").mapInPandas(fn, schema=schema)
 

@@ -3,19 +3,29 @@
 - brute_force_cosine_topk: exact baseline — sequential fold dot product
   (F.aggregate is an ordered fold, so the double arithmetic is
   deterministic and engine-portable).
-- lsh_bucketed_topk: random-hyperplane LSH scale path — candidates from
-  matching sign-buckets, exact re-rank on candidates only.
-- ivf_topk: IVF-style coarse quantization (k-means-free: hash-seeded
-  centroids at this stage) — partition pruning for 100 TB corpora.
+- lsh_signature_cols / lsh_bucketed_topk: random-hyperplane LSH —
+  candidates from matching sign-buckets, exact re-rank on candidates only.
+- write_ann_index / ann_index_topk: the 100 TB path — signatures are
+  PRECOMPUTED at index-build time and the table is laid out partitioned
+  by (table, sig), so a query is a partition-PRUNED scan of n_tables
+  bucket directories (storage n_tables×, the classic multi-table LSH
+  trade), never a full-corpus signature scan.
 """
 
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["with_cosine", "brute_force_cosine_topk", "lsh_bucketed_topk"]
+__all__ = [
+    "with_cosine",
+    "brute_force_cosine_topk",
+    "lsh_signature_cols",
+    "lsh_bucketed_topk",
+    "write_ann_index",
+    "ann_index_topk",
+]
 
 
 def _dot(a, b):
@@ -56,6 +66,48 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _sig_col(emb_col: str, planes: np.ndarray):
+    """Sign-signature of one table as a JVM-side integer column."""
+    n_planes = len(planes)
+    sig = F.lit(0)
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(emb_col),
+                F.lit([float(x) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << (n_planes - 1 - i))).otherwise(0)
+    return sig
+
+
+def query_signatures(
+    qvec: list[float], n_planes: int, n_tables: int, seed: int = 42
+) -> list[int]:
+    qv = np.asarray(qvec, dtype=np.float64)
+    sigs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(qv.shape[0], n_planes, seed + t)
+        sigs.append(
+            int("".join("1" if float(p @ qv) > 0 else "0" for p in planes), 2)
+        )
+    return sigs
+
+
+def lsh_signature_cols(
+    dim: int, n_planes: int = 8, n_tables: int = 4, seed: int = 42,
+    emb_col: str = "embedding",
+) -> list:
+    """One signature Column per hash table (sig_0..sig_{T-1})."""
+    return [
+        _sig_col(emb_col, _hyperplanes(dim, n_planes, seed + t)).alias(f"sig_{t}")
+        for t in range(n_tables)
+    ]
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     qvec: list[float],
@@ -69,30 +121,101 @@ def lsh_bucketed_topk(
     """Random-hyperplane LSH: docs sharing the query's sign-signature in
     ANY of n_tables tables are candidates; exact cosine re-rank on them.
 
-    At scale the signature column is precomputed and the bucket filter is
-    a partition-pruned scan; here it is computed inline.
-    """
-    qv = np.asarray(qvec, dtype=np.float64)
-    dim = qv.shape[0]
+    Inline-signature variant (one full scan). The scale path precomputes
+    signatures and prunes partitions — write_ann_index / ann_index_topk."""
+    dim = len(qvec)
+    qsigs = query_signatures(qvec, n_planes, n_tables, seed)
+    sigs = lsh_signature_cols(dim, n_planes, n_tables, seed, emb_col)
+    with_sigs = df.select("*", *sigs)
+    cond = F.col("sig_0") == qsigs[0]
+    for t in range(1, n_tables):
+        cond = cond | (F.col(f"sig_{t}") == qsigs[t])
+    candidates = with_sigs.filter(cond).drop(
+        *[f"sig_{t}" for t in range(n_tables)]
+    )
+    return brute_force_cosine_topk(candidates, qvec, k, id_col, emb_col)
+
+
+def lsh_match_condition_sql(
+    emb_expr: str,
+    q_expr: str,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> str:
+    """ANSI-SQL predicate: `emb_expr` falls in the same bucket as `q_expr`
+    in ANY table. Planes are inlined as literal DOUBLE arrays, so an
+    external engine (DuckDB oracle) reproduces the bucketing EXACTLY —
+    the correctness gate then checks the real LSH semantics (candidates +
+    exact re-rank), not a recall assumption."""
+
+    def sig(expr: str, planes: np.ndarray) -> str:
+        parts = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+            parts.append(
+                f"(CASE WHEN list_inner_product({expr}, {lit}) > 0 "
+                f"THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
+            )
+        return "(" + " + ".join(parts) + ")"
+
     conds = []
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + t)
-        qsig = int("".join("1" if float(p @ qv) > 0 else "0" for p in planes), 2)
-        sig = F.lit(0)
-        for i, p in enumerate(planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col(emb_col),
-                    F.lit([float(x) for x in p]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+        conds.append(f"({sig(emb_expr, planes)} = {sig(q_expr, planes)})")
+    return "(" + " OR ".join(conds) + ")"
+
+
+def write_ann_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> None:
+    """Materialize the multi-table LSH layout: each row is replicated into
+    its bucket of every table and written partitioned by (tbl, sig) —
+    signatures computed ONCE at build time, map-side (no shuffle; the
+    partitioned write's files are bucket-local)."""
+    dim = len(df.select(emb_col).first()[0])
+    sigs = lsh_signature_cols(dim, n_planes, n_tables, seed, emb_col)
+    with_sigs = df.select(id_col, emb_col, *sigs)
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"), F.col(f"sig_{t}").alias("sig")
             )
-            sig = sig + F.when(proj > 0, F.lit(1 << (n_planes - 1 - i))).otherwise(0)
-        conds.append(sig == qsig)
-    cond = conds[0]
-    for c in conds[1:]:
-        cond = cond | c
-    candidates = df.filter(cond)
+            for t in range(n_tables)
+        ]
+    )
+    exploded = (
+        with_sigs.select(id_col, emb_col, F.explode(tables).alias("ts"))
+        .select(id_col, emb_col, F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+    )
+    exploded.write.mode("overwrite").partitionBy("tbl", "sig").parquet(path)
+
+
+def ann_index_topk(
+    spark: SparkSession,
+    path: str,
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Query the precomputed layout: Catalyst partition pruning reduces
+    the scan to the query's n_tables bucket directories; exact re-rank
+    runs only on those candidates."""
+    qsigs = query_signatures(qvec, n_planes, n_tables, seed)
+    scan = spark.read.parquet(path)
+    cond = (F.col("tbl") == 0) & (F.col("sig") == qsigs[0])
+    for t in range(1, n_tables):
+        cond = cond | ((F.col("tbl") == t) & (F.col("sig") == qsigs[t]))
+    candidates = scan.filter(cond).select(id_col, emb_col).dropDuplicates([id_col])
     return brute_force_cosine_topk(candidates, qvec, k, id_col, emb_col)

@@ -51,16 +51,67 @@ def test_decode_dims_match_meta(media):
         assert r["channels"] == r["meta"]["channels"]
 
 
+FEAT_COLS = [f"{k}_c{c}" for k in ("mean", "std") for c in range(3)]
+
+
 def test_image_features_deterministic(media, spark):
-    f1 = {r["doc_id"]: r["features"] for r in image_features(media).collect()}
+    f1 = {
+        r["doc_id"]: tuple(r[c] for c in FEAT_COLS)
+        for r in image_features(media).collect()
+    }
     # recompute from a re-synthesized (differently partitioned) table
     docs2 = spark.range(0, 40).repartition(7).select(F.col("id").alias("doc_id"))
     f2 = {
-        r["doc_id"]: r["features"]
+        r["doc_id"]: tuple(r[c] for c in FEAT_COLS)
         for r in image_features(synthesize_media(docs2)).collect()
     }
     assert f1 == f2
     assert all(len(v) == 6 for v in f1.values())  # 3 means + 3 stds
+
+
+def test_image_features_match_sql_oracle(media, spark):
+    """The pixel stream is closed-form; DuckDB recomputes identical
+    float64 mean/std from generate_series — the media_features gate."""
+    import duckdb
+
+    from lucene_solr_spark.functions.multimodal import PIX_A, PIX_B
+
+    got = {
+        r["doc_id"]: tuple(r[c] for c in FEAT_COLS)
+        for r in image_features(media).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH d AS (
+          SELECT range AS doc_id,
+                 (8 + (range % 5) * 4)::BIGINT AS w,
+                 (8 + (range % 3) * 4)::BIGINT AS h
+          FROM range(0, 40)
+        ),
+        pix AS (
+          SELECT d.doc_id, (t.j % 3) AS ch,
+                 ((d.doc_id * {PIX_A} + t.j * {PIX_B}) % 256) AS v
+          FROM d CROSS JOIN generate_series(0, 24 * 16 * 3 - 1) AS t(j)
+          WHERE t.j < d.w * d.h * 3
+        ),
+        agg AS (
+          SELECT doc_id, ch, count(*)::BIGINT AS n,
+                 sum(v)::BIGINT AS s, sum(v * v)::BIGINT AS ss
+          FROM pix GROUP BY doc_id, ch
+        )
+        SELECT doc_id,
+          max(CASE WHEN ch=0 THEN s::DOUBLE / n END) AS mean_c0,
+          max(CASE WHEN ch=1 THEN s::DOUBLE / n END) AS mean_c1,
+          max(CASE WHEN ch=2 THEN s::DOUBLE / n END) AS mean_c2,
+          max(CASE WHEN ch=0 THEN sqrt(greatest(ss::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n), 0)) END) AS std_c0,
+          max(CASE WHEN ch=1 THEN sqrt(greatest(ss::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n), 0)) END) AS std_c1,
+          max(CASE WHEN ch=2 THEN sqrt(greatest(ss::DOUBLE / n - (s::DOUBLE / n) * (s::DOUBLE / n), 0)) END) AS std_c2
+        FROM agg GROUP BY doc_id
+        """
+    ).fetchall()
+    exp = {r[0]: tuple(r[1:]) for r in rows}
+    assert got == exp
 
 
 def test_resize_changes_dims_only(media):
