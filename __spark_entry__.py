@@ -457,6 +457,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ir.MultiPhraseQuery((("table", "hash"), ("scan", "join")))
     )
 
+    def merged_term_topk(spark, sf_dir):
+        """SegmentMerger/TieredMergePolicy gate: build deliberately small
+        segments, run the tiered merges (distributed re-encode), and
+        assert search identity post-merge against the same SQL oracle as
+        term_topk."""
+        import hashlib as _hl
+        import shutil as _sh
+
+        from lucene_solr_spark.operators.merge_policy import (
+            TieredMergePolicy,
+            run_merges,
+        )
+        from lucene_solr_spark.operators.segments import (
+            SegmentIndex,
+            build_segments,
+        )
+        from lucene_solr_spark.operators.topk import SegmentSearcher
+
+        key = f"merged::{sf_dir}"
+        if key not in _CACHE:
+            ex = _executor(spark, sf_dir)
+            base = f"/tmp/entry_merged_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+            _sh.rmtree(base, ignore_errors=True)
+            build_segments(ex.index, base, segment_size=64)
+            six = SegmentIndex.open(base)
+            merged_ids = run_merges(
+                spark,
+                six,
+                TieredMergePolicy(
+                    segs_per_tier=2,
+                    max_merge_at_once=4,
+                    floor_segment_bytes=1,
+                    max_merged_segment_bytes=10**9,
+                ),
+            )
+            assert merged_ids, "policy must select merges on 64-doc segments"
+            _CACHE[key] = SegmentSearcher(
+                spark, SegmentIndex.open(base), mode="double", prune="block_max"
+            )
+        return _CACHE[key].topk(_T("dup"), k=10).select("doc_id", "score")
+
+    out["merged_term_topk"] = merged_term_topk
+
     # --- search compositions (collector variants, SURVEY §2.3/§2.5) -----
     def sort_by_field_topk(spark, sf_dir):
         """TopFieldCollector role: matching docs ordered by a doc-values
@@ -755,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
         AND abs(b.pos - a.pos - 1) <= 2"""
 
     # --- block-kernel path: same semantics → same oracles ----------------
+    out["merged_term_topk"] = out["term_topk"]
     out["kernel_term_topk"] = out["term_topk"]
     out["kernel_and_topk"] = out["and2_topk"]
     out["kernel_or_topk"] = out["or2_topk"]

@@ -89,14 +89,15 @@ def tokens_frame(
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
 ):
     """corpus → flat (doc_id, term, pos) token rows via ONE ``mapInPandas``
-    pass — the fast path for index builds.
-
-    Emitting columnar Arrow batches directly avoids materializing millions
-    of per-token Python structs that the scalar array<struct> UDF +
-    ``explode`` shape pays for (~10× less conversion overhead at equal
-    tokenizer cost). The scalar UDF (``make_tokenize_udf``) remains the
-    per-document API used by parity tests."""
+    pass over the VECTORIZED batch tokenizer (functions.fast_tokenizer):
+    the whole Arrow batch tokenizes as numpy/Arrow array ops — no
+    per-document Python in the hot path. The scalar UDF
+    (``make_tokenize_udf``) remains the per-document API used by parity
+    tests, and the batch kernel is pinned against it."""
     import numpy as np
+    import pyarrow as pa
+
+    from lucene_solr_spark.functions.fast_tokenizer import batch_tokenize
 
     stop = frozenset(stopwords)
     schema = T.StructType(
@@ -109,31 +110,18 @@ def tokens_frame(
 
     def fn(iterator):
         for pdf in iterator:
-            ids: list[np.ndarray] = []
-            terms: list[str] = []
-            poss: list[np.ndarray] = []
-            for doc_id, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
-                toks = analyze(
-                    text if text is not None else "",
-                    lowercase=lowercase,
-                    stopwords=stop,
-                    max_token_length=max_token_length,
-                )
-                if not toks:
-                    continue
-                terms.extend(t.term for t in toks)
-                poss.append(np.fromiter((t.pos for t in toks), np.int32, len(toks)))
-                ids.append(np.full(len(toks), doc_id, np.int64))
-            if not ids:
-                yield pd.DataFrame({"doc_id": [], "term": [], "pos": []}).astype(
-                    {"doc_id": "int64", "term": "object", "pos": "int32"}
-                )
-                continue
+            doc_ids = pdf[id_col].to_numpy(np.int64)
+            tdoc, terms, pos = batch_tokenize(
+                pdf[text_col].tolist(),
+                lowercase=lowercase,
+                stopwords=stop,
+                max_token_length=max_token_length,
+            )
             yield pd.DataFrame(
                 {
-                    "doc_id": np.concatenate(ids),
-                    "term": terms,
-                    "pos": np.concatenate(poss),
+                    "doc_id": doc_ids[tdoc],
+                    "term": pd.Series(terms, dtype=pd.ArrowDtype(pa.string())),
+                    "pos": pos,
                 }
             )
 
@@ -170,38 +158,68 @@ def postings_frame(
         fields.append(T.StructField("positions", T.ArrayType(T.IntegerType()), True))
     schema = T.StructType(fields)
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lucene_solr_spark.functions.fast_tokenizer import batch_tokenize
+
     def fn(iterator):
         cols = [f.name for f in fields]
         for pdf in iterator:
-            out_id: list[int] = []
-            out_term: list[str] = []
-            out_tf: list[int] = []
-            out_pos: list[list[int]] = []
-            for doc_id, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
-                toks = analyze(
-                    text if text is not None else "",
-                    lowercase=lowercase,
-                    stopwords=stop,
-                    max_token_length=max_token_length,
+            doc_ids = pdf[id_col].to_numpy(np.int64)
+            tdoc, terms, pos = batch_tokenize(
+                pdf[text_col].tolist(),
+                lowercase=lowercase,
+                stopwords=stop,
+                max_token_length=max_token_length,
+            )
+            if len(tdoc) == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.empty(0, np.int64),
+                        "term": pd.Series([], dtype=pd.ArrowDtype(pa.string())),
+                        "tf": np.empty(0, np.int64),
+                        **(
+                            {
+                                "positions": pd.Series(
+                                    [],
+                                    dtype=pd.ArrowDtype(pa.list_(pa.int32())),
+                                )
+                            }
+                            if with_positions
+                            else {}
+                        ),
+                    },
+                    columns=cols,
                 )
-                if not toks:
-                    continue
-                inv: dict[str, list[int]] = {}
-                for t in toks:
-                    inv.setdefault(t.term, []).append(t.pos)
-                out_id.extend([doc_id] * len(inv))
-                for term, plist in inv.items():
-                    out_term.append(term)
-                    out_tf.append(len(plist))
-                    if with_positions:
-                        out_pos.append(plist)
+                continue
+            # vectorized per-doc inversion: dictionary-encode terms, group
+            # rows by (doc, code) with a stable lexsort (keeps positions
+            # ascending inside each group), run-length the boundaries
+            denc = pc.dictionary_encode(terms)
+            codes = np.asarray(denc.indices, dtype=np.int64)
+            dictionary = denc.dictionary
+            order = np.lexsort((codes, tdoc))
+            sd, sc, sp = tdoc[order], codes[order], pos[order]
+            newgrp = np.r_[True, (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])]
+            gstart = np.nonzero(newgrp)[0]
+            tf = np.diff(np.r_[gstart, len(sd)])
             data = {
-                "doc_id": np.asarray(out_id, np.int64),
-                "term": out_term,
-                "tf": np.asarray(out_tf, np.int64),
+                "doc_id": doc_ids[sd[gstart]],
+                "term": pd.Series(
+                    dictionary.take(pa.array(sc[gstart], pa.int64())),
+                    dtype=pd.ArrowDtype(pa.string()),
+                ),
+                "tf": tf,
             }
             if with_positions:
-                data["positions"] = out_pos
+                offs = np.r_[gstart, len(sd)].astype(np.int32)
+                plists = pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), pa.array(sp, pa.int32())
+                )
+                data["positions"] = pd.Series(
+                    plists, dtype=pd.ArrowDtype(pa.list_(pa.int32()))
+                )
             yield pd.DataFrame(data, columns=cols)
 
     return docs.select(id_col, text_col).mapInPandas(fn, schema=schema)

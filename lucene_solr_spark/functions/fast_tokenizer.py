@@ -2,52 +2,144 @@
 
 Semantics: EXACTLY ``oracle.tokenizer.analyze`` (StandardAnalyzer chain;
 ``analysis/standard/StandardTokenizerImpl.jflex:95-112,225-265`` rules as
-re-expressed there), but computed over a WHOLE Arrow batch at once:
+re-expressed there), computed over a WHOLE Arrow batch at once:
 
-- all ASCII documents are concatenated into one byte buffer; character
-  classes come from 256-entry lookup tables; a mid-char (``. : ' , ;``)
+- the batch is concatenated and viewed as a uint32 codepoint array;
+  character classes come from lookup tables built FROM THE ORACLE'S OWN
+  PREDICATES/CLASSES per codepoint (parity by construction) for every
+  codepoint below ``FAST_LIMIT`` (0x1FC00 — past the emoji block);
+- word runs: a \\w char continues a run; a mid-char (``. : ' ’ , ;``)
   joins iff its neighbors are letters (MidLetter/MidNumLet) or digits
-  (MidNum/MidNumLet) — evaluated as shifted boolean masks; token runs are
-  diff-detected; token text is ONE numpy gather + an Arrow
-  ``StringArray.from_buffers`` (zero per-token Python objects);
-- documents containing any non-ASCII character (CJK, emoji, U+2019 …)
-  take the per-document oracle kernel — the exact same code the parity
-  goldens pin — so the fast path never changes semantics, only speed.
+  (MidNum/MidNumLet) — evaluated as shifted boolean masks; CJK
+  ideographs and non-word emoji are single-char tokens merged into the
+  run stream by start offset; token runs are diff-detected; token text
+  is ONE numpy gather + utf-32→utf-8 re-encode into an Arrow
+  ``StringArray`` (zero per-token Python objects);
+- documents containing a codepoint ≥ FAST_LIMIT or one whose
+  ``str.lower()`` is not a single codepoint (e.g. U+0130) take the
+  per-document oracle kernel, so the fast path never changes semantics.
 
-For ASCII input the run rule is provably equivalent to the oracle's
+For in-range input the run rule is equivalent to the oracle's
 regex+split: a mid-char with an invalid neighbor splits the run exactly
-where ``_split_candidate`` splits the regex candidate, and consecutive
-mid-chars never join (the neighbor is then a mid-char, which is neither
-letter nor digit).
+where ``_split_candidate`` splits the regex candidate; consecutive
+mid-chars never join (the neighbor is then a mid-char — neither letter
+nor digit); and ``_split_candidate``'s ideograph explosion is exactly
+"ideographs break runs and stand alone".
 """
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
+from lucene_solr_spark.oracle import tokenizer as _otok
 from lucene_solr_spark.oracle.tokenizer import MAX_TOKEN_LENGTH_DEFAULT, analyze
 
-__all__ = ["batch_tokenize"]
+__all__ = ["batch_tokenize", "FAST_LIMIT"]
 
-# ------------------------------------------------------------- class LUTs
-_WORD = np.zeros(256, np.bool_)
-for _c in b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_":
-    _WORD[_c] = True
-_LETTER = np.zeros(256, np.bool_)
-for _c in b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
-    _LETTER[_c] = True
-_DIGIT = np.zeros(256, np.bool_)
-for _c in b"0123456789":
-    _DIGIT[_c] = True
-_MID_L = np.zeros(256, np.bool_)  # MidLetter ∪ MidNumLet ∪ ' (letter ctx)
-for _c in b".:'":
-    _MID_L[_c] = True
-_MID_N = np.zeros(256, np.bool_)  # MidNum ∪ MidNumLet ∪ ' (digit ctx)
-for _c in b".,;'":
-    _MID_N[_c] = True
-_LOWER = np.arange(256, dtype=np.uint8)
-_LOWER[ord("A") : ord("Z") + 1] += 32
+FAST_LIMIT = 0x1FC00  # one past the oracle's emoji block (\U0001FBFF)
+
+
+def _build_luts():
+    n = FAST_LIMIT
+    all_chars = "".join(map(chr, range(n)))
+    word = np.zeros(n, np.bool_)
+    for m in re.finditer(r"\w", all_chars, re.UNICODE):
+        word[m.start()] = True
+    ideo = np.zeros(n, np.bool_)
+    for m in re.finditer(rf"[{_otok._IDEO}]", all_chars):
+        ideo[m.start()] = True
+    emoji = np.zeros(n, np.bool_)
+    for m in re.finditer(rf"[{_otok._EMOJI}]", all_chars):
+        emoji[m.start()] = True
+    digit = np.fromiter(map(str.isdigit, all_chars), np.bool_, n)
+    # oracle _is_letter: isalpha ∧ ¬ideo ∧ ∉ mid set
+    alpha = np.fromiter(map(str.isalpha, all_chars), np.bool_, n)
+    mid_l = np.zeros(n, np.bool_)
+    mid_n = np.zeros(n, np.bool_)
+    for ch in _otok._MID_LETTER:
+        mid_l[ord(ch)] = True
+    for ch in _otok._MID_NUM:
+        mid_n[ord(ch)] = True
+    mid_any = np.zeros(n, np.bool_)
+    for ch in _otok._MID_ALL:
+        mid_any[ord(ch)] = True
+    letter = alpha & ~ideo & ~mid_any
+    lower = np.arange(n, dtype=np.uint32)
+    bad_lower = np.zeros(n, np.bool_)
+    lowered = [ch.lower() for ch in all_chars]
+    for cp, lo in enumerate(lowered):
+        if len(lo) == 1:
+            o = ord(lo)
+            if o < n:
+                lower[cp] = o
+            else:
+                bad_lower[cp] = True
+        else:
+            bad_lower[cp] = True
+    utf8len = np.ones(n, np.int64)
+    utf8len[0x80:] = 2
+    utf8len[0x800:] = 3
+    utf8len[0x10000:] = 4
+    run_char = word & ~ideo
+    single_char = ideo | (emoji & ~word)
+    return run_char, single_char, letter, digit, mid_l, mid_n, lower, bad_lower, utf8len
+
+
+_LUT_NAMES = (
+    "run",
+    "single",
+    "letter",
+    "digit",
+    "mid_l",
+    "mid_n",
+    "lower",
+    "bad_lower",
+    "utf8len",
+)
+
+
+def _load_or_build_luts():
+    """Per-machine LUT cache: ~0.45s of unicodedata scans per Python
+    worker otherwise — workers are many and short-lived under Spark, so
+    the first worker builds, the rest mmap-load in ~5 ms."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"lss_tokenizer_luts_v1_{FAST_LIMIT:x}.npz"
+    )
+    if os.path.exists(path):
+        try:
+            z = np.load(path)
+            return tuple(z[n] for n in _LUT_NAMES)
+        except Exception:  # corrupt/partial: rebuild
+            pass
+    luts = _build_luts()
+    try:
+        fd, tmp = tempfile.mkstemp(dir=tempfile.gettempdir(), suffix=".npz")
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **dict(zip(_LUT_NAMES, luts)))
+        os.replace(tmp, path)  # atomic: concurrent workers race safely
+    except Exception:
+        pass
+    return luts
+
+
+(
+    _RUN,
+    _SINGLE,
+    _LETTER,
+    _DIGIT,
+    _MID_L,
+    _MID_N,
+    _LOWER,
+    _BAD_LOWER,
+    _UTF8LEN,
+) = _load_or_build_luts()
 
 
 def _shift_prev(a: np.ndarray) -> np.ndarray:
@@ -64,18 +156,6 @@ def _shift_next(a: np.ndarray) -> np.ndarray:
     return out
 
 
-def _ascii_kernel(
-    texts: list[str],
-    lowercase: bool,
-    max_token_length: int,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized tokenize of ASCII docs.
-
-    Returns (doc_idx:int64, starts, lengths, pos:int32) in token order plus
-    the (possibly lowercased) byte buffer via attributes — see caller."""
-    raise NotImplementedError  # replaced below; kept for readability
-
-
 def batch_tokenize(
     texts,
     *,
@@ -90,86 +170,109 @@ def batch_tokenize(
     token, an Arrow string array of (lowercased, stop-filtered) terms, and
     int32 positions with stop/overlong gaps preserved.
     """
-    ascii_texts: list[str] = []
-    ascii_rows: list[int] = []
-    slow_rows: list[int] = []
-    for i, t in enumerate(texts):
-        if t is None:
-            continue
-        if t.isascii():
-            ascii_rows.append(i)
-            ascii_texts.append(t)
-        else:
-            slow_rows.append(i)
+    n_docs = len(texts)
+    norm_texts = ["" if t is None else t for t in texts]
 
     out_doc: list[np.ndarray] = []
     out_terms: list[pa.Array] = []
     out_pos: list[np.ndarray] = []
 
-    if ascii_texts:
-        buf = "\n".join(ascii_texts).encode("ascii")
-        b = np.frombuffer(buf, np.uint8)
-        # doc start offset of each ascii doc inside buf
-        lens = np.fromiter((len(t) for t in ascii_texts), np.int64, len(ascii_texts))
-        doc_off = np.zeros(len(ascii_texts) + 1, np.int64)
-        np.cumsum(lens + 1, out=doc_off[1:])  # +1 for the '\n' separators
+    joined = "\n".join(norm_texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter((len(t) for t in norm_texts), np.int64, n_docs)
+    doc_off = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(lens + 1, out=doc_off[1:])  # +1 per '\n' separator
 
-        is_word = _WORD[b]
-        is_letter = _LETTER[b]
-        is_digit = _DIGIT[b]
-        join_l = _MID_L[b] & _shift_prev(is_letter) & _shift_next(is_letter)
-        join_n = _MID_N[b] & _shift_prev(is_digit) & _shift_next(is_digit)
-        tok = is_word | join_l | join_n
+    # per-doc fast/slow routing, vectorized
+    if len(cp):
+        in_range = cp < FAST_LIMIT
+        cpi = np.minimum(cp, FAST_LIMIT - 1)
+        bad = ~in_range
+        if lowercase:
+            bad = bad | _BAD_LOWER[cpi]
+        seg_starts = doc_off[:-1].clip(max=len(cp) - 1)
+        doc_bad = np.maximum.reduceat(bad.view(np.uint8), seg_starts).astype(bool)
+        slow_docs = np.nonzero(doc_bad)[0]
+        slow_set = doc_bad
+    else:
+        cpi = cp
+        slow_docs = np.empty(0, np.int64)
+        slow_set = np.zeros(n_docs, bool)
+
+    if len(cp):
+        is_run = _RUN[cpi] & in_range
+        is_letter = _LETTER[cpi]
+        is_digit = _DIGIT[cpi]
+        join_l = _MID_L[cpi] & _shift_prev(is_letter) & _shift_next(is_letter)
+        join_n = _MID_N[cpi] & _shift_prev(is_digit) & _shift_next(is_digit)
+        tok = is_run | join_l | join_n
 
         d = np.diff(np.r_[np.int8(0), tok.view(np.int8), np.int8(0)])
         starts = np.nonzero(d == 1)[0]
-        ends = np.nonzero(d == -1)[0]
+        tlen = np.nonzero(d == -1)[0] - starts
+        singles = np.nonzero(_SINGLE[cpi] & in_range)[0]
+        if singles.size:
+            starts = np.concatenate([starts, singles])
+            tlen = np.concatenate([tlen, np.ones(singles.size, np.int64)])
+            order = np.argsort(starts, kind="stable")
+            starts, tlen = starts[order], tlen[order]
+    else:
+        starts = np.empty(0, np.int64)
+        tlen = np.empty(0, np.int64)
+
+    if starts.size:
+        # doc of each token; separators are non-word so runs never span docs
+        tdoc = np.searchsorted(doc_off, starts, side="right") - 1
+        # 0-based position within doc over ALL raw tokens
+        first = np.r_[True, tdoc[1:] != tdoc[:-1]]
+        tok_seq = np.arange(starts.size, dtype=np.int64)
+        pos = (tok_seq - tok_seq[first][np.cumsum(first) - 1]).astype(np.int32)
+
+        keep = (tlen <= max_token_length) & ~slow_set[tdoc]
+        starts, tlen, tdoc, pos = starts[keep], tlen[keep], tdoc[keep], pos[keep]
+
         if starts.size:
-            tlen = ends - starts
-            # doc of each token; separators are non-word so runs never span
-            doc_idx_local = np.searchsorted(doc_off, starts, side="right") - 1
-            # 0-based position within doc over ALL raw tokens
-            first = np.r_[True, doc_idx_local[1:] != doc_idx_local[:-1]]
-            tok_seq = np.arange(starts.size, dtype=np.int64)
-            pos = (tok_seq - tok_seq[first][np.cumsum(first) - 1]).astype(np.int32)
-
-            keep = tlen <= max_token_length  # skip-with-position
-            starts, tlen = starts[keep], tlen[keep]
-            doc_idx_local, pos = doc_idx_local[keep], pos[keep]
-
-            data = _LOWER[b] if lowercase else b
-            # single gather of all token bytes
+            data = _LOWER[cpi] if lowercase else cp
             total = int(tlen.sum())
             cum = np.zeros(len(tlen), np.int64)
             np.cumsum(tlen[:-1], out=cum[1:])
-            gather = np.arange(total, dtype=np.int64) - np.repeat(cum, tlen) + np.repeat(
-                starts, tlen
+            gather = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(cum, tlen)
+                + np.repeat(starts, tlen)
             )
-            tbytes = data[gather].tobytes()
-            offsets = np.zeros(len(tlen) + 1, np.int32)
-            np.cumsum(tlen, out=offsets[1:].view(np.int32)[: len(tlen)])
+            gcp = data[gather]
+            # utf-32 → utf-8: one C-level decode/encode for the whole batch
+            tbytes = (
+                gcp.astype(np.uint32).tobytes().decode("utf-32-le").encode("utf-8")
+            )
+            blen = _UTF8LEN[np.minimum(gcp, FAST_LIMIT - 1)]
+            tok_blen = np.add.reduceat(blen, cum)
+            offs64 = np.zeros(len(tlen) + 1, np.int64)
+            np.cumsum(tok_blen, out=offs64[1:])
+            offsets = offs64.astype(np.int32)  # Arrow batches are < 2 GiB
             terms = pa.Array.from_buffers(
                 pa.utf8(),
                 len(tlen),
                 [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(tbytes)],
             )
             if stopwords:
-                m = pa.compute.is_in(
+                m = pc.is_in(
                     terms, value_set=pa.array(sorted(stopwords), pa.utf8())
                 )
-                m = pa.compute.fill_null(m, False)
-                keep2 = np.invert(m.to_numpy(zero_copy_only=False))
+                keep2 = np.invert(
+                    pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+                )
                 terms = terms.filter(pa.array(keep2))
-                doc_idx_local = doc_idx_local[keep2]
+                tdoc = tdoc[keep2]
                 pos = pos[keep2]
-            ascii_map = np.asarray(ascii_rows, np.int64)
-            out_doc.append(ascii_map[doc_idx_local])
+            out_doc.append(tdoc)
             out_terms.append(terms)
             out_pos.append(pos)
 
-    for i in slow_rows:
+    for i in slow_docs.tolist():
         toks = analyze(
-            texts[i],
+            norm_texts[i],
             lowercase=lowercase,
             stopwords=stopwords,
             max_token_length=max_token_length,

@@ -10,20 +10,29 @@ score candidate merges, picking the LOWEST score:
 ``skew = floorSize(largest) / totalFloored`` (``:658-703``; the deletes
 reclaim factor is 1 here — append-only corpus, SURVEY.md §1.1).
 
-The merge itself is a Spark job over the doc-range segments of
-operators.segments: child doc ranges are disjoint and ordered, so a merge
-is a per-term CONCATENATION of decoded postings in child order followed by
-re-encode — the ``SegmentMerger``/``DocIDMerger`` path
+The merge itself is a DISTRIBUTED Spark job over the doc-range segments
+of operators.segments — the ``SegmentMerger``/``DocIDMerger`` path
 (``index/SegmentMerger.java:109-136``) with no docID remapping needed
-(docIDs are globally dense already). Runs as: read child term rows →
-groupBy(term) applyInPandas re-encode → write new segment dir → commit
-manifest (children removed, merged added) → delete child dirs. The
-manifest commit is last, so a crash mid-merge leaves the old manifest
-valid (two-phase commit, ``index/IndexWriter.java:3367``).
+(docIDs are globally dense already):
+
+1. norms attach per CHILD segment via a cogroup on segment_id (each
+   task touches one child's postings + its own seg_docs — nothing is
+   collected to the driver, peak memory is one child segment);
+2. re-encode runs per TERM over a ``repartitionByRange("term")`` layout
+   with a streaming kernel that carries split term groups across Arrow
+   batches — many parallel tasks, term-sorted output files (row-group
+   stats stay prunable, mirroring Lucene's term-sorted merged segment),
+   no single-task ``coalesce(1)`` bottleneck;
+3. commit is two-phase and crash-safe IN ORDER: tmp dirs are moved into
+   place, the new manifest is written, and only then are the (now
+   unreferenced) child dirs deleted — a crash at any point leaves either
+   the old manifest over intact children or the new manifest over the
+   merged segment (``index/IndexWriter.java:3367`` prepareCommit).
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -116,80 +125,107 @@ def find_merges(
     return merges
 
 
-def _reencode_term(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-    """Concatenate child postings for one (segment_id, term) and re-encode.
-    Children are disjoint doc ranges; sorting rows by min block doc (or
-    singleton doc) restores global doc order before concat."""
-    rows = []
-    for _, g in pdf.groupby("term", sort=True):
-        recs = list(g.itertuples())
+def _encode_term_group(g: pd.DataFrame) -> dict:
+    """Concatenate one term's child rows (disjoint doc ranges, sorted into
+    global doc order) and re-encode postings + impacts + positions."""
+    from lucene_solr_spark.operators.topk import _row_to_encoded
 
-        def first_doc(r):
-            if r.singleton_doc >= 0:
-                return r.singleton_doc
-            bf = r.block_first
-            bl = r.block_last
-            if bf is not None and len(bf):
-                return bf[0]
-            return bl[0] if bl is not None and len(bl) else 0
+    recs = list(g.itertuples())
 
-        recs.sort(key=first_doc)
-        docs_parts, tf_parts, norm_parts = [], [], []
+    def first_doc(r):
+        if r.singleton_doc >= 0:
+            return r.singleton_doc
+        bf = r.block_first
+        bl = r.block_last
+        if bf is not None and len(bf):
+            return bf[0]
+        return bl[0] if bl is not None and len(bl) else 0
+
+    recs.sort(key=first_doc)
+    docs_parts, tf_parts, norm_parts = [], [], []
+    for r in recs:
+        enc = _row_to_encoded(r)
+        d, t = decode_postings(enc)
+        docs_parts.append(d)
+        tf_parts.append(t)
+        # per-posting norms travel with the merge input so re-encoded
+        # impact frontiers are exact (CompetitiveImpactAccumulator over
+        # the merged lists)
+        norm_parts.append(np.asarray(r.norms_concat, np.int64))
+    docs = np.concatenate(docs_parts)
+    tfs = np.concatenate(tf_parts)
+    norms = np.concatenate(norm_parts)
+    enc = encode_postings(docs, tfs, norms)
+    # positions merge = byte-concat of per-posting blobs in doc order
+    # (each posting's VInt-delta list is self-contained) + offset rebase
+    pos_blobs = []
+    pos_offs = [np.zeros(1, np.int64)]
+    has_pos = all(getattr(r, "pos_off", None) is not None for r in recs)
+    if has_pos:
+        base_off = 0
         for r in recs:
-            from lucene_solr_spark.operators.topk import _row_to_encoded
+            blob = bytes(r.pos_blob) if r.pos_blob is not None else b""
+            off = np.asarray(r.pos_off, np.int64)
+            pos_blobs.append(blob)
+            pos_offs.append(off[1:] + base_off)
+            base_off += len(blob)
+    return {
+        "term": recs[0].term,
+        "df": enc.df,
+        "ttf": enc.ttf,
+        "doc_blob": enc.doc_blob,
+        "tf_blob": enc.tf_blob,
+        "tail_blob": enc.tail_blob,
+        "n_full_blocks": enc.n_full_blocks,
+        "block_first": enc.block_first.tolist(),
+        "block_last": enc.block_last.tolist(),
+        "imp_freq": enc.imp_freq.tolist(),
+        "imp_norm": enc.imp_norm.tolist(),
+        "imp_off": enc.imp_off.tolist(),
+        "singleton_doc": enc.singleton_doc,
+        "singleton_tf": enc.singleton_tf,
+        "pos_blob": b"".join(pos_blobs) if has_pos else None,
+        "pos_off": np.concatenate(pos_offs).tolist() if has_pos else None,
+    }
 
-            enc = _row_to_encoded(r)
-            d, t = decode_postings(enc)
-            docs_parts.append(d)
-            tf_parts.append(t)
-            # norms for impacts: reconstruct from the child impacts is lossy;
-            # instead carry per-posting norms through the merge input
-            norm_parts.append(np.asarray(r.norms_concat, np.int64))
-        docs = np.concatenate(docs_parts)
-        tfs = np.concatenate(tf_parts)
-        norms = np.concatenate(norm_parts)
-        enc = encode_postings(docs, tfs, norms)
-        # positions merge = byte-concat of per-posting blobs in doc order
-        # (each posting's VInt-delta list is self-contained) + offset rebase
-        pos_blobs = []
-        pos_offs = [np.zeros(1, np.int64)]
-        has_pos = all(getattr(r, "pos_off", None) is not None for r in recs)
-        if has_pos:
-            base_off = 0
-            for r in recs:
-                blob = bytes(r.pos_blob) if r.pos_blob is not None else b""
-                off = np.asarray(r.pos_off, np.int64)
-                pos_blobs.append(blob)
-                pos_offs.append(off[1:] + base_off)
-                base_off += len(blob)
-        rows.append(
-            {
-                "segment_id": int(key[0]),
-                "term": recs[0].term,
-                "df": enc.df,
-                "ttf": enc.ttf,
-                "doc_blob": enc.doc_blob,
-                "tf_blob": enc.tf_blob,
-                "tail_blob": enc.tail_blob,
-                "n_full_blocks": enc.n_full_blocks,
-                "block_first": enc.block_first.tolist(),
-                "block_last": enc.block_last.tolist(),
-                "imp_freq": enc.imp_freq.tolist(),
-                "imp_norm": enc.imp_norm.tolist(),
-                "imp_off": enc.imp_off.tolist(),
-                "singleton_doc": enc.singleton_doc,
-                "singleton_tf": enc.singleton_tf,
-                "pos_blob": b"".join(pos_blobs) if has_pos else None,
-                "pos_off": np.concatenate(pos_offs).tolist() if has_pos else None,
-            }
-        )
-    return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+
+_OUT_COLS = [f.name for f in SEGMENT_SCHEMA.fields if f.name != "segment_id"]
+
+
+def _reencode_stream(pdf_iter):
+    """Streaming per-term re-encode over a term-range partition.
+
+    Rows arrive term-sorted (repartitionByRange + sortWithinPartitions);
+    a term split across Arrow batch boundaries is buffered and finished in
+    the next batch, so memory is bounded by one batch + one term."""
+    buf: pd.DataFrame | None = None
+    for pdf in pdf_iter:
+        if pdf.empty:
+            continue
+        if buf is not None:
+            pdf = pd.concat([buf, pdf], ignore_index=True)
+        last_term = pdf["term"].iloc[-1]
+        tail_mask = pdf["term"].to_numpy() == last_term
+        complete = pdf[~tail_mask]
+        buf = pdf[tail_mask]
+        if not complete.empty:
+            rows = [
+                _encode_term_group(g)
+                for _, g in complete.groupby("term", sort=True)
+            ]
+            yield pd.DataFrame(rows, columns=_OUT_COLS)
+    if buf is not None and not buf.empty:
+        rows = [_encode_term_group(g) for _, g in buf.groupby("term", sort=True)]
+        yield pd.DataFrame(rows, columns=_OUT_COLS)
 
 
 def merge_segments(
     spark: SparkSession, index: SegmentIndex, child_ids: list[int]
 ) -> int:
-    """Merge the given segments into one new segment; returns its id."""
+    """Merge the given segments into one new segment; returns its id.
+
+    Fully distributed: no stage materializes more than one child segment
+    (norm attach) or one term-range partition (re-encode) per task."""
     manifest = index.manifest()
     by_id = {s["segment_id"]: s for s in manifest["segments"]}
     children = [by_id[c] for c in child_ids]
@@ -198,71 +234,71 @@ def merge_segments(
     new_id = max(s["segment_id"] for s in manifest["segments"]) + 1
 
     seg_paths = [f"{index.segments_path}/segment_id={c}" for c in child_ids]
-    rows = spark.read.parquet(*seg_paths)
-    # per-posting norms travel with the merge input so re-encoded impact
-    # frontiers are exact (CompetitiveImpactAccumulator over merged lists)
     doc_paths = [f"{index.seg_docs_path}/segment_id={c}" for c in child_ids]
-    norms = spark.read.parquet(*doc_paths).select("doc_id", "norm")
-
-    # attach the norm array per (term-row) by re-deriving per-posting norms
-    # from decoded docIDs — done kernel-side via a broadcast norm map
-    norm_rows = norms.collect() if norms.count() <= 50_000_000 else None
-    if norm_rows is None:
-        raise NotImplementedError(
-            "merge of segments > 50M docs: stream norms per doc-range"
-        )
-    norm_map_docs = np.asarray([r["doc_id"] for r in norm_rows], np.int64)
-    order = np.argsort(norm_map_docs)
-    norm_map_docs = norm_map_docs[order]
-    norm_map_vals = np.asarray([r["norm"] for r in norm_rows], np.int64)[order]
-    b_docs = spark.sparkContext.broadcast(norm_map_docs)
-    b_vals = spark.sparkContext.broadcast(norm_map_vals)
-
-    def add_norms(pdf_iter):
-        from lucene_solr_spark.operators.topk import _row_to_encoded
-
-        for pdf in pdf_iter:
-            out = pdf.copy()
-            norms_col = []
-            for r in pdf.itertuples():
-                d, _ = decode_postings(_row_to_encoded(r))
-                idx = np.searchsorted(b_docs.value, d)
-                norms_col.append(b_vals.value[idx].tolist())
-            out["norms_concat"] = norms_col
-            yield out
+    # basePath keeps the segment_id partition column for the cogroup key
+    rows = spark.read.option("basePath", index.segments_path).parquet(*seg_paths)
+    seg_docs = spark.read.option("basePath", index.seg_docs_path).parquet(
+        *doc_paths
+    )
 
     import pyspark.sql.types as T
 
     with_norms_schema = T.StructType(
-        rows.schema.fields
+        [f for f in rows.schema.fields if f.name != "segment_id"]
         + [T.StructField("norms_concat", T.ArrayType(T.LongType()), True)]
     )
-    enriched = rows.mapInPandas(add_norms, schema=with_norms_schema)
-    merged = (
-        enriched.withColumn("segment_id", F.lit(new_id).cast("long"))
-        .groupBy("segment_id")
-        .applyInPandas(_reencode_term, schema=SEGMENT_SCHEMA)
+
+    def add_norms(key: tuple, rows_pdf: pd.DataFrame, docs_pdf: pd.DataFrame):
+        """Attach per-posting norms from THIS child's seg_docs only — a
+        child's postings reference only its own doc range, so the cogroup
+        is exact and per-task memory is one child segment."""
+        from lucene_solr_spark.operators.topk import _row_to_encoded
+
+        if rows_pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in with_norms_schema.fields])
+        docs_pdf = docs_pdf.sort_values("doc_id")
+        sdocs = docs_pdf["doc_id"].to_numpy(np.int64)
+        snorms = docs_pdf["norm"].to_numpy(np.int64)
+        out = rows_pdf.drop(columns=["segment_id"]).copy()
+        norms_col = []
+        for r in rows_pdf.itertuples():
+            d, _ = decode_postings(_row_to_encoded(r))
+            idx = np.searchsorted(sdocs, d)
+            norms_col.append(snorms[idx].tolist())
+        out["norms_concat"] = norms_col
+        return out
+
+    enriched = (
+        rows.groupBy("segment_id")
+        .cogroup(seg_docs.select("segment_id", "doc_id", "norm").groupBy("segment_id"))
+        .applyInPandas(add_norms, schema=with_norms_schema)
     )
+
+    # parallel re-encode: term-range partitions sized to the merge
+    # (≈2M postings per task), term-sorted files → row-group stats prune
+    total_postings = sum(c["n_postings"] for c in children)
+    n_parts = max(1, min(256, total_postings // 2_000_000 + 1))
+    out_schema = T.StructType(
+        [f for f in SEGMENT_SCHEMA.fields if f.name != "segment_id"]
+    )
+    merged = (
+        enriched.repartitionByRange(n_parts, "term")
+        .sortWithinPartitions("term")
+        .mapInPandas(_reencode_stream, schema=out_schema)
+    )
+
     # tmp dirs live OUTSIDE the partitioned layout so concurrent readers
     # never see a half-written partition value
     tmp_path = f"{index.base}/tmp_merge/segments_{new_id}"
-    merged.drop("segment_id").coalesce(1).write.mode("overwrite").parquet(tmp_path)
+    merged.write.mode("overwrite").parquet(tmp_path)
 
     # seg_docs for the merged range = concat of children (already disjoint)
+    total_docs = sum(c["n_docs"] for c in children)
+    doc_parts = max(1, min(64, total_docs // 4_000_000 + 1))
     tmp_docs = f"{index.base}/tmp_merge/seg_docs_{new_id}"
-    spark.read.parquet(*doc_paths).coalesce(1).sortWithinPartitions(
-        "doc_id"
-    ).write.mode("overwrite").parquet(tmp_docs)
-
-    # commit: move tmp dirs into place, rewrite manifest, drop children
-    final_path = f"{index.segments_path}/segment_id={new_id}"
-    final_docs = f"{index.seg_docs_path}/segment_id={new_id}"
-    for c in child_ids:
-        shutil.rmtree(f"{index.segments_path}/segment_id={c}", ignore_errors=True)
-        shutil.rmtree(f"{index.seg_docs_path}/segment_id={c}", ignore_errors=True)
-    os.replace(tmp_path, final_path)
-    os.replace(tmp_docs, final_docs)
-    shutil.rmtree(f"{index.base}/tmp_merge", ignore_errors=True)
+    seg_docs.drop("segment_id").repartitionByRange(
+        doc_parts, "doc_id"
+    ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmp_docs)
 
     merged_meta = {
         "segment_id": int(new_id),
@@ -275,24 +311,41 @@ def merge_segments(
         "content_crc": 0,
     }
     stats = (
-        spark.read.parquet(final_path)
+        spark.read.parquet(tmp_path)
         .agg(F.count("*").alias("nt"), F.sum("df").alias("np"))
         .collect()[0]
     )
     merged_meta["n_terms"] = int(stats["nt"])
     merged_meta["n_postings"] = int(stats["np"])
+
+    # --- two-phase commit, crash-safe ORDER (IndexWriter.java:3367):
+    # (1) move the new dirs into place, (2) publish the manifest that
+    # references them, (3) only then delete the now-unreferenced children
+    final_path = f"{index.segments_path}/segment_id={new_id}"
+    final_docs = f"{index.seg_docs_path}/segment_id={new_id}"
+    shutil.rmtree(final_path, ignore_errors=True)
+    shutil.rmtree(final_docs, ignore_errors=True)
+    os.replace(tmp_path, final_path)
+    os.replace(tmp_docs, final_docs)
+
     manifest["segments"] = sorted(
         [s for s in manifest["segments"] if s["segment_id"] not in set(child_ids)]
         + [merged_meta],
         key=lambda s: s["segment_id"],
     )
-    import hashlib
-
     manifest["manifest_sha256"] = hashlib.sha256(
         json.dumps(manifest["segments"], sort_keys=True).encode()
     ).hexdigest()
-    with open(f"{index.base}/manifest.json", "w") as f:
+    tmp_manifest = f"{index.base}/manifest.json.tmp"
+    with open(tmp_manifest, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp_manifest, f"{index.base}/manifest.json")
+
+    # children are unreferenced garbage now — safe to leak on crash
+    for c in child_ids:
+        shutil.rmtree(f"{index.segments_path}/segment_id={c}", ignore_errors=True)
+        shutil.rmtree(f"{index.seg_docs_path}/segment_id={c}", ignore_errors=True)
+    shutil.rmtree(f"{index.base}/tmp_merge", ignore_errors=True)
     return int(new_id)
 
 
