@@ -96,6 +96,136 @@ _RESULT_SCHEMA_F64 = T.StructType(
 
 
 # ------------------------------------------------------------------ compile
+_MULTITERM_TYPES = (
+    ir.PrefixQuery,
+    ir.WildcardQuery,
+    ir.RegexpQuery,
+    ir.TermRangeQuery,
+    ir.FuzzyQuery,
+)
+
+
+def _regex_literal_prefix(rx: str) -> str:
+    """Leading literal chars of a regex (empty when it starts with a
+    metachar) — used only to bound the dictionary scan, so being
+    conservative is always safe."""
+    out = []
+    specials = set(".^$*+?()[]{}|\\")
+    for i, c in enumerate(rx):
+        if c in specials:
+            # a quantifier on the previous char makes it optional
+            if c in "*?{" and out:
+                out.pop()
+            break
+        out.append(c)
+    return "".join(out)
+
+
+def _multiterm_scan_range(q: ir.Query) -> tuple[str | None, str | None]:
+    """(lo, hi) SUPERSET bound on matching terms for reader pushdown;
+    (None, None) = unbounded (full dictionary scan). Exact matching
+    happens per segment in the kernel, so looseness is always safe."""
+
+    def prefix_range(p: str) -> tuple[str | None, str | None]:
+        if not p:
+            return (None, None)
+        return (p, p + "\U0010ffff")
+
+    if isinstance(q, ir.PrefixQuery):
+        return prefix_range(q.prefix)
+    if isinstance(q, ir.TermRangeQuery):
+        return (q.lower, q.upper)
+    if isinstance(q, ir.WildcardQuery):
+        lit = []
+        for c in q.pattern:
+            if c in "*?":
+                break
+            lit.append(c)
+        return prefix_range("".join(lit))
+    if isinstance(q, ir.RegexpQuery):
+        return prefix_range(_regex_literal_prefix(q.regexp))
+    if isinstance(q, ir.FuzzyQuery):
+        if q.prefix_length:
+            return prefix_range(q.term[: q.prefix_length])
+        return (None, None)
+    raise TypeError(type(q).__name__)
+
+
+def _collect_ranges(q: ir.Query) -> list[tuple[str | None, str | None]]:
+    """Dictionary scan bounds for every multi-term leaf of the tree."""
+    if isinstance(q, _MULTITERM_TYPES):
+        return [_multiterm_scan_range(q)]
+    if isinstance(q, ir.BooleanQuery):
+        out: list = []
+        for c in q.clauses:
+            out += _collect_ranges(c.query)
+        return out
+    if isinstance(q, (ir.BoostQuery, ir.ConstantScoreQuery)):
+        return _collect_ranges(q.query)
+    if isinstance(q, ir.DisjunctionMaxQuery):
+        out = []
+        for sub in q.queries:
+            out += _collect_ranges(sub)
+        return out
+    return []
+
+
+def _levenshtein_leq(a: str, b: str, k: int) -> bool:
+    """Plain Levenshtein distance ≤ k with banded early exit (matches the
+    DF executor's F.levenshtein semantics — no transpositions)."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        row_min = i
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            cur.append(v)
+            row_min = min(row_min, v)
+        if row_min > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
+def _match_dict_pred(plan: dict, terms) -> list[str]:
+    """Per-segment dictionary intersection (the automaton∩terms-dict role,
+    ``search/AutomatonQuery.java:45``): the candidate ``terms`` are this
+    segment's (range-pruned) dictionary — already task-local."""
+    kind = plan["kind"]
+    if kind == "prefix":
+        p = plan["prefix"]
+        return [t for t in terms if t.startswith(p)]
+    if kind == "range":
+        lo, hi = plan["lower"], plan["upper"]
+        il, iu = plan["include_lower"], plan["include_upper"]
+        out = []
+        for t in terms:
+            if lo is not None and (t < lo or (not il and t == lo)):
+                continue
+            if hi is not None and (t > hi or (not iu and t == hi)):
+                continue
+            out.append(t)
+        return out
+    if kind == "regex":
+        import re as _re
+
+        rx = _re.compile(plan["regex"])
+        return [t for t in terms if rx.fullmatch(t)]
+    if kind == "fuzzy":
+        base = plan["term"]
+        pl = plan["prefix_length"]
+        k = plan["max_edits"]
+        pref = base[:pl]
+        return [
+            t
+            for t in terms
+            if (not pl or t.startswith(pref)) and _levenshtein_leq(t, base, k)
+        ]
+    raise ValueError(kind)
+
+
 def _collect_terms(q: ir.Query) -> set[str]:
     if isinstance(q, ir.TermQuery):
         return {q.term}
@@ -164,6 +294,37 @@ class _Compiler:
         if isinstance(q, ir.TermInSetQuery):
             score = float(np.float32(boost)) if self.mode == "float32" else float(boost)
             return {"op": "term_set", "terms": list(q.terms), "score": score}
+        if isinstance(q, _MULTITERM_TYPES):
+            # constant-score multi-term: no driver-side expansion — each
+            # segment intersects the predicate with ITS OWN dictionary
+            # (MultiTermQueryConstantScoreWrapper.java:39); the reader
+            # prunes by _multiterm_scan_range
+            score = float(np.float32(boost)) if self.mode == "float32" else float(boost)
+            plan: dict = {"op": "dict_pred", "score": score}
+            if isinstance(q, ir.PrefixQuery):
+                plan.update(kind="prefix", prefix=q.prefix)
+            elif isinstance(q, ir.TermRangeQuery):
+                plan.update(
+                    kind="range",
+                    lower=q.lower,
+                    upper=q.upper,
+                    include_lower=q.include_lower,
+                    include_upper=q.include_upper,
+                )
+            elif isinstance(q, ir.WildcardQuery):
+                from lucene_solr_spark.plans.df_executor import wildcard_to_regex
+
+                plan.update(kind="regex", regex=wildcard_to_regex(q.pattern))
+            elif isinstance(q, ir.RegexpQuery):
+                plan.update(kind="regex", regex=q.regexp)
+            else:  # FuzzyQuery
+                plan.update(
+                    kind="fuzzy",
+                    term=q.term,
+                    max_edits=q.max_edits,
+                    prefix_length=q.prefix_length,
+                )
+            return plan
         if isinstance(q, ir.BoostQuery):
             inner = (
                 float(np.float32(np.float32(boost) * np.float32(q.boost)))
@@ -324,6 +485,13 @@ class _SegmentEval:
         if op == "term_set":
             parts = [self.postings(t)[0] for t in plan["terms"]]
             docs = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+            return docs, np.full(len(docs), plan["score"], self._out_dtype())
+        if op == "dict_pred":
+            matched = _match_dict_pred(plan, self.term_enc.keys())
+            parts = [self.postings(t)[0] for t in matched]
+            docs = (
+                np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+            )
             return docs, np.full(len(docs), plan["score"], self._out_dtype())
         if op == "const":
             docs, _ = self.eval(plan["sub"])
@@ -735,40 +903,6 @@ class SegmentSearcher:
                 self._stats_cache[t] = found.get(t, (0, 0))
         return self._stats_cache
 
-    def _expand_multiterm(self, q: ir.Query) -> ir.Query:
-        """Dictionary-scan expansion of prefix/wildcard/regexp/range/fuzzy
-        (MultiTermQuery CONSTANT_SCORE rewrite) against the global
-        term_stats parquet."""
-        ts = self.index.term_stats(self.spark)
-
-        def scan(cond) -> tuple[str, ...]:
-            return tuple(
-                sorted(r["term"] for r in ts.filter(cond).select("term").collect())
-            )
-
-        if isinstance(q, ir.PrefixQuery):
-            return ir.TermInSetQuery(scan(F.col("term").startswith(q.prefix)))
-        if isinstance(q, ir.TermRangeQuery):
-            cond = F.lit(True)
-            if q.lower is not None:
-                cond = cond & (
-                    F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
-                )
-            if q.upper is not None:
-                cond = cond & (
-                    F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
-                )
-            return ir.TermInSetQuery(scan(cond))
-        if isinstance(q, ir.BooleanQuery):
-            return ir.BooleanQuery(
-                tuple(
-                    ir.BooleanClause(c.occur, self._expand_multiterm(c.query))
-                    for c in q.clauses
-                ),
-                q.min_should_match,
-            )
-        return q
-
     # --- public API ---
     def topk(self, q: ir.Query, k: int = 10) -> DataFrame:
         return (
@@ -796,17 +930,42 @@ class SegmentSearcher:
         keeps the cogroup path (works on any DataFrame-readable storage)."""
         compiled: dict[str, dict] = {}
         all_terms: set[str] = set()
+        all_ranges: list[tuple[str | None, str | None]] = []
         prepared = {}
         for qid, q in queries.items():
-            q = rewrite(self._expand_multiterm(rewrite(q)))
+            q = rewrite(q)
             prepared[qid] = q
             all_terms |= _collect_terms(q)
+            all_ranges += _collect_ranges(q)
         stats = self._stats(all_terms)
         comp = _Compiler(stats, self.index.doc_count, self.mode, self.k1, self.b)
         for qid, q in prepared.items():
             compiled[qid] = comp.compile(q)
 
         needed_terms = sorted(all_terms)
+        # reader pushdown: exact terms as an IN clause, multi-term leaves
+        # as (superset) range conjunctions; an unbounded leaf forces a
+        # full dictionary read for its segments
+        full_scan = any(r == (None, None) for r in all_ranges)
+        term_ranges = sorted(
+            {r for r in all_ranges if r != (None, None)},
+            key=lambda r: (r[0] or "", r[1] or ""),
+        )
+        if full_scan:
+            pq_filters = None
+        else:
+            pq_filters = []
+            if needed_terms:
+                pq_filters.append([("term", "in", needed_terms)])
+            for lo, hi in term_ranges:
+                conj = []
+                if lo is not None:
+                    conj.append(("term", ">=", lo))
+                if hi is not None:
+                    conj.append(("term", "<=", hi))
+                pq_filters.append(conj)
+            if not pq_filters:
+                pq_filters = None
         mode = self.mode
         k1, b_ = self.k1, self.b
         avgdl_f32 = bm25.avg_field_length(self.index.sum_ttf, self.index.doc_count)
@@ -881,9 +1040,7 @@ class SegmentSearcher:
                     for sid in pdf["segment_id"].tolist():
                         post_tbl = pq.read_table(
                             f"{base}/segments/segment_id={sid}",
-                            filters=[("term", "in", needed_terms)]
-                            if needed_terms
-                            else None,
+                            filters=pq_filters,
                         )
                         docs_tbl = pq.read_table(
                             f"{base}/seg_docs/segment_id={sid}",
@@ -930,9 +1087,23 @@ class SegmentSearcher:
             ).repartition(n_parts, "segment_id")
             res = ids_df.mapInPandas(direct_kernel, schema=schema)
         else:
-            seg_rows = self.index.segments(self.spark).filter(
-                F.col("term").isin(needed_terms)
-            )
+            seg_rows = self.index.segments(self.spark)
+            if not full_scan:
+                conds = []
+                if needed_terms:
+                    conds.append(F.col("term").isin(needed_terms))
+                for lo, hi in term_ranges:
+                    c = F.lit(True)
+                    if lo is not None:
+                        c = c & (F.col("term") >= lo)
+                    if hi is not None:
+                        c = c & (F.col("term") <= hi)
+                    conds.append(c)
+                if conds:
+                    cond = conds[0]
+                    for c in conds[1:]:
+                        cond = cond | c
+                    seg_rows = seg_rows.filter(cond)
             seg_docs = self.index.seg_docs(self.spark)
 
             def kernel(key: tuple, post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame):

@@ -51,11 +51,56 @@ from lucene_solr_spark.oracle import bm25
 from lucene_solr_spark.plans import ir
 from lucene_solr_spark.plans.rewriter import rewrite
 
-__all__ = ["DFExecutor"]
+__all__ = ["DFExecutor", "multiterm_cond", "wildcard_to_regex"]
 
 
 def _f32(x) -> np.float32:
     return np.float32(x)
+
+
+_MULTITERM_TYPES = (
+    ir.PrefixQuery,
+    ir.WildcardQuery,
+    ir.RegexpQuery,
+    ir.TermRangeQuery,
+    ir.FuzzyQuery,
+)
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    import re as _re
+
+    return "".join(
+        ".*" if c == "*" else "." if c == "?" else _re.escape(c) for c in pattern
+    )
+
+
+def multiterm_cond(q: ir.Query) -> Column:
+    """Multi-term query → Catalyst predicate on the ``term`` column (the
+    automaton side of AutomatonQuery.java:45, as a pushdown-able filter)."""
+    if isinstance(q, ir.PrefixQuery):
+        return F.col("term").startswith(q.prefix)
+    if isinstance(q, ir.WildcardQuery):
+        return F.col("term").rlike(f"^(?:{wildcard_to_regex(q.pattern)})$")
+    if isinstance(q, ir.RegexpQuery):
+        return F.col("term").rlike(f"^(?:{q.regexp})$")
+    if isinstance(q, ir.TermRangeQuery):
+        cond = F.lit(True)
+        if q.lower is not None:
+            cond = cond & (
+                F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
+            )
+        if q.upper is not None:
+            cond = cond & (
+                F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
+            )
+        return cond
+    if isinstance(q, ir.FuzzyQuery):
+        cond = F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
+        if q.prefix_length:
+            cond = cond & F.col("term").startswith(q.term[: q.prefix_length])
+        return cond
+    raise TypeError(f"not a multi-term query: {type(q).__name__}")
 
 
 @dataclass
@@ -77,8 +122,6 @@ class DFExecutor:
 
     def matches(self, q: ir.Query) -> DataFrame:
         """DataFrame (doc_id, score) of all matching docs."""
-        q = rewrite(q)
-        q = self._expand_multiterm(q)
         q = rewrite(q)
         self._prefetch_stats(q)
         return self._eval(q, 1.0)
@@ -212,6 +255,20 @@ class DFExecutor:
         if isinstance(q, ir.TermInSetQuery):
             rows = ix.postings.filter(F.col("term").isin(list(q.terms)))
             return rows.select("doc_id").distinct().select(
+                "doc_id", F.lit(float(_f32(boost))).cast(self._score_type()).alias("score")
+            )
+        if isinstance(q, _MULTITERM_TYPES):
+            # constant-score multi-term rewrite, FULLY DISTRIBUTED: the
+            # term predicate is pushed straight into the postings scan —
+            # the Catalyst analog of Lucene's per-segment
+            # automaton∩dictionary intersection
+            # (MultiTermQueryConstantScoreWrapper.java:39); no term list
+            # ever collects to the driver, so a 10^9-term dictionary and a
+            # broad prefix cost one pruned scan, not a giant IN-list.
+            # (maxClauseCount guards only the *scoring* boolean rewrite,
+            # which we never materialize — ir.MAX_CLAUSE_COUNT.)
+            rows = ix.postings.filter(multiterm_cond(q)).select("doc_id").distinct()
+            return rows.select(
                 "doc_id", F.lit(float(_f32(boost))).cast(self._score_type()).alias("score")
             )
         if isinstance(q, ir.SynonymQuery):
@@ -446,63 +503,6 @@ class DFExecutor:
             F.col("tf") > 0
         )
         return self._scored_term_rows(freq, self._sum_weight(boost, dfs))
-
-    # -------------------------------------------------- multi-term expansion
-    def _expand_multiterm(self, q: ir.Query) -> ir.Query:
-        """Dictionary scan (term_stats) replaces the FST/automaton
-        intersection (search/AutomatonQuery.java:45); rewritten to
-        constant-score TermInSet (MultiTermQueryConstantScoreWrapper)."""
-        if isinstance(q, ir.PrefixQuery):
-            return ir.TermInSetQuery(self._dict_scan(F.col("term").startswith(q.prefix)))
-        if isinstance(q, ir.WildcardQuery):
-            import re as _re
-
-            rx = "".join(
-                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
-                for c in q.pattern
-            )
-            return ir.TermInSetQuery(self._dict_scan(F.col("term").rlike(f"^(?:{rx})$")))
-        if isinstance(q, ir.RegexpQuery):
-            return ir.TermInSetQuery(
-                self._dict_scan(F.col("term").rlike(f"^(?:{q.regexp})$"))
-            )
-        if isinstance(q, ir.TermRangeQuery):
-            cond = F.lit(True)
-            if q.lower is not None:
-                cond = cond & (
-                    F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
-                )
-            if q.upper is not None:
-                cond = cond & (
-                    F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
-                )
-            return ir.TermInSetQuery(self._dict_scan(cond))
-        if isinstance(q, ir.FuzzyQuery):
-            cond = F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
-            if q.prefix_length:
-                cond = cond & F.col("term").startswith(q.term[: q.prefix_length])
-            return ir.TermInSetQuery(self._dict_scan(cond))
-        if isinstance(q, ir.BooleanQuery):
-            return ir.BooleanQuery(
-                tuple(
-                    ir.BooleanClause(c.occur, self._expand_multiterm(c.query))
-                    for c in q.clauses
-                ),
-                q.min_should_match,
-            )
-        if isinstance(q, ir.BoostQuery):
-            return ir.BoostQuery(self._expand_multiterm(q.query), q.boost)
-        if isinstance(q, ir.ConstantScoreQuery):
-            return ir.ConstantScoreQuery(self._expand_multiterm(q.query))
-        if isinstance(q, ir.DisjunctionMaxQuery):
-            return ir.DisjunctionMaxQuery(
-                tuple(self._expand_multiterm(s) for s in q.queries), q.tie_breaker
-            )
-        return q
-
-    def _dict_scan(self, cond: Column) -> tuple[str, ...]:
-        rows = self.index.term_stats.filter(cond).select("term").collect()
-        return tuple(sorted(r["term"] for r in rows))
 
     def _empty(self) -> DataFrame:
         spark = self.index.postings.sparkSession

@@ -59,6 +59,12 @@ KERNEL_QUERIES = {
     "synonym": ir.SynonymQuery(("error", "warning")),
     "prefix": ir.PrefixQuery("ret"),
     "range": ir.TermRangeQuery("merge", "query"),
+    "wildcard": ir.WildcardQuery("s?an*"),
+    "regexp": ir.RegexpQuery("s.an.*"),
+    "fuzzy": ir.FuzzyQuery("scon", max_edits=1),
+    # > 1024 matching terms: the kernel must evaluate this per segment
+    # (dict_pred) — there is no driver-side term collection to overflow
+    "wide_range": ir.TermRangeQuery("0", "zzzz"),
     "term_in_set": ir.TermInSetQuery(("merge", "segment", "posting")),
     "const_score": ir.ConstantScoreQuery(
         B(C(O.MUST, T("def")), C(O.MUST, T("class")))
