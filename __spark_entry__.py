@@ -453,6 +453,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ir.PhraseQuery(("table", "scan"), slop=2)
     )
 
+    # spans: proximity algebra (SpanNearQuery ordered/unordered). The
+    # match SETS are exactly SQL-expressible for 2 terms (∃ position
+    # pair within slop); the float span scoring is pinned by bit-exact
+    # rank-identity tests (tests/test_spans.py).
+    out["span_near_set"] = _match_set(
+        ir.SpanNearQuery(("table", "scan"), slop=2, in_order=True)
+    )
+    out["span_near_unordered_set"] = _match_set(
+        ir.SpanNearQuery(("table", "scan"), slop=3, in_order=False)
+    )
+
     out["multi_phrase_topk"] = _topk(
         ir.MultiPhraseQuery((("table", "hash"), ("scan", "join")))
     )
@@ -796,6 +807,20 @@ def oracle_sql() -> dict[str, str]:
       FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id
       WHERE a.term = 'table' AND b.term = 'scan'
         AND abs(b.pos - a.pos - 1) <= 2"""
+
+    # span-near MATCH SETS (NearSpansOrdered/Unordered existence):
+    # ordered 2-term ⟺ ∃ pb > pa with pb - pa - 1 ≤ slop;
+    # unordered ⟺ ∃ pa ≠ pb with |pb - pa| - 1 ≤ slop
+    out["span_near_set"] = f"""WITH {_IX}
+      SELECT DISTINCT a.doc_id
+      FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id
+      WHERE a.term = 'table' AND b.term = 'scan'
+        AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2"""
+    out["span_near_unordered_set"] = f"""WITH {_IX}
+      SELECT DISTINCT a.doc_id
+      FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id
+      WHERE a.term = 'table' AND b.term = 'scan'
+        AND a.pos <> b.pos AND abs(b.pos - a.pos) - 1 <= 3"""
 
     # --- block-kernel path: same semantics → same oracles ----------------
     out["merged_term_topk"] = out["term_topk"]

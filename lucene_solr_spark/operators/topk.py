@@ -229,7 +229,9 @@ def _match_dict_pred(plan: dict, terms) -> list[str]:
 def _collect_terms(q: ir.Query) -> set[str]:
     if isinstance(q, ir.TermQuery):
         return {q.term}
-    if isinstance(q, (ir.SynonymQuery, ir.TermInSetQuery, ir.PhraseQuery)):
+    if isinstance(
+        q, (ir.SynonymQuery, ir.TermInSetQuery, ir.PhraseQuery, ir.SpanNearQuery)
+    ):
         return set(q.terms)
     if isinstance(q, ir.MultiPhraseQuery):
         return set(q.all_terms)
@@ -349,6 +351,17 @@ class _Compiler:
                 "terms": list(q.terms),
                 "offsets": [int(p) for p in q.positions],
                 "slop": int(q.slop),
+                "weight": self.sum_weight(boost, dfs),
+            }
+        if isinstance(q, ir.SpanNearQuery):
+            dfs = [self.stats.get(t, (0, 0))[0] for t in q.terms]
+            if min(dfs, default=0) == 0:
+                return {"op": "none"}
+            return {
+                "op": "span_near",
+                "terms": list(q.terms),
+                "slop": int(q.slop),
+                "in_order": bool(q.in_order),
                 "weight": self.sum_weight(boost, dfs),
             }
         if isinstance(q, ir.MultiPhraseQuery):
@@ -515,6 +528,8 @@ class _SegmentEval:
             return docs, out.astype(self._out_dtype())
         if op == "phrase":
             return self._eval_phrase(plan)
+        if op == "span_near":
+            return self._eval_span_near(plan)
         if op == "multi_phrase":
             return self._eval_multi_phrase(plan)
         if op == "bool":
@@ -629,6 +644,45 @@ class _SegmentEval:
         if slop == 0:
             tfs = tfs.astype(np.int64)
         return cand, self.score_tf_norm(tfs, self.norms_of(cand), plan["weight"])
+
+    def _eval_span_near(self, plan: dict) -> tuple[np.ndarray, np.ndarray]:
+        """SpanNearQuery: conjunction approximation over doc arrays, then
+        the shared span kernel (oracle.spans) over batch-decoded positions
+        — the two-phase pattern of NearSpansOrdered/Unordered."""
+        from lucene_solr_spark.codecs.postings_codec import decode_positions_batch
+        from lucene_solr_spark.oracle.spans import span_near_freq
+
+        empty = (np.empty(0, np.int64), np.empty(0, self._out_dtype()))
+        terms = plan["terms"]
+        doc_arrays = []
+        for t in terms:
+            d, _tf = self.postings(t)
+            if not d.size:
+                return empty
+            doc_arrays.append(d)
+        cand = doc_arrays[0]
+        for d in doc_arrays[1:]:
+            cand = cand[np.isin(cand, d, assume_unique=True)]
+            if not cand.size:
+                return empty
+        pos_per_term = []
+        for ti, t in enumerate(terms):
+            enc = self._enc_with_positions(t)
+            idxs = np.searchsorted(doc_arrays[ti], cand)
+            pos, counts = decode_positions_batch(enc.pos_blob, enc.pos_off, idxs)
+            pos_per_term.append(np.split(pos, np.cumsum(counts)[:-1]))
+        freqs = np.empty(len(cand), np.float64)
+        for ci in range(len(cand)):
+            freqs[ci] = span_near_freq(
+                [pos_per_term[ti][ci] for ti in range(len(terms))],
+                plan["slop"],
+                plan["in_order"],
+            )
+        keep = freqs > 0
+        cand, freqs = cand[keep], freqs[keep]
+        if not cand.size:
+            return empty
+        return cand, self.score_tf_norm(freqs, self.norms_of(cand), plan["weight"])
 
     def _eval_sloppy(self, plan: dict, cand: np.ndarray, doc_arrays: list):
         """SloppyPhraseMatcher path: per-candidate float freq via the shared

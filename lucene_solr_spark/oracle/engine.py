@@ -140,6 +140,8 @@ class OracleIndex:
             return self._synonym_scores(q.terms, boost)
         if isinstance(q, ir.PhraseQuery):
             return self._phrase_scores(q, boost)
+        if isinstance(q, ir.SpanNearQuery):
+            return self._span_near_scores(q, boost)
         if isinstance(q, ir.MultiPhraseQuery):
             return self._multi_phrase_scores(q, boost)
         if isinstance(q, ir.DisjunctionMaxQuery):
@@ -262,6 +264,27 @@ class OracleIndex:
                     list(q.positions),
                     q.slop,
                 )
+            if f > 0:
+                out[d] = bm25.score(f, self.norms[d], weight=w, cache=self.cache)[()]
+        return out
+
+    def _span_near_scores(self, q: "ir.SpanNearQuery", boost) -> dict[int, np.float32]:
+        """SpanNearQuery: summed-idf weight (SpanWeight), float freq from
+        the shared span kernel (oracle.spans)."""
+        from lucene_solr_spark.oracle.spans import span_near_freq
+
+        dfs = [self.df(t) for t in q.terms]
+        if min(dfs, default=0) == 0:
+            return {}
+        w = bm25.term_weight(boost, bm25.idf_sum(dfs, self.doc_count))
+        cand = set(self.postings[q.terms[0]])
+        for t in q.terms[1:]:
+            cand &= set(self.postings[t])
+        out = {}
+        for d in cand:
+            f = span_near_freq(
+                [self.positions[t][d] for t in q.terms], q.slop, q.in_order
+            )
             if f > 0:
                 out[d] = bm25.score(f, self.norms[d], weight=w, cache=self.cache)[()]
         return out

@@ -299,9 +299,48 @@ class DFExecutor:
                     F.col("_mx") + (F.col("_sm") - F.col("_mx")) * F.lit(float(q.tie_breaker))
                 ).alias("score"),
             )
+        if isinstance(q, ir.SpanNearQuery):
+            return self._eval_span_near(q, boost)
         if isinstance(q, ir.BooleanQuery):
             return self._eval_boolean(q, boost)
         raise TypeError(f"unsupported query type {type(q).__name__}")
+
+    def _eval_span_near(self, q: ir.SpanNearQuery, boost: float) -> DataFrame:
+        """SpanNearQuery: positions-array join + the shared span kernel
+        (oracle.spans) — same two-phase shape as phrases."""
+        ix = self.index
+        dfs = [self._df(t) for t in q.terms]
+        if min(dfs, default=0) == 0:
+            return self._empty()
+        if "positions" not in ix.postings.columns:
+            raise ValueError("index built without positions; span queries need them")
+        parts = []
+        for i, t in enumerate(q.terms):
+            parts.append(
+                ix.postings.filter(F.col("term") == t).select(
+                    "doc_id", F.col("positions").alias(f"p{i}")
+                )
+            )
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = joined.join(p, "doc_id", "inner")
+        arrays = F.array(*[F.col(f"p{i}") for i in range(len(q.terms))])
+        slop, in_order = q.slop, q.in_order
+
+        @F.pandas_udf(T.FloatType())
+        def span_freq(pos_lists: pd.Series) -> pd.Series:
+            from lucene_solr_spark.oracle.spans import span_near_freq
+
+            return pos_lists.map(
+                lambda lists: span_near_freq(
+                    [np.asarray(x, np.int64) for x in lists], slop, in_order
+                )
+            )
+
+        freq = joined.select("doc_id", span_freq(arrays).alias("tf")).filter(
+            F.col("tf") > 0
+        )
+        return self._scored_term_rows(freq, self._sum_weight(boost, dfs))
 
     def _eval_boolean(self, q: ir.BooleanQuery, boost: float) -> DataFrame:
         musts = [self._eval(c, boost) for c in q.by_occur(ir.Occur.MUST)]
@@ -514,7 +553,7 @@ class DFExecutor:
 def _collect_terms(q: ir.Query) -> set[str]:
     if isinstance(q, ir.TermQuery):
         return {q.term}
-    if isinstance(q, (ir.SynonymQuery, ir.TermInSetQuery)):
+    if isinstance(q, (ir.SynonymQuery, ir.TermInSetQuery, ir.SpanNearQuery)):
         return set(q.terms)
     if isinstance(q, ir.PhraseQuery):
         return set(q.terms)

@@ -26,6 +26,7 @@ __all__ = [
     "BooleanClause",
     "BooleanQuery",
     "PhraseQuery",
+    "SpanNearQuery",
     "SynonymQuery",
     "DisjunctionMaxQuery",
     "BoostQuery",
@@ -117,6 +118,26 @@ class MultiPhraseQuery(Query):
     @property
     def all_terms(self) -> Tuple[str, ...]:
         return tuple(t for g in self.term_groups for t in g)
+
+
+@dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """Proximity algebra over term sub-spans
+    (``search/spans/SpanNearQuery.java:42``): matches docs where the
+    clause terms occur within ``slop`` intervening positions, optionally
+    in clause order. Scored like a phrase: summed-idf weight
+    (``spans/SpanWeight.java``), float freq = Σ 1/(1+matchWidth)
+    (``spans/SpanScorer.java`` sloppyFreq)."""
+
+    terms: Tuple[str, ...]
+    slop: int = 0
+    in_order: bool = True
+
+    def __post_init__(self):
+        if not self.in_order and len(set(self.terms)) != len(self.terms):
+            raise ValueError(
+                "unordered span-near with repeated terms is not supported"
+            )
 
 
 @dataclass(frozen=True)

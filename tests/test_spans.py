@@ -1,0 +1,147 @@
+"""SpanNearQuery (ordered/unordered proximity) tests.
+
+- kernel-level golden matches (hand-computed widths/freqs);
+- rank identity: SegmentSearcher AND DFExecutor vs the single-node
+  oracle, exact (doc_id, float32 bits) equality;
+- match-set equivalence with the ∃-pair SQL condition (the gate shape).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.operators.index_build import build_index
+from lucene_solr_spark.operators.segments import SegmentIndex, build_segments
+from lucene_solr_spark.operators.topk import SegmentSearcher
+from lucene_solr_spark.oracle.spans import span_near_freq, span_near_matches
+from lucene_solr_spark.plans import ir
+from lucene_solr_spark.sources.corpus import corpus_to_spark
+
+
+def bits(x) -> int:
+    return struct.unpack("<I", struct.pack("<f", float(x)))[0]
+
+
+# ---------------------------------------------------------------- kernel
+def test_ordered_matches_golden():
+    # a at 0,10; b at 3,11 — chains: (0,3) w=2, (10,11) w=0
+    assert span_near_matches([[0, 10], [3, 11]], 2, True) == [2, 0]
+    # slop 1 drops the first
+    assert span_near_matches([[0, 10], [3, 11]], 1, True) == [0]
+    # order matters: b before a only
+    assert span_near_matches([[5], [3]], 10, True) == []
+    assert span_near_matches([[5], [3]], 10, False) == [1]
+
+
+def test_ordered_three_terms():
+    # a=0, b=2, c=3 → width = 3-0-2 = 1
+    assert span_near_matches([[0], [2], [3]], 1, True) == [1]
+    assert span_near_matches([[0], [2], [3]], 0, True) == []
+
+
+def test_ordered_non_overlap():
+    # same position cannot chain (next start must be > prev)
+    assert span_near_matches([[4], [4]], 5, True) == []
+    assert span_near_matches([[4], [5]], 0, True) == [0]
+
+
+def test_unordered_minimal_windows():
+    # a at 0,6; b at 4 — left-minimal windows: [0..4] w=3, [4..6] w=1
+    assert span_near_matches([[0, 6], [4]], 3, False) == [3, 1]
+    assert span_near_matches([[0, 6], [4]], 1, False) == [1]
+
+
+def test_unordered_three_terms():
+    # a=0, b=1, c=5 → window [0..5] width 3
+    assert span_near_matches([[0], [1], [5]], 3, False) == [3]
+    assert span_near_matches([[0], [1], [5]], 2, False) == []
+
+
+def test_freq_accumulation_float32():
+    f = span_near_freq([[0, 10], [3, 11]], 2, True)
+    expected = np.float32(
+        np.float32(1.0) / np.float32(3.0) + np.float32(1.0) / np.float32(1.0)
+    )
+    assert bits(f) == bits(expected)
+
+
+def test_unordered_duplicate_terms_rejected():
+    with pytest.raises(ValueError):
+        ir.SpanNearQuery(("x", "x"), slop=2, in_order=False)
+
+
+# ------------------------------------------------------------ engines
+SPAN_QUERIES = {
+    "ordered_s2": ir.SpanNearQuery(("table", "scan"), slop=2, in_order=True),
+    "ordered_s5": ir.SpanNearQuery(("merge", "window"), slop=5, in_order=True),
+    "unordered_s3": ir.SpanNearQuery(("table", "scan"), slop=3, in_order=False),
+    "three_ordered": ir.SpanNearQuery(("def", "return", "x"), slop=8, in_order=True),
+    "in_bool": ir.BooleanQuery(
+        (
+            ir.BooleanClause(
+                ir.Occur.MUST, ir.SpanNearQuery(("x", "y"), slop=1, in_order=False)
+            ),
+            ir.BooleanClause(ir.Occur.SHOULD, ir.TermQuery("def")),
+        ),
+        0,
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def span_setup(spark, tmp_path_factory, tiny_oracle):
+    corpus = corpus_to_spark(spark, 100, seed=42, num_partitions=5)
+    ix = build_index(corpus).persist()
+    base = str(tmp_path_factory.mktemp("spanix"))
+    build_segments(ix, base, segment_size=16)
+    from lucene_solr_spark.plans.df_executor import DFExecutor
+
+    return (
+        SegmentSearcher(spark, SegmentIndex.open(base), mode="float32"),
+        DFExecutor(ix, mode="float32"),
+    )
+
+
+@pytest.mark.parametrize("name", sorted(SPAN_QUERIES))
+def test_span_rank_identity(name, span_setup, tiny_oracle):
+    q = SPAN_QUERIES[name]
+    expected = [(sd.doc_id, bits(sd.score)) for sd in tiny_oracle.search(q, k=10)]
+    searcher, dfex = span_setup
+    got_k = [
+        (r["doc_id"], bits(r["score"]))
+        for r in searcher.topk(q, k=10).collect()
+    ]
+    got_df = [
+        (r["doc_id"], bits(r["score"])) for r in dfex.topk(q, k=10).collect()
+    ]
+    assert got_k == expected, f"kernel {name}"
+    assert got_df == expected, f"df {name}"
+
+
+def test_span_set_matches_exists_pair(span_setup, tiny_oracle):
+    """2-term span-near MATCH SET ⟺ ∃ pa, pb with the width condition —
+    the invariant the SQL gate oracle relies on."""
+    searcher, _ = span_setup
+    oidx = tiny_oracle
+    for in_order, slop in ((True, 2), (False, 3)):
+        q = ir.SpanNearQuery(("table", "scan"), slop=slop, in_order=in_order)
+        got = {r["doc_id"] for r in searcher.matches(q).collect()}
+        exp = set()
+        a_post = oidx.positions.get("table", {})
+        b_post = oidx.positions.get("scan", {})
+        for d in set(a_post) & set(b_post):
+            pairs = [
+                (pa, pb) for pa in a_post[d] for pb in b_post[d]
+            ]
+            if in_order:
+                hit = any(pb > pa and pb - pa - 1 <= slop for pa, pb in pairs)
+            else:
+                hit = any(
+                    pa != pb and abs(pb - pa) - 1 <= slop for pa, pb in pairs
+                )
+            if hit:
+                exp.add(d)
+        assert got == exp, (in_order, slop)
