@@ -73,6 +73,48 @@ def _executor(spark: SparkSession, sf_dir: str):
     return _CACHE[key]
 
 
+def _english_executor(spark: SparkSession, sf_dir: str):
+    """Executor over an index built with the EnglishAnalyzer-style chain
+    (stop + possessive + PorterStem — en/EnglishAnalyzer.java:46-52)."""
+    key = f"en_ix::{sf_dir}"
+    if key not in _CACHE:
+        from lucene_solr_spark.operators.index_build import build_index
+        from lucene_solr_spark.oracle.tokenizer import ENGLISH_STOP_WORDS
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ix = build_index(
+            docs,
+            text_col="text",
+            doc_id_col="doc_id",
+            stopwords=ENGLISH_STOP_WORDS,
+            strip_possessive=True,
+            stemmer="porter",
+        ).persist()
+        _CACHE[key] = DFExecutor(ix, mode="double")
+    return _CACHE[key]
+
+
+def _stopped_executor(spark: SparkSession, sf_dir: str):
+    """Executor over a stop-filtered (unstemmed) index — the StopFilter
+    leg of the chain, exactly SQL-oracle-able."""
+    key = f"stop_ix::{sf_dir}"
+    if key not in _CACHE:
+        from lucene_solr_spark.operators.index_build import build_index
+        from lucene_solr_spark.oracle.tokenizer import ENGLISH_STOP_WORDS
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ix = build_index(
+            docs,
+            text_col="text",
+            doc_id_col="doc_id",
+            stopwords=ENGLISH_STOP_WORDS,
+        ).persist()
+        _CACHE[key] = DFExecutor(ix, mode="double")
+    return _CACHE[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -511,6 +553,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["merged_term_topk"] = merged_term_topk
 
+    # --- analysis-chain variants (EnglishAnalyzer, §2.1) -----------------
+    def stop_filter_topk(spark, sf_dir):
+        """StopFilter leg of the English chain: stop-filtered index
+        (positions keep gaps, norms from surviving tokens), exact SQL
+        oracle."""
+        ex = _stopped_executor(spark, sf_dir)
+        return ex.topk(_T("scan"), k=10).select("doc_id", "score")
+
+    out["stop_filter_topk"] = stop_filter_topk
+
+    def stemmed_term_topk(spark, sf_dir):
+        """Full EnglishAnalyzer chain incl. PorterStem. No SQL oracle:
+        DuckDB's stem() lives in the unavailable fts extension — the
+        stemmer itself is pinned by the published-algorithm goldens and
+        chain rank-identity tests (tests/test_stemming.py)."""
+        ex = _english_executor(spark, sf_dir)
+        return ex.topk(_T("tabl"), k=10).select("doc_id", "score")
+
+    out["stemmed_term_topk"] = stemmed_term_topk
+
     # --- search compositions (collector variants, SURVEY §2.3/§2.5) -----
     def sort_by_field_topk(spark, sf_dir):
         """TopFieldCollector role: matching docs ordered by a doc-values
@@ -821,6 +883,18 @@ def oracle_sql() -> dict[str, str]:
       FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id
       WHERE a.term = 'table' AND b.term = 'scan'
         AND a.pos <> b.pos AND abs(b.pos - a.pos) - 1 <= 3"""
+
+    # stop-filtered index (StopFilter leg of the English chain): same
+    # score shape over the stop-filtered CTEs
+    from lucene_solr_spark.oracle.tokenizer import ENGLISH_STOP_WORDS as _ESW
+
+    _IX_STOP = index_ctes(stopwords=tuple(sorted(_ESW)))
+    out["stop_filter_topk"] = f"""WITH {_IX_STOP}
+      SELECT p.doc_id, {bm25_score_sql()} AS score
+      FROM postings p JOIN term_stats ts USING (term)
+      JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      WHERE p.term = 'scan'
+      ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
 
     # --- block-kernel path: same semantics → same oracles ----------------
     out["merged_term_topk"] = out["term_topk"]

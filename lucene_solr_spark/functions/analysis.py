@@ -42,6 +42,8 @@ def make_tokenize_udf(
     lowercase: bool = True,
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
+    strip_possessive: bool = False,
+    stemmer: str | None = None,
 ):
     """Build a tokenizer pandas UDF with a fixed analyzer config.
 
@@ -60,6 +62,8 @@ def make_tokenize_udf(
                     lowercase=lowercase,
                     stopwords=stop,
                     max_token_length=max_token_length,
+                    strip_possessive=strip_possessive,
+                    stemmer=stemmer,
                 )
             ]
         )
@@ -87,6 +91,8 @@ def tokens_frame(
     lowercase: bool = True,
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
+    strip_possessive: bool = False,
+    stemmer: str | None = None,
 ):
     """corpus → flat (doc_id, term, pos) token rows via ONE ``mapInPandas``
     pass over the VECTORIZED batch tokenizer (functions.fast_tokenizer):
@@ -116,6 +122,8 @@ def tokens_frame(
                 lowercase=lowercase,
                 stopwords=stop,
                 max_token_length=max_token_length,
+                strip_possessive=strip_possessive,
+                stemmer=stemmer,
             )
             yield pd.DataFrame(
                 {
@@ -136,6 +144,8 @@ def postings_frame(
     lowercase: bool = True,
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
+    strip_possessive: bool = False,
+    stemmer: str | None = None,
     with_positions: bool = True,
 ):
     """corpus → (doc_id, term, tf, positions) posting rows, inverted
@@ -172,6 +182,8 @@ def postings_frame(
                 lowercase=lowercase,
                 stopwords=stop,
                 max_token_length=max_token_length,
+                strip_possessive=strip_possessive,
+                stemmer=stemmer,
             )
             if len(tdoc) == 0:
                 yield pd.DataFrame(

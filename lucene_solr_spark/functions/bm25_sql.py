@@ -31,19 +31,31 @@ def norm_lut_sql() -> str:
     return "norm_lut(norm, lo, hi, declen) AS (VALUES " + ",".join(rows) + ")"
 
 
-def tokens_cte(text_col: str = "text", table: str = "documents") -> str:
+def tokens_cte(
+    text_col: str = "text",
+    table: str = "documents",
+    stopwords: tuple = (),
+) -> str:
     """Tokenize: documents text is [a-z0-9 ]-clean, so StandardAnalyzer
     tokens == regexp [a-z0-9]+ runs (verified by analyzer parity tests).
-    pos is 0-based."""
+    pos is 0-based; with ``stopwords`` the filter runs AFTER position
+    assignment, so surviving positions keep gaps (StopFilter /
+    FilteringTokenFilter.java:49-63)."""
+    stop_sql = ""
+    if stopwords:
+        stops = ", ".join(f"'{w}'" for w in sorted(stopwords))
+        stop_sql = f" WHERE term NOT IN ({stops})"
     return f"""tokens AS (
-      SELECT doc_id,
-             unnest(regexp_extract_all({text_col}, '[a-z0-9]+')) AS term,
-             generate_subscripts(regexp_extract_all({text_col}, '[a-z0-9]+'), 1) - 1 AS pos
-      FROM {table}
+      SELECT * FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all({text_col}, '[a-z0-9]+')) AS term,
+               generate_subscripts(regexp_extract_all({text_col}, '[a-z0-9]+'), 1) - 1 AS pos
+        FROM {table}
+      ){stop_sql}
     )"""
 
 
-def index_ctes(index_options: str = "positions") -> str:
+def index_ctes(index_options: str = "positions", stopwords: tuple = ()) -> str:
     """The inverted-index tables as CTEs over `documents`.
 
     ``index_options="docs"`` mirrors Lucene's DOCS-only fields: tf
@@ -60,7 +72,7 @@ def index_ctes(index_options: str = "positions") -> str:
         )
         doclen = "SELECT doc_id, count(*)::BIGINT AS length FROM tokens GROUP BY doc_id"
     return f"""{norm_lut_sql()},
-    {tokens_cte()},
+    {tokens_cte(stopwords=stopwords)},
     postings AS ({postings}),
     doclen AS ({doclen}),
     norms AS (

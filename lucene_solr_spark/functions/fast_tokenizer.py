@@ -162,14 +162,24 @@ def batch_tokenize(
     lowercase: bool = True,
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
+    strip_possessive: bool = False,
+    stemmer: str | None = None,
 ) -> tuple[np.ndarray, pa.Array, np.ndarray]:
     """Tokenize a batch of documents.
 
     ``texts``: sequence of str|None (one per document).
     Returns ``(doc_idx, terms, pos)``: int64 row index into ``texts`` per
-    token, an Arrow string array of (lowercased, stop-filtered) terms, and
-    int32 positions with stop/overlong gaps preserved.
+    token, an Arrow string array of (lowercased, possessive-stripped,
+    stop-filtered, optionally stemmed) terms, and int32 positions with
+    stop/overlong gaps preserved.
+
+    The possessive strip is one vectorized regex replace; stemming runs
+    once per DISTINCT term via dictionary-encode (the per-batch
+    vocabulary is tiny next to the token stream), so neither filter adds
+    per-token Python to the hot path.
     """
+    if stemmer not in (None, "porter"):
+        raise ValueError(f"unknown stemmer {stemmer!r}")
     n_docs = len(texts)
     norm_texts = ["" if t is None else t for t in texts]
 
@@ -256,6 +266,10 @@ def batch_tokenize(
                 len(tlen),
                 [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(tbytes)],
             )
+            if strip_possessive:
+                terms = pc.replace_substring_regex(
+                    terms, pattern="['’][sS]$", replacement=""
+                )
             if stopwords:
                 m = pc.is_in(
                     terms, value_set=pa.array(sorted(stopwords), pa.utf8())
@@ -266,6 +280,15 @@ def batch_tokenize(
                 terms = terms.filter(pa.array(keep2))
                 tdoc = tdoc[keep2]
                 pos = pos[keep2]
+            if stemmer == "porter" and len(terms):
+                from lucene_solr_spark.oracle.porter import porter_stem
+
+                denc = pc.dictionary_encode(terms)
+                stemmed = pa.array(
+                    [porter_stem(t) for t in denc.dictionary.to_pylist()],
+                    pa.utf8(),
+                )
+                terms = stemmed.take(denc.indices)
             out_doc.append(tdoc)
             out_terms.append(terms)
             out_pos.append(pos)
@@ -276,6 +299,8 @@ def batch_tokenize(
             lowercase=lowercase,
             stopwords=stopwords,
             max_token_length=max_token_length,
+            strip_possessive=strip_possessive,
+            stemmer=stemmer,
         )
         if not toks:
             continue

@@ -210,6 +210,8 @@ def build_index(
     lowercase: bool = True,
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = 255,
+    strip_possessive: bool = False,
+    stemmer: str | None = None,
     with_positions: bool = True,
     index_options: str = "positions",  # "positions" | "freqs" | "docs"
 ) -> InvertedIndex:
@@ -241,6 +243,8 @@ def build_index(
         lowercase=lowercase,
         stopwords=stopwords,
         max_token_length=max_token_length,
+        strip_possessive=strip_possessive,
+        stemmer=stemmer,
         with_positions=with_positions,
     ).persist()
 

@@ -61,6 +61,8 @@ class OracleIndex:
         lowercase: bool = True,
         stopwords: frozenset[str] = frozenset(),
         max_token_length: int = 255,
+        strip_possessive: bool = False,
+        stemmer: str | None = None,
         index_options: str = "positions",
     ) -> None:
         self.k1, self.b = k1, b
@@ -78,6 +80,8 @@ class OracleIndex:
                 lowercase=lowercase,
                 stopwords=stopwords,
                 max_token_length=max_token_length,
+                strip_possessive=strip_possessive,
+                stemmer=stemmer,
             )
             tf = Counter(t.term for t in toks)
             for term, f in tf.items():

@@ -154,15 +154,30 @@ def analyze(
     lowercase: bool = True,
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
+    strip_possessive: bool = False,
+    stemmer: str | None = None,
 ) -> list[Token]:
-    """Full StandardAnalyzer chain. Default = Lucene StandardAnalyzer
-    (lowercase, NO stopwords). Pass stopwords=ENGLISH_STOP_WORDS for the
-    EnglishAnalyzer-style chain. Positions keep gaps across dropped tokens."""
+    """Full analyzer chain. Default = Lucene StandardAnalyzer (lowercase,
+    NO stopwords). The EnglishAnalyzer chain
+    (``analysis/common/.../en/EnglishAnalyzer.java:46-52``: possessive →
+    lowercase → stop → PorterStem) = ``stopwords=ENGLISH_STOP_WORDS,
+    strip_possessive=True, stemmer="porter"``. We lowercase before the
+    possessive strip — equivalent, since the strip is case-insensitive
+    and lowercasing preserves apostrophes. Positions keep gaps across
+    dropped tokens."""
+    if stemmer not in (None, "porter"):
+        raise ValueError(f"unknown stemmer {stemmer!r}")
+    from lucene_solr_spark.oracle.porter import porter_stem, strip_possessive as _sp
+
     out: list[Token] = []
     for term, pos in tokenize(text, max_token_length):
         if lowercase:
             term = term.lower()
+        if strip_possessive:
+            term = _sp(term)
         if term in stopwords:
             continue
+        if stemmer == "porter":
+            term = porter_stem(term)
         out.append(Token(term, pos))
     return out
