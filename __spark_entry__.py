@@ -553,6 +553,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["merged_term_topk"] = merged_term_topk
 
+    # --- tombstone deletes (live-docs role, operators.deletes) -----------
+    def _deleted_base(spark, sf_dir) -> str:
+        """Private segment index with doc_id % 7 == 3 tombstoned (deletes
+        mutate the index dir, so the shared _seg_searcher copy stays
+        untouched)."""
+        import hashlib as _hl
+        import shutil as _sh
+
+        from lucene_solr_spark.operators.deletes import delete_by_ids_df
+        from lucene_solr_spark.operators.segments import (
+            SegmentIndex,
+            build_segments,
+        )
+
+        key = f"segdel::{sf_dir}"
+        if key not in _CACHE:
+            ex = _executor(spark, sf_dir)
+            base = f"/tmp/entry_segments_del_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+            _sh.rmtree(base, ignore_errors=True)
+            build_segments(ex.index, base, segment_size=128)
+            six = SegmentIndex.open(base)
+            n = six.manifest()["doc_count"]
+            ids = (
+                spark.range(n)
+                .filter((F.col("id") % 7) == 3)
+                .select(F.col("id").alias("doc_id"))
+            )
+            delete_by_ids_df(six, ids)
+            _CACHE[key] = base
+        return _CACHE[key]
+
+    def search_after_delete(spark, sf_dir):
+        """IndexWriter.deleteDocuments + liveDocs mask
+        (Lucene90LiveDocsFormat role): tombstoned docs never surface,
+        while BM25 stats stay UNCHANGED until a merge purges them —
+        surviving docs keep their pre-delete scores exactly."""
+        from lucene_solr_spark.operators.segments import SegmentIndex
+        from lucene_solr_spark.operators.topk import SegmentSearcher
+
+        base = _deleted_base(spark, sf_dir)
+        key = f"segdel_searcher::{sf_dir}"
+        if key not in _CACHE:
+            _CACHE[key] = SegmentSearcher(
+                spark, SegmentIndex.open(base), mode="double", prune="block_max"
+            )
+        return _CACHE[key].topk(_T("dup"), k=10).select("doc_id", "score")
+
+    out["search_after_delete"] = search_after_delete
+
+    def purged_term_topk(spark, sf_dir):
+        """Purging merge (DocIDMerger skips deleted docs): merging ALL
+        segments drops the tombstoned docs; doc_count/sum_ttf/df shrink
+        to the survivors, so scores equal an index over live docs only."""
+        import shutil as _sh
+
+        from lucene_solr_spark.operators.merge_policy import merge_segments
+        from lucene_solr_spark.operators.segments import SegmentIndex
+        from lucene_solr_spark.operators.topk import SegmentSearcher
+
+        key = f"segpurge::{sf_dir}"
+        if key not in _CACHE:
+            del_base = _deleted_base(spark, sf_dir)
+            base = del_base + "_purged"
+            _sh.rmtree(base, ignore_errors=True)
+            _sh.copytree(del_base, base)
+            six = SegmentIndex.open(base)
+            merge_segments(
+                spark, six, [s["segment_id"] for s in six.manifest()["segments"]]
+            )
+            _CACHE[key] = SegmentSearcher(
+                spark, SegmentIndex.open(base), mode="double", prune="block_max"
+            )
+        return _CACHE[key].topk(_T("dup"), k=10).select("doc_id", "score")
+
+    out["purged_term_topk"] = purged_term_topk
+
     # --- analysis-chain variants (EnglishAnalyzer, §2.1) -----------------
     def stop_filter_topk(spark, sf_dir):
         """StopFilter leg of the English chain: stop-filtered index
@@ -898,6 +974,27 @@ def oracle_sql() -> dict[str, str]:
 
     # --- block-kernel path: same semantics → same oracles ----------------
     out["merged_term_topk"] = out["term_topk"]
+
+    # tombstone mask: deleted docs vanish from results, scores of the
+    # survivors are UNCHANGED (stats still count deleted docs — Lucene
+    # liveDocs semantics), so the oracle is term_topk + an exclusion
+    out["search_after_delete"] = f"""WITH {_IX}
+      SELECT p.doc_id, {_SCORE} AS score
+      FROM postings p JOIN term_stats ts USING (term)
+      JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      WHERE p.term = 'dup' AND (p.doc_id % 7) != 3
+      ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+
+    # purging merge: the whole index re-derives from the LIVE docs only
+    from lucene_solr_spark.functions.bm25_sql import index_ctes as _ictes
+
+    _IX_LIVE = _ictes(table="(SELECT * FROM documents WHERE doc_id % 7 != 3)")
+    out["purged_term_topk"] = f"""WITH {_IX_LIVE}
+      SELECT p.doc_id, {_SCORE} AS score
+      FROM postings p JOIN term_stats ts USING (term)
+      JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      WHERE p.term = 'dup'
+      ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
     out["kernel_term_topk"] = out["term_topk"]
     out["kernel_and_topk"] = out["and2_topk"]
     out["kernel_or_topk"] = out["or2_topk"]

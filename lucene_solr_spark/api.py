@@ -103,6 +103,34 @@ class SearchEngine:
         self.refresh()
         return sid
 
+    def delete(self, query: str | ir.Query) -> int:
+        """IndexWriter.deleteDocuments(Query): tombstone matching docs.
+        Masked from every search immediately; space + stats reclaimed at
+        the next merge (Lucene90LiveDocsFormat semantics). Returns the
+        total tombstone count."""
+        from lucene_solr_spark.operators.deletes import delete_by_query
+
+        q = parse_query(query) if isinstance(query, str) else query
+        n = delete_by_query(self.spark, self.index, q)
+        self.refresh()
+        return n
+
+    def delete_ids(self, ids) -> int:
+        """Tombstone explicit doc_ids — a list/iterable, or a DataFrame
+        with a doc_id column (the distributed path for bulk dedup
+        removal)."""
+        from lucene_solr_spark.operators.deletes import (
+            delete_by_ids,
+            delete_by_ids_df,
+        )
+
+        if isinstance(ids, DataFrame):
+            n = delete_by_ids_df(self.index, ids)
+        else:
+            n = delete_by_ids(self.spark, self.index, ids)
+        self.refresh()
+        return n
+
     def merge(self, policy=None) -> list[int]:
         """Run tiered merges; returns new segment ids."""
         from lucene_solr_spark.operators.merge_policy import (

@@ -55,8 +55,14 @@ def tokens_cte(
     )"""
 
 
-def index_ctes(index_options: str = "positions", stopwords: tuple = ()) -> str:
-    """The inverted-index tables as CTEs over `documents`.
+def index_ctes(
+    index_options: str = "positions",
+    stopwords: tuple = (),
+    table: str = "documents",
+) -> str:
+    """The inverted-index tables as CTEs over ``table`` (default
+    `documents`; pass a subquery to model an index whose deleted docs
+    were purged by a merge — stats re-derive from the survivors).
 
     ``index_options="docs"`` mirrors Lucene's DOCS-only fields: tf
     collapses to 1 and the norm length is the uniqueTermCount
@@ -72,7 +78,7 @@ def index_ctes(index_options: str = "positions", stopwords: tuple = ()) -> str:
         )
         doclen = "SELECT doc_id, count(*)::BIGINT AS length FROM tokens GROUP BY doc_id"
     return f"""{norm_lut_sql()},
-    {tokens_cte(stopwords=stopwords)},
+    {tokens_cte(stopwords=stopwords, table=table)},
     postings AS ({postings}),
     doclen AS ({doclen}),
     norms AS (

@@ -142,26 +142,37 @@ def _encode_term_group(g: pd.DataFrame) -> dict:
         return bl[0] if bl is not None and len(bl) else 0
 
     recs.sort(key=first_doc)
+    has_pos = all(getattr(r, "pos_off", None) is not None for r in recs)
     docs_parts, tf_parts, norm_parts = [], [], []
+    live_masks = []
+    any_deleted = False
     for r in recs:
         enc = _row_to_encoded(r)
         d, t = decode_postings(enc)
-        docs_parts.append(d)
-        tf_parts.append(t)
         # per-posting norms travel with the merge input so re-encoded
         # impact frontiers are exact (CompetitiveImpactAccumulator over
-        # the merged lists)
-        norm_parts.append(np.asarray(r.norms_concat, np.int64))
+        # the merged lists); norm == -1 marks a TOMBSTONED doc
+        # (DocIDMerger skips deleted docs) — purged here
+        nrm = np.asarray(r.norms_concat, np.int64)
+        live = nrm >= 0
+        if not live.all():
+            any_deleted = True
+            d, t, nrm = d[live], t[live], nrm[live]
+        live_masks.append(live)
+        docs_parts.append(d)
+        tf_parts.append(t)
+        norm_parts.append(nrm)
     docs = np.concatenate(docs_parts)
+    if docs.size == 0:
+        return None  # every posting of this term was tombstoned
     tfs = np.concatenate(tf_parts)
     norms = np.concatenate(norm_parts)
     enc = encode_postings(docs, tfs, norms)
-    # positions merge = byte-concat of per-posting blobs in doc order
-    # (each posting's VInt-delta list is self-contained) + offset rebase
     pos_blobs = []
     pos_offs = [np.zeros(1, np.int64)]
-    has_pos = all(getattr(r, "pos_off", None) is not None for r in recs)
-    if has_pos:
+    if has_pos and not any_deleted:
+        # fast path: positions merge = byte-concat of per-posting blobs in
+        # doc order (each posting's VInt-delta list is self-contained)
         base_off = 0
         for r in recs:
             blob = bytes(r.pos_blob) if r.pos_blob is not None else b""
@@ -169,6 +180,28 @@ def _encode_term_group(g: pd.DataFrame) -> dict:
             pos_blobs.append(blob)
             pos_offs.append(off[1:] + base_off)
             base_off += len(blob)
+    elif has_pos:
+        # purge path: re-slice surviving postings' position lists
+        from lucene_solr_spark.codecs.postings_codec import (
+            decode_positions_batch,
+            encode_positions,
+        )
+
+        plists = []
+        for r, live in zip(recs, live_masks):
+            keep_idx = np.nonzero(live)[0]
+            if keep_idx.size == 0:
+                # np.split on zero counts would yield ONE spurious empty
+                # list, shifting every later posting's positions — skip
+                continue
+            enc_r = _row_to_encoded(r)
+            pos, counts = decode_positions_batch(
+                enc_r.pos_blob, enc_r.pos_off, keep_idx
+            )
+            plists.extend(np.split(pos, np.cumsum(counts)[:-1]))
+        blob, offs = encode_positions(plists)
+        pos_blobs = [blob]
+        pos_offs = [offs]
     return {
         "term": recs[0].term,
         "df": enc.df,
@@ -210,12 +243,17 @@ def _reencode_stream(pdf_iter):
         buf = pdf[tail_mask]
         if not complete.empty:
             rows = [
-                _encode_term_group(g)
+                r
                 for _, g in complete.groupby("term", sort=True)
+                if (r := _encode_term_group(g)) is not None
             ]
             yield pd.DataFrame(rows, columns=_OUT_COLS)
     if buf is not None and not buf.empty:
-        rows = [_encode_term_group(g) for _, g in buf.groupby("term", sort=True)]
+        rows = [
+            r
+            for _, g in buf.groupby("term", sort=True)
+            if (r := _encode_term_group(g)) is not None
+        ]
         yield pd.DataFrame(rows, columns=_OUT_COLS)
 
 
@@ -240,6 +278,14 @@ def merge_segments(
     seg_docs = spark.read.option("basePath", index.seg_docs_path).parquet(
         *doc_paths
     )
+    # merge purges tombstoned docs (DocIDMerger skips deleted): anti-join
+    # the live-docs table down BEFORE the norm attach — decoded postings
+    # that miss from seg_docs are then recognized as deleted in the kernel
+    tomb_dir = f"{index.base}/tombstones"
+    purging = os.path.isdir(tomb_dir)
+    if purging:
+        tombs_df = spark.read.parquet(tomb_dir).select("doc_id")
+        seg_docs = seg_docs.join(tombs_df, "doc_id", "left_anti")
 
     import pyspark.sql.types as T
 
@@ -263,8 +309,14 @@ def merge_segments(
         norms_col = []
         for r in rows_pdf.itertuples():
             d, _ = decode_postings(_row_to_encoded(r))
+            if len(sdocs) == 0:
+                norms_col.append([-1] * len(d))
+                continue
             idx = np.searchsorted(sdocs, d)
-            norms_col.append(snorms[idx].tolist())
+            idxc = np.clip(idx, 0, len(sdocs) - 1)
+            # -1 = tombstoned (doc anti-joined out of seg_docs)
+            n = np.where(sdocs[idxc] == d, snorms[idxc], -1)
+            norms_col.append(n.tolist())
         out["norms_concat"] = norms_col
         return out
 
@@ -300,23 +352,37 @@ def merge_segments(
         doc_parts, "doc_id"
     ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmp_docs)
 
-    merged_meta = {
-        "segment_id": int(new_id),
-        "n_docs": sum(c["n_docs"] for c in children),
-        "min_doc": min(c["min_doc"] for c in children),
-        "max_doc": max(c["max_doc"] for c in children),
-        "n_terms": -1,  # refreshed below
-        "n_postings": sum(c["n_postings"] for c in children),
-        "sum_tf": sum(c["sum_tf"] for c in children),
-        "content_crc": 0,
-    }
+    # merged-segment stats from the WRITTEN data (a purging merge shrinks
+    # doc/posting counts — SegmentMerger writes exact per-segment stats)
     stats = (
         spark.read.parquet(tmp_path)
-        .agg(F.count("*").alias("nt"), F.sum("df").alias("np"))
+        .agg(
+            F.count("*").alias("nt"),
+            F.sum("df").alias("np"),
+            F.sum("ttf").alias("st"),
+        )
         .collect()[0]
     )
-    merged_meta["n_terms"] = int(stats["nt"])
-    merged_meta["n_postings"] = int(stats["np"])
+    dstats = (
+        spark.read.parquet(tmp_docs)
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"),
+        )
+        .collect()[0]
+    )
+    merged_meta = {
+        "segment_id": int(new_id),
+        "n_docs": int(dstats["n"]),
+        "min_doc": int(dstats["mn"]) if dstats["mn"] is not None else -1,
+        "max_doc": int(dstats["mx"]) if dstats["mx"] is not None else -1,
+        "n_terms": int(stats["nt"] or 0),
+        "n_postings": int(stats["np"] or 0),
+        "sum_tf": int(stats["st"] or 0),
+        "content_crc": 0,
+    }
+    n_purged = sum(c["n_docs"] for c in children) - merged_meta["n_docs"]
 
     # --- two-phase commit, crash-safe ORDER (IndexWriter.java:3367):
     # (1) move the new dirs into place, (2) publish the manifest that
@@ -333,6 +399,36 @@ def merge_segments(
         + [merged_meta],
         key=lambda s: s["segment_id"],
     )
+    if n_purged > 0:
+        # purging merge: collection stats shrink to the live survivors
+        # (Lucene: docCount/sumTotalTermFreq re-derive from segment stats
+        # once deleted docs are merged away); next_doc_id watermark keeps
+        # docIDs from ever being reused by appends
+        manifest.setdefault("next_doc_id", manifest["doc_count"])
+        manifest["doc_count"] = sum(s["n_docs"] for s in manifest["segments"])
+        manifest["sum_ttf"] = sum(s["sum_tf"] for s in manifest["segments"])
+        # the global dictionary shrinks too — rebuild it before the commit
+        # from the LIVE segment dirs only (children still exist on disk
+        # until after the manifest commit)
+        live_paths = [
+            f"{index.segments_path}/segment_id={s['segment_id']}"
+            for s in manifest["segments"]
+        ]
+        tmp_stats = f"{index.base}/term_stats.next"
+        (
+            spark.read.option("basePath", index.segments_path)
+            .parquet(*live_paths)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+            .repartitionByRange(4, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(tmp_stats)
+        )
+        shutil.rmtree(f"{index.base}/term_stats.old", ignore_errors=True)
+        os.replace(index.term_stats_path, f"{index.base}/term_stats.old")
+        os.replace(tmp_stats, index.term_stats_path)
+        shutil.rmtree(f"{index.base}/term_stats.old", ignore_errors=True)
     manifest["manifest_sha256"] = hashlib.sha256(
         json.dumps(manifest["segments"], sort_keys=True).encode()
     ).hexdigest()
@@ -346,6 +442,30 @@ def merge_segments(
         shutil.rmtree(f"{index.segments_path}/segment_id={c}", ignore_errors=True)
         shutil.rmtree(f"{index.seg_docs_path}/segment_id={c}", ignore_errors=True)
     shutil.rmtree(f"{index.base}/tmp_merge", ignore_errors=True)
+
+    if purging and n_purged > 0:
+        # drop tombstones covered by the merged ranges (their docs no
+        # longer exist anywhere; keeping them is harmless, so this is a
+        # crash-safe post-commit cleanup, not part of the commit)
+        cond = None
+        for c in children:
+            cc = (F.col("doc_id") >= c["min_doc"]) & (
+                F.col("doc_id") <= c["max_doc"]
+            )
+            cond = cc if cond is None else cond | cc
+        remaining = spark.read.parquet(tomb_dir).filter(~cond)
+        if remaining.isEmpty():
+            shutil.rmtree(tomb_dir, ignore_errors=True)
+        else:
+            tmp_t = f"{index.base}/tombstones.next"
+            remaining.sortWithinPartitions("doc_id").write.mode(
+                "overwrite"
+            ).parquet(tmp_t)
+            old_t = f"{index.base}/tombstones.old"
+            shutil.rmtree(old_t, ignore_errors=True)
+            os.replace(tomb_dir, old_t)
+            os.replace(tmp_t, tomb_dir)
+            shutil.rmtree(old_t, ignore_errors=True)
     return int(new_id)
 
 

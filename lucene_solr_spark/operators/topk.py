@@ -538,15 +538,10 @@ class _SegmentEval:
 
     def _eval_phrase(self, plan: dict) -> tuple[np.ndarray, np.ndarray]:
         """Two-phase phrase matching (ExactPhraseMatcher.java:109-155):
-        conjunction approximation over doc arrays, then a FULLY VECTORIZED
-        position-verify — candidate position lists are batch-decoded and
-        intersected as (candidate_index << 32 | adjusted_position)
-        composite keys, so no per-document Python loop survives."""
-        from lucene_solr_spark.codecs.postings_codec import decode_positions_batch
-
+        conjunction approximation over doc arrays, then position-verify
+        via _phrase_freqs."""
         empty = (np.empty(0, np.int64), np.empty(0, self._out_dtype()))
         terms = plan["terms"]
-        offsets = plan["offsets"]
         doc_arrays = []
         for t in terms:
             d, _tf = self.postings(t)
@@ -558,9 +553,50 @@ class _SegmentEval:
             cand = cand[np.isin(cand, d, assume_unique=True)]
             if not cand.size:
                 return empty
+        cand, tfs = self._phrase_freqs(
+            terms, plan["offsets"], cand, doc_arrays, plan.get("slop", 0)
+        )
+        if not cand.size:
+            return empty
+        return cand, self.score_tf_norm(tfs, self.norms_of(cand), plan["weight"])
 
-        if plan.get("slop"):
-            return self._eval_sloppy(plan, cand, doc_arrays)
+    def _phrase_freqs(
+        self,
+        terms: tuple,
+        offsets: tuple,
+        cand: np.ndarray,
+        doc_arrays: list,
+        slop: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Position verification for conjunction candidates → (docs⊆cand,
+        freqs). Exact phrases use the FULLY VECTORIZED composite-key
+        intersection ((candidate_index << 32 | adjusted_position) — no
+        per-document Python loop); sloppy phrases run the shared
+        oracle.sloppy kernel per candidate (SloppyPhraseMatcher role).
+        ``doc_arrays`` are the FULL per-term doc arrays (position offsets
+        index the full posting list), while ``cand`` may be any subset —
+        the window-restricted block-max path reuses this directly."""
+        from lucene_solr_spark.codecs.postings_codec import decode_positions_batch
+
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        if slop:
+            from lucene_solr_spark.oracle.sloppy import sloppy_phrase_freq
+
+            pos_per_term = []
+            for ti, t in enumerate(terms):
+                enc = self._enc_with_positions(t)
+                idxs = np.searchsorted(doc_arrays[ti], cand)
+                pos, counts = decode_positions_batch(enc.pos_blob, enc.pos_off, idxs)
+                pos_per_term.append(np.split(pos, np.cumsum(counts)[:-1]))
+            freqs = np.empty(len(cand), np.float64)
+            for ci in range(len(cand)):
+                freqs[ci] = sloppy_phrase_freq(
+                    [pos_per_term[ti][ci] for ti in range(len(terms))],
+                    offsets,
+                    slop,
+                )
+            keep = freqs > 0
+            return cand[keep], freqs[keep]
 
         base_keys: np.ndarray | None = None
         for ti, t in enumerate(terms):
@@ -579,8 +615,7 @@ class _SegmentEval:
                 return empty
         tfs = np.bincount(base_keys >> np.int64(32), minlength=len(cand))
         keep = tfs > 0
-        cand, tfs = cand[keep], tfs[keep].astype(np.int64)
-        return cand, self.score_tf_norm(tfs, self.norms_of(cand), plan["weight"])
+        return cand[keep], tfs[keep].astype(np.int64)
 
     def _eval_multi_phrase(self, plan: dict) -> tuple[np.ndarray, np.ndarray]:
         """MultiPhraseQuery: per-slot union of group postings + merged
@@ -684,33 +719,6 @@ class _SegmentEval:
             return empty
         return cand, self.score_tf_norm(freqs, self.norms_of(cand), plan["weight"])
 
-    def _eval_sloppy(self, plan: dict, cand: np.ndarray, doc_arrays: list):
-        """SloppyPhraseMatcher path: per-candidate float freq via the shared
-        oracle.sloppy kernel over batch-decoded positions."""
-        from lucene_solr_spark.codecs.postings_codec import decode_positions_batch
-        from lucene_solr_spark.oracle.sloppy import sloppy_phrase_freq
-
-        terms = plan["terms"]
-        offsets = plan["offsets"]
-        pos_per_term = []
-        for ti, t in enumerate(terms):
-            enc = self._enc_with_positions(t)
-            idxs = np.searchsorted(doc_arrays[ti], cand)
-            pos, counts = decode_positions_batch(enc.pos_blob, enc.pos_off, idxs)
-            pos_per_term.append(np.split(pos, np.cumsum(counts)[:-1]))
-        freqs = np.empty(len(cand), np.float64)
-        for ci in range(len(cand)):
-            freqs[ci] = sloppy_phrase_freq(
-                [pos_per_term[ti][ci] for ti in range(len(terms))],
-                offsets,
-                plan["slop"],
-            )
-        keep = freqs > 0
-        cand, freqs = cand[keep], freqs[keep]
-        if not cand.size:
-            return np.empty(0, np.int64), np.empty(0, self._out_dtype())
-        return cand, self.score_tf_norm(freqs, self.norms_of(cand), plan["weight"])
-
     def _disjunction(self, subs: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         parts = [self.eval(s) for s in subs]
         alldocs = np.concatenate([p[0] for p in parts])
@@ -793,62 +801,92 @@ class _SegmentEval:
             out_scores = out_scores[keep]
         return out_docs, out_scores
 
-    # --- block-max pruned top-k (flat disjunction / conjunction of terms) ---
+    # --- block-max pruned top-k (term/phrase components, req+opt bool) ---
     def blockmax_topk(self, plan: dict, k: int) -> tuple[np.ndarray, np.ndarray]:
-        """Window-batched block-max pruning (WANDScorer/ImpactsDISI family).
-        Supported shapes: {"op":"term"} and flat bool of term musts XOR term
-        shoulds (msm<=1, no filters/nots). Caller guarantees the shape."""
-        if plan["op"] == "term":
-            terms = [(plan["term"], plan["weight"])]
-            conj = False
+        """Window-batched block-max pruning (WANDScorer/ImpactsDISI +
+        Boolean2ScorerSupplier.java:109-151 decision table). Supported
+        shapes (caller guarantees via _blockmax_eligible): a single
+        term/phrase, or a flat bool whose musts/shoulds are terms and
+        phrases (msm==0 when mixed, msm<=1 when should-only; no
+        filters/nots).
+
+        Each component (term or phrase) contributes a per-window score
+        upper bound; a phrase is bounded by its conjunction approximation
+        — min over its terms of the window's block-max factor — which is
+        sound because each phrase/sloppy occurrence consumes one
+        occurrence of every term, so phrase freq <= min term freq and the
+        BM25 factor is monotone in freq (PhraseQuery.java:71 two-phase
+        approximation). Required components additionally gate window
+        coverage: a window not covered by ALL musts scores 0."""
+        empty = (np.empty(0, np.int64), np.empty(0, self._out_dtype()))
+        if plan["op"] in ("term", "phrase"):
+            req_plans, opt_plans = [plan], []
         else:
-            subs = plan["musts"] or plan["shoulds"]
-            conj = bool(plan["musts"])
-            terms = [(s["term"], s["weight"]) for s in subs]
+            req_plans = list(plan["musts"])
+            opt_plans = list(plan["shoulds"])
 
-        metas = []
-        for t, w in terms:
-            enc = self.term_enc.get(t)
-            if enc is None:
-                if conj:
-                    return np.empty(0, np.int64), np.empty(0, self._out_dtype())
-                continue
-            first, last, gmax = self._block_bounds(t, enc)
-            # score = w * (1 - 1/(1+f*inv[n])) is LINEAR in the query
-            # weight, so gmax caches per (term, block) across ALL queries;
-            # the 1e-6 inflation keeps the bound sound vs float32 rounding
-            bmax = w * gmax * (1.0 + 1e-6)
-            metas.append((t, w, enc, first, last, bmax))
-        if not metas or (conj and len(metas) < len(terms)):
-            return np.empty(0, np.int64), np.empty(0, self._out_dtype())
+        # per component: window bound array + coverage over the global grid
+        comps: list[dict] = []
+        for cp, required in [(p, True) for p in req_plans] + [
+            (p, False) for p in opt_plans
+        ]:
+            terms = [cp["term"]] if cp["op"] == "term" else list(cp["terms"])
+            infos = []
+            for t in terms:
+                enc = self.term_enc.get(t)
+                if enc is None:
+                    infos = None
+                    break
+                infos.append((t,) + self._block_bounds(t, enc))
+            if infos is None:
+                if required:
+                    return empty
+                continue  # optional component absent from this segment
+            comps.append({"plan": cp, "infos": infos, "required": required})
+        if not comps:
+            return empty
 
-        lo = int(min(m[3][0] for m in metas))
-        hi = int(max(m[4][-1] for m in metas))
+        lo = int(min(i[1][0] for c in comps for i in c["infos"]))
+        hi = int(max(i[2][-1] for c in comps for i in c["infos"]))
         n_win = (hi - lo) // _WINDOW + 1
-        ub = np.zeros(n_win + 1)
-        touched = np.zeros(n_win, np.int64)
-        for _, _, _, first, last, bmax in metas:
-            w0 = (first - lo) // _WINDOW
-            w1 = (last - lo) // _WINDOW
-            per_win_max = np.zeros(n_win + 1)
-            # a term's bound per window = max over its blocks overlapping it;
-            # accumulate via per-term max array then add into ub
-            for a, b_, m in zip(w0.tolist(), w1.tolist(), bmax.tolist()):
-                seg = per_win_max[a : b_ + 1]
-                np.maximum(seg, m, out=seg)
-            ub[:n_win] += per_win_max[:n_win]
-            cover = np.zeros(n_win + 1, np.int64)
-            # np.add.at, NOT fancy-index +=: several blocks of one term can
-            # start in the same window and += drops the duplicate increments,
-            # leaving cumsum<0 and under-counting coverage (conj mode would
-            # then zero windows all MUST terms do cover — dropped hits)
-            np.add.at(cover, w0, 1)
-            np.add.at(cover, w1 + 1, -1)
-            touched += np.cumsum(cover[:-1]) > 0
-        if conj:
-            ub[:n_win][touched < len(metas)] = 0.0
+        ub = np.zeros(n_win)
+        req_cover = np.zeros(n_win, np.int64)
+        n_req = sum(1 for c in comps if c["required"])
+        for c in comps:
+            w = c["plan"]["weight"]
+            comp_g: np.ndarray | None = None  # min over terms of win gmax
+            comp_cov: np.ndarray | None = None  # AND over terms of coverage
+            for _t, first, last, gmax in c["infos"]:
+                w0 = (first - lo) // _WINDOW
+                w1 = (last - lo) // _WINDOW
+                per_win_max = np.zeros(n_win + 1)
+                # a term's bound per window = max over its blocks there
+                for a, b_, m in zip(w0.tolist(), w1.tolist(), gmax.tolist()):
+                    seg = per_win_max[a : b_ + 1]
+                    np.maximum(seg, m, out=seg)
+                cover = np.zeros(n_win + 1, np.int64)
+                # np.add.at, NOT fancy-index +=: several blocks of one term
+                # can start in the same window and += drops the duplicate
+                # increments, leaving cumsum<0 and under-counting coverage
+                # (required windows would then be zeroed — dropped hits)
+                np.add.at(cover, w0, 1)
+                np.add.at(cover, w1 + 1, -1)
+                cov = np.cumsum(cover[:-1]) > 0
+                g = per_win_max[:n_win]
+                comp_g = g if comp_g is None else np.minimum(comp_g, g)
+                comp_cov = cov if comp_cov is None else (comp_cov & cov)
+            # the 1e-6 inflation keeps the bound sound vs float32 rounding;
+            # gmax caches per (term, block) across ALL queries (weight-free)
+            comp_ub = w * comp_g * (1.0 + 1e-6)
+            comp_ub[~comp_cov] = 0.0
+            ub += comp_ub
+            if c["required"]:
+                req_cover += comp_cov
+        if n_req:
+            ub[req_cover < n_req] = 0.0
 
-        order = np.argsort(-ub[:n_win], kind="stable")
+        dt = self._out_dtype()
+        order = np.argsort(-ub, kind="stable")
         cand_docs: list[np.ndarray] = []
         cand_scores: list[np.ndarray] = []
         theta = -np.inf
@@ -858,45 +896,114 @@ class _SegmentEval:
                 break
             w_lo = lo + wi * _WINDOW
             w_hi = w_lo + _WINDOW - 1
-            parts_d = []
-            parts_s = []
-            n_present = 0
-            for t, w, enc, first, last, bmax in metas:
-                blocks = np.nonzero((first <= w_hi) & (last >= w_lo))[0]
-                if not blocks.size:
+            # required components: window conjunction, float64 sum in
+            # clause order (bit-parity with _eval_bool's MUST chain)
+            docs: np.ndarray | None = None
+            sums: np.ndarray | None = None
+            dead = False
+            for c in comps:
+                if not c["required"]:
                     continue
-                d, tf = self._decode_cached(t, enc, blocks)
-                mask = (d >= w_lo) & (d <= w_hi)
-                d = d[mask]
+                d, s = self._eval_comp_window(c["plan"], w_lo, w_hi)
                 if not d.size:
+                    dead = True
+                    break
+                if docs is None:
+                    docs, sums = d, s.astype(np.float64)
+                else:
+                    keep = np.isin(docs, d, assume_unique=True)
+                    docs, sums = docs[keep], sums[keep]
+                    if not docs.size:
+                        dead = True
+                        break
+                    sums = sums + s[
+                        np.isin(d, docs, assume_unique=True)
+                    ].astype(np.float64)
+            if dead:
+                continue
+            # optional components: window disjunction (_disjunction parity)
+            parts_d: list[np.ndarray] = []
+            parts_s: list[np.ndarray] = []
+            for c in comps:
+                if c["required"]:
                     continue
-                n_present += 1
-                sc = self.score_tf_norm(tf[mask], self.norms_of(d), w)
-                parts_d.append(d)
-                parts_s.append(sc.astype(np.float64))
-            if not parts_d or (conj and n_present < len(metas)):
+                d, s = self._eval_comp_window(c["plan"], w_lo, w_hi)
+                if d.size:
+                    parts_d.append(d)
+                    parts_s.append(s.astype(np.float64))
+            if docs is None:
+                if not parts_d:
+                    continue
+                alld = np.concatenate(parts_d)
+                od, inv = np.unique(alld, return_inverse=True)
+                osums = np.zeros(len(od))
+                np.add.at(osums, inv, np.concatenate(parts_s))
+                out_docs, out_scores = od, osums.astype(dt)
+            else:
+                out_docs = docs
+                out_scores = sums.astype(dt)
+                if parts_d:
+                    alld = np.concatenate(parts_d)
+                    od, inv = np.unique(alld, return_inverse=True)
+                    osums = np.zeros(len(od))
+                    np.add.at(osums, inv, np.concatenate(parts_s))
+                    osc = osums.astype(dt)
+                    pos = np.searchsorted(od, out_docs)
+                    has = (pos < len(od)) & (
+                        od[np.clip(pos, 0, max(len(od) - 1, 0))] == out_docs
+                    )
+                    out_scores = out_scores.copy()
+                    if self.mode == "float32":
+                        out_scores[has] = (
+                            out_scores[has] + osc[pos[has]]
+                        ).astype(np.float32)
+                    else:
+                        out_scores[has] = out_scores[has] + osc[pos[has]]
+            if not out_docs.size:
                 continue
-            alld = np.concatenate(parts_d)
-            docs, inv = np.unique(alld, return_inverse=True)
-            sums = np.zeros(len(docs))
-            np.add.at(sums, inv, np.concatenate(parts_s))
-            if conj:
-                cnt = np.zeros(len(docs), np.int64)
-                np.add.at(cnt, inv, 1)
-                sel = cnt == len(metas)
-                docs, sums = docs[sel], sums[sel]
-            if not docs.size:
-                continue
-            scores = sums.astype(self._out_dtype())
-            cand_docs.append(docs)
-            cand_scores.append(scores)
-            n_cand += len(docs)
+            cand_docs.append(out_docs)
+            cand_scores.append(out_scores)
+            n_cand += len(out_docs)
             if n_cand >= k:
                 allsc = np.concatenate(cand_scores)
                 theta = float(np.partition(allsc, -k)[-k])
         if not cand_docs:
-            return np.empty(0, np.int64), np.empty(0, self._out_dtype())
+            return empty
         return np.concatenate(cand_docs), np.concatenate(cand_scores)
+
+    def _eval_comp_window(
+        self, plan: dict, w_lo: int, w_hi: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact (docs, scores) of one term/phrase component restricted to
+        a docID window — the per-window scorer of the generalized
+        block-max loop. Docs ascending; scores bit-identical to the
+        exhaustive evaluator's for the same docs."""
+        if plan["op"] == "term":
+            d, tf = self.postings(plan["term"])
+            a, b_ = np.searchsorted(d, (w_lo, w_hi + 1))
+            d = d[a:b_]
+            if not d.size:
+                return d, np.empty(0, self._out_dtype())
+            return d, self.score_tf_norm(
+                tf[a:b_], self.norms_of(d), plan["weight"]
+            )
+        terms = plan["terms"]
+        doc_arrays = []
+        cand: np.ndarray | None = None
+        for t in terms:
+            d, _tf = self.postings(t)
+            doc_arrays.append(d)
+            a, b_ = np.searchsorted(d, (w_lo, w_hi + 1))
+            dw = d[a:b_]
+            cand = dw if cand is None else cand[np.isin(cand, dw, assume_unique=True)]
+            if not cand.size:
+                return np.empty(0, np.int64), np.empty(0, self._out_dtype())
+        cand, tfs = self._phrase_freqs(
+            terms, plan["offsets"], cand, doc_arrays, plan.get("slop", 0)
+        )
+        if not cand.size:
+            return cand, np.empty(0, self._out_dtype())
+        return cand, self.score_tf_norm(tfs, self.norms_of(cand), plan["weight"])
 
     def _block_bounds(self, term: str, enc: EncodedPostings):
         if enc.singleton_doc >= 0:
@@ -926,10 +1033,6 @@ class _SegmentEval:
             self._gmax_cache[term] = gmax
         return first, last, self._gmax_cache[term]
 
-    def _decode_cached(self, term: str, enc: EncodedPostings, blocks: np.ndarray):
-        # full-list decode cache; per-block caching would save more on huge
-        # lists, but lists are bounded by segment_size so this is fine
-        return self.postings(term)
 
 
 # ---------------------------------------------------------------- searcher
@@ -1032,7 +1135,11 @@ class SegmentSearcher:
         kk = k
         schema = _RESULT_SCHEMA_F32 if mode == "float32" else _RESULT_SCHEMA_F64
 
-        def eval_segment(post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame):
+        def eval_segment(
+            post_pdf: pd.DataFrame,
+            docs_pdf: pd.DataFrame,
+            tombs: np.ndarray | None = None,
+        ):
             if docs_pdf.empty:
                 return pd.DataFrame(
                     {"query_id": [], "doc_id": [], "score": []}
@@ -1050,15 +1157,28 @@ class SegmentSearcher:
             out_q: list[str] = []
             out_d: list[np.ndarray] = []
             out_s: list[np.ndarray] = []
+            has_live_mask = tombs is not None and tombs.size > 0
             for qid, plan in compiled.items():
                 if (
                     kk is not None
                     and prune == "block_max"
                     and _blockmax_eligible(plan)
+                    # a tombstoned segment runs exhaustive: blockmax
+                    # returns exactly k candidates, and masking a deleted
+                    # doc OUT of those k would under-return live hits
+                    and not has_live_mask
                 ):
                     docs, scores = ev.blockmax_topk(plan, kk)
                 else:
                     docs, scores = ev.eval(plan)
+                if tombs is not None and tombs.size and docs.size:
+                    # liveDocs mask (Lucene90LiveDocsFormat role): deleted
+                    # docs never surface, BEFORE top-k truncation; stats
+                    # stay un-adjusted until a merge purges (Lucene parity)
+                    idx = np.searchsorted(tombs, docs)
+                    idxc = np.clip(idx, 0, len(tombs) - 1)
+                    keep = tombs[idxc] != docs
+                    docs, scores = docs[keep], scores[keep]
                 if kk is not None and len(docs) > kk:
                     # per-segment top-k (TopScoreDocCollector heap role)
                     order = np.lexsort((docs, -scores.astype(np.float64)))[:kk]
@@ -1074,6 +1194,11 @@ class SegmentSearcher:
                     "score": np.concatenate(out_s) if out_s else [],
                 }
             )
+
+        import os as _os
+
+        tomb_dir = f"{self.index.base}/tombstones"
+        has_tombs = _os.path.isdir(tomb_dir)
 
         if direct:
             base = self.index.base
@@ -1100,8 +1225,28 @@ class SegmentSearcher:
                             f"{base}/seg_docs/segment_id={sid}",
                             columns=["doc_id", "norm"],
                         )
+                        tombs = None
+                        if has_tombs and docs_tbl.num_rows:
+                            # per-segment range read: each task touches
+                            # only its own doc-range's tombstone row groups
+                            import pyarrow.compute as _pc
+
+                            lo = _pc.min(docs_tbl["doc_id"]).as_py()
+                            hi = _pc.max(docs_tbl["doc_id"]).as_py()
+                            tombs = np.sort(
+                                pq.read_table(
+                                    tomb_dir,
+                                    columns=["doc_id"],
+                                    filters=[
+                                        ("doc_id", ">=", lo),
+                                        ("doc_id", "<=", hi),
+                                    ],
+                                )["doc_id"]
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)
+                            )
                         part = eval_segment(
-                            post_tbl.to_pandas(), docs_tbl.to_pandas()
+                            post_tbl.to_pandas(), docs_tbl.to_pandas(), tombs
                         )
                         for qid, g in part.groupby("query_id", sort=False):
                             acc_d.setdefault(qid, []).append(
@@ -1159,9 +1304,16 @@ class SegmentSearcher:
                         cond = cond | c
                     seg_rows = seg_rows.filter(cond)
             seg_docs = self.index.seg_docs(self.spark)
+            all_tombs = None
+            if has_tombs:
+                # cogroup fallback path: ship the (small) tombstone set
+                # with the task; the direct path range-reads instead
+                from lucene_solr_spark.operators.deletes import read_tombstones
+
+                all_tombs = read_tombstones(self.index)
 
             def kernel(key: tuple, post_pdf: pd.DataFrame, docs_pdf: pd.DataFrame):
-                return eval_segment(post_pdf, docs_pdf)
+                return eval_segment(post_pdf, docs_pdf, all_tombs)
 
             res = (
                 seg_rows.groupBy("segment_id")
@@ -1180,15 +1332,28 @@ class SegmentSearcher:
         )
 
 
+def _blockmax_leaf(plan: dict) -> bool:
+    """Leaves the pruned kernel can bound: terms, and (sloppy) phrases —
+    a phrase occurrence consumes one occurrence of each term so its freq
+    is <= min term freq and the term block-max bounds apply. Spans and
+    multi-phrases are NOT boundable this way (unordered span freq can
+    exceed min term freq; a multi-phrase slot's freq is the SUM over the
+    group's terms), so they stay exhaustive."""
+    return plan["op"] in ("term", "phrase")
+
+
 def _blockmax_eligible(plan: dict) -> bool:
-    if plan["op"] == "term":
+    """Boolean2ScorerSupplier.java:109-151 decision table, pruned subset:
+    single term/phrase, MUST-only, SHOULD-only (msm<=1), and mixed
+    MUST+SHOULD (ReqOptSum, msm==0). Filters/nots/msm>1 stay exhaustive."""
+    if _blockmax_leaf(plan):
         return True
     if plan["op"] != "bool":
         return False
     if plan["filters"] or plan["nots"] or plan["msm"] > 1:
         return False
-    if plan["musts"] and not plan["shoulds"]:
-        return all(s["op"] == "term" for s in plan["musts"])
-    if plan["shoulds"] and not plan["musts"]:
-        return all(s["op"] == "term" for s in plan["shoulds"])
-    return False
+    if not all(_blockmax_leaf(s) for s in plan["musts"] + plan["shoulds"]):
+        return False
+    if plan["musts"] and plan["shoulds"]:
+        return plan["msm"] == 0
+    return bool(plan["musts"] or plan["shoulds"])

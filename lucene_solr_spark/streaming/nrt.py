@@ -89,7 +89,9 @@ def append_batch(
         and batch_id <= manifest["last_batch_id"]
     ):
         return None  # at-least-once replay of an already-committed batch
-    base_doc = manifest["doc_count"]
+    # docID base = the watermark, NOT the live count: deletes + purging
+    # merges shrink doc_count, but docIDs are never reused
+    base_doc = manifest.get("next_doc_id", manifest["doc_count"])
     seg_id = (
         max((s["segment_id"] for s in manifest["segments"]), default=-1) + 1
     )
@@ -164,7 +166,8 @@ def append_batch(
             "content_crc": 0,
         }
     )
-    manifest["doc_count"] = base_doc + ix.doc_count
+    manifest["doc_count"] = manifest["doc_count"] + ix.doc_count
+    manifest["next_doc_id"] = base_doc + ix.doc_count
     manifest["sum_ttf"] = manifest["sum_ttf"] + ix.sum_ttf
     if batch_id is not None:
         manifest["last_batch_id"] = int(batch_id)

@@ -72,6 +72,16 @@ KERNEL_QUERIES = {
     "match_all": ir.MatchAllDocsQuery(),
     "phrase2": ir.PhraseQuery(("x", "y")),
     "phrase3": ir.PhraseQuery(("def", "foo")),
+    "sloppy2": ir.PhraseQuery(("x", "y"), slop=2),
+    "phrase_and_term": B(
+        C(O.MUST, ir.PhraseQuery(("x", "y"))), C(O.MUST, T("def"))
+    ),
+    "phrase_or_term": B(
+        C(O.SHOULD, ir.PhraseQuery(("table", "scan"))), C(O.SHOULD, T("merge"))
+    ),
+    "req_opt_phrase": B(
+        C(O.MUST, T("def")), C(O.SHOULD, ir.PhraseQuery(("x", "y"), slop=1))
+    ),
     "nested": B(
         C(O.MUST, B(C(O.SHOULD, T("error")), C(O.SHOULD, T("warning")))),
         C(O.MUST, T("def")),
@@ -108,7 +118,13 @@ def test_kernel_rank_identity(name, searcher, tiny_oracle):
 
 @pytest.mark.parametrize(
     "name",
-    ["term_head", "term_mid", "and2", "and3", "or2", "or3"],
+    [
+        "term_head", "term_mid", "and2", "and3", "or2", "or3",
+        # generalized kernel (Boolean2ScorerSupplier table): phrases as
+        # components + mixed MUST+SHOULD (ReqOptSum) are pruned too
+        "phrase2", "phrase3", "sloppy2", "req_opt",
+        "phrase_and_term", "phrase_or_term", "req_opt_phrase", "boost",
+    ],
 )
 def test_blockmax_equals_exhaustive(name, spark, seg_base, tiny_oracle):
     q = KERNEL_QUERIES[name]
