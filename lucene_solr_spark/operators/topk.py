@@ -550,7 +550,7 @@ class _SegmentEval:
             doc_arrays.append(d)
         cand = doc_arrays[0]
         for d in doc_arrays[1:]:
-            cand = cand[np.isin(cand, d, assume_unique=True)]
+            cand = cand[_in_sorted(cand, d)]
             if not cand.size:
                 return empty
         cand, tfs = self._phrase_freqs(
@@ -654,7 +654,7 @@ class _SegmentEval:
             )
         cand = slot_docs[0]
         for d in slot_docs[1:]:
-            cand = cand[np.isin(cand, d, assume_unique=True)]
+            cand = cand[_in_sorted(cand, d)]
             if not cand.size:
                 return empty
         slop = plan.get("slop", 0)
@@ -697,7 +697,7 @@ class _SegmentEval:
             doc_arrays.append(d)
         cand = doc_arrays[0]
         for d in doc_arrays[1:]:
-            cand = cand[np.isin(cand, d, assume_unique=True)]
+            cand = cand[_in_sorted(cand, d)]
             if not cand.size:
                 return empty
         pos_per_term = []
@@ -744,10 +744,10 @@ class _SegmentEval:
             acc = m0[1].astype(np.float64)
             for sub in plan["musts"][1:]:
                 d, s = self.eval(sub)
-                keep_a = np.isin(req_docs, d, assume_unique=True)
+                keep_a = _in_sorted(req_docs, d)
                 req_docs = req_docs[keep_a]
                 acc = acc[keep_a]
-                keep_b = np.isin(d, req_docs, assume_unique=True)
+                keep_b = _in_sorted(d, req_docs)
                 acc = acc + s.astype(np.float64)[keep_b]
             req_scores = acc.astype(dt)
         for f in plan["filters"]:
@@ -756,7 +756,7 @@ class _SegmentEval:
                 req_docs = fd
                 req_scores = np.zeros(len(fd), dt)
             else:
-                keep = np.isin(req_docs, fd, assume_unique=True)
+                keep = _in_sorted(req_docs, fd)
                 req_docs = req_docs[keep]
                 req_scores = req_scores[keep]
 
@@ -772,10 +772,10 @@ class _SegmentEval:
                 if msm > 0:
                     ok = ocnt >= msm
                     od, osc = od[ok], osc[ok]
-                    keep = np.isin(out_docs, od, assume_unique=True)
+                    keep = _in_sorted(out_docs, od)
                     out_docs = out_docs[keep]
                     base = out_scores[keep].astype(np.float64)
-                    add = osc[np.isin(od, out_docs, assume_unique=True)].astype(np.float64)
+                    add = osc[_in_sorted(od, out_docs)].astype(np.float64)
                     out_scores = (base + add).astype(dt)
                 else:
                     pos = np.searchsorted(od, out_docs)
@@ -796,7 +796,7 @@ class _SegmentEval:
 
         for n in plan["nots"]:
             nd, _ = self.eval(n)
-            keep = ~np.isin(out_docs, nd, assume_unique=True)
+            keep = ~_in_sorted(out_docs, nd)
             out_docs = out_docs[keep]
             out_scores = out_scores[keep]
         return out_docs, out_scores
@@ -911,13 +911,13 @@ class _SegmentEval:
                 if docs is None:
                     docs, sums = d, s.astype(np.float64)
                 else:
-                    keep = np.isin(docs, d, assume_unique=True)
+                    keep = _in_sorted(docs, d)
                     docs, sums = docs[keep], sums[keep]
                     if not docs.size:
                         dead = True
                         break
                     sums = sums + s[
-                        np.isin(d, docs, assume_unique=True)
+                        _in_sorted(d, docs)
                     ].astype(np.float64)
             if dead:
                 continue
@@ -995,7 +995,7 @@ class _SegmentEval:
             doc_arrays.append(d)
             a, b_ = np.searchsorted(d, (w_lo, w_hi + 1))
             dw = d[a:b_]
-            cand = dw if cand is None else cand[np.isin(cand, dw, assume_unique=True)]
+            cand = dw if cand is None else cand[_in_sorted(cand, dw)]
             if not cand.size:
                 return np.empty(0, np.int64), np.empty(0, self._out_dtype())
         cand, tfs = self._phrase_freqs(
@@ -1099,6 +1099,23 @@ class SegmentSearcher:
         for qid, q in prepared.items():
             compiled[qid] = comp.compile(q)
 
+        # dedupe identical compiled plans across the batch: head queries
+        # repeat heavily in real batches (and wikimedium-style benchmark
+        # sets), so each distinct plan is evaluated ONCE per segment and
+        # its result fanned out to every query id that asked for it.
+        # Plans are plain JSON trees, so the canonical dump is a safe key.
+        import json as _json
+
+        _groups: dict[str, tuple[dict, list[str]]] = {}
+        for qid, plan in compiled.items():
+            pk = _json.dumps(plan, sort_keys=True)
+            g = _groups.get(pk)
+            if g is None:
+                _groups[pk] = (plan, [qid])
+            else:
+                g[1].append(qid)
+        plan_groups = list(_groups.values())
+
         needed_terms = sorted(all_terms)
         # reader pushdown: exact terms as an IN clause, multi-term leaves
         # as (superset) range conjunctions; an unbounded leaf forces a
@@ -1135,15 +1152,17 @@ class SegmentSearcher:
         kk = k
         schema = _RESULT_SCHEMA_F32 if mode == "float32" else _RESULT_SCHEMA_F64
 
-        def eval_segment(
+        def eval_plans(
             post_pdf: pd.DataFrame,
             docs_pdf: pd.DataFrame,
             tombs: np.ndarray | None = None,
         ):
+            """Evaluate every distinct plan on one segment → list of
+            (qids, docs, scores) — numpy in/out, NO intermediate pandas
+            (the per-segment frame + groupby was the dominant non-eval
+            cost of the batched query job)."""
             if docs_pdf.empty:
-                return pd.DataFrame(
-                    {"query_id": [], "doc_id": [], "score": []}
-                ).astype({"doc_id": "int64"})
+                return []
             term_enc = {r.term: _row_to_encoded(r) for r in post_pdf.itertuples()}
             docs_pdf = docs_pdf.sort_values("doc_id")
             ev = _SegmentEval(
@@ -1154,14 +1173,22 @@ class SegmentSearcher:
                 cache_f32,
                 inv_f64,
             )
-            out_q: list[str] = []
-            out_d: list[np.ndarray] = []
-            out_s: list[np.ndarray] = []
             has_live_mask = tombs is not None and tombs.size > 0
-            for qid, plan in compiled.items():
+            seg_docs_arr = ev.seg_docs
+            # a segment whose doc range fits ONE pruning window gains
+            # nothing from block-max (the window IS the segment) — the
+            # exhaustive evaluator with its cross-query term-score memo
+            # is strictly cheaper there
+            multi_window = (
+                len(seg_docs_arr) > 0
+                and (int(seg_docs_arr[-1]) - int(seg_docs_arr[0])) >= _WINDOW
+            )
+            out = []
+            for plan, qids in plan_groups:
                 if (
                     kk is not None
                     and prune == "block_max"
+                    and multi_window
                     and _blockmax_eligible(plan)
                     # a tombstoned segment runs exhaustive: blockmax
                     # returns exactly k candidates, and masking a deleted
@@ -1183,15 +1210,33 @@ class SegmentSearcher:
                     # per-segment top-k (TopScoreDocCollector heap role)
                     order = np.lexsort((docs, -scores.astype(np.float64)))[:kk]
                     docs, scores = docs[order], scores[order]
-                out_q.append(qid)
-                out_d.append(docs)
-                out_s.append(scores)
-            qcol = np.repeat(out_q, [len(d) for d in out_d])
+                if docs.size:
+                    out.append((qids, docs, scores))
+            return out
+
+        def eval_segment(
+            post_pdf: pd.DataFrame,
+            docs_pdf: pd.DataFrame,
+            tombs: np.ndarray | None = None,
+        ):
+            """DataFrame wrapper over eval_plans (cogroup fallback path)."""
+            out_q: list[str] = []
+            out_d: list[np.ndarray] = []
+            out_s: list[np.ndarray] = []
+            for qids, docs, scores in eval_plans(post_pdf, docs_pdf, tombs):
+                for qid in qids:
+                    out_q.append(qid)
+                    out_d.append(docs)
+                    out_s.append(scores)
+            if not out_q:
+                return pd.DataFrame(
+                    {"query_id": [], "doc_id": [], "score": []}
+                ).astype({"doc_id": "int64"})
             return pd.DataFrame(
                 {
-                    "query_id": qcol,
-                    "doc_id": np.concatenate(out_d) if out_d else [],
-                    "score": np.concatenate(out_s) if out_s else [],
+                    "query_id": np.repeat(out_q, [len(d) for d in out_d]),
+                    "doc_id": np.concatenate(out_d),
+                    "score": np.concatenate(out_s),
                 }
             )
 
@@ -1245,16 +1290,12 @@ class SegmentSearcher:
                                 .to_numpy(zero_copy_only=False)
                                 .astype(np.int64)
                             )
-                        part = eval_segment(
+                        for qids, docs, scores in eval_plans(
                             post_tbl.to_pandas(), docs_tbl.to_pandas(), tombs
-                        )
-                        for qid, g in part.groupby("query_id", sort=False):
-                            acc_d.setdefault(qid, []).append(
-                                g["doc_id"].to_numpy(np.int64)
-                            )
-                            acc_s.setdefault(qid, []).append(
-                                g["score"].to_numpy()
-                            )
+                        ):
+                            for qid in qids:
+                                acc_d.setdefault(qid, []).append(docs)
+                                acc_s.setdefault(qid, []).append(scores)
                 out_q: list[str] = []
                 out_d: list[np.ndarray] = []
                 out_s: list[np.ndarray] = []
@@ -1330,6 +1371,19 @@ class SegmentSearcher:
             .filter(F.col("_rn") <= k)
             .drop("_rn")
         )
+
+
+def _in_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Membership mask of ``a`` in ``b`` for ASCENDING unique int arrays —
+    the np.isin contract the evaluator needs, minus np.isin's re-sort
+    (every doc array here is already sorted, so searchsorted is the
+    leapfrog-intersection cost model: O(|a| log |b|), no allocation-heavy
+    sort). The kernel's hottest small-array primitive."""
+    if not len(b) or not len(a):
+        return np.zeros(len(a), bool)
+    idx = np.searchsorted(b, a)
+    np.minimum(idx, len(b) - 1, out=idx)
+    return b[idx] == a
 
 
 def _blockmax_leaf(plan: dict) -> bool:
