@@ -235,7 +235,7 @@ def batch_tokenize(
         tdoc = np.searchsorted(doc_off, starts, side="right") - 1
         # 0-based position within doc over ALL raw tokens
         first = np.r_[True, tdoc[1:] != tdoc[:-1]]
-        tok_seq = np.arange(starts.size, dtype=np.int64)
+        tok_seq = np.arange(starts.size, dtype=np.int32)
         pos = (tok_seq - tok_seq[first][np.cumsum(first) - 1]).astype(np.int32)
 
         keep = (tlen <= max_token_length) & ~slow_set[tdoc]
@@ -244,12 +244,16 @@ def batch_tokenize(
         if starts.size:
             data = _LOWER[cpi] if lowercase else cp
             total = int(tlen.sum())
-            cum = np.zeros(len(tlen), np.int64)
-            np.cumsum(tlen[:-1], out=cum[1:])
+            # int32 index space: a batch is < 2^31 chars by construction
+            # (Arrow batches), and halving the temp footprint halves the
+            # page-fault warmup cost on kernels with slow anon faults
+            tlen32 = tlen.astype(np.int32)
+            cum = np.zeros(len(tlen), np.int32)
+            np.cumsum(tlen32[:-1], out=cum[1:])
             gather = (
-                np.arange(total, dtype=np.int64)
-                - np.repeat(cum, tlen)
-                + np.repeat(starts, tlen)
+                np.arange(total, dtype=np.int32)
+                - np.repeat(cum, tlen32)
+                + np.repeat(starts.astype(np.int32), tlen32)
             )
             gcp = data[gather]
             # utf-32 → utf-8: one C-level decode/encode for the whole batch

@@ -12,6 +12,20 @@ from pyspark.sql import SparkSession
 __all__ = ["get_spark", "stop_spark"]
 
 
+# glibc mmap-threshold tuning: every allocation over the default 128 KB
+# threshold is mmap'd and munmap'd, so each large numpy/Arrow temporary
+# re-faults its pages. Sandboxed/virtualized kernels can fault anonymous
+# pages extremely slowly (~20 MB/s observed here), which makes the
+# vectorized tokenizer and Arrow batches pay seconds per call. Keeping
+# big blocks in the heap (huge mmap threshold, no trim) makes every
+# allocation after the first reuse warm pages. Harmless on normal hosts;
+# exported to executors so python workers inherit it too.
+_MALLOC_TUNING = {
+    "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+    "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+}
+
+
 def get_spark(
     app_name: str = "lucene_solr_spark",
     cores: int | None = None,
@@ -22,6 +36,8 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    for k, v in _MALLOC_TUNING.items():
+        os.environ.setdefault(k, v)  # driver + forked python workers
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -33,10 +49,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 512-row Arrow batches: measured sweet spot on this host — large
+        # enough to amortize the Arrow bridge and the vectorized-tokenizer
+        # setup, small enough that each batch's numpy temporaries are
+        # served from the warmed allocator heap instead of fresh mmap'd
+        # pages (anonymous page faults run ~20-40 MB/s on this kernel; a
+        # 4096-row batch paid ~140 s of first-touch across 16 workers,
+        # a 512-row batch ~4 s). See _MALLOC_TUNING.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.python.worker.reuse", "true")
     )
+    for k, v in _MALLOC_TUNING.items():
+        b = b.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
