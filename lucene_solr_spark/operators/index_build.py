@@ -71,13 +71,21 @@ class InvertedIndex:
     doc_count: int
     sum_ttf: int
 
+    #: True when postings are parquet-backed (build_index scratch
+    #: materialization) — then persist() must NOT re-cache them: Spark's
+    #: columnar cache stores the array<int> positions column
+    #: catastrophically (a dictionary groupBy read 20-50s from cache vs
+    #: 1s from column-pruned parquet at 8M postings)
+    parquet_backed: bool = False
+
     @property
     def norms(self) -> DataFrame:
         return self.docs.select("doc_id", "norm")
 
     def persist(self) -> "InvertedIndex":
         self.docs.persist()
-        self.postings.persist()
+        if not self.parquet_backed:
+            self.postings.persist()
         self.term_stats.persist()
         return self
 
@@ -214,6 +222,7 @@ def build_index(
     stemmer: str | None = None,
     with_positions: bool = True,
     index_options: str = "positions",  # "positions" | "freqs" | "docs"
+    scratch: str | None = None,
 ) -> InvertedIndex:
     """Corpus → InvertedIndex. If ``doc_id_col`` is given it is trusted as a
     unique long id; otherwise docIDs are assigned over ``key_cols``.
@@ -234,10 +243,14 @@ def build_index(
 
     # Posting rows inverted MAP-SIDE inside the tokenizer pass (Lucene's
     # DWPT model — functions.analysis.postings_frame): no token-level
-    # shuffle exists anywhere in the build. PERSISTED: every downstream
-    # table (doc lengths, dictionary, global stats) derives from postings,
-    # so the corpus is tokenized exactly ONCE.
-    postings = postings_frame(
+    # shuffle exists anywhere in the build. MATERIALIZED TO PARQUET (a
+    # scratch dir), not the columnar cache: every downstream table (doc
+    # lengths, dictionary, global stats) derives from postings, so the
+    # corpus is tokenized exactly ONCE either way — but the array<int>
+    # positions column makes cached reads 20-50x slower than column-
+    # pruned parquet (stats aggregations never touch positions there),
+    # and at 100 TB the postings can't be assumed to fit cluster RAM.
+    raw_postings = postings_frame(
         docs_src,
         text_col=text_col,
         lowercase=lowercase,
@@ -246,7 +259,15 @@ def build_index(
         strip_possessive=strip_possessive,
         stemmer=stemmer,
         with_positions=with_positions,
-    ).persist()
+    )
+    import tempfile
+
+    if scratch is None:
+        scratch = tempfile.mkdtemp(prefix="lss_ix_")
+    postings_path = f"{scratch}/postings"
+    raw_postings.write.mode("overwrite").parquet(postings_path)
+    spark = corpus.sparkSession
+    postings = spark.read.parquet(postings_path)
 
     # FieldInvertState.length per doc = Σtf (stopwords/overlong never reach
     # the inverter, so length = surviving token count; numOverlap = 0).
@@ -277,4 +298,5 @@ def build_index(
         term_stats=term_stats,
         doc_count=int(g["n"]),
         sum_ttf=int(g["s"] or 0),
+        parquet_backed=True,
     )
