@@ -629,6 +629,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["purged_term_topk"] = purged_term_topk
 
+    def highlight_topk(spark, sf_dir):
+        """UnifiedHighlighter role (re-analysis offset source): best
+        passage per matching doc for `merge` — ±3-token windows, merged
+        when overlapping, every query-term occurrence wrapped.
+        join_tokens mode = the exactly-SQL-reproducible snippet form."""
+        from lucene_solr_spark.functions.highlight import highlight_hits
+
+        ex = _executor(spark, sf_dir)
+        hits = ex.matches(_T("merge")).select("doc_id")
+        return highlight_hits(
+            hits, _docs(spark, sf_dir), {"merge": 1.0}, join_tokens=True
+        )
+
+    out["highlight_topk"] = highlight_topk
+
+    # --- pluggable similarities (search/similarities/*, SURVEY §2.4) ----
+    def _sim_executor(spark, sf_dir, name, **kw):
+        key = f"sim::{name}::{sf_dir}"
+        if key not in _CACHE:
+            from lucene_solr_spark.functions.similarities import get_similarity
+            from lucene_solr_spark.plans.df_executor import DFExecutor
+
+            ex = _executor(spark, sf_dir)
+            _CACHE[key] = DFExecutor(
+                ex.index, mode="double", similarity=get_similarity(name, **kw)
+            )
+        return _CACHE[key]
+
+    def classic_sim_topk(spark, sf_dir):
+        """ClassicSimilarity (TF-IDF): sqrt(tf)·idf·1/sqrt(len), composed
+        through a MUST+SHOULD boolean — same index, no reindex."""
+        q = _B(_C(_O.MUST, _T("hash")), _C(_O.SHOULD, _T("join")))
+        return (
+            _sim_executor(spark, sf_dir, "classic")
+            .topk(q, k=10)
+            .select("doc_id", "score")
+        )
+
+    out["classic_sim_topk"] = classic_sim_topk
+
+    def lmdirichlet_matches(spark, sf_dir):
+        """LMDirichletSimilarity (μ=2000): Bayesian-smoothed language
+        model scoring over the same postings + norm bytes. Full match
+        set with float32-cast scores: ln() is not bit-identical across
+        libms (numpy vs DuckDB differ by 1 ulp on ~9% of inputs), so the
+        exactness contract is at float32 — where a 1-ulp double
+        divergence changes the value with ~1e-9 probability — and
+        rank-boundary sensitivity is removed by returning ALL matches."""
+        return (
+            _sim_executor(spark, sf_dir, "lmdirichlet")
+            .matches(_T("dup"))
+            .select("doc_id", F.col("score").cast("float").alias("score"))
+        )
+
+    out["lmdirichlet_matches"] = lmdirichlet_matches
+
+    def boolean_sim_topk(spark, sf_dir):
+        """BooleanSimilarity: score = boost per matching clause (tf and
+        length ignored); a 2-SHOULD query scores 2.0 / 1.0."""
+        q = _B(_C(_O.SHOULD, _T("merge")), _C(_O.SHOULD, _T("window")))
+        return (
+            _sim_executor(spark, sf_dir, "boolean")
+            .topk(q, k=10)
+            .select("doc_id", "score")
+        )
+
+    out["boolean_sim_topk"] = boolean_sim_topk
+
+    # --- suggest / spellcheck (lucene/suggest roles) --------------------
+    def spell_suggest_q(spark, sf_dir):
+        """DirectSpellChecker: did-you-mean for the misspelling `scann`
+        from the live dictionary, ranked (distance, df desc, term)."""
+        from lucene_solr_spark.functions.suggest import spell_suggest
+
+        ex = _executor(spark, sf_dir)
+        return spell_suggest(ex.index.term_stats, "scann", max_edits=2, k=5)
+
+    out["spell_suggest"] = spell_suggest_q
+
+    def prefix_suggest_q(spark, sf_dir):
+        """Completion: top dictionary terms under prefix `s` by df."""
+        from lucene_solr_spark.functions.suggest import prefix_suggest
+
+        ex = _executor(spark, sf_dir)
+        return prefix_suggest(ex.index.term_stats, "s", k=10)
+
+    out["prefix_suggest"] = prefix_suggest_q
+
     # --- analysis-chain variants (EnglishAnalyzer, §2.1) -----------------
     def stop_filter_topk(spark, sf_dir):
         """StopFilter leg of the English chain: stop-filtered index
@@ -995,6 +1083,107 @@ def oracle_sql() -> dict[str, str]:
       JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
       WHERE p.term = 'dup'
       ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+
+    # pluggable similarities: the closed-form double expressions over the
+    # same CTEs (classic: TFIDFSimilarity.java:481-502; lmdirichlet:
+    # LMDirichletSimilarity.java:70-76; boolean: BooleanSimilarity.java)
+    _CLASSIC = (
+        "(sqrt({tf}::DOUBLE) * (ln((g.doc_count + 1.0)/({df} + 1.0)) + 1.0))"
+        " * (1.0 / sqrt(n.declen))"
+    )
+    out["classic_sim_topk"] = f"""WITH {_IX},
+      sa AS (SELECT p.doc_id, {_CLASSIC.format(tf='p.tf', df='ts.df')} AS score
+             FROM postings p JOIN term_stats ts USING (term)
+             JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+             WHERE p.term = 'hash'),
+      sb AS (SELECT p.doc_id, {_CLASSIC.format(tf='p.tf', df='ts.df')} AS score
+             FROM postings p JOIN term_stats ts USING (term)
+             JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+             WHERE p.term = 'join')
+      SELECT sa.doc_id, sa.score + coalesce(sb.score, 0.0) AS score
+      FROM sa LEFT JOIN sb USING (doc_id)
+      ORDER BY score DESC, sa.doc_id ASC LIMIT 10"""
+
+    out["lmdirichlet_matches"] = f"""WITH {_IX}
+      SELECT p.doc_id,
+             greatest(0.0,
+               ln(1.0 + p.tf::DOUBLE /
+                  (2000.0 * ((ts.ttf + 1.0) / (g.sum_ttf + 1.0))))
+               + ln(2000.0 / (n.declen + 2000.0)))::REAL AS score
+      FROM postings p JOIN term_stats ts USING (term)
+      JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      WHERE p.term = 'dup'"""
+
+    out["boolean_sim_topk"] = f"""WITH {_IX},
+      u AS (SELECT doc_id, 1.0::DOUBLE AS score FROM postings WHERE term = 'merge'
+            UNION ALL
+            SELECT doc_id, 1.0::DOUBLE FROM postings WHERE term = 'window')
+      SELECT doc_id, sum(score)::DOUBLE AS score FROM u GROUP BY doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+    # suggest: same candidate pruning + plain levenshtein both engines
+    out["spell_suggest"] = f"""WITH {_IX}
+      SELECT term, df, levenshtein(term, 'scann')::INT AS distance
+      FROM term_stats
+      WHERE term LIKE 's%' AND term != 'scann'
+        AND length(term) BETWEEN 3 AND 7
+        AND levenshtein(term, 'scann') <= 2
+      ORDER BY distance ASC, df DESC, term ASC LIMIT 5"""
+
+    out["prefix_suggest"] = f"""WITH {_IX}
+      SELECT term, df FROM term_stats
+      WHERE term LIKE 's%'
+      ORDER BY df DESC, term ASC LIMIT 10"""
+
+    # highlight: reproduce the kernel's passage rule exactly — matches
+    # cluster when index gaps <= 2*ctx+1 (=7), the best cluster (most
+    # matches, then earliest) emits tokens [min-3 .. max+3] with every
+    # query-term occurrence wrapped; join_tokens mode joins with ' '
+    out["highlight_topk"] = """
+      WITH tok AS (
+        SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS ws
+        FROM documents
+      ),
+      occ AS (
+        SELECT doc_id, ws, i FROM (
+          SELECT doc_id, ws, unnest(ws) AS w,
+                 generate_subscripts(ws, 1) AS i
+          FROM tok
+        ) WHERE w = 'merge'
+      ),
+      grp AS (
+        SELECT doc_id, ws, i,
+               sum(CASE WHEN prev_i IS NULL OR i - prev_i > 7
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY i) AS g
+        FROM (
+          SELECT doc_id, ws, i,
+                 lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+          FROM occ
+        )
+      ),
+      agg AS (
+        SELECT doc_id, any_value(ws) AS ws, g,
+               count(*) AS n, min(i) AS lo_i, max(i) AS hi_i
+        FROM grp GROUP BY doc_id, g
+      ),
+      best AS (
+        SELECT doc_id, ws, n, lo_i, hi_i,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY n DESC, lo_i ASC
+               ) AS rn
+        FROM agg
+      )
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 ws[greatest(1, lo_i - 3):least(len(ws), hi_i + 3)],
+                 w -> CASE WHEN w = 'merge'
+                          THEN '<b>' || w || '</b>' ELSE w END
+               ), ' ') AS snippet,
+             n::DOUBLE AS passage_score,
+             n::BIGINT AS n_matches
+      FROM best WHERE rn = 1"""
     out["kernel_term_topk"] = out["term_topk"]
     out["kernel_and_topk"] = out["and2_topk"]
     out["kernel_or_topk"] = out["or2_topk"]

@@ -188,7 +188,13 @@ def batch_tokenize(
     out_pos: list[np.ndarray] = []
 
     joined = "\n".join(norm_texts)
-    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    # surrogatepass: Python strings can carry lone surrogates (Arrow
+    # strings cannot, but the API accepts any str); they classify as
+    # non-word via the LUTs, so they break tokens exactly like the
+    # oracle's regex and never appear inside a token's text
+    cp = np.frombuffer(
+        joined.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+    )
     lens = np.fromiter((len(t) for t in norm_texts), np.int64, n_docs)
     doc_off = np.zeros(n_docs + 1, np.int64)
     np.cumsum(lens + 1, out=doc_off[1:])  # +1 per '\n' separator
@@ -258,7 +264,10 @@ def batch_tokenize(
             gcp = data[gather]
             # utf-32 → utf-8: one C-level decode/encode for the whole batch
             tbytes = (
-                gcp.astype(np.uint32).tobytes().decode("utf-32-le").encode("utf-8")
+                gcp.astype(np.uint32)
+                .tobytes()
+                .decode("utf-32-le", "surrogatepass")
+                .encode("utf-8", "surrogatepass")
             )
             blen = _UTF8LEN[np.minimum(gcp, FAST_LIMIT - 1)]
             tok_blen = np.add.reduceat(blen, cum)

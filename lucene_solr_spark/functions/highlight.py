@@ -1,0 +1,249 @@
+"""Highlighting — the UnifiedHighlighter role.
+
+Re-expresses ``lucene/highlighter/src/java/org/apache/lucene/search/
+uhighlight/UnifiedHighlighter.java`` for the Spark engine:
+
+- **Offset source = re-analysis.** Our index stores positions but not
+  character offsets (like a Lucene text field indexed without
+  ``IndexOptions...AND_OFFSETS``), so offsets come from re-running the
+  analyzer over the document text at highlight time — exactly
+  UnifiedHighlighter's ``OffsetSource.ANALYSIS`` fallback
+  (``UnifiedHighlighter.java:1000-1032``). The scan reuses the oracle
+  tokenizer's candidate regex + split rules, so highlight spans line up
+  with indexed terms BY CONSTRUCTION (same chain: lowercase →
+  possessive → stop → stem).
+- **Passages.** Lucene breaks at sentence boundaries via BreakIterator
+  (``UnifiedHighlighter.java:117-121``); we use a deterministic
+  token-window rule instead (± ``ctx`` tokens around each match, merged
+  when overlapping) — documented divergence that keeps the operator
+  pure-function and SQL-oracle-able.
+- **Passage scoring.** ``PassageScorer.java:56-96`` ranks passages by
+  Σ idf-weighted term hits; we implement the simplified form
+  score(passage) = Σ_matches weight(term) (weight defaults to 1, or an
+  idf dict computed from term_stats), tie-broken by earlier start —
+  rank-equivalent for the single-weight case.
+- **Markup.** Every token in an emitted passage whose analyzed term is a
+  query term is wrapped in pre/post tags (``DefaultPassageFormatter
+  .java:40-60``).
+
+Distribution: highlighting is a MAP-ONLY pandas operation over
+(doc_id, text) rows — the caller narrows to the hit set first (top-k is
+tiny), so at 100 TB this never touches more than k documents per query.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from lucene_solr_spark.oracle.tokenizer import (
+    _MID_SET,
+    _IDEO_RE,
+    _TOKEN_RE,
+    MAX_TOKEN_LENGTH_DEFAULT,
+    _split_candidate,
+)
+
+__all__ = [
+    "Passage",
+    "analyze_with_offsets",
+    "best_passages",
+    "highlight_text",
+    "highlight_hits",
+]
+
+
+@dataclass(frozen=True)
+class Passage:
+    """One highlighted passage (Passage.java role)."""
+
+    start: int  # char offset of first token in passage
+    end: int  # char offset past last token
+    score: float
+    n_matches: int
+    snippet: str
+
+
+def analyze_with_offsets(
+    text: str,
+    *,
+    lowercase: bool = True,
+    stopwords: frozenset = frozenset(),
+    max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
+    strip_possessive: bool = False,
+    stemmer: str | None = None,
+) -> list[tuple[str, int, int, int]]:
+    """Analyzer chain WITH character offsets → [(term, pos, start, end)].
+
+    Same semantics as ``oracle.tokenizer.analyze`` (parity-tested), plus
+    the source span of each surviving token — the ANALYSIS offset source.
+    Sub-tokens of a split candidate (``obj.method``) get their exact
+    sub-spans; stopwords drop but consume positions (gaps preserved)."""
+    if stemmer not in (None, "porter"):
+        raise ValueError(f"unknown stemmer {stemmer!r}")
+    from lucene_solr_spark.oracle.porter import porter_stem, strip_possessive as _sp
+
+    raw: list[tuple[str, int, int]] = []  # (raw_term, start, end)
+    for m in _TOKEN_RE.finditer(text):
+        cand = m.group(0)
+        base = m.start()
+        if len(cand) == 1 or not (set(cand) & _MID_SET or _IDEO_RE.search(cand)):
+            raw.append((cand, base, base + len(cand)))
+        else:
+            # locate each split part inside the candidate (parts appear
+            # in order and never overlap, so a moving cursor is exact)
+            cursor = 0
+            for part in _split_candidate(cand):
+                i = cand.index(part, cursor)
+                raw.append((part, base + i, base + i + len(part)))
+                cursor = i + len(part)
+    out: list[tuple[str, int, int, int]] = []
+    for pos, (term, s, e) in enumerate(raw):
+        if len(term) > max_token_length:
+            continue  # skipped but consumes a position (skippedPositions)
+        if lowercase:
+            term = term.lower()
+        if strip_possessive:
+            term = _sp(term)
+        if term in stopwords:
+            continue
+        if stemmer == "porter":
+            term = porter_stem(term)
+        out.append((term, pos, s, e))
+    return out
+
+
+def best_passages(
+    text: str,
+    query_terms: dict[str, float] | set[str],
+    *,
+    ctx: int = 3,
+    top_n: int = 1,
+    pre_tag: str = "<b>",
+    post_tag: str = "</b>",
+    join_tokens: bool = False,
+    **analyzer_kwargs,
+) -> list[Passage]:
+    """Top-``top_n`` highlighted passages of one document.
+
+    ``query_terms``: analyzed terms to match — a set (weight 1 each) or a
+    {term: weight} dict (PassageScorer idf weights). ``ctx``: tokens of
+    context each side of a match; overlapping windows merge into one
+    passage. ``join_tokens=True`` rebuilds the snippet by joining token
+    texts with single spaces (the exactly-SQL-reproducible form used by
+    the correctness gate); default slices the ORIGINAL text, preserving
+    inter-token characters."""
+    weights = (
+        query_terms
+        if isinstance(query_terms, dict)
+        else {t: 1.0 for t in query_terms}
+    )
+    toks = analyze_with_offsets(text, **analyzer_kwargs)
+    hit_idx = [i for i, (t, _p, _s, _e) in enumerate(toks) if t in weights]
+    if not hit_idx:
+        return []
+    # merge overlapping ±ctx windows (token-index space)
+    windows: list[list[int]] = []
+    for i in hit_idx:
+        lo, hi = max(0, i - ctx), min(len(toks) - 1, i + ctx)
+        if windows and lo <= windows[-1][1] + 1:
+            windows[-1][1] = hi
+        else:
+            windows.append([lo, hi])
+    passages: list[Passage] = []
+    for lo, hi in windows:
+        span = toks[lo : hi + 1]
+        matches = [(t, s, e) for t, _p, s, e in span if t in weights]
+        score = float(sum(weights[t] for t, _s, _e in matches))
+        if join_tokens:
+            parts = []
+            for t, _p, s, e in span:
+                w = text[s:e]
+                parts.append(f"{pre_tag}{w}{post_tag}" if t in weights else w)
+            snippet = " ".join(parts)
+        else:
+            base = span[0][2]
+            buf, cur = [], base
+            for t, _p, s, e in span:
+                buf.append(text[cur:s])
+                w = text[s:e]
+                buf.append(f"{pre_tag}{w}{post_tag}" if t in weights else w)
+                cur = e
+            snippet = "".join(buf)
+        passages.append(
+            Passage(span[0][2], span[-1][3], score, len(matches), snippet)
+        )
+    passages.sort(key=lambda p: (-p.score, p.start))
+    return passages[:top_n]
+
+
+def highlight_text(
+    text: str, query_terms, **kwargs
+) -> str | None:
+    """Best single snippet (or None when nothing matches)."""
+    ps = best_passages(text, query_terms, top_n=1, **kwargs)
+    return ps[0].snippet if ps else None
+
+
+def highlight_hits(
+    hits_df,
+    docs_df,
+    query_terms: dict[str, float] | set[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ctx: int = 3,
+    top_n: int = 1,
+    pre_tag: str = "<b>",
+    post_tag: str = "</b>",
+    join_tokens: bool = False,
+    analyzer_kwargs: dict | None = None,
+):
+    """Distributed highlight: broadcast-join the (small) hit set onto the
+    documents table, then a MAP-ONLY Arrow batch pass producing
+    (doc_id, snippet, passage_score, n_matches) — one row per emitted
+    passage, nothing shuffles. The broadcast is sound because hits are
+    top-k/match sets, orders of magnitude smaller than the corpus."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    akw = dict(analyzer_kwargs or {})
+    weights = (
+        dict(query_terms)
+        if isinstance(query_terms, dict)
+        else {t: 1.0 for t in query_terms}
+    )
+
+    narrowed = docs_df.join(
+        F.broadcast(hits_df.select(id_col).distinct()), id_col
+    ).select(id_col, text_col)
+
+    def run(batches):
+        for pdf in batches:
+            out_id, out_sn, out_sc, out_nm = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for p in best_passages(
+                    text or "",
+                    weights,
+                    ctx=ctx,
+                    top_n=top_n,
+                    pre_tag=pre_tag,
+                    post_tag=post_tag,
+                    join_tokens=join_tokens,
+                    **akw,
+                ):
+                    out_id.append(did)
+                    out_sn.append(p.snippet)
+                    out_sc.append(p.score)
+                    out_nm.append(p.n_matches)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_id, dtype="int64"),
+                    "snippet": pd.Series(out_sn, dtype=str),
+                    "passage_score": pd.Series(out_sc, dtype="float64"),
+                    "n_matches": pd.Series(out_nm, dtype="int64"),
+                }
+            )
+
+    schema = f"{id_col} long, snippet string, passage_score double, n_matches long"
+    return narrowed.mapInPandas(run, schema=schema)

@@ -1,0 +1,82 @@
+"""Suggest / spellcheck — the ``lucene/suggest`` module's two core roles.
+
+- ``spell_suggest``: DirectSpellChecker (``suggest/src/java/.../spell/
+  DirectSpellChecker.java:50-74``) — did-you-mean candidates drawn from
+  the term dictionary within ``max_edits``, sharing a ``min_prefix``
+  (default 1, the reference default), ranked by (distance, docFreq)
+  exactly like SuggestWordQueue's score-then-frequency comparator
+  (``spell/SuggestWordQueue.java:30``). DIVERGENCE: distance is plain
+  Levenshtein (Spark ``F.levenshtein`` / DuckDB ``levenshtein``), not
+  the reference's transposition-aware LuceneLevenshteinDistance —
+  consistent with this engine's FuzzyQuery semantics.
+- ``prefix_suggest``: completion over the dictionary weighted by
+  docFreq — the HighFrequencyDictionary → AnalyzingSuggester path
+  (``spell/HighFrequencyDictionary.java:33``,
+  ``suggest/analyzing/AnalyzingSuggester.java:81``) reduced to its
+  relational core: the FST is the reference's *physical* answer to
+  prefix lookup; a term-sorted parquet dictionary with row-group
+  pruning is the Spark-native one.
+
+Both are single Catalyst plans over the (term-sorted, range-partitioned)
+``term_stats`` table: the prefix predicate prunes row groups, the length
+band and edit-distance filter run in whole-stage codegen, and the tiny
+top-k result is the only thing collected — at a 10^9-term dictionary
+this touches one prefix slice, never the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["spell_suggest", "prefix_suggest"]
+
+
+def spell_suggest(
+    term_stats: DataFrame,
+    word: str,
+    *,
+    max_edits: int = 2,
+    k: int = 5,
+    min_prefix: int = 1,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``k`` dictionary corrections for ``word`` →
+    (term, df, distance), ranked (distance asc, df desc, term asc).
+
+    Candidate pruning mirrors the reference's automaton walk: shared
+    ``min_prefix`` chars (DirectSpellChecker.minPrefix), a length band
+    of ±``max_edits`` (a Levenshtein lower bound), exact term excluded
+    (the reference only suggests *other* terms)."""
+    if not word:
+        raise ValueError("empty word")
+    cand = term_stats.select("term", "df")
+    if min_prefix > 0:
+        cand = cand.filter(F.col("term").startswith(word[:min_prefix]))
+    cand = (
+        cand.filter(
+            F.length("term").between(len(word) - max_edits, len(word) + max_edits)
+        )
+        .filter(F.col("term") != word)
+        .filter(F.col("df") >= min_df)
+        .withColumn("distance", F.levenshtein(F.col("term"), F.lit(word)))
+        .filter(F.col("distance") <= max_edits)
+    )
+    return (
+        cand.select("term", "df", F.col("distance").cast("int").alias("distance"))
+        .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def prefix_suggest(
+    term_stats: DataFrame, prefix: str, *, k: int = 10
+) -> DataFrame:
+    """Top-``k`` completions of ``prefix`` by document frequency →
+    (term, df), ranked (df desc, term asc)."""
+    return (
+        term_stats.filter(F.col("term").startswith(prefix))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )

@@ -110,6 +110,9 @@ class DFExecutor:
     b: float = bm25.B_DEFAULT
     mode: str = "float32"  # or "double"
     broadcast_norms_threshold: int = 5_000_000
+    #: non-BM25 pluggable similarity (functions.similarities.Similarity);
+    #: None = the built-in Lucene-parity BM25 fast paths
+    similarity: object | None = None
     _stats_cache: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------------ api
@@ -195,6 +198,33 @@ class DFExecutor:
     def _scored_term_rows(self, rows: DataFrame, weight) -> DataFrame:
         """(doc_id, tf) rows + norm join → (doc_id, score)."""
         with_norm = rows.join(self._norms(), "doc_id")
+        if self.similarity is not None:
+            sim = self.similarity
+            if self.mode == "float32":
+                @F.pandas_udf(T.FloatType())
+                def sim_udf(tf: pd.Series, norm: pd.Series) -> pd.Series:
+                    s = sim.score(
+                        tf.to_numpy(), norm.to_numpy(np.int64), weight, "float32"
+                    )
+                    return pd.Series(s, index=tf.index)
+
+                return with_norm.select(
+                    "doc_id", sim_udf(F.col("tf"), F.col("norm")).alias("score")
+                )
+            # double mode ALSO scores in the numpy kernel (Arrow UDF):
+            # the log calls must hit the platform libm (math.log) to stay
+            # bit-identical to the DuckDB oracle — JVM Math.log rounds
+            # differently on ~1-ulp of inputs
+            @F.pandas_udf(T.DoubleType())
+            def sim_udf64(tf: pd.Series, norm: pd.Series) -> pd.Series:
+                s = sim.score(
+                    tf.to_numpy(), norm.to_numpy(np.int64), weight, "double"
+                )
+                return pd.Series(s, index=tf.index)
+
+            return with_norm.select(
+                "doc_id", sim_udf64(F.col("tf"), F.col("norm")).alias("score")
+            )
         if self.mode == "float32":
             udf = self._score_f32_udf(weight)
             return with_norm.select(
@@ -204,7 +234,11 @@ class DFExecutor:
             "doc_id", self._score_double_col(float(weight)).alias("score")
         )
 
-    def _term_weight(self, boost: float, df: int):
+    def _term_weight(self, boost: float, df: int, ttf: int = 0):
+        if self.similarity is not None:
+            return self.similarity.term_weight(
+                boost, df, ttf, self.index.doc_count, self.index.sum_ttf
+            )
         if self.mode == "float32":
             return bm25.term_weight(boost, bm25.idf(df, self.index.doc_count))
         import math
@@ -212,7 +246,12 @@ class DFExecutor:
         n = self.index.doc_count
         return boost * math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
-    def _sum_weight(self, boost: float, dfs) -> float:
+    def _sum_weight(self, boost: float, dfs, ttfs=None):
+        if self.similarity is not None:
+            stats = list(zip(dfs, ttfs if ttfs is not None else [0] * len(dfs)))
+            return self.similarity.sum_weight(
+                boost, stats, self.index.doc_count, self.index.sum_ttf
+            )
         if self.mode == "float32":
             return bm25.term_weight(boost, bm25.idf_sum(dfs, self.index.doc_count))
         import math
@@ -233,7 +272,9 @@ class DFExecutor:
             if self._df(q.term) == 0:
                 return self._empty()
             rows = ix.postings.filter(F.col("term") == q.term).select("doc_id", "tf")
-            return self._scored_term_rows(rows, self._term_weight(boost, self._df(q.term)))
+            return self._scored_term_rows(
+                rows, self._term_weight(boost, *self._stats_cache[q.term])
+            )
         if isinstance(q, ir.BoostQuery):
             inner_boost = (
                 float(_f32(_f32(boost) * _f32(q.boost)))
@@ -276,12 +317,16 @@ class DFExecutor:
             df_max = max(dfs, default=0)
             if df_max == 0:
                 return self._empty()
+            # SynonymQuery pseudo-term stats: df = max, ttf = sum
+            ttf_sum = sum(self._stats_cache[t][1] for t in q.terms)
             rows = (
                 ix.postings.filter(F.col("term").isin(list(q.terms)))
                 .groupBy("doc_id")
                 .agg(F.sum("tf").alias("tf"))
             )
-            return self._scored_term_rows(rows, self._term_weight(boost, df_max))
+            return self._scored_term_rows(
+                rows, self._term_weight(boost, df_max, ttf_sum)
+            )
         if isinstance(q, ir.PhraseQuery):
             return self._eval_phrase(q, boost)
         if isinstance(q, ir.MultiPhraseQuery):
@@ -340,7 +385,12 @@ class DFExecutor:
         freq = joined.select("doc_id", span_freq(arrays).alias("tf")).filter(
             F.col("tf") > 0
         )
-        return self._scored_term_rows(freq, self._sum_weight(boost, dfs))
+        return self._scored_term_rows(
+            freq,
+            self._sum_weight(
+                boost, dfs, [self._stats_cache[t][1] for t in q.terms]
+            ),
+        )
 
     def _eval_boolean(self, q: ir.BooleanQuery, boost: float) -> DataFrame:
         musts = [self._eval(c, boost) for c in q.by_occur(ir.Occur.MUST)]
@@ -476,7 +526,12 @@ class DFExecutor:
         freq = joined.select("doc_id", phrase_freq(arrays).alias("tf")).filter(
             F.col("tf") > 0
         )
-        return self._scored_term_rows(freq, self._sum_weight(boost, dfs))
+        return self._scored_term_rows(
+            freq,
+            self._sum_weight(
+                boost, dfs, [self._stats_cache[t][1] for t in q.terms]
+            ),
+        )
 
     def _eval_multi_phrase(self, q: "ir.MultiPhraseQuery", boost: float) -> DataFrame:
         """Per-slot union of the group's postings (UnionPostingsEnum role):
@@ -485,7 +540,9 @@ class DFExecutor:
         ix = self.index
         all_terms = list(q.all_terms)
         # df==0 terms are excluded from the summed idf (MultiPhraseQuery.java:234)
-        dfs = [self._df(t) for t in all_terms if self._df(t) > 0]
+        live_terms = [t for t in all_terms if self._df(t) > 0]
+        dfs = [self._df(t) for t in live_terms]
+        ttfs = [self._stats_cache[t][1] for t in live_terms]
         if any(all(self._df(t) == 0 for t in g) for g in q.term_groups):
             return self._empty()
         parts = []
@@ -541,7 +598,7 @@ class DFExecutor:
         freq = joined.select("doc_id", mp_freq(arrays).alias("tf")).filter(
             F.col("tf") > 0
         )
-        return self._scored_term_rows(freq, self._sum_weight(boost, dfs))
+        return self._scored_term_rows(freq, self._sum_weight(boost, dfs, ttfs))
 
     def _empty(self) -> DataFrame:
         spark = self.index.postings.sparkSession

@@ -12,14 +12,16 @@ from pyspark.sql import SparkSession
 __all__ = ["get_spark", "stop_spark"]
 
 
-# glibc mmap-threshold tuning: every allocation over the default 128 KB
-# threshold is mmap'd and munmap'd, so each large numpy/Arrow temporary
-# re-faults its pages. Sandboxed/virtualized kernels can fault anonymous
-# pages extremely slowly (~20 MB/s observed here), which makes the
-# vectorized tokenizer and Arrow batches pay seconds per call. Keeping
-# big blocks in the heap (huge mmap threshold, no trim) makes every
-# allocation after the first reuse warm pages. Harmless on normal hosts;
-# exported to executors so python workers inherit it too.
+# Allocation tuning for kernels with slow 4K anonymous page faults (this
+# sandbox faults plain pages at ~6-40 MB/s). Huge mmap/trim thresholds
+# keep big blocks in the heap, so every allocation after the first
+# reuses warm pages. Harmless on healthy hosts.
+# (THP variants were tried and REJECTED: glibc.malloc.hugetlb=1 and
+# -XX:+UseTransparentHugePages are 2500x faster single-process, but
+# under 16 concurrent workers this kernel's THP compaction stalls made
+# the same job 10x SLOWER — measured, not assumed.)
+# Set in the driver env BEFORE the JVM spawns (python workers inherit),
+# and exported via executorEnv for real clusters.
 _MALLOC_TUNING = {
     "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
     "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
