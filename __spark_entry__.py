@@ -287,6 +287,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["ann_cosine_topk"] = ann_cosine_topk
 
+    def ivf_ann_topk(spark, sf_dir):
+        """IVF coarse-quantizer ANN (k-means inverted lists): at gate
+        scale nprobe == n_lists, so candidates ⊇ true top-k and the
+        result EQUALS the brute-force oracle exactly (same trick as
+        minhash/lsh gates — the structure is exercised, recall=1 by
+        construction; the recall/nprobe study lives in tests)."""
+        from lucene_solr_spark.functions.similarity import (
+            ivf_assign,
+            ivf_topk,
+            ivf_train,
+        )
+
+        key = f"ivf::{sf_dir}"
+        if key not in _CACHE:
+            e = _emb(spark, sf_dir)
+            cents = ivf_train(e, n_lists=8, seed=42)
+            _CACHE[key] = (ivf_assign(e, cents).persist(), cents)
+        assigned, cents = _CACHE[key]
+        qvec = assigned.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return ivf_topk(
+            assigned.filter(F.col("vec_id") != 0),
+            cents,
+            list(qvec),
+            k=10,
+            nprobe=8,
+        )
+
+    out["ivf_ann_topk"] = ivf_ann_topk
+
     def events_window(spark, sf_dir):
         """Tumbling-window rollup on the events stream table (batch form of
         the Structured Streaming windowed agg in streaming.nrt)."""
@@ -987,6 +1016,10 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT vec_id, cosine FROM scored
       ORDER BY cosine DESC, vec_id ASC LIMIT 10"""
+
+    # IVF with nprobe == n_lists scans every inverted list -> exactly the
+    # brute-force ranking (the gate pins the IVF plumbing, not recall)
+    out["ivf_ann_topk"] = out["ann_cosine_topk"]
 
     out["events_window"] = """
       SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -25,6 +25,12 @@ __all__ = [
     "lsh_bucketed_topk",
     "write_ann_index",
     "ann_index_topk",
+    "ivf_train",
+    "ivf_assign",
+    "ivf_probe_lists",
+    "ivf_topk",
+    "write_ivf_index",
+    "ivf_index_topk",
 ]
 
 
@@ -219,3 +225,143 @@ def ann_index_topk(
         cond = cond | ((F.col("tbl") == t) & (F.col("sig") == qsigs[t]))
     candidates = scan.filter(cond).select(id_col, emb_col).dropDuplicates([id_col])
     return brute_force_cosine_topk(candidates, qvec, k, id_col, emb_col)
+
+
+# ------------------------------------------------------------------ IVF
+def ivf_train(
+    df: DataFrame,
+    n_lists: int = 16,
+    *,
+    emb_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: k-means centroids over the
+    embedding column (inverted-file ANN — Jégou/Douze/Schmid, "Product
+    quantization for nearest neighbor search", TPAMI 2011, §IV.A; the
+    coarse stage only, no product quantization).
+
+    Distributed: pyspark.ml KMeans (k-means|| init, seeded) over the
+    Arrow-bridged vector column; at 100 TB train on a ``sample_fraction``
+    and assign the full table afterwards (FAISS's standard recipe)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df if sample_fraction is None else df.sample(sample_fraction, seed)
+    vecs = train.select(array_to_vector(F.col(emb_col)).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(vecs)
+    return np.asarray([np.asarray(c) for c in model.clusterCenters()])
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid → + ``list_id`` column.
+
+    JVM-side: squared-euclidean to each centroid as fold expressions,
+    argmin via least() comparison — map-only, no UDF, no shuffle."""
+    dists = []
+    for li, c in enumerate(centroids):
+        clit = F.lit([float(x) for x in c])
+        d = F.aggregate(
+            F.zip_with(
+                F.col(emb_col),
+                clit,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(d.alias(f"_d{li}"))
+    with_d = df.select("*", *dists)
+    best = F.lit(0)
+    bestd = F.col("_d0")
+    for li in range(1, len(centroids)):
+        cond = F.col(f"_d{li}") < bestd
+        best = F.when(cond, F.lit(li)).otherwise(best)
+        bestd = F.when(cond, F.col(f"_d{li}")).otherwise(bestd)
+    return with_d.withColumn("list_id", best).drop(
+        *[f"_d{li}" for li in range(len(centroids))]
+    )
+
+
+def ivf_probe_lists(
+    centroids: np.ndarray, qvec: list[float], nprobe: int
+) -> list[int]:
+    """The nprobe nearest inverted lists for a query (euclidean to the
+    centroids, matching the quantizer's training metric)."""
+    q = np.asarray(qvec, np.float64)
+    d = ((centroids - q) ** 2).sum(axis=1)
+    return [int(i) for i in np.argsort(d, kind="stable")[:nprobe]]
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    qvec: list[float],
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF query: exact cosine re-rank over the vectors of the ``nprobe``
+    nearest lists only. ``nprobe == n_lists`` degenerates to the exact
+    brute-force scan (the correctness-gate configuration); small nprobe
+    is the recall/throughput dial. Over the ``write_ivf_index`` layout
+    the list filter becomes parquet partition PRUNING — a probe touches
+    nprobe directories, never the full corpus."""
+    lists = ivf_probe_lists(centroids, qvec, nprobe)
+    cand = assigned.filter(F.col("list_id").isin(lists))
+    return brute_force_cosine_topk(cand, qvec, k, id_col, emb_col)
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Materialize the IVF layout: vectors written partitioned by
+    ``list_id``, centroids saved alongside (ivf_centroids.npy). Returns
+    the centroids."""
+    import os
+
+    centroids = ivf_train(
+        df, n_lists, emb_col=emb_col, seed=seed, sample_fraction=sample_fraction
+    )
+    assigned = ivf_assign(df, centroids, emb_col=emb_col)
+    assigned.select(id_col, emb_col, "list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(path)
+    # underscore prefix: data-source readers skip it like _SUCCESS
+    np.save(os.path.join(path, "_ivf_centroids.npy"), centroids)
+    return centroids
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    qvec: list[float],
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Query the materialized IVF layout (partition-pruned scan)."""
+    import os
+
+    centroids = np.load(os.path.join(path, "_ivf_centroids.npy"))
+    assigned = spark.read.parquet(path)
+    return ivf_topk(
+        assigned, centroids, qvec, k, nprobe=nprobe, id_col=id_col, emb_col=emb_col
+    )
