@@ -123,6 +123,7 @@ def tokens_frame(
                 stopwords=stop,
                 max_token_length=max_token_length,
                 strip_possessive=strip_possessive,
+                fold_ascii=fold_ascii,
                 stemmer=stemmer,
             )
             yield pd.DataFrame(
@@ -145,6 +146,7 @@ def postings_frame(
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
     strip_possessive: bool = False,
+    fold_ascii: bool = False,
     stemmer: str | None = None,
     with_positions: bool = True,
 ):
@@ -183,6 +185,7 @@ def postings_frame(
                 stopwords=stop,
                 max_token_length=max_token_length,
                 strip_possessive=strip_possessive,
+                fold_ascii=fold_ascii,
                 stemmer=stemmer,
             )
             if len(tdoc) == 0:

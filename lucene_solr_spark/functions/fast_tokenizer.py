@@ -163,6 +163,7 @@ def batch_tokenize(
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
     strip_possessive: bool = False,
+    fold_ascii: bool = False,
     stemmer: str | None = None,
 ) -> tuple[np.ndarray, pa.Array, np.ndarray]:
     """Tokenize a batch of documents.
@@ -283,6 +284,19 @@ def batch_tokenize(
                 terms = pc.replace_substring_regex(
                     terms, pattern="['’][sS]$", replacement=""
                 )
+            if fold_ascii and len(terms):
+                # per-DISTINCT-term fold via dictionary encode (the
+                # stemmer pattern): the batch vocabulary is tiny next to
+                # the token stream, ASCII-pure batches skip entirely
+                from lucene_solr_spark.oracle.tokenizer import fold_accents
+
+                denc0 = pc.dictionary_encode(terms)
+                dvals = denc0.dictionary.to_pylist()
+                if any(not t.isascii() for t in dvals):
+                    folded = pa.array(
+                        [fold_accents(t) for t in dvals], pa.utf8()
+                    )
+                    terms = folded.take(denc0.indices)
             if stopwords:
                 m = pc.is_in(
                     terms, value_set=pa.array(sorted(stopwords), pa.utf8())
@@ -313,6 +327,7 @@ def batch_tokenize(
             stopwords=stopwords,
             max_token_length=max_token_length,
             strip_possessive=strip_possessive,
+            fold_ascii=fold_ascii,
             stemmer=stemmer,
         )
         if not toks:

@@ -219,6 +219,7 @@ def build_index(
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = 255,
     strip_possessive: bool = False,
+    fold_ascii: bool = False,
     stemmer: str | None = None,
     with_positions: bool = True,
     index_options: str = "positions",  # "positions" | "freqs" | "docs"
@@ -257,6 +258,7 @@ def build_index(
         stopwords=stopwords,
         max_token_length=max_token_length,
         strip_possessive=strip_possessive,
+        fold_ascii=fold_ascii,
         stemmer=stemmer,
         with_positions=with_positions,
     )

@@ -41,6 +41,7 @@ from typing import NamedTuple
 
 __all__ = [
     "Token",
+    "fold_accents",
     "ENGLISH_STOP_WORDS",
     "MAX_TOKEN_LENGTH_DEFAULT",
     "tokenize",
@@ -148,6 +149,22 @@ def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT) -> lis
     return out
 
 
+def fold_accents(term: str) -> str:
+    """Accent folding: NFD + combining-mark strip — the relational-
+    oracle-reproducible core of ``ASCIIFoldingFilter.java`` (identical to
+    utf8proc/DuckDB ``strip_accents``; ligature/ß expansions of the full
+    Lucene table are deliberately NOT applied, documented divergence)."""
+    import unicodedata
+
+    if term.isascii():
+        return term
+    return "".join(
+        c
+        for c in unicodedata.normalize("NFD", term)
+        if not unicodedata.combining(c)
+    )
+
+
 def analyze(
     text: str,
     *,
@@ -155,6 +172,7 @@ def analyze(
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
     strip_possessive: bool = False,
+    fold_ascii: bool = False,
     stemmer: str | None = None,
 ) -> list[Token]:
     """Full analyzer chain. Default = Lucene StandardAnalyzer (lowercase,
@@ -175,6 +193,8 @@ def analyze(
             term = term.lower()
         if strip_possessive:
             term = _sp(term)
+        if fold_ascii:
+            term = fold_accents(term)
         if term in stopwords:
             continue
         if stemmer == "porter":

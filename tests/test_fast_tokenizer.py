@@ -97,3 +97,36 @@ def test_property_parity_bmp(texts):
 )
 def test_property_parity_full_unicode(texts):
     assert _got(texts, True, frozenset()) == _expected(texts, True, frozenset())
+
+
+def test_fold_ascii_parity_and_duckdb_twin():
+    """fold_ascii: fast path == oracle analyze == DuckDB strip_accents
+    (NFD + combining strip; ligature/ss expansions of the full
+    ASCIIFoldingFilter table deliberately not applied)."""
+    import duckdb
+
+    from lucene_solr_spark.functions.fast_tokenizer import batch_tokenize
+    from lucene_solr_spark.oracle.tokenizer import analyze, fold_accents
+
+    texts = [
+        "Naïve café crème señor Ångström über",
+        "plain ascii stays put",
+        "mixed: naïveté can't obj.method2",
+        "",
+    ]
+    d, terms, p = batch_tokenize(texts, fold_ascii=True)
+    got = list(zip(d.tolist(), terms.to_pylist(), p.tolist()))
+    expect = [
+        (i, t.term, t.pos)
+        for i, txt in enumerate(texts)
+        for t in analyze(txt, fold_ascii=True)
+    ]
+    assert got == expect
+    assert ("0", "naive", "0") != got[0]  # ints, not strings
+    assert got[0][1] == "naive" and "cafe" in [g[1] for g in got]
+
+    con = duckdb.connect()
+    for w in ("naïve", "café", "señor", "ångström", "über", "straße", "crème"):
+        assert fold_accents(w) == con.execute(
+            "SELECT strip_accents(?)", [w]
+        ).fetchone()[0]
