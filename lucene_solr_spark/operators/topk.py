@@ -104,6 +104,14 @@ _MULTITERM_TYPES = (
     ir.FuzzyQuery,
 )
 
+_COMPOSITE_SPAN_TYPES = (
+    ir.SpanTermQuery,
+    ir.SpanOrQuery,
+    ir.SpanNotQuery,
+    ir.SpanWithinQuery,
+    ir.SpanContainingQuery,
+)
+
 
 def _regex_literal_prefix(rx: str) -> str:
     """Leading literal chars of a regex (empty when it starts with a
@@ -233,6 +241,10 @@ def _collect_terms(q: ir.Query) -> set[str]:
         q, (ir.SynonymQuery, ir.TermInSetQuery, ir.PhraseQuery, ir.SpanNearQuery)
     ):
         return set(q.terms)
+    if isinstance(q, _COMPOSITE_SPAN_TYPES):
+        from lucene_solr_spark.plans.df_executor import span_term_sets
+
+        return set(span_term_sets(q)[0])
     if isinstance(q, ir.MultiPhraseQuery):
         return set(q.all_terms)
     if isinstance(q, ir.BooleanQuery):
@@ -363,6 +375,32 @@ class _Compiler:
                 "slop": int(q.slop),
                 "in_order": bool(q.in_order),
                 "weight": self.sum_weight(boost, dfs),
+            }
+        if isinstance(q, _COMPOSITE_SPAN_TYPES):
+            # composite span algebra (or/not/within/containing + term
+            # leaves): ship the IR subtree; the segment kernel evaluates
+            # it with oracle.spans.eval_spans over batch-decoded
+            # positions. Weight/term bookkeeping mirrors
+            # plans.df_executor._eval_span exactly.
+            from lucene_solr_spark.plans.df_executor import span_term_sets
+
+            all_terms, positive, required = span_term_sets(q)
+            if any(self.stats.get(t, (0, 0))[0] == 0 for t in required):
+                return {"op": "none"}
+            live_dfs = [
+                self.stats.get(t, (0, 0))[0]
+                for t in positive
+                if self.stats.get(t, (0, 0))[0] > 0
+            ]
+            if not live_dfs:
+                return {"op": "none"}
+            return {
+                "op": "span",
+                "node": ir.span_to_dict(q),
+                "all_terms": list(all_terms),
+                "positive": list(positive),
+                "required": list(required),
+                "weight": self.sum_weight(boost, live_dfs),
             }
         if isinstance(q, ir.MultiPhraseQuery):
             dfs = [
@@ -530,6 +568,8 @@ class _SegmentEval:
             return self._eval_phrase(plan)
         if op == "span_near":
             return self._eval_span_near(plan)
+        if op == "span":
+            return self._eval_span(plan)
         if op == "multi_phrase":
             return self._eval_multi_phrase(plan)
         if op == "bool":
@@ -713,6 +753,59 @@ class _SegmentEval:
                 plan["slop"],
                 plan["in_order"],
             )
+        keep = freqs > 0
+        cand, freqs = cand[keep], freqs[keep]
+        if not cand.size:
+            return empty
+        return cand, self.score_tf_norm(freqs, self.norms_of(cand), plan["weight"])
+
+    def _eval_span(self, plan: dict) -> tuple[np.ndarray, np.ndarray]:
+        """Composite span algebra: candidates from the required-term
+        conjunction (or positive-term union for pure ORs), positions
+        batch-decoded per term, tree evaluated by oracle.spans.eval_spans
+        — same kernel as DFExecutor's span pandas UDF."""
+        from lucene_solr_spark.codecs.postings_codec import decode_positions_batch
+        from lucene_solr_spark.oracle.spans import eval_spans, spans_freq
+
+        empty = (np.empty(0, np.int64), np.empty(0, self._out_dtype()))
+        terms = plan["all_terms"]
+        term_docs = {t: self.postings(t)[0] for t in terms}
+        required = plan["required"]
+        if required:
+            cand = term_docs[required[0]]
+            for t in required[1:]:
+                cand = cand[_in_sorted(cand, term_docs[t])]
+                if not cand.size:
+                    return empty
+        else:
+            parts = [term_docs[t] for t in plan["positive"]]
+            cand = (
+                np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+            )
+        if not cand.size:
+            return empty
+        no_pos = np.empty(0, np.int64)
+        pos_per_term: list[list[np.ndarray]] = []
+        for t in terms:
+            d = term_docs[t]
+            full: list[np.ndarray] = [no_pos] * len(cand)
+            if d.size:
+                present = _in_sorted(cand, d)
+                if present.any():
+                    enc = self._enc_with_positions(t)
+                    idxs = np.searchsorted(d, cand[present])
+                    pos, counts = decode_positions_batch(
+                        enc.pos_blob, enc.pos_off, idxs
+                    )
+                    lists = np.split(pos, np.cumsum(counts)[:-1])
+                    for slot, pl in zip(np.nonzero(present)[0].tolist(), lists):
+                        full[slot] = pl
+            pos_per_term.append(full)
+        node = ir.span_from_dict(plan["node"])
+        freqs = np.empty(len(cand), np.float64)
+        for ci in range(len(cand)):
+            tp = {t: pos_per_term[ti][ci] for ti, t in enumerate(terms)}
+            freqs[ci] = spans_freq(eval_spans(node, tp))
         keep = freqs > 0
         cand, freqs = cand[keep], freqs[keep]
         if not cand.size:

@@ -144,8 +144,18 @@ class OracleIndex:
             return self._synonym_scores(q.terms, boost)
         if isinstance(q, ir.PhraseQuery):
             return self._phrase_scores(q, boost)
-        if isinstance(q, ir.SpanNearQuery):
-            return self._span_near_scores(q, boost)
+        if isinstance(
+            q,
+            (
+                ir.SpanNearQuery,
+                ir.SpanTermQuery,
+                ir.SpanOrQuery,
+                ir.SpanNotQuery,
+                ir.SpanWithinQuery,
+                ir.SpanContainingQuery,
+            ),
+        ):
+            return self._span_scores(q, boost)
         if isinstance(q, ir.MultiPhraseQuery):
             return self._multi_phrase_scores(q, boost)
         if isinstance(q, ir.DisjunctionMaxQuery):
@@ -272,23 +282,41 @@ class OracleIndex:
                 out[d] = bm25.score(f, self.norms[d], weight=w, cache=self.cache)[()]
         return out
 
-    def _span_near_scores(self, q: "ir.SpanNearQuery", boost) -> dict[int, np.float32]:
-        """SpanNearQuery: summed-idf weight (SpanWeight), float freq from
-        the shared span kernel (oracle.spans)."""
-        from lucene_solr_spark.oracle.spans import span_near_freq
+    def _span_scores(self, q: ir.Query, boost) -> dict[int, np.float32]:
+        """Span algebra (near/or/not/within/containing over term
+        sub-spans): summed-idf weight over the scoring-side terms
+        (SpanWeight.buildSimWeight — per-term stats deduped, df==0
+        skipped), float freq from the shared span kernel
+        (oracle.spans.eval_spans). Term order/dedup matches
+        plans.df_executor.span_term_sets exactly so the idf sum
+        accumulates identically."""
+        from lucene_solr_spark.oracle.spans import eval_spans, spans_freq
+        from lucene_solr_spark.plans.df_executor import span_term_sets
 
-        dfs = [self.df(t) for t in q.terms]
-        if min(dfs, default=0) == 0:
+        all_terms, positive, required = span_term_sets(q)
+        if any(self.df(t) == 0 for t in required):
             return {}
-        w = bm25.term_weight(boost, bm25.idf_sum(dfs, self.doc_count))
-        cand = set(self.postings[q.terms[0]])
-        for t in q.terms[1:]:
-            cand &= set(self.postings[t])
+        live = [t for t in positive if self.df(t) > 0]
+        if not live:
+            return {}
+        w = bm25.term_weight(
+            boost, bm25.idf_sum([self.df(t) for t in live], self.doc_count)
+        )
+        if required:
+            cand = set(self.postings[required[0]])
+            for t in required[1:]:
+                cand &= set(self.postings[t])
+        else:
+            cand = set()
+            for t in positive:
+                cand |= set(self.postings.get(t, ()))
         out = {}
         for d in cand:
-            f = span_near_freq(
-                [self.positions[t][d] for t in q.terms], q.slop, q.in_order
-            )
+            tp = {
+                t: self.positions.get(t, {}).get(d, ())
+                for t in all_terms
+            }
+            f = spans_freq(eval_spans(q, tp))
             if f > 0:
                 out[d] = bm25.score(f, self.norms[d], weight=w, cache=self.cache)[()]
         return out

@@ -29,7 +29,7 @@ import heapq
 
 import numpy as np
 
-__all__ = ["sloppy_phrase_freq"]
+__all__ = ["sloppy_phrase_freq", "sloppy_phrase_match_lengths"]
 
 
 class _PP:
@@ -46,11 +46,15 @@ class _PP:
         return (self.pos, self.off, self.ord)
 
 
-def sloppy_phrase_freq(
+def sloppy_phrase_match_lengths(
     pos_lists: list, offsets: list[int], slop: int
-) -> float:
-    """Per-document sloppy phrase frequency (float32 value as Python float);
-    0.0 when the document has no slop-valid match.
+) -> list[int]:
+    """The sequence of match lengths the greedy matcher accepts
+    (``matchLength <= slop`` at ``SloppyPhraseMatcher.java:169``), in match
+    order. ``sloppy_phrase_freq`` is the float32 fold of this list; the
+    integer list itself is the exactly-SQL-gateable artifact (for the
+    2-term case the sequence has a closed alternating-successor form —
+    see __spark_entry__.oracle_sql['sloppy_phrase_matches']).
 
     ``pos_lists[i]`` = sorted absolute positions of term i in the doc;
     ``offsets[i]`` = the term's position in the query phrase.
@@ -62,7 +66,7 @@ def sloppy_phrase_freq(
     pps = []
     for i, (plist, off) in enumerate(zip(pos_lists, offsets)):
         if len(plist) == 0:
-            return 0.0
+            return []
         pp = _PP(plist, int(off), i)
         if pp.pos > end:
             end = pp.pos
@@ -102,12 +106,23 @@ def sloppy_phrase_freq(
         state["positioned"] = False
         return state["match_length"] <= slop
 
-    if not next_match():
-        return 0.0
-    freq = np.float32(1.0) / (np.float32(1.0) + np.float32(state["match_length"]))
+    lengths: list[int] = []
     while next_match():
-        freq = np.float32(
-            freq
-            + np.float32(1.0) / (np.float32(1.0) + np.float32(state["match_length"]))
-        )
+        lengths.append(int(state["match_length"]))
+    return lengths
+
+
+def sloppy_phrase_freq(
+    pos_lists: list, offsets: list[int], slop: int
+) -> float:
+    """Per-document sloppy phrase frequency (float32 value as Python float);
+    0.0 when the document has no slop-valid match. Float accumulation in
+    match order (``search/PhraseScorer.java:76-79``) over the integer
+    match-length sequence."""
+    lengths = sloppy_phrase_match_lengths(pos_lists, offsets, slop)
+    if not lengths:
+        return 0.0
+    freq = np.float32(0.0)
+    for ml in lengths:
+        freq = np.float32(freq + np.float32(1.0) / (np.float32(1.0) + np.float32(ml)))
     return float(freq)

@@ -31,13 +31,30 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["span_near_matches", "span_near_freq"]
+__all__ = [
+    "span_near_matches",
+    "span_near_freq",
+    "Span",
+    "term_spans",
+    "near_spans",
+    "or_spans",
+    "not_spans",
+    "within_spans",
+    "containing_spans",
+    "eval_spans",
+    "spans_freq",
+]
+
+#: a span = (start, end, width): positions [start, end) plus the slop
+#: width the match was found at (0 for a term span; near spans carry the
+#: total intervening gap — the value the sloppyFreq fold feeds on)
+Span = tuple
 
 
-def _ordered_matches(pos_lists: list, slop: int) -> list[int]:
+def _ordered_spans(pos_lists: list, slop: int) -> list[Span]:
     n = len(pos_lists)
     lists = [np.asarray(pl, dtype=np.int64) for pl in pos_lists]
-    widths: list[int] = []
+    spans: list[Span] = []
     for p1 in lists[0].tolist():
         prev = p1
         ok = True
@@ -51,11 +68,11 @@ def _ordered_matches(pos_lists: list, slop: int) -> list[int]:
         if ok:
             width = prev - p1 - (n - 1)
             if width <= slop:
-                widths.append(width)
-    return widths
+                spans.append((p1, prev + 1, width))
+    return spans
 
 
-def _unordered_matches(pos_lists: list, slop: int) -> list[int]:
+def _unordered_spans(pos_lists: list, slop: int) -> list[Span]:
     n = len(pos_lists)
     events: list[tuple[int, int]] = []
     for s, pl in enumerate(pos_lists):
@@ -63,7 +80,7 @@ def _unordered_matches(pos_lists: list, slop: int) -> list[int]:
     events.sort()
     counts = [0] * n
     have = 0
-    widths: list[int] = []
+    spans: list[Span] = []
     left = 0
     for r in range(len(events)):
         counts[events[r][1]] += 1
@@ -77,11 +94,131 @@ def _unordered_matches(pos_lists: list, slop: int) -> list[int]:
                 continue
             width = events[r][0] - events[left][0] + 1 - n
             if width <= slop:
-                widths.append(width)
+                spans.append((events[left][0], events[r][0] + 1, width))
             counts[events[left][1]] -= 1
             have -= 1
             left += 1
-    return widths
+    return spans
+
+
+def _ordered_matches(pos_lists: list, slop: int) -> list[int]:
+    return [w for _, _, w in _ordered_spans(pos_lists, slop)]
+
+
+def _unordered_matches(pos_lists: list, slop: int) -> list[int]:
+    return [w for _, _, w in _unordered_spans(pos_lists, slop)]
+
+
+# --------------------------------------------------------- span algebra
+def term_spans(positions) -> list[Span]:
+    """SpanTermQuery (``spans/SpanTermQuery.java:35``): each term
+    occurrence is the width-0 span [pos, pos+1)."""
+    return [(int(p), int(p) + 1, 0) for p in positions]
+
+
+def near_spans(pos_lists: list, slop: int, in_order: bool) -> list[Span]:
+    """SpanNearQuery span enumeration — same matches as
+    ``span_near_matches`` but carrying the (start, end) intervals."""
+    if any(len(pl) == 0 for pl in pos_lists):
+        return []
+    if in_order:
+        return _ordered_spans(pos_lists, slop)
+    return _unordered_spans(pos_lists, slop)
+
+
+def or_spans(children: list) -> list[Span]:
+    """SpanOrQuery (``spans/SpanOrQuery.java:39``): union of the
+    sub-spans, emitted in (start, end) order (``SpanOrQuery.java:247-267``
+    byPositionQueue ordering)."""
+    out: list[Span] = []
+    for c in children:
+        out.extend(c)
+    out.sort(key=lambda s: (s[0], s[1]))
+    return out
+
+
+def not_spans(
+    include: list, exclude: list, pre: int = 0, post: int = 0
+) -> list[Span]:
+    """SpanNotQuery (``spans/SpanNotQuery.java:42``): spans of ``include``
+    that overlap no span of ``exclude`` widened by ``pre``/``post``
+    positions (``SpanNotQuery.java:135-160`` twoPhase match test)."""
+    if not exclude:
+        return list(include)
+    starts = np.asarray([s[0] for s in exclude], dtype=np.int64)
+    ends = np.asarray([s[1] for s in exclude], dtype=np.int64)
+    out = []
+    for s, e, w in include:
+        # overlap iff some exclude span has xs < e+post and xe > s-pre
+        k = np.searchsorted(starts, e + post)  # spans with xs < e+post
+        if k == 0 or not (ends[:k] > s - pre).any():
+            out.append((s, e, w))
+    return out
+
+
+def within_spans(big: list, little: list) -> list[Span]:
+    """SpanWithinQuery (``spans/SpanWithinQuery.java:33``): spans of
+    ``little`` that are enclosed by a span of ``big``."""
+    return [
+        (s, e, w)
+        for s, e, w in little
+        if any(bs <= s and e <= be for bs, be, _ in big)
+    ]
+
+
+def containing_spans(big: list, little: list) -> list[Span]:
+    """SpanContainingQuery (``spans/SpanContainingQuery.java:33``): spans
+    of ``big`` that contain a span of ``little``."""
+    return [
+        (s, e, w)
+        for s, e, w in big
+        if any(s <= ls and le <= e for ls, le, _ in little)
+    ]
+
+
+def eval_spans(node, term_pos: dict) -> list[Span]:
+    """Evaluate a span-query IR tree (plans.ir Span* nodes) over one
+    document's ``term -> sorted positions array`` map. The single-node
+    reference kernel behind the DataFrame executor's span pandas UDF."""
+    from lucene_solr_spark.plans import ir
+
+    if isinstance(node, ir.SpanTermQuery):
+        return term_spans(term_pos.get(node.term, ()))
+    if isinstance(node, ir.SpanNearQuery):
+        return near_spans(
+            [np.asarray(term_pos.get(t, ()), np.int64) for t in node.terms],
+            node.slop,
+            node.in_order,
+        )
+    if isinstance(node, ir.SpanOrQuery):
+        return or_spans([eval_spans(c, term_pos) for c in node.clauses])
+    if isinstance(node, ir.SpanNotQuery):
+        return not_spans(
+            eval_spans(node.include, term_pos),
+            eval_spans(node.exclude, term_pos),
+            node.pre,
+            node.post,
+        )
+    if isinstance(node, ir.SpanWithinQuery):
+        return within_spans(
+            eval_spans(node.big, term_pos), eval_spans(node.little, term_pos)
+        )
+    if isinstance(node, ir.SpanContainingQuery):
+        return containing_spans(
+            eval_spans(node.big, term_pos), eval_spans(node.little, term_pos)
+        )
+    raise TypeError(f"not a span query: {type(node).__name__}")
+
+
+def spans_freq(spans: list) -> float:
+    """Float32-accumulated sloppyFreq over enumerated spans
+    (``spans/SpanScorer.java:119-133`` setFreqCurrentDoc)."""
+    if not spans:
+        return 0.0
+    freq = np.float32(0.0)
+    for _, _, w in spans:
+        freq = np.float32(freq + np.float32(1.0) / (np.float32(1.0) + np.float32(w)))
+    return float(freq)
 
 
 def span_near_matches(pos_lists: list, slop: int, in_order: bool) -> list[int]:

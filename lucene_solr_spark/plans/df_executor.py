@@ -66,6 +66,64 @@ _MULTITERM_TYPES = (
     ir.FuzzyQuery,
 )
 
+_SPAN_TYPES = (
+    ir.SpanTermQuery,
+    ir.SpanNearQuery,
+    ir.SpanOrQuery,
+    ir.SpanNotQuery,
+    ir.SpanWithinQuery,
+    ir.SpanContainingQuery,
+)
+
+
+def _dedup_keep_order(*seqs) -> list[str]:
+    seen: set[str] = set()
+    out: list[str] = []
+    for seq in seqs:
+        for t in seq:
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+    return out
+
+
+def span_term_sets(q: ir.Query) -> tuple[list[str], list[str], list[str]]:
+    """(all, positive, required) leaf terms of a span tree, first-seen
+    order. ``positive`` = scoring-side terms (everything not under a
+    SpanNot exclude — SpanWeight term extraction); ``required`` = terms
+    present in every possible match (safe to inner-join)."""
+    if isinstance(q, ir.SpanTermQuery):
+        s = [q.term]
+        return s, list(s), list(s)
+    if isinstance(q, ir.SpanNearQuery):
+        s = _dedup_keep_order(q.terms)
+        return s, list(s), list(s)
+    if isinstance(q, ir.SpanOrQuery):
+        alls: list[list[str]] = []
+        poss: list[list[str]] = []
+        req: set[str] | None = None
+        for c in q.clauses:
+            a, p, r = span_term_sets(c)
+            alls.append(a)
+            poss.append(p)
+            req = set(r) if req is None else (req & set(r))
+        all_l = _dedup_keep_order(*alls)
+        pos_l = _dedup_keep_order(*poss)
+        return all_l, pos_l, [t for t in all_l if t in (req or set())]
+    if isinstance(q, ir.SpanNotQuery):
+        a1, p1, r1 = span_term_sets(q.include)
+        a2, _, _ = span_term_sets(q.exclude)
+        return _dedup_keep_order(a1, a2), p1, r1
+    if isinstance(q, (ir.SpanWithinQuery, ir.SpanContainingQuery)):
+        a1, p1, r1 = span_term_sets(q.big)
+        a2, p2, r2 = span_term_sets(q.little)
+        return (
+            _dedup_keep_order(a1, a2),
+            _dedup_keep_order(p1, p2),
+            _dedup_keep_order(r1, r2),
+        )
+    raise TypeError(f"not a span query: {type(q).__name__}")
+
 
 def wildcard_to_regex(pattern: str) -> str:
     import re as _re
@@ -344,43 +402,75 @@ class DFExecutor:
                     F.col("_mx") + (F.col("_sm") - F.col("_mx")) * F.lit(float(q.tie_breaker))
                 ).alias("score"),
             )
-        if isinstance(q, ir.SpanNearQuery):
-            return self._eval_span_near(q, boost)
+        if isinstance(q, _SPAN_TYPES):
+            return self._eval_span(q, boost)
         if isinstance(q, ir.BooleanQuery):
             return self._eval_boolean(q, boost)
         raise TypeError(f"unsupported query type {type(q).__name__}")
 
-    def _eval_span_near(self, q: ir.SpanNearQuery, boost: float) -> DataFrame:
-        """SpanNearQuery: positions-array join + the shared span kernel
-        (oracle.spans) — same two-phase shape as phrases."""
+    def _eval_span(self, q: ir.Query, boost: float) -> DataFrame:
+        """Span algebra (near/or/not/within/containing over term
+        sub-spans): positions-array joins + the shared span kernel
+        (oracle.spans.eval_spans) — same two-phase shape as phrases.
+        Required terms (present in every possible match) inner-join;
+        the rest (OR branches, SpanNot excludes) left-join with an
+        empty-array default, so the doc frame never over-prunes."""
         ix = self.index
-        dfs = [self._df(t) for t in q.terms]
-        if min(dfs, default=0) == 0:
+        all_terms, positive, required = span_term_sets(q)
+        for t in all_terms:
+            self._df(t)
+        if any(self._df(t) == 0 for t in required):
+            return self._empty()
+        # weight: summed idf over the scoring-side terms present in the
+        # index (SpanWeight.buildSimWeight merges per-term stats; df==0
+        # terms have no TermStatistics and are skipped)
+        live = [t for t in positive if self._df(t) > 0]
+        if not live:
             return self._empty()
         if "positions" not in ix.postings.columns:
             raise ValueError("index built without positions; span queries need them")
-        parts = []
-        for i, t in enumerate(q.terms):
-            parts.append(
-                ix.postings.filter(F.col("term") == t).select(
-                    "doc_id", F.col("positions").alias(f"p{i}")
-                )
+
+        def part(t: str, i: int) -> DataFrame:
+            return ix.postings.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"p{i}")
             )
-        joined = parts[0]
-        for p in parts[1:]:
-            joined = joined.join(p, "doc_id", "inner")
-        arrays = F.array(*[F.col(f"p{i}") for i in range(len(q.terms))])
-        slop, in_order = q.slop, q.in_order
+
+        req_set = set(required)
+        order = list(required) + [t for t in all_terms if t not in req_set]
+        if required:
+            joined = part(order[0], 0)
+            for i in range(1, len(required)):
+                joined = joined.join(part(order[i], i), "doc_id", "inner")
+        else:
+            # no term is in every match (pure OR): doc universe = union of
+            # docs carrying any scoring-side term
+            joined = (
+                ix.postings.filter(F.col("term").isin(list(positive)))
+                .select("doc_id")
+                .distinct()
+            )
+        pos_type = ix.postings.schema["positions"].dataType
+        empty = F.array().cast(pos_type)
+        for i in range(len(required), len(order)):
+            joined = joined.join(part(order[i], i), "doc_id", "left")
+        arrays = F.array(
+            *[F.coalesce(F.col(f"p{i}"), empty) for i in range(len(order))]
+        )
+        terms_in_order = tuple(order)
+        node = q
 
         @F.pandas_udf(T.FloatType())
         def span_freq(pos_lists: pd.Series) -> pd.Series:
-            from lucene_solr_spark.oracle.spans import span_near_freq
+            from lucene_solr_spark.oracle.spans import eval_spans, spans_freq
 
-            return pos_lists.map(
-                lambda lists: span_near_freq(
-                    [np.asarray(x, np.int64) for x in lists], slop, in_order
-                )
-            )
+            def one(lists) -> float:
+                tp = {
+                    t: np.asarray(lists[i], np.int64)
+                    for i, t in enumerate(terms_in_order)
+                }
+                return spans_freq(eval_spans(node, tp))
+
+            return pos_lists.map(one)
 
         freq = joined.select("doc_id", span_freq(arrays).alias("tf")).filter(
             F.col("tf") > 0
@@ -388,7 +478,9 @@ class DFExecutor:
         return self._scored_term_rows(
             freq,
             self._sum_weight(
-                boost, dfs, [self._stats_cache[t][1] for t in q.terms]
+                boost,
+                [self._df(t) for t in live],
+                [self._stats_cache[t][1] for t in live],
             ),
         )
 
@@ -612,6 +704,8 @@ def _collect_terms(q: ir.Query) -> set[str]:
         return {q.term}
     if isinstance(q, (ir.SynonymQuery, ir.TermInSetQuery, ir.SpanNearQuery)):
         return set(q.terms)
+    if isinstance(q, _SPAN_TYPES):
+        return set(span_term_sets(q)[0])
     if isinstance(q, ir.PhraseQuery):
         return set(q.terms)
     if isinstance(q, ir.MultiPhraseQuery):

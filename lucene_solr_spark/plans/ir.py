@@ -27,6 +27,13 @@ __all__ = [
     "BooleanQuery",
     "PhraseQuery",
     "SpanNearQuery",
+    "SpanTermQuery",
+    "SpanOrQuery",
+    "SpanNotQuery",
+    "SpanWithinQuery",
+    "SpanContainingQuery",
+    "span_to_dict",
+    "span_from_dict",
     "SynonymQuery",
     "DisjunctionMaxQuery",
     "BoostQuery",
@@ -138,6 +145,112 @@ class SpanNearQuery(Query):
             raise ValueError(
                 "unordered span-near with repeated terms is not supported"
             )
+
+
+@dataclass(frozen=True)
+class SpanTermQuery(Query):
+    """Leaf of the span algebra (``spans/SpanTermQuery.java:35``): each
+    occurrence of ``term`` is a width-1 position span."""
+
+    term: str
+
+
+@dataclass(frozen=True)
+class SpanOrQuery(Query):
+    """Union of sub-spans (``spans/SpanOrQuery.java:39``)."""
+
+    clauses: Tuple[Query, ...]
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    """Spans of ``include`` not overlapping a span of ``exclude`` widened
+    by ``pre``/``post`` (``spans/SpanNotQuery.java:42-60``)."""
+
+    include: Query
+    exclude: Query
+    pre: int = 0
+    post: int = 0
+
+
+@dataclass(frozen=True)
+class SpanWithinQuery(Query):
+    """Spans of ``little`` enclosed by a span of ``big``
+    (``spans/SpanWithinQuery.java:33``)."""
+
+    big: Query
+    little: Query
+
+
+@dataclass(frozen=True)
+class SpanContainingQuery(Query):
+    """Spans of ``big`` that contain a span of ``little``
+    (``spans/SpanContainingQuery.java:33``)."""
+
+    big: Query
+    little: Query
+
+
+def span_to_dict(q: "Query") -> dict:
+    """JSON-able form of a span tree: compiled kernel plans are plain
+    JSON trees (broadcast + dedup-keyed by a canonical dump), so the IR
+    node can't ride along raw."""
+    if isinstance(q, SpanTermQuery):
+        return {"t": "term", "term": q.term}
+    if isinstance(q, SpanNearQuery):
+        return {
+            "t": "near",
+            "terms": list(q.terms),
+            "slop": q.slop,
+            "in_order": bool(q.in_order),
+        }
+    if isinstance(q, SpanOrQuery):
+        return {"t": "or", "clauses": [span_to_dict(c) for c in q.clauses]}
+    if isinstance(q, SpanNotQuery):
+        return {
+            "t": "not",
+            "include": span_to_dict(q.include),
+            "exclude": span_to_dict(q.exclude),
+            "pre": q.pre,
+            "post": q.post,
+        }
+    if isinstance(q, SpanWithinQuery):
+        return {
+            "t": "within",
+            "big": span_to_dict(q.big),
+            "little": span_to_dict(q.little),
+        }
+    if isinstance(q, SpanContainingQuery):
+        return {
+            "t": "containing",
+            "big": span_to_dict(q.big),
+            "little": span_to_dict(q.little),
+        }
+    raise TypeError(f"not a span query: {type(q).__name__}")
+
+
+def span_from_dict(d: dict) -> "Query":
+    t = d["t"]
+    if t == "term":
+        return SpanTermQuery(d["term"])
+    if t == "near":
+        return SpanNearQuery(tuple(d["terms"]), d["slop"], d["in_order"])
+    if t == "or":
+        return SpanOrQuery(tuple(span_from_dict(c) for c in d["clauses"]))
+    if t == "not":
+        return SpanNotQuery(
+            span_from_dict(d["include"]),
+            span_from_dict(d["exclude"]),
+            d["pre"],
+            d["post"],
+        )
+    if t == "within":
+        return SpanWithinQuery(span_from_dict(d["big"]), span_from_dict(d["little"]))
+    if t == "containing":
+        return SpanContainingQuery(
+            span_from_dict(d["big"]), span_from_dict(d["little"])
+        )
+    raise ValueError(f"unknown span node type: {t}")
 
 
 @dataclass(frozen=True)

@@ -121,6 +121,93 @@ def test_span_rank_identity(name, span_setup, tiny_oracle):
     assert got_df == expected, f"df {name}"
 
 
+# ------------------------------------------------- span algebra (r3)
+def test_or_spans_merge_order():
+    from lucene_solr_spark.oracle.spans import or_spans
+
+    assert or_spans([[(5, 6, 0), (1, 4, 1)], [(1, 2, 0)]]) == [
+        (1, 2, 0),
+        (1, 4, 1),
+        (5, 6, 0),
+    ]
+
+
+def test_not_spans_overlap_rules():
+    from lucene_solr_spark.oracle.spans import not_spans
+
+    inc = [(1, 4, 1), (8, 10, 0)]
+    # exclude at 3 overlaps [1,4); exclude at 10 does NOT overlap [8,10)
+    assert not_spans(inc, [(3, 4, 0)]) == [(8, 10, 0)]
+    assert not_spans(inc, [(10, 11, 0)]) == inc
+    # post widens the exclusion window backward onto [8,10)
+    assert not_spans(inc, [(10, 11, 0)], post=1) == [(1, 4, 1)]
+    assert not_spans(inc, []) == inc
+
+
+def test_within_containing_asymmetry():
+    """within yields the LITTLE spans, containing yields the BIG spans —
+    same doc set, different span streams (SpanWithinQuery.java:33 vs
+    SpanContainingQuery.java:33)."""
+    from lucene_solr_spark.oracle.spans import containing_spans, within_spans
+
+    big = [(0, 6, 4)]
+    little = [(1, 4, 1), (5, 9, 2)]
+    assert within_spans(big, little) == [(1, 4, 1)]
+    assert containing_spans(big, little) == [(0, 6, 4)]
+
+
+COMPOSITE_QUERIES = {
+    "or_two_nears": ir.SpanOrQuery(
+        (
+            ir.SpanNearQuery(("table", "scan"), slop=2, in_order=True),
+            ir.SpanNearQuery(("merge", "window"), slop=3, in_order=True),
+        )
+    ),
+    "or_near_term": ir.SpanOrQuery(
+        (
+            ir.SpanNearQuery(("table", "scan"), slop=1, in_order=True),
+            ir.SpanTermQuery("vector"),
+        )
+    ),
+    "not_near_term": ir.SpanNotQuery(
+        ir.SpanNearQuery(("table", "scan"), slop=3, in_order=True),
+        ir.SpanTermQuery("merge"),
+    ),
+    "within_nears": ir.SpanWithinQuery(
+        big=ir.SpanNearQuery(("def", "class"), slop=8, in_order=True),
+        little=ir.SpanNearQuery(("def", "import"), slop=2, in_order=True),
+    ),
+    "containing_nears": ir.SpanContainingQuery(
+        big=ir.SpanNearQuery(("def", "class"), slop=8, in_order=True),
+        little=ir.SpanNearQuery(("def", "import"), slop=2, in_order=True),
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(COMPOSITE_QUERIES))
+def test_composite_span_rank_identity(name, span_setup, tiny_oracle):
+    q = COMPOSITE_QUERIES[name]
+    expected = [(sd.doc_id, bits(sd.score)) for sd in tiny_oracle.search(q, k=10)]
+    searcher, dfex = span_setup
+    got_k = [
+        (r["doc_id"], bits(r["score"])) for r in searcher.topk(q, k=10).collect()
+    ]
+    got_df = [
+        (r["doc_id"], bits(r["score"])) for r in dfex.topk(q, k=10).collect()
+    ]
+    assert got_k == expected, f"kernel {name}"
+    assert got_df == expected, f"df {name}"
+
+
+def test_within_containing_same_docs_different_freqs(tiny_oracle):
+    """The two filtered forms agree on the DOC set but score from
+    different span streams."""
+    w = tiny_oracle.matches(COMPOSITE_QUERIES["within_nears"])
+    c = tiny_oracle.matches(COMPOSITE_QUERIES["containing_nears"])
+    assert set(w) == set(c)
+    assert len(w) > 0
+
+
 def test_span_set_matches_exists_pair(span_setup, tiny_oracle):
     """2-term span-near MATCH SET ⟺ ∃ pa, pb with the width condition —
     the invariant the SQL gate oracle relies on."""
