@@ -535,6 +535,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ir.SpanNearQuery(("table", "scan"), slop=3, in_order=False)
     )
 
+    # span algebra (SpanOr/SpanWithin over near sub-spans): match sets are
+    # SQL-expressible — ordered 2-term near spans enumerate as (pa, min pb
+    # > pa), so OR = union of the ∃-pair sets and WITHIN = containment
+    # join over the enumerated (start, end) intervals. Float span scoring
+    # is pinned by rank-identity tests (tests/test_spans.py).
+    out["span_or_set"] = _match_set(
+        ir.SpanOrQuery(
+            (
+                ir.SpanNearQuery(("table", "scan"), slop=2, in_order=True),
+                ir.SpanNearQuery(("merge", "window"), slop=3, in_order=True),
+            )
+        )
+    )
+    out["span_within_set"] = _match_set(
+        ir.SpanWithinQuery(
+            big=ir.SpanNearQuery(("slow", "data"), slop=8, in_order=True),
+            little=ir.SpanNearQuery(("slow", "hash"), slop=2, in_order=True),
+        )
+    )
+
+    def sloppy_phrase_matches(spark, sf_dir):
+        """SloppyPhraseMatcher integer gate: per-doc count and sum of the
+        greedy matcher's accepted match lengths ("table scan"~2). The
+        float sloppy score is the float32 fold of this exact sequence
+        (pinned by tests/test_sloppy_phrase.py); the integer view is
+        exactly SQL-expressible — for 2 terms the matcher reduces to an
+        alternating-successor chain over the merged position lists
+        (verified 0/50k mismatches vs the kernel), which the oracle
+        replays with a recursive CTE."""
+        ex = _executor(spark, sf_dir)
+        return ex.sloppy_match_stats(ir.PhraseQuery(("table", "scan"), slop=2))
+
+    out["sloppy_phrase_matches"] = sloppy_phrase_matches
+
     out["multi_phrase_topk"] = _topk(
         ir.MultiPhraseQuery((("table", "hash"), ("scan", "join")))
     )
@@ -1080,6 +1114,88 @@ def oracle_sql() -> dict[str, str]:
       FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id
       WHERE a.term = 'table' AND b.term = 'scan'
         AND a.pos <> b.pos AND abs(b.pos - a.pos) - 1 <= 3"""
+
+    # SpanOrQuery of two ordered nears: match set = union of the ∃-pair sets
+    out["span_or_set"] = f"""WITH {_IX}
+      SELECT DISTINCT a.doc_id
+      FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id
+      WHERE a.term = 'table' AND b.term = 'scan'
+        AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+      UNION
+      SELECT DISTINCT a.doc_id
+      FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id
+      WHERE a.term = 'merge' AND b.term = 'window'
+        AND b.pos > a.pos AND b.pos - a.pos - 1 <= 3"""
+
+    # SpanWithinQuery: ordered 2-term near spans enumerate as
+    # (pa, min pb > pa) with width ≤ slop (NearSpansOrdered minimizes the
+    # end per start); within = interval containment between the two
+    # enumerated span streams
+    out["span_within_set"] = f"""WITH {_IX},
+      little AS (
+        SELECT a.doc_id, a.pos AS ls,
+               (SELECT min(b.pos) FROM tokens b
+                WHERE b.doc_id = a.doc_id AND b.term = 'hash'
+                  AND b.pos > a.pos) + 1 AS le
+        FROM tokens a WHERE a.term = 'slow'
+      ),
+      big AS (
+        SELECT a.doc_id, a.pos AS bs,
+               (SELECT min(b.pos) FROM tokens b
+                WHERE b.doc_id = a.doc_id AND b.term = 'data'
+                  AND b.pos > a.pos) + 1 AS be
+        FROM tokens a WHERE a.term = 'slow'
+      )
+      SELECT DISTINCT l.doc_id
+      FROM little l JOIN big g ON l.doc_id = g.doc_id
+      WHERE l.le IS NOT NULL AND l.le - l.ls - 2 <= 2
+        AND g.be IS NOT NULL AND g.be - g.bs - 2 <= 8
+        AND g.bs <= l.ls AND l.le <= g.be"""
+
+    # SloppyPhraseMatcher integer gate: the greedy matcher's accepted
+    # match-length sequence for 2 terms reduces to an alternating-
+    # successor chain over the merged adjusted position lists (pop the
+    # min-end pointer, match = frontier - predecessor in the opposite
+    # list, next frontier = successor in the opposite list) — replayed
+    # exactly with a recursive CTE (SloppyPhraseMatcher.java:174-206)
+    out["sloppy_phrase_matches"] = f"""WITH RECURSIVE {_IX},
+      pts AS (
+        SELECT doc_id, pos, 'x' AS lab FROM tokens WHERE term = 'table'
+        UNION ALL
+        SELECT doc_id, pos - 1 AS pos, 'y' AS lab FROM tokens WHERE term = 'scan'
+      ),
+      heads AS (
+        SELECT doc_id,
+          CASE WHEN minx > miny THEN minx ELSE miny END AS v,
+          CASE WHEN minx > miny THEN 'x' ELSE 'y' END AS lab
+        FROM (
+          SELECT doc_id,
+            min(CASE WHEN lab = 'x' THEN pos END) AS minx,
+            min(CASE WHEN lab = 'y' THEN pos END) AS miny
+          FROM pts GROUP BY doc_id
+        )
+        WHERE minx IS NOT NULL AND miny IS NOT NULL
+      ),
+      chain AS (
+        SELECT doc_id, v, lab FROM heads
+        UNION ALL
+        SELECT c.doc_id,
+          (SELECT min(p.pos) FROM pts p
+            WHERE p.doc_id = c.doc_id AND p.lab <> c.lab AND p.pos > c.v) AS v,
+          CASE WHEN c.lab = 'x' THEN 'y' ELSE 'x' END AS lab
+        FROM chain c
+        WHERE (SELECT min(p.pos) FROM pts p
+            WHERE p.doc_id = c.doc_id AND p.lab <> c.lab AND p.pos > c.v) IS NOT NULL
+      ),
+      mls AS (
+        SELECT c.doc_id,
+          c.v - (SELECT max(p.pos) FROM pts p
+                 WHERE p.doc_id = c.doc_id AND p.lab <> c.lab AND p.pos <= c.v) AS ml
+        FROM chain c
+      )
+      SELECT doc_id, count(*)::BIGINT AS n_matches, sum(ml)::BIGINT AS sum_ml
+      FROM mls WHERE ml <= 2
+      GROUP BY doc_id"""
 
     # stop-filtered index (StopFilter leg of the English chain): same
     # score shape over the stop-filtered CTEs

@@ -625,6 +625,58 @@ class DFExecutor:
             ),
         )
 
+    def sloppy_match_stats(self, q: "ir.PhraseQuery") -> DataFrame:
+        """Integer artifact of the greedy SloppyPhraseMatcher
+        (``search/SloppyPhraseMatcher.java:174-206``): per matching doc,
+        the count and sum of accepted match lengths (``matchLength <=
+        slop`` at ``:169``). The float sloppy score is the float32 fold of
+        the same sequence — so this is the exactly-SQL-gateable view of
+        the sloppy machinery (for 2 terms the sequence has a closed
+        alternating-successor form over the position lists)."""
+        if q.slop <= 0:
+            raise ValueError("sloppy_match_stats needs slop > 0")
+        ix = self.index
+        if any(self._df(t) == 0 for t in q.terms):
+            return ix.postings.sparkSession.createDataFrame(
+                [], schema="doc_id long, n_matches long, sum_ml long"
+            )
+        parts = []
+        for i, t in enumerate(q.terms):
+            parts.append(
+                ix.postings.filter(F.col("term") == t).select(
+                    "doc_id", F.col("positions").alias(f"p{i}")
+                )
+            )
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = joined.join(p, "doc_id", "inner")
+        arrays = F.array(*[F.col(f"p{i}") for i in range(len(q.terms))])
+        offsets = tuple(int(p) for p in q.positions)
+        slop = q.slop
+
+        @F.pandas_udf("n_matches long, sum_ml long")
+        def match_stats(pos_lists: pd.Series) -> pd.DataFrame:
+            from lucene_solr_spark.oracle.sloppy import (
+                sloppy_phrase_match_lengths,
+            )
+
+            ns, sums = [], []
+            for lists in pos_lists:
+                mls = sloppy_phrase_match_lengths(
+                    [np.asarray(x, np.int64) for x in lists],
+                    list(offsets),
+                    slop,
+                )
+                ns.append(len(mls))
+                sums.append(int(sum(mls)))
+            return pd.DataFrame({"n_matches": ns, "sum_ml": sums})
+
+        out = joined.select("doc_id", match_stats(arrays).alias("ms"))
+        return out.select(
+            "doc_id", F.col("ms.n_matches").alias("n_matches"),
+            F.col("ms.sum_ml").alias("sum_ml"),
+        ).filter(F.col("n_matches") > 0)
+
     def _eval_multi_phrase(self, q: "ir.MultiPhraseQuery", boost: float) -> DataFrame:
         """Per-slot union of the group's postings (UnionPostingsEnum role):
         positions flattened+deduped per doc, then the same exact/sloppy
