@@ -304,7 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def token_stats(spark, sf_dir):
         ex = _executor(spark, sf_dir)
-        ixp = ex.index.postings
+        ixp = ex.index.postings_slim
         return ixp.groupBy("doc_id").agg(
             F.sum("tf").alias("n_tokens"), F.count("*").alias("n_unique")
         )

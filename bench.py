@@ -91,6 +91,13 @@ def main() -> int:
     qps = len(qset) / batch_sec if batch_sec > 0 else 0.0
 
     # ---- phase 3: pipeline ops -----------------------------------------
+    # Seed the entry module's per-sf cache with the phase-1 index: the
+    # pipeline ops that need the inverted index (token_stats) use the same
+    # build parameters, so re-tokenizing the corpus a second time would
+    # only measure duplicate work.
+    from lucene_solr_spark.plans.df_executor import DFExecutor
+
+    entry_mod._CACHE[f"ix::{sf_dir}"] = DFExecutor(ix, mode="double")
     qs = entry_mod.queries()
     for name in PIPELINE_OPS:
         if name not in qs:

@@ -78,9 +78,29 @@ class InvertedIndex:
     #: 1s from column-pruned parquet at 8M postings)
     parquet_backed: bool = False
 
+    #: lazily-persisted (term, doc_id, tf) projection — see postings_slim
+    _slim: DataFrame | None = None
+
     @property
     def norms(self) -> DataFrame:
         return self.docs.select("doc_id", "norm")
+
+    @property
+    def postings_slim(self) -> DataFrame:
+        """Positions-free ``(term, doc_id, tf)`` projection, persisted on
+        first access.  Freq-only consumers (doc token counts, dictionary
+        stats, tf scoring joins) read this instead of re-scanning the
+        postings parquet per query: the columnar cache handles flat long
+        columns fine — it is only the ``array<int>`` positions column that
+        caches catastrophically — and the slim projection is a small
+        fraction of the postings footprint (spills to disk via the default
+        MEMORY_AND_DISK level when it doesn't fit)."""
+        if self._slim is None:
+            cols = ["term", "doc_id", "tf"] if "tf" in self.postings.columns else [
+                "term", "doc_id"
+            ]
+            self._slim = self.postings.select(*cols).persist()
+        return self._slim
 
     def persist(self) -> "InvertedIndex":
         self.docs.persist()

@@ -329,7 +329,7 @@ class DFExecutor:
         if isinstance(q, ir.TermQuery):
             if self._df(q.term) == 0:
                 return self._empty()
-            rows = ix.postings.filter(F.col("term") == q.term).select("doc_id", "tf")
+            rows = ix.postings_slim.filter(F.col("term") == q.term).select("doc_id", "tf")
             return self._scored_term_rows(
                 rows, self._term_weight(boost, *self._stats_cache[q.term])
             )
@@ -352,7 +352,7 @@ class DFExecutor:
         if isinstance(q, ir.MatchNoDocsQuery):
             return self._empty()
         if isinstance(q, ir.TermInSetQuery):
-            rows = ix.postings.filter(F.col("term").isin(list(q.terms)))
+            rows = ix.postings_slim.filter(F.col("term").isin(list(q.terms)))
             return rows.select("doc_id").distinct().select(
                 "doc_id", F.lit(float(_f32(boost))).cast(self._score_type()).alias("score")
             )
@@ -366,7 +366,7 @@ class DFExecutor:
             # broad prefix cost one pruned scan, not a giant IN-list.
             # (maxClauseCount guards only the *scoring* boolean rewrite,
             # which we never materialize — ir.MAX_CLAUSE_COUNT.)
-            rows = ix.postings.filter(multiterm_cond(q)).select("doc_id").distinct()
+            rows = ix.postings_slim.filter(multiterm_cond(q)).select("doc_id").distinct()
             return rows.select(
                 "doc_id", F.lit(float(_f32(boost))).cast(self._score_type()).alias("score")
             )
@@ -378,7 +378,7 @@ class DFExecutor:
             # SynonymQuery pseudo-term stats: df = max, ttf = sum
             ttf_sum = sum(self._stats_cache[t][1] for t in q.terms)
             rows = (
-                ix.postings.filter(F.col("term").isin(list(q.terms)))
+                ix.postings_slim.filter(F.col("term").isin(list(q.terms)))
                 .groupBy("doc_id")
                 .agg(F.sum("tf").alias("tf"))
             )
