@@ -925,6 +925,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["docs_only_topk"] = docs_only_topk
 
+    # --- MoreLikeThis / CommonTermsQuery (lucene/queries module) ---------
+    def mlt_topk_q(spark, sf_dir):
+        """MoreLikeThis doc 7: top tf·idf interesting terms (minTermFreq=2,
+        minDocFreq=5, maxQueryTerms=25 — the reference defaults) → SHOULD
+        disjunction, single-scan scoring (MoreLikeThis.java:553-660)."""
+        from lucene_solr_spark.functions.mlt import mlt_topk
+
+        ex = _executor(spark, sf_dir)
+        return mlt_topk(ex, 7, k=10)
+
+    out["mlt_topk"] = mlt_topk_q
+
+    def common_terms_topk(spark, sf_dir):
+        """CommonTermsQuery(dup, merge, window) @ maxTermFrequency=0.5:
+        df(dup)=low → MUST group; merge/window=high → SHOULD group
+        (CommonTermsQuery.java:143-203)."""
+        from lucene_solr_spark.functions.mlt import common_terms_query
+
+        ex = _executor(spark, sf_dir)
+        q = common_terms_query(
+            ("dup", "merge", "window"),
+            ex._df,
+            ex.index.doc_count,
+            max_term_frequency=0.5,
+        )
+        return ex.topk(q, k=10).select("doc_id", "score")
+
+    out["common_terms_topk"] = common_terms_topk
+
     return _prioritize(out)
 
 
@@ -1597,5 +1626,44 @@ def oracle_sql() -> dict[str, str]:
     CROSS JOIN gstats g
     WHERE p.term = 'dup'
     ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+
+    # MoreLikeThis: interesting-term selection (tf·idf, ClassicSimilarity
+    # idf = ln((N+1)/(df+1))+1) then a SHOULD disjunction whose float32
+    # leaf scores accumulate in double (exact → order-independent).
+    out["mlt_topk"] = f"""WITH {_IX},
+    src AS (SELECT term, tf FROM postings WHERE doc_id = 7),
+    cand AS (
+      SELECT s.term,
+             s.tf::DOUBLE * (ln((g.doc_count + 1) / (ts.df + 1.0)) + 1.0) AS mscore
+      FROM src s JOIN term_stats ts USING (term) CROSS JOIN gstats g
+      WHERE s.tf >= 2 AND ts.df >= 5
+    ),
+    sel AS (SELECT term FROM cand ORDER BY mscore DESC, term ASC LIMIT 25),
+    leaves AS (
+      SELECT p.doc_id, CAST(CAST({_SCORE} AS REAL) AS DOUBLE) AS s
+      FROM postings p
+      JOIN sel USING (term)
+      JOIN term_stats ts USING (term)
+      JOIN norms n ON n.doc_id = p.doc_id
+      CROSS JOIN gstats g
+    )
+    SELECT doc_id, SUM(s) AS score FROM leaves GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+    # CommonTermsQuery(dup | merge window) @ maxTermFrequency=0.5:
+    # MUST(low: dup) + SHOULD(high: merge, window) → ReqOptSum.
+    out["common_terms_topk"] = f"""WITH {_IX},
+    lo AS ({_leaf_scores('dup')}),
+    ha AS ({_leaf_scores('merge')}),
+    hb AS ({_leaf_scores('window')}),
+    hi AS (
+      SELECT doc_id, SUM(score) AS score
+      FROM (SELECT * FROM ha UNION ALL SELECT * FROM hb) GROUP BY doc_id
+    )
+    SELECT lo.doc_id,
+           CASE WHEN hi.score IS NOT NULL THEN lo.score + hi.score
+                ELSE lo.score END AS score
+    FROM lo LEFT JOIN hi ON hi.doc_id = lo.doc_id
+    ORDER BY score DESC, lo.doc_id ASC LIMIT 10"""
 
     return _prioritize(out)
