@@ -954,6 +954,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["common_terms_topk"] = common_terms_topk
 
+    def search_after_page2(spark, sf_dir):
+        """Page 2 of the or2 ranking via IndexSearcher.searchAfter
+        (search/IndexSearcher.java:470): cursor = page 1's last
+        (score, doc_id); the collector tie-break (score desc, doc_id asc)
+        makes the cursor a total order, so page 2 == rows 11-20."""
+        ex = _executor(spark, sf_dir)
+        q = _B(_C(_O.SHOULD, _T("merge")), _C(_O.SHOULD, _T("window")))
+        page1 = ex.topk(q, k=10).collect()
+        cur = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+        return ex.topk(q, k=10, after=cur).select("doc_id", "score")
+
+    out["search_after_page2"] = search_after_page2
+
     return _prioritize(out)
 
 
@@ -1665,5 +1678,11 @@ def oracle_sql() -> dict[str, str]:
                 ELSE lo.score END AS score
     FROM lo LEFT JOIN hi ON hi.doc_id = lo.doc_id
     ORDER BY score DESC, lo.doc_id ASC LIMIT 10"""
+
+    # searchAfter page 2 == rows 11-20 of the or2 ranking
+    out["search_after_page2"] = f"""WITH {_IX},
+      u AS (SELECT * FROM ({_leaf_scores('merge')}) UNION ALL SELECT * FROM ({_leaf_scores('window')}))
+      SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10"""
 
     return _prioritize(out)

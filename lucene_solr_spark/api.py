@@ -24,13 +24,29 @@ from lucene_solr_spark.operators.topk import SegmentSearcher
 from lucene_solr_spark.plans import ir
 from lucene_solr_spark.plans.parser import parse_query
 
-__all__ = ["SearchEngine", "Hit"]
+__all__ = ["SearchEngine", "Hit", "TopDocs", "TOTAL_HITS_THRESHOLD"]
+
+#: stop exact counting past this many hits (IndexSearcher.java:97)
+TOTAL_HITS_THRESHOLD = 1000
 
 
 @dataclass(frozen=True)
 class Hit:
     doc_id: int
     score: float
+
+
+@dataclass(frozen=True)
+class TopDocs:
+    """search results + total-hit accounting (search/TopDocs.java).
+
+    ``relation`` is "eq" when ``total_hits`` is exact, "gte" when counting
+    stopped at the threshold and ``total_hits`` is a lower bound
+    (TotalHits.Relation, TopScoreDocCollector.java:320)."""
+
+    hits: list[Hit]
+    total_hits: int
+    relation: str  # "eq" | "gte"
 
 
 class SearchEngine:
@@ -75,10 +91,45 @@ class SearchEngine:
         )
 
     # ------------------------------------------------------------ search
-    def search(self, query: str | ir.Query, k: int = 10) -> list[Hit]:
+    def search(
+        self,
+        query: str | ir.Query,
+        k: int = 10,
+        after: Hit | tuple[float, int] | None = None,
+    ) -> list[Hit]:
+        """Top-k hits; ``after`` pages past a previous page's last hit
+        (IndexSearcher.searchAfter, search/IndexSearcher.java:470 — the
+        (score desc, doc_id asc) tie-break makes the cursor total)."""
         q = parse_query(query) if isinstance(query, str) else query
-        rows = self._searcher.topk(q, k=k).collect()
+        cur = None
+        if after is not None:
+            cur = (
+                (after.score, after.doc_id)
+                if isinstance(after, Hit)
+                else (float(after[0]), int(after[1]))
+            )
+        rows = self._searcher.topk(q, k=k, after=cur).collect()
         return [Hit(r["doc_id"], r["score"]) for r in rows]
+
+    def search_top(
+        self,
+        query: str | ir.Query,
+        k: int = 10,
+        after: Hit | tuple[float, int] | None = None,
+        total_hits_threshold: int = TOTAL_HITS_THRESHOLD,
+    ) -> TopDocs:
+        """search() + total-hit accounting: count exactly up to
+        ``total_hits_threshold`` matches, then stop and report a lower
+        bound (TopScoreDocCollector's totalHitsThreshold semantics —
+        totalHits.relation becomes GREATER_THAN_OR_EQUAL_TO). The bounded
+        count runs as a LocalLimit scan, so a match-everything query never
+        pays a full count just to render a result page."""
+        q = parse_query(query) if isinstance(query, str) else query
+        hits = self.search(q, k=k, after=after)
+        c = self._searcher.matches(q).limit(total_hits_threshold + 1).count()
+        if c > total_hits_threshold:
+            return TopDocs(hits, c, "gte")
+        return TopDocs(hits, c, "eq")
 
     def search_batch(
         self, queries: dict[str, str | ir.Query], k: int = 10

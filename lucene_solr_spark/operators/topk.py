@@ -1154,9 +1154,14 @@ class SegmentSearcher:
         return self._stats_cache
 
     # --- public API ---
-    def topk(self, q: ir.Query, k: int = 10) -> DataFrame:
+    def topk(
+        self,
+        q: ir.Query,
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+    ) -> DataFrame:
         return (
-            self.topk_batch({"q": q}, k=k)
+            self.topk_batch({"q": q}, k=k, after=after)
             .select("doc_id", "score")
         )
 
@@ -1168,6 +1173,7 @@ class SegmentSearcher:
         queries: dict[str, ir.Query],
         k: int | None = 10,
         direct: bool = True,
+        after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Batched search: ONE Spark job scores every query against every
         segment (broadcast plans), then a driver-side window merge — the
@@ -1243,6 +1249,13 @@ class SegmentSearcher:
         )
         prune = self.prune
         kk = k
+        # searchAfter cursor (IndexSearcher.searchAfter,
+        # search/IndexSearcher.java:470): keep docs strictly past
+        # (score desc, doc_id asc) — the collector tie-break makes this a
+        # total order, so the resume filter is exact. Applies to every
+        # query in the batch (single-query paging is the use case).
+        after_s = float(after[0]) if after is not None else None
+        after_d = int(after[1]) if after is not None else -1
         schema = _RESULT_SCHEMA_F32 if mode == "float32" else _RESULT_SCHEMA_F64
 
         def eval_plans(
@@ -1286,7 +1299,9 @@ class SegmentSearcher:
                     # a tombstoned segment runs exhaustive: blockmax
                     # returns exactly k candidates, and masking a deleted
                     # doc OUT of those k would under-return live hits
+                    # (same reason a searchAfter cursor runs exhaustive)
                     and not has_live_mask
+                    and after_s is None
                 ):
                     docs, scores = ev.blockmax_topk(plan, kk)
                 else:
@@ -1298,6 +1313,11 @@ class SegmentSearcher:
                     idx = np.searchsorted(tombs, docs)
                     idxc = np.clip(idx, 0, len(tombs) - 1)
                     keep = tombs[idxc] != docs
+                    docs, scores = docs[keep], scores[keep]
+                if after_s is not None and docs.size:
+                    keep = (scores < after_s) | (
+                        (scores == after_s) & (docs > after_d)
+                    )
                     docs, scores = docs[keep], scores[keep]
                 if kk is not None and len(docs) > kk:
                     # per-segment top-k (TopScoreDocCollector heap role)

@@ -174,8 +174,23 @@ class DFExecutor:
     _stats_cache: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------------ api
-    def topk(self, q: ir.Query, k: int = 10) -> DataFrame:
+    def topk(
+        self,
+        q: ir.Query,
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+    ) -> DataFrame:
+        """Top-k by (score desc, doc_id asc). ``after=(score, doc_id)``
+        resumes strictly past that cursor (IndexSearcher.searchAfter,
+        search/IndexSearcher.java:470): the tie-break makes the sort order
+        total, so the cursor filter is exact."""
         scored = self.matches(q)
+        if after is not None:
+            s, d = float(after[0]), int(after[1])
+            scored = scored.filter(
+                (F.col("score") < F.lit(s))
+                | ((F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d)))
+            )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def count(self, q: ir.Query) -> int:
