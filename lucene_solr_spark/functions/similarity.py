@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -259,11 +260,25 @@ def ivf_assign(
     centroids: np.ndarray,
     *,
     emb_col: str = "embedding",
+    expr_max_lists: int = 64,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid → + ``list_id`` column.
 
-    JVM-side: squared-euclidean to each centroid as fold expressions,
-    argmin via least() comparison — map-only, no UDF, no shuffle."""
+    Two physical strategies, same semantics (argmin of squared euclidean,
+    first index wins ties):
+
+    - n_lists ≤ ``expr_max_lists``: JVM-side fold expressions + a
+      comparison chain — whole-stage codegen, no Python. The plan carries
+      one expression PER centroid, so this path stops being viable in the
+      hundreds (Catalyst plan compilation explodes).
+    - n_lists > ``expr_max_lists``: ONE Arrow-batched pandas UDF doing a
+      matmul-argmin against the broadcast centroid matrix
+      (``d² = |v|² − 2 v·Cᵀ + |C|²``) — plan size O(1) in n_lists, batch
+      cost one BLAS call; the path a 100 TB corpus (n_lists 1k-64k) needs.
+
+    Both are map-only: no shuffle either way."""
+    if len(centroids) > expr_max_lists:
+        return _ivf_assign_udf(df, centroids, emb_col=emb_col)
     dists = []
     for li, c in enumerate(centroids):
         clit = F.lit([float(x) for x in c])
@@ -287,6 +302,30 @@ def ivf_assign(
     return with_d.withColumn("list_id", best).drop(
         *[f"_d{li}" for li in range(len(centroids))]
     )
+
+
+def _ivf_assign_udf(
+    df: DataFrame, centroids: np.ndarray, *, emb_col: str
+) -> DataFrame:
+    """Pandas-UDF assignment path: nearest centroid per Arrow batch via a
+    single matmul-argmin. np.argmin keeps the first index on exact ties —
+    the same winner as the expression path's strict-< chain."""
+    from pyspark.sql import types as T
+
+    cmat = np.ascontiguousarray(np.asarray(centroids, np.float64))
+    c_sq = (cmat * cmat).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_udf(emb: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, np.float64) for v in emb], np.float64)
+        if m.size == 0:
+            return pd.Series([], dtype="int32")
+        # ||v-c||² = ||v||² - 2 v·c + ||c||²; ||v||² is constant per row,
+        # so the argmin only needs the last two terms
+        d2 = c_sq[None, :] - 2.0 * (m @ cmat.T)
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32), index=emb.index)
+
+    return df.withColumn("list_id", assign_udf(F.col(emb_col)))
 
 
 def ivf_probe_lists(

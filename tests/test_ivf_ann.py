@@ -98,3 +98,36 @@ def test_materialized_layout_partition_pruning(spark, emb, tmp_path_factory):
         for r in ivf_topk(assigned, cents, list(q), k=5, nprobe=2).collect()
     ]
     assert [(r["vec_id"], r["cosine"]) for r in df.collect()] == expect
+
+
+def test_udf_assignment_parity_with_expression_path(emb):
+    """The pandas-UDF matmul-argmin path (n_lists > expr_max_lists) must
+    assign every vector to the same list as the fold-expression path."""
+    cents = ivf_train(emb, n_lists=16, seed=7)
+    via_expr = ivf_assign(emb, cents, expr_max_lists=64)
+    via_udf = ivf_assign(emb, cents, expr_max_lists=0)  # force the UDF path
+    a = {r["vec_id"]: r["list_id"] for r in via_expr.select("vec_id", "list_id").collect()}
+    b = {r["vec_id"]: r["list_id"] for r in via_udf.select("vec_id", "list_id").collect()}
+    assert a == b
+
+
+def test_udf_assignment_at_256_lists_runs_fast(emb):
+    """n_lists=256: the expression path would compile a 256-deep plan;
+    the UDF path must assign the whole table in seconds."""
+    import time
+
+    rng = np.random.default_rng(42)
+    cents = rng.normal(size=(256, 64))  # synthetic quantizer: assignment is the SUT
+    t0 = time.perf_counter()
+    assigned = ivf_assign(emb, cents)  # > expr_max_lists → UDF path
+    counts = assigned.groupBy("list_id").count().collect()
+    elapsed = time.perf_counter() - t0
+    assert sum(r["count"] for r in counts) == emb.count()
+    assert all(0 <= r["list_id"] < 256 for r in counts)
+    assert elapsed < 30, f"256-list assignment took {elapsed:.1f}s"
+    # spot-check correctness against numpy on a sample
+    rows = assigned.select("vec_id", "embedding", "list_id").limit(20).collect()
+    for r in rows:
+        v = np.asarray(r["embedding"], np.float64)
+        d = ((cents - v) ** 2).sum(axis=1)
+        assert int(np.argmin(d)) == r["list_id"]
