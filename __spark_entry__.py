@@ -967,6 +967,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["search_after_page2"] = search_after_page2
 
+    def highlight_offsets(spark, sf_dir):
+        """Offset-source highlighting: index built with
+        index_options='offsets' (IndexOptions.java:50) stores char spans
+        as a third posting stream; the highlighter reads them instead of
+        re-analyzing — same passage rule, zero tokenizer work per hit."""
+        from lucene_solr_spark.functions.highlight import highlight_hits_from_index
+        from lucene_solr_spark.operators.index_build import build_index
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        key = f"ixoff::{sf_dir}"
+        if key not in _CACHE:
+            d = _docs(spark, sf_dir)
+            ixo = build_index(
+                d, text_col="text", doc_id_col="doc_id", index_options="offsets"
+            ).persist()
+            _CACHE[key] = DFExecutor(ixo, mode="double")
+        ex = _CACHE[key]
+        hits = ex.matches(_T("window")).select("doc_id")
+        return highlight_hits_from_index(
+            ex.index, hits, _docs(spark, sf_dir), {"window": 1.0},
+            join_tokens=True,
+        )
+
+    out["highlight_offsets"] = highlight_offsets
+
     return _prioritize(out)
 
 
@@ -1684,5 +1709,10 @@ def oracle_sql() -> dict[str, str]:
       u AS (SELECT * FROM ({_leaf_scores('merge')}) UNION ALL SELECT * FROM ({_leaf_scores('window')}))
       SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id
       ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10"""
+
+    # offset-source highlighting produces IDENTICAL output to the
+    # re-analysis source (shared passage rule), so the oracle is the same
+    # relational form with the gate's query term
+    out["highlight_offsets"] = out["highlight_topk"].replace("'merge'", "'window'")
 
     return _prioritize(out)

@@ -149,8 +149,10 @@ def postings_frame(
     fold_ascii: bool = False,
     stemmer: str | None = None,
     with_positions: bool = True,
+    with_offsets: bool = False,
 ):
-    """corpus → (doc_id, term, tf, positions) posting rows, inverted
+    """corpus → (doc_id, term, tf, positions[, start_offsets,
+    end_offsets]) posting rows, inverted
     MAP-SIDE in one ``mapInPandas`` pass — Lucene's DWPT in-memory
     inversion (``index/TermsHashPerField.java:132-154``): a (term, doc)
     posting lives entirely inside one document, so no token-level shuffle
@@ -168,6 +170,15 @@ def postings_frame(
     ]
     if with_positions:
         fields.append(T.StructField("positions", T.ArrayType(T.IntegerType()), True))
+    if with_offsets:
+        # IndexOptions...AND_OFFSETS third posting stream
+        # (index/IndexOptions.java:50): char spans parallel to positions
+        fields.append(
+            T.StructField("start_offsets", T.ArrayType(T.IntegerType()), True)
+        )
+        fields.append(
+            T.StructField("end_offsets", T.ArrayType(T.IntegerType()), True)
+        )
     schema = T.StructType(fields)
 
     import pyarrow as pa
@@ -179,7 +190,7 @@ def postings_frame(
         cols = [f.name for f in fields]
         for pdf in iterator:
             doc_ids = pdf[id_col].to_numpy(np.int64)
-            tdoc, terms, pos = batch_tokenize(
+            tok = batch_tokenize(
                 pdf[text_col].tolist(),
                 lowercase=lowercase,
                 stopwords=stop,
@@ -187,7 +198,13 @@ def postings_frame(
                 strip_possessive=strip_possessive,
                 fold_ascii=fold_ascii,
                 stemmer=stemmer,
+                with_offsets=with_offsets,
             )
+            if with_offsets:
+                tdoc, terms, pos, t_soff, t_eoff = tok
+            else:
+                tdoc, terms, pos = tok
+                t_soff = t_eoff = None
             if len(tdoc) == 0:
                 yield pd.DataFrame(
                     {
@@ -202,6 +219,16 @@ def postings_frame(
                                 )
                             }
                             if with_positions
+                            else {}
+                        ),
+                        **(
+                            {
+                                c: pd.Series(
+                                    [], dtype=pd.ArrowDtype(pa.list_(pa.int32()))
+                                )
+                                for c in ("start_offsets", "end_offsets")
+                            }
+                            if with_offsets
                             else {}
                         ),
                     },
@@ -235,6 +262,19 @@ def postings_frame(
                 data["positions"] = pd.Series(
                     plists, dtype=pd.ArrowDtype(pa.list_(pa.int32()))
                 )
+            if with_offsets:
+                offs = np.r_[gstart, len(sd)].astype(np.int32)
+                for name, arr in (
+                    ("start_offsets", t_soff),
+                    ("end_offsets", t_eoff),
+                ):
+                    lists = pa.ListArray.from_arrays(
+                        pa.array(offs, pa.int32()),
+                        pa.array(arr[order], pa.int32()),
+                    )
+                    data[name] = pd.Series(
+                        lists, dtype=pd.ArrowDtype(pa.list_(pa.int32()))
+                    )
             yield pd.DataFrame(data, columns=cols)
 
     return docs.select(id_col, text_col).mapInPandas(fn, schema=schema)

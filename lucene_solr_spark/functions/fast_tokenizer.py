@@ -165,7 +165,8 @@ def batch_tokenize(
     strip_possessive: bool = False,
     fold_ascii: bool = False,
     stemmer: str | None = None,
-) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    with_offsets: bool = False,
+):
     """Tokenize a batch of documents.
 
     ``texts``: sequence of str|None (one per document).
@@ -173,6 +174,14 @@ def batch_tokenize(
     token, an Arrow string array of (lowercased, possessive-stripped,
     stop-filtered, optionally stemmed) terms, and int32 positions with
     stop/overlong gaps preserved.
+
+    ``with_offsets=True`` returns ``(doc_idx, terms, pos, soff, eoff)``
+    with each surviving token's character span in its source document —
+    the IndexOptions...AND_OFFSETS posting stream
+    (``index/IndexOptions.java:50``). Spans are Unicode-codepoint offsets
+    (Python string indexing); Java's UTF-16 units agree on BMP text.
+    Filters never shift offsets: a possessive-stripped or stemmed term
+    keeps the ORIGINAL token's span, exactly like Lucene's token filters.
 
     The possessive strip is one vectorized regex replace; stemming runs
     once per DISTINCT term via dictionary-encode (the per-batch
@@ -187,6 +196,8 @@ def batch_tokenize(
     out_doc: list[np.ndarray] = []
     out_terms: list[pa.Array] = []
     out_pos: list[np.ndarray] = []
+    out_soff: list[np.ndarray] = []
+    out_eoff: list[np.ndarray] = []
 
     joined = "\n".join(norm_texts)
     # surrogatepass: Python strings can carry lone surrogates (Arrow
@@ -247,6 +258,9 @@ def batch_tokenize(
 
         keep = (tlen <= max_token_length) & ~slow_set[tdoc]
         starts, tlen, tdoc, pos = starts[keep], tlen[keep], tdoc[keep], pos[keep]
+        # char spans relative to each token's own document
+        soff = (starts - doc_off[tdoc]).astype(np.int32)
+        eoff = (soff + tlen).astype(np.int32)
 
         if starts.size:
             data = _LOWER[cpi] if lowercase else cp
@@ -307,6 +321,8 @@ def batch_tokenize(
                 terms = terms.filter(pa.array(keep2))
                 tdoc = tdoc[keep2]
                 pos = pos[keep2]
+                soff = soff[keep2]
+                eoff = eoff[keep2]
             if stemmer == "porter" and len(terms):
                 from lucene_solr_spark.oracle.porter import porter_stem
 
@@ -319,8 +335,36 @@ def batch_tokenize(
             out_doc.append(tdoc)
             out_terms.append(terms)
             out_pos.append(pos)
+            out_soff.append(soff)
+            out_eoff.append(eoff)
 
     for i in slow_docs.tolist():
+        if with_offsets:
+            from lucene_solr_spark.functions.highlight import analyze_with_offsets
+
+            otoks = analyze_with_offsets(
+                norm_texts[i],
+                lowercase=lowercase,
+                stopwords=stopwords,
+                max_token_length=max_token_length,
+                strip_possessive=strip_possessive,
+                fold_ascii=fold_ascii,
+                stemmer=stemmer,
+            )
+            if not otoks:
+                continue
+            out_doc.append(np.full(len(otoks), i, np.int64))
+            out_terms.append(pa.array([t for t, _p, _s, _e in otoks], pa.utf8()))
+            out_pos.append(
+                np.fromiter((p for _t, p, _s, _e in otoks), np.int32, len(otoks))
+            )
+            out_soff.append(
+                np.fromiter((s_ for _t, _p, s_, _e in otoks), np.int32, len(otoks))
+            )
+            out_eoff.append(
+                np.fromiter((e for _t, _p, _s, e in otoks), np.int32, len(otoks))
+            )
+            continue
         toks = analyze(
             norm_texts[i],
             lowercase=lowercase,
@@ -337,13 +381,17 @@ def batch_tokenize(
         out_pos.append(np.fromiter((t.pos for t in toks), np.int32, len(toks)))
 
     if not out_doc:
-        return (
+        empty = (
             np.empty(0, np.int64),
             pa.array([], pa.utf8()),
             np.empty(0, np.int32),
         )
-    return (
+        return empty + (np.empty(0, np.int32), np.empty(0, np.int32)) if with_offsets else empty
+    res = (
         np.concatenate(out_doc),
         pa.concat_arrays(out_terms) if len(out_terms) > 1 else out_terms[0],
         np.concatenate(out_pos),
     )
+    if with_offsets:
+        return res + (np.concatenate(out_soff), np.concatenate(out_eoff))
+    return res

@@ -50,6 +50,7 @@ __all__ = [
     "best_passages",
     "highlight_text",
     "highlight_hits",
+    "highlight_hits_from_index",
 ]
 
 
@@ -71,6 +72,7 @@ def analyze_with_offsets(
     stopwords: frozenset = frozenset(),
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
     strip_possessive: bool = False,
+    fold_ascii: bool = False,
     stemmer: str | None = None,
 ) -> list[tuple[str, int, int, int]]:
     """Analyzer chain WITH character offsets → [(term, pos, start, end)].
@@ -105,6 +107,10 @@ def analyze_with_offsets(
             term = term.lower()
         if strip_possessive:
             term = _sp(term)
+        if fold_ascii:
+            from lucene_solr_spark.oracle.tokenizer import fold_accents
+
+            term = fold_accents(term)
         if term in stopwords:
             continue
         if stemmer == "porter":
@@ -139,6 +145,25 @@ def best_passages(
         else {t: 1.0 for t in query_terms}
     )
     toks = analyze_with_offsets(text, **analyzer_kwargs)
+    return _passages_from_stream(
+        text, toks, weights, ctx, top_n, pre_tag, post_tag, join_tokens
+    )
+
+
+def _passages_from_stream(
+    text: str,
+    toks: list[tuple[str, int, int, int]],
+    weights: dict[str, float],
+    ctx: int,
+    top_n: int,
+    pre_tag: str,
+    post_tag: str,
+    join_tokens: bool,
+) -> list[Passage]:
+    """Passage construction over an ordered (term, pos, start, end)
+    stream — shared by the re-analysis offset source (best_passages) and
+    the stored-offsets source (highlight_hits_from_index), which therefore
+    produce IDENTICAL output for the same index chain."""
     hit_idx = [i for i, (t, _p, _s, _e) in enumerate(toks) if t in weights]
     if not hit_idx:
         return []
@@ -231,6 +256,117 @@ def highlight_hits(
                     post_tag=post_tag,
                     join_tokens=join_tokens,
                     **akw,
+                ):
+                    out_id.append(did)
+                    out_sn.append(p.snippet)
+                    out_sc.append(p.score)
+                    out_nm.append(p.n_matches)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_id, dtype="int64"),
+                    "snippet": pd.Series(out_sn, dtype=str),
+                    "passage_score": pd.Series(out_sc, dtype="float64"),
+                    "n_matches": pd.Series(out_nm, dtype="int64"),
+                }
+            )
+
+    schema = f"{id_col} long, snippet string, passage_score double, n_matches long"
+    return narrowed.mapInPandas(run, schema=schema)
+
+
+def highlight_hits_from_index(
+    index,
+    hits_df,
+    docs_df,
+    query_terms: dict[str, float] | set[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ctx: int = 3,
+    top_n: int = 1,
+    pre_tag: str = "<b>",
+    post_tag: str = "</b>",
+    join_tokens: bool = False,
+):
+    """Offset-source highlighting: read token spans from the index's
+    STORED offsets instead of re-analyzing (UnifiedHighlighter's
+    OffsetSource.POSTINGS_WITH_TERM_VECTORS / OFFSETS path,
+    ``UnifiedHighlighter.java:1000-1032``) — the index must be built with
+    ``index_options="offsets"`` (``index/IndexOptions.java:50``).
+
+    Produces output IDENTICAL to ``highlight_hits`` (same passage rule via
+    ``_passages_from_stream``) without running the tokenizer at highlight
+    time — at 100× scale that halves per-hit CPU, and the postings read is
+    pruned to the hit docs (tiny: top-k per query). The hit docs' FULL
+    token streams are read because the passage rule needs every token's
+    span for window context; in the doc-range segment layout that read
+    prunes to the hit docs' segments.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    for c in ("start_offsets", "end_offsets"):
+        if c not in index.postings.columns:
+            raise ValueError(
+                "index has no stored offsets; build with index_options='offsets'"
+            )
+    weights = (
+        dict(query_terms)
+        if isinstance(query_terms, dict)
+        else {t: 1.0 for t in query_terms}
+    )
+    ids = F.broadcast(
+        hits_df.select(F.col(id_col).alias("_hit_id")).distinct()
+    )
+
+    # hit docs' token streams from the stored posting streams: explode the
+    # parallel (positions, start_offsets, end_offsets) arrays, reassemble
+    # per doc ordered by position
+    tok = (
+        index.postings.join(ids, F.col("doc_id") == F.col("_hit_id"))
+        .select(
+            F.col("doc_id").alias(id_col),
+            "term",
+            F.explode(
+                F.arrays_zip("positions", "start_offsets", "end_offsets")
+            ).alias("z"),
+        )
+        .select(
+            id_col,
+            "term",
+            F.col("z.positions").alias("pos"),
+            F.col("z.start_offsets").alias("s"),
+            F.col("z.end_offsets").alias("e"),
+        )
+    )
+    stream = tok.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("pos", "s", "e", "term"))
+        ).alias("toks")
+    )
+    narrowed = docs_df.join(
+        ids, F.col(id_col) == F.col("_hit_id"), "left_semi"
+    ).select(id_col, text_col).join(stream, id_col)
+
+    def run(batches):
+        for pdf in batches:
+            out_id, out_sn, out_sc, out_nm = [], [], [], []
+            for did, text, toks in zip(
+                pdf[id_col], pdf[text_col], pdf["toks"]
+            ):
+                stream_toks = [
+                    (t["term"], int(t["pos"]), int(t["s"]), int(t["e"]))
+                    for t in toks
+                ]
+                for p in _passages_from_stream(
+                    text or "",
+                    stream_toks,
+                    weights,
+                    ctx,
+                    top_n,
+                    pre_tag,
+                    post_tag,
+                    join_tokens,
                 ):
                     out_id.append(did)
                     out_sn.append(p.snippet)

@@ -249,13 +249,17 @@ def build_index(
     unique long id; otherwise docIDs are assigned over ``key_cols``.
 
     ``index_options`` mirrors Lucene's per-field IndexOptions
-    (``index/IndexOptions.java:24-50``): "positions" stores tf+positions,
+    (``index/IndexOptions.java:24-50``): "offsets" stores
+    tf+positions+char spans (DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS,
+    ``IndexOptions.java:50`` — the offset-source highlighter reads them
+    instead of re-analyzing), "positions" stores tf+positions,
     "freqs" stores tf only, "docs" stores docIDs only — queries then score
     with freq=1 and the norm derives from uniqueTermCount instead of
     length (``BM25Similarity.java:138-147``)."""
-    if index_options not in ("positions", "freqs", "docs"):
+    if index_options not in ("offsets", "positions", "freqs", "docs"):
         raise ValueError(f"bad index_options {index_options!r}")
-    if index_options != "positions":
+    with_offsets = index_options == "offsets"
+    if index_options in ("freqs", "docs"):
         with_positions = False
     if doc_id_col is None:
         docs_src = assign_doc_ids(corpus, key_cols)
@@ -281,6 +285,7 @@ def build_index(
         fold_ascii=fold_ascii,
         stemmer=stemmer,
         with_positions=with_positions,
+        with_offsets=with_offsets,
     )
     import tempfile
 

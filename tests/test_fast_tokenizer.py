@@ -130,3 +130,41 @@ def test_fold_ascii_parity_and_duckdb_twin():
         assert fold_accents(w) == con.execute(
             "SELECT strip_accents(?)", [w]
         ).fetchone()[0]
+
+
+def test_with_offsets_parity():
+    """with_offsets=True spans must equal the oracle offset stream
+    (analyze_with_offsets) per doc, on both the LUT fast path and the
+    astral-plane slow path, for both analyzer chains."""
+    from lucene_solr_spark.functions.highlight import analyze_with_offsets
+
+    for kw in (
+        dict(),
+        dict(
+            stopwords=ENGLISH_STOP_WORDS,
+            strip_possessive=True,
+            stemmer="porter",
+        ),
+    ):
+        doc, terms, pos, soff, eoff = batch_tokenize(
+            EDGE_CASES, with_offsets=True, **kw
+        )
+        got: dict[int, list] = {}
+        for d, t, p, s, e in zip(
+            doc.tolist(), terms.to_pylist(), pos.tolist(),
+            soff.tolist(), eoff.tolist(),
+        ):
+            got.setdefault(d, []).append((t, p, s, e))
+        exp = {}
+        for i, text in enumerate(EDGE_CASES):
+            if text is None:
+                continue
+            toks = analyze_with_offsets(text, **kw)
+            if toks:
+                exp[i] = toks
+        assert got == exp
+        # spans slice raw source text back out (pre-normalization)
+        for i, toks in got.items():
+            for term, _p, s, e in toks:
+                raw = EDGE_CASES[i][s:e]
+                assert len(raw) > 0

@@ -129,3 +129,36 @@ def test_highlight_hits_distributed(spark):
         p = best_passages(text, {"merge": 2.5}, ctx=2, top_n=1)[0]
         assert got[did] == (p.snippet, p.score, p.n_matches)
     assert got[0][0] == "alpha <b>merge</b> beta gamma"
+
+
+def test_offset_source_equals_reanalysis(spark):
+    """Stored-offsets highlighter (index_options='offsets',
+    IndexOptions.java:50) must produce IDENTICAL output to the
+    re-analysis path — same passage rule, different offset source
+    (UnifiedHighlighter.java:1000-1032)."""
+    from lucene_solr_spark.functions.highlight import (
+        highlight_hits,
+        highlight_hits_from_index,
+    )
+    from lucene_solr_spark.operators.index_build import build_index
+
+    rows = [
+        (0, "alpha merge beta gamma"),
+        (1, "no hits here at all"),
+        (2, "x merge y merge z tail words continue"),
+        (3, "merge"),
+        (4, "unicode café merge déjà \U0001f600 tail"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = spark.createDataFrame([(0,), (2,), (3,), (4,)], "doc_id long")
+    q = {"merge": 2.5}
+    ix = build_index(
+        docs, text_col="text", doc_id_col="doc_id", index_options="offsets"
+    )
+    key = lambda r: r["doc_id"]
+    got = sorted(
+        highlight_hits_from_index(ix, hits, docs, q, ctx=2).collect(), key=key
+    )
+    want = sorted(highlight_hits(hits, docs, q, ctx=2).collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 4
