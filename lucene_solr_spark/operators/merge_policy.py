@@ -265,11 +265,28 @@ def merge_segments(
     Fully distributed: no stage materializes more than one child segment
     (norm attach) or one term-range partition (re-encode) per task."""
     manifest = index.manifest()
-    by_id = {s["segment_id"]: s for s in manifest["segments"]}
-    children = [by_id[c] for c in child_ids]
     # ids are opaque ordinals (doc ranges live in the manifest); max+1 is
     # always collision-free, including with streaming-appended segments
     new_id = max(s["segment_id"] for s in manifest["segments"]) + 1
+    build = _build_merged_segment(spark, index, manifest, child_ids, new_id)
+    _commit_merged_segment(spark, index, build)
+    return int(new_id)
+
+
+def _build_merged_segment(
+    spark: SparkSession,
+    index: SegmentIndex,
+    manifest: dict,
+    child_ids: list[int],
+    new_id: int,
+) -> dict:
+    """Build phase: all the distributed work of a merge — decode, purge,
+    re-encode, write the merged segment to per-merge TMP dirs, compute
+    its stats. Touches only ``tmp_merge/*_{new_id}`` paths and reads only
+    this merge's child dirs, so independent merges (disjoint child sets)
+    can run this concurrently from driver threads."""
+    by_id = {s["segment_id"]: s for s in manifest["segments"]}
+    children = [by_id[c] for c in child_ids]
 
     seg_paths = [f"{index.segments_path}/segment_id={c}" for c in child_ids]
     doc_paths = [f"{index.seg_docs_path}/segment_id={c}" for c in child_ids]
@@ -382,6 +399,33 @@ def merge_segments(
         "sum_tf": int(stats["st"] or 0),
         "content_crc": 0,
     }
+    return {
+        "meta": merged_meta,
+        "child_ids": list(child_ids),
+        "children": children,
+        "tmp_path": tmp_path,
+        "tmp_docs": tmp_docs,
+        "purging": purging,
+    }
+
+
+def _commit_merged_segment(
+    spark: SparkSession, index: SegmentIndex, build: dict
+) -> None:
+    """Commit phase: publish one built merge. SINGLE-WRITER — the caller
+    must serialize commits (the manifest has no lock). Cost is
+    O(metadata): dir renames + manifest rewrite (+ term-stats rebuild on
+    a purging merge)."""
+    merged_meta = build["meta"]
+    child_ids = build["child_ids"]
+    children = build["children"]
+    tmp_path, tmp_docs = build["tmp_path"], build["tmp_docs"]
+    purging = build["purging"]
+    new_id = merged_meta["segment_id"]
+    tomb_dir = f"{index.base}/tombstones"
+    # fresh manifest: earlier commits in the same scheduling round have
+    # already removed THEIR children (disjoint from ours by construction)
+    manifest = index.manifest()
     n_purged = sum(c["n_docs"] for c in children) - merged_meta["n_docs"]
 
     # --- two-phase commit, crash-safe ORDER (IndexWriter.java:3367):
@@ -441,7 +485,14 @@ def merge_segments(
     for c in child_ids:
         shutil.rmtree(f"{index.segments_path}/segment_id={c}", ignore_errors=True)
         shutil.rmtree(f"{index.seg_docs_path}/segment_id={c}", ignore_errors=True)
-    shutil.rmtree(f"{index.base}/tmp_merge", ignore_errors=True)
+    # only THIS merge's tmp dirs (other merges' builds may still be live);
+    # both were os.replace'd away, so this is leftover-crumb cleanup
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    shutil.rmtree(tmp_docs, ignore_errors=True)
+    try:
+        os.rmdir(f"{index.base}/tmp_merge")
+    except OSError:
+        pass
 
     if purging and n_purged > 0:
         # drop tombstones covered by the merged ranges (their docs no
@@ -466,19 +517,51 @@ def merge_segments(
             os.replace(tomb_dir, old_t)
             os.replace(tmp_t, tomb_dir)
             shutil.rmtree(old_t, ignore_errors=True)
-    return int(new_id)
 
 
 def run_merges(
     spark: SparkSession,
     index: SegmentIndex,
     policy: TieredMergePolicy = TieredMergePolicy(),
+    max_concurrency: int = 4,
 ) -> list[int]:
-    """ConcurrentMergeScheduler stand-in: run selected merges sequentially
-    (concurrency on a cluster = independent Spark jobs; driver-side loop
-    keeps the manifest single-writer)."""
-    out = []
-    merges = find_merges(index.manifest()["segments"], policy)
-    for child_ids in merges:
-        out.append(merge_segments(spark, index, child_ids))
+    """ConcurrentMergeScheduler (``index/ConcurrentMergeScheduler.java``):
+    the selected merges have disjoint child sets by construction
+    (find_merges removes chosen segments from the eligible pool), so
+    their distributed BUILD phases run concurrently — each from its own
+    driver thread in its own FAIR scheduler pool, sharing executor slots
+    as independent Spark jobs. Manifest COMMITS stay sequential in
+    selection order (the manifest is single-writer); commit cost is
+    O(metadata), so serializing it costs nothing at scale."""
+    manifest = index.manifest()
+    merges = find_merges(manifest["segments"], policy)
+    if not merges:
+        return []
+    base_id = max(s["segment_id"] for s in manifest["segments"]) + 1
+    sc = spark.sparkContext
+
+    def build(i: int) -> dict:
+        # local properties are per-thread in PySpark (pinned-thread mode):
+        # each merge's jobs land in their own FAIR pool
+        sc.setLocalProperty("spark.scheduler.pool", f"merge_{base_id + i}")
+        try:
+            return _build_merged_segment(
+                spark, index, manifest, merges[i], base_id + i
+            )
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    if max_concurrency <= 1 or len(merges) == 1:
+        builds = [build(i) for i in range(len(merges))]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(max_concurrency, len(merges))
+        ) as pool:
+            builds = list(pool.map(build, range(len(merges))))
+    out: list[int] = []
+    for b in builds:
+        _commit_merged_segment(spark, index, b)
+        out.append(int(b["meta"]["segment_id"]))
     return out

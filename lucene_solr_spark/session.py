@@ -62,6 +62,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.python.worker.reuse", "true")
+        # FAIR job scheduling: concurrent driver threads (e.g. the merge
+        # scheduler's build phase) share executor slots round-robin
+        # instead of head-of-line FIFO blocking
+        .config("spark.scheduler.mode", "FAIR")
     )
     for k, v in _MALLOC_TUNING.items():
         b = b.config(f"spark.executorEnv.{k}", v)

@@ -275,3 +275,66 @@ def test_nrt_streaming_end_to_end(spark, tmp_path_factory):
     assert six.doc_count == 30
     searcher = SegmentSearcher(spark, six, mode="float32")
     assert searcher.topk(T("def"), k=5).count() > 0
+
+
+def test_concurrent_merges_identical_results(
+    spark, tmp_path_factory, tiny_oracle, monkeypatch
+):
+    """ConcurrentMergeScheduler contract: two disjoint merges run their
+    build phases as CONCURRENT Spark jobs (distinct driver threads,
+    overlapping wall intervals), and post-merge search is rank-identical
+    to the single-node oracle."""
+    import threading
+    import time
+
+    import lucene_solr_spark.operators.merge_policy as mp
+    from lucene_solr_spark.operators.merge_policy import run_merges
+
+    corpus = corpus_to_spark(spark, 100, seed=42, num_partitions=4)
+    ix = build_index(corpus).persist()
+    base = str(tmp_path_factory.mktemp("cmix"))
+    build_segments(ix, base, segment_size=8)
+    six = SegmentIndex.open(base)
+    policy = TieredMergePolicy(
+        segs_per_tier=2, max_merge_at_once=3, floor_segment_bytes=1,
+        max_merged_segment_bytes=10**9,
+    )
+    assert len(find_merges(six.manifest()["segments"], policy)) >= 2
+
+    spans: list[tuple[float, float, int]] = []
+    orig = mp._build_merged_segment
+
+    def spy(spark_, index_, manifest_, child_ids_, new_id_):
+        t0 = time.monotonic()
+        r = orig(spark_, index_, manifest_, child_ids_, new_id_)
+        spans.append((t0, time.monotonic(), threading.get_ident()))
+        return r
+
+    monkeypatch.setattr(mp, "_build_merged_segment", spy)
+    new_ids = run_merges(spark, six, policy)
+    assert len(new_ids) == len(spans) >= 2
+    # distinct threads, overlapping wall intervals = concurrent jobs
+    assert len({tid for _a, _b, tid in spans}) >= 2
+    (a0, a1, _), (b0, b1, _) = spans[:2]
+    assert max(a0, b0) < min(a1, b1), "build phases did not overlap"
+
+    m = SegmentIndex.open(base).manifest()
+    assert sum(s["n_docs"] for s in m["segments"]) == 100
+    assert {s["segment_id"] for s in m["segments"]} >= set(new_ids)
+
+    searcher = SegmentSearcher(spark, SegmentIndex.open(base), mode="float32")
+    for q in (
+        T("def"),
+        ir.BooleanQuery(
+            (C(O.SHOULD, T("error")), C(O.SHOULD, T("warning"))), 0
+        ),
+        ir.PhraseQuery(("x", "y")),
+    ):
+        expected = [
+            (sd.doc_id, bits(sd.score)) for sd in tiny_oracle.search(q, k=10)
+        ]
+        got = [
+            (r["doc_id"], bits(r["score"]))
+            for r in searcher.topk(q, k=10).collect()
+        ]
+        assert got == expected
