@@ -58,6 +58,28 @@ def main() -> int:
     spark = get_spark("bench", cores=cores)
     timings: dict[str, float] = {}
 
+    # ---- session warm-up (untimed, BASELINE.md protocol) ---------------
+    # Python worker daemons, worker-side imports (numpy/pyarrow/kernels)
+    # and the JVM codegen paths are per-SESSION fixed costs (~3-4 s on
+    # this host), amortized to nothing over a real workload; the phases
+    # below measure steady-state throughput. Driver-side plan compile is
+    # likewise excluded per protocol.
+    def _warm(it):
+        try:
+            import numpy  # noqa: F401
+            import pyarrow  # noqa: F401
+
+            from lucene_solr_spark.functions import fast_tokenizer  # noqa: F401
+            from lucene_solr_spark.operators import topk  # noqa: F401
+        except Exception:
+            pass
+        for pdf in it:
+            yield pdf
+
+    spark.range(cores * 4).repartition(cores).mapInPandas(
+        _warm, "id long"
+    ).count()
+
     # ---- phase 1: index build ------------------------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     content_bytes = docs.selectExpr("sum(octet_length(text)) AS b").collect()[0]["b"]

@@ -258,9 +258,11 @@ def batch_tokenize(
 
         keep = (tlen <= max_token_length) & ~slow_set[tdoc]
         starts, tlen, tdoc, pos = starts[keep], tlen[keep], tdoc[keep], pos[keep]
-        # char spans relative to each token's own document
-        soff = (starts - doc_off[tdoc]).astype(np.int32)
-        eoff = (soff + tlen).astype(np.int32)
+        soff = eoff = None
+        if with_offsets:
+            # char spans relative to each token's own document
+            soff = (starts - doc_off[tdoc]).astype(np.int32)
+            eoff = (soff + tlen).astype(np.int32)
 
         if starts.size:
             data = _LOWER[cpi] if lowercase else cp
@@ -321,8 +323,9 @@ def batch_tokenize(
                 terms = terms.filter(pa.array(keep2))
                 tdoc = tdoc[keep2]
                 pos = pos[keep2]
-                soff = soff[keep2]
-                eoff = eoff[keep2]
+                if with_offsets:
+                    soff = soff[keep2]
+                    eoff = eoff[keep2]
             if stemmer == "porter" and len(terms):
                 from lucene_solr_spark.oracle.porter import porter_stem
 
@@ -335,8 +338,9 @@ def batch_tokenize(
             out_doc.append(tdoc)
             out_terms.append(terms)
             out_pos.append(pos)
-            out_soff.append(soff)
-            out_eoff.append(eoff)
+            if with_offsets:
+                out_soff.append(soff)
+                out_eoff.append(eoff)
 
     for i in slow_docs.tolist():
         if with_offsets:

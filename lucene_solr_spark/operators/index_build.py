@@ -318,12 +318,18 @@ def build_index(
         F.count("*").alias("df"), F.sum("tf").alias("ttf")
     )
 
-    g = docs.agg(F.count("*").alias("n"), F.sum("length").alias("s")).collect()[0]
+    # collection stats WITHOUT materializing the docs side: doc_count is a
+    # parquet metadata count over the corpus, and Σlength ≡ Σtf over the
+    # postings (docs with zero surviving tokens contribute 0 to both) — a
+    # shuffle-free column scan instead of the doc_len shuffle + join. The
+    # docs DataFrame stays lazy until the caller persists/needs it.
+    n = docs_src.count()
+    s = postings.agg(F.sum("tf").alias("s")).collect()[0]["s"]
     return InvertedIndex(
         docs=docs,
         postings=postings,
         term_stats=term_stats,
-        doc_count=int(g["n"]),
-        sum_ttf=int(g["s"] or 0),
+        doc_count=int(n),
+        sum_ttf=int(s or 0),
         parquet_backed=True,
     )

@@ -236,42 +236,66 @@ def build_segments(
         .parquet(f"{base}/seg_docs")
     )
 
-    # global dictionary: segment dfs/ttfs sum to collection stats
+    # post-write bookkeeping: three SMALL independent jobs (dictionary
+    # write, lineage hash, doc ranges) — run concurrently under the FAIR
+    # scheduler; each is metadata-sized, so wall-clock ≈ the slowest one
     seg_df = spark.read.parquet(f"{base}/segments")
-    (
-        seg_df.groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
-        .repartitionByRange(4, "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(f"{base}/term_stats")
-    )
 
-    # manifest: lineage + content hash per segment (resume/idempotency key)
-    lineage = (
-        seg_df.groupBy("segment_id")
-        .agg(
-            F.count("*").alias("n_terms"),
-            F.sum("df").alias("n_postings"),
-            F.sum("ttf").alias("sum_tf"),
-            F.sum(
-                F.crc32(F.encode(F.col("term"), "utf-8"))
-                + F.crc32(F.coalesce(F.col("doc_blob"), F.lit(b"")))
-                + F.crc32(F.coalesce(F.col("tf_blob"), F.lit(b"")))
-                + F.crc32(F.coalesce(F.col("tail_blob"), F.lit(b"")))
-                + F.col("df")
-                + F.col("singleton_doc")
-            ).alias("content_crc"),
+    def _write_term_stats():
+        # global dictionary: per-segment dfs/ttfs sum to the collection
+        # stats BY CONSTRUCTION (each posting lands in exactly one doc-
+        # range segment), so the relational index's term_stats IS the
+        # dictionary — reuse it instead of re-aggregating written segments
+        (
+            ix.term_stats.repartitionByRange(4, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(f"{base}/term_stats")
         )
-        .collect()
-    )
-    doc_counts = {
-        int(r["segment_id"]): (int(r["n"]), int(r["mn"]), int(r["mx"]))
-        for r in spark.read.parquet(f"{base}/seg_docs")
-        .groupBy("segment_id")
-        .agg(F.count("*").alias("n"), F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
-        .collect()
-    }
+
+    def _lineage():
+        # lineage + content hash per segment from the WRITTEN data
+        # (resume/idempotency key)
+        return (
+            seg_df.groupBy("segment_id")
+            .agg(
+                F.count("*").alias("n_terms"),
+                F.sum("df").alias("n_postings"),
+                F.sum("ttf").alias("sum_tf"),
+                F.sum(
+                    F.crc32(F.encode(F.col("term"), "utf-8"))
+                    + F.crc32(F.coalesce(F.col("doc_blob"), F.lit(b"")))
+                    + F.crc32(F.coalesce(F.col("tf_blob"), F.lit(b"")))
+                    + F.crc32(F.coalesce(F.col("tail_blob"), F.lit(b"")))
+                    + F.col("df")
+                    + F.col("singleton_doc")
+                ).alias("content_crc"),
+            )
+            .collect()
+        )
+
+    def _doc_counts():
+        return {
+            int(r["segment_id"]): (int(r["n"]), int(r["mn"]), int(r["mx"]))
+            for r in spark.read.parquet(f"{base}/seg_docs")
+            .groupBy("segment_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("doc_id").alias("mn"),
+                F.max("doc_id").alias("mx"),
+            )
+            .collect()
+        }
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_ts = pool.submit(_write_term_stats)
+        fut_lin = pool.submit(_lineage)
+        fut_dc = pool.submit(_doc_counts)
+        fut_ts.result()
+        lineage = fut_lin.result()
+        doc_counts = fut_dc.result()
     segments_meta = [
         {
             "segment_id": int(r["segment_id"]),
