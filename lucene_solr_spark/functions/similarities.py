@@ -38,6 +38,12 @@ __all__ = [
     "ClassicSimilarity",
     "BooleanSimilarity",
     "LMDirichletSimilarity",
+    "LMJelinekMercerSimilarity",
+    "DFRSimilarity",
+    "DFISimilarity",
+    "IBSimilarity",
+    "AxiomaticF2EXP",
+    "IndriDirichletSimilarity",
     "get_similarity",
 ]
 
@@ -194,10 +200,269 @@ class LMDirichletSimilarity(Similarity):
         )
 
 
+def _score_pairs(tfs, norms, scalar_fn, mode):
+    """Vectorize a scalar (tf, declen) → score function over a batch via
+    the distinct-pair LUT (distinct tfs are few, declen has ≤256 values).
+    The scalar runs PYTHON math.* ops in the exact textual order of the
+    similarity's score_sql — both call the platform libm, so the double
+    chain is bit-identical to the DuckDB oracle (see LMDirichlet note)."""
+    tfs64 = np.asarray(tfs, np.float64)
+    lens = _declen(np.asarray(norms, np.int64)).astype(np.float64)
+    pairs = np.stack([tfs64, lens], axis=1)
+    u, inv = np.unique(pairs, axis=0, return_inverse=True)
+    vals = np.array([scalar_fn(t, L) for t, L in u.tolist()], np.float64)
+    s = vals[inv]
+    return s.astype(np.float32) if mode == "float32" else s
+
+
+def _d(v: float) -> str:
+    """SQL double literal: DuckDB parses bare numeric literals as
+    DECIMAL, whose exact decimal arithmetic diverges from the engine's
+    IEEE double chain — cast every payload constant explicitly."""
+    return f"({v!r}::DOUBLE)"
+
+
+class LMJelinekMercerSimilarity(Similarity):
+    """``similarities/LMJelinekMercerSimilarity.java:55-66``: score =
+    boost · ln(1 + ((1−λ)·tf/len) / (λ·p)), p = (ttf+1)/(sumTtf+1)."""
+
+    def __init__(self, lam: float = 0.1):
+        if not (0.0 < lam <= 1.0):
+            raise ValueError(f"illegal lambda value: {lam}")
+        object.__setattr__(self, "name", "lmjelinekmercer")
+        object.__setattr__(self, "_lam", float(lam))
+
+    def term_weight(self, boost, df, ttf, doc_count, sum_ttf):
+        return (float(boost), (ttf + 1.0) / (sum_ttf + 1.0))
+
+    def sum_weight(self, boost, stats, doc_count, sum_ttf):
+        ttf = sum(t for _, t in stats)
+        return (float(boost), (ttf + 1.0) / (sum_ttf + 1.0))
+
+    def score(self, tfs, norms, payload, mode):
+        boost, p = payload
+        lam = self._lam
+
+        def f(tf, L):
+            return boost * math.log(1.0 + (((1.0 - lam) * tf) / L) / (lam * p))
+
+        return _score_pairs(tfs, norms, f, mode)
+
+    def score_sql(self, payload, tf_expr="p.tf"):
+        boost, p = payload
+        lam = self._lam
+        return (
+            f"({_d(boost)} * ln(1.0 + (({_d(1.0 - lam)} * {tf_expr}::DOUBLE)"
+            f" / n.declen) / ({_d(lam)} * {_d(p)})))"
+        )
+
+
+class DFRSimilarity(Similarity):
+    """DFR I(n)L2 (``similarities/DFRSimilarity.java`` with
+    ``BasicModelIn.java`` + ``AfterEffectL.java`` + ``NormalizationH2.java``;
+    Amati & van Rijsbergen 2002): tfn = tf·log2(1 + c·avgLen/len), score =
+    boost·log2((N+1)/(df+0.5)) · tfn/(tfn+1)."""
+
+    def __init__(self, c: float = 1.0):
+        if not (math.isfinite(c) and c > 0):
+            raise ValueError(f"illegal c value: {c}")
+        object.__setattr__(self, "name", "dfr_inl2")
+        object.__setattr__(self, "_c", float(c))
+
+    def _w(self, boost, df, doc_count):
+        return float(boost) * (
+            math.log((doc_count + 1.0) / (df + 0.5)) / math.log(2.0)
+        )
+
+    def term_weight(self, boost, df, ttf, doc_count, sum_ttf):
+        avg = sum_ttf / doc_count if doc_count else 1.0
+        return (self._w(boost, df, doc_count), self._c * avg)
+
+    def sum_weight(self, boost, stats, doc_count, sum_ttf):
+        # synonym shape: df = max over variants (SynonymQuery contract)
+        df = max((d for d, _ in stats), default=0)
+        avg = sum_ttf / doc_count if doc_count else 1.0
+        return (self._w(boost, df, doc_count), self._c * avg)
+
+    def score(self, tfs, norms, payload, mode):
+        w, ca = payload
+
+        def f(tf, L):
+            tfn = tf * (math.log(1.0 + ca / L) / math.log(2.0))
+            return (w * tfn) / (tfn + 1.0)
+
+        return _score_pairs(tfs, norms, f, mode)
+
+    def score_sql(self, payload, tf_expr="p.tf"):
+        w, ca = payload
+        tfn = f"({tf_expr}::DOUBLE * (ln(1.0 + {_d(ca)} / n.declen) / ln(2.0)))"
+        return f"(({_d(w)} * {tfn}) / ({tfn} + 1.0))"
+
+
+class DFISimilarity(Similarity):
+    """``similarities/DFISimilarity.java:44-60`` with the chi-squared
+    independence measure (``IndependenceChiSquared.java``): expected =
+    (ttf+1)·len/(sumTtf+1); score = 0 when tf ≤ expected, else
+    boost·log2((tf−expected)²/expected + 1)."""
+
+    def __init__(self):
+        object.__setattr__(self, "name", "dfi")
+
+    def term_weight(self, boost, df, ttf, doc_count, sum_ttf):
+        return (float(boost), ttf + 1.0, sum_ttf + 1.0)
+
+    def sum_weight(self, boost, stats, doc_count, sum_ttf):
+        ttf = sum(t for _, t in stats)
+        return (float(boost), ttf + 1.0, sum_ttf + 1.0)
+
+    def score(self, tfs, norms, payload, mode):
+        boost, ttf1, sttf1 = payload
+
+        def f(tf, L):
+            e = (ttf1 * L) / sttf1
+            if tf <= e:
+                return 0.0
+            return boost * (math.log(((tf - e) * (tf - e)) / e + 1.0) / math.log(2.0))
+
+        return _score_pairs(tfs, norms, f, mode)
+
+    def score_sql(self, payload, tf_expr="p.tf"):
+        boost, ttf1, sttf1 = payload
+        e = f"(({_d(ttf1)} * n.declen) / {_d(sttf1)})"
+        tf = f"{tf_expr}::DOUBLE"
+        return (
+            f"(CASE WHEN {tf} <= {e} THEN 0.0 ELSE {_d(boost)} * "
+            f"(ln((({tf} - {e}) * ({tf} - {e})) / {e} + 1.0) / ln(2.0)) END)"
+        )
+
+
+class IBSimilarity(Similarity):
+    """IB LL·DF·H2 (``similarities/IBSimilarity.java`` with
+    ``DistributionLL.java`` + ``LambdaDF.java`` + ``NormalizationH2.java``;
+    Clinchant & Gaussier 2010): λ = (df+1)/(N+1), tfn as H2, score =
+    boost · −ln(λ/(tfn+λ))."""
+
+    def __init__(self, c: float = 1.0):
+        if not (math.isfinite(c) and c > 0):
+            raise ValueError(f"illegal c value: {c}")
+        object.__setattr__(self, "name", "ib_ll")
+        object.__setattr__(self, "_c", float(c))
+
+    def term_weight(self, boost, df, ttf, doc_count, sum_ttf):
+        avg = sum_ttf / doc_count if doc_count else 1.0
+        lam = (df + 1.0) / (doc_count + 1.0)
+        return (float(boost), lam, self._c * avg)
+
+    def sum_weight(self, boost, stats, doc_count, sum_ttf):
+        df = max((d for d, _ in stats), default=0)
+        avg = sum_ttf / doc_count if doc_count else 1.0
+        return (float(boost), (df + 1.0) / (doc_count + 1.0), self._c * avg)
+
+    def score(self, tfs, norms, payload, mode):
+        boost, lam, ca = payload
+
+        def f(tf, L):
+            tfn = tf * (math.log(1.0 + ca / L) / math.log(2.0))
+            return boost * -math.log(lam / (tfn + lam))
+
+        return _score_pairs(tfs, norms, f, mode)
+
+    def score_sql(self, payload, tf_expr="p.tf"):
+        boost, lam, ca = payload
+        tfn = f"({tf_expr}::DOUBLE * (ln(1.0 + {_d(ca)} / n.declen) / ln(2.0)))"
+        return f"({_d(boost)} * -ln({_d(lam)} / ({tfn} + {_d(lam)})))"
+
+
+class AxiomaticF2EXP(Similarity):
+    """``similarities/AxiomaticF2EXP.java`` (Fang & Zhai 2005): score =
+    boost·((N+1)/df)^k · tf/(tf + s + (s·len)/avgLen), s=0.5, k=0.35."""
+
+    def __init__(self, s: float = 0.5, k: float = 0.35):
+        if not (0.0 <= s <= 1.0 and 0.0 < k <= 1.0):
+            raise ValueError(f"illegal s/k values: {s}, {k}")
+        object.__setattr__(self, "name", "axiomatic_f2exp")
+        object.__setattr__(self, "_s", float(s))
+        object.__setattr__(self, "_k", float(k))
+
+    def _w(self, boost, df, doc_count):
+        return float(boost) * math.pow(
+            (doc_count + 1.0) / max(df, 1), self._k
+        )
+
+    def term_weight(self, boost, df, ttf, doc_count, sum_ttf):
+        avg = sum_ttf / doc_count if doc_count else 1.0
+        return (self._w(boost, df, doc_count), avg)
+
+    def sum_weight(self, boost, stats, doc_count, sum_ttf):
+        df = max((d for d, _ in stats), default=0)
+        avg = sum_ttf / doc_count if doc_count else 1.0
+        return (self._w(boost, df, doc_count), avg)
+
+    def score(self, tfs, norms, payload, mode):
+        w, avg = payload
+        s = self._s
+
+        def f(tf, L):
+            return w * (tf / (tf + s + (s * L) / avg))
+
+        return _score_pairs(tfs, norms, f, mode)
+
+    def score_sql(self, payload, tf_expr="p.tf"):
+        w, avg = payload
+        s = self._s
+        tf = f"{tf_expr}::DOUBLE"
+        return (
+            f"({_d(w)} * ({tf} / ({tf} + {_d(s)} +"
+            f" ({_d(s)} * n.declen) / {_d(avg)})))"
+        )
+
+
+class IndriDirichletSimilarity(Similarity):
+    """``similarities/IndriDirichletSimilarity.java``: Indri's Dirichlet
+    variant — score = boost · ln((tf + μ·p)/(len + μ)), NO zero clip,
+    p = (ttf+1)/(sumTtf+1)."""
+
+    def __init__(self, mu: float = 2000.0):
+        if not (math.isfinite(mu) and mu >= 0):
+            raise ValueError(f"illegal mu value: {mu}")
+        object.__setattr__(self, "name", "indri")
+        object.__setattr__(self, "_mu", float(mu))
+
+    def term_weight(self, boost, df, ttf, doc_count, sum_ttf):
+        return (float(boost), (ttf + 1.0) / (sum_ttf + 1.0))
+
+    def sum_weight(self, boost, stats, doc_count, sum_ttf):
+        ttf = sum(t for _, t in stats)
+        return (float(boost), (ttf + 1.0) / (sum_ttf + 1.0))
+
+    def score(self, tfs, norms, payload, mode):
+        boost, p = payload
+        mu = self._mu
+
+        def f(tf, L):
+            return boost * math.log((tf + mu * p) / (L + mu))
+
+        return _score_pairs(tfs, norms, f, mode)
+
+    def score_sql(self, payload, tf_expr="p.tf"):
+        boost, p = payload
+        mu = self._mu
+        return (
+            f"({_d(boost)} * ln(({tf_expr}::DOUBLE + {_d(mu)} * {_d(p)})"
+            f" / (n.declen + {_d(mu)})))"
+        )
+
+
 _REGISTRY = {
     "classic": ClassicSimilarity,
     "boolean": BooleanSimilarity,
     "lmdirichlet": LMDirichletSimilarity,
+    "lmjelinekmercer": LMJelinekMercerSimilarity,
+    "dfr_inl2": DFRSimilarity,
+    "dfi": DFISimilarity,
+    "ib_ll": IBSimilarity,
+    "axiomatic_f2exp": AxiomaticF2EXP,
+    "indri": IndriDirichletSimilarity,
 }
 
 

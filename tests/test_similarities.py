@@ -14,9 +14,15 @@ import numpy as np
 import pytest
 
 from lucene_solr_spark.functions.similarities import (
+    AxiomaticF2EXP,
     BooleanSimilarity,
     ClassicSimilarity,
+    DFISimilarity,
+    DFRSimilarity,
+    IBSimilarity,
+    IndriDirichletSimilarity,
     LMDirichletSimilarity,
+    LMJelinekMercerSimilarity,
     get_similarity,
 )
 from lucene_solr_spark.oracle import bm25
@@ -25,6 +31,12 @@ SIMS = {
     "classic": ClassicSimilarity(),
     "boolean": BooleanSimilarity(),
     "lmdirichlet": LMDirichletSimilarity(),
+    "lmjelinekmercer": LMJelinekMercerSimilarity(),
+    "dfr_inl2": DFRSimilarity(),
+    "dfi": DFISimilarity(),
+    "ib_ll": IBSimilarity(),
+    "axiomatic_f2exp": AxiomaticF2EXP(),
+    "indri": IndriDirichletSimilarity(),
 }
 
 
@@ -185,3 +197,59 @@ def test_executor_boolean_sim_counts_clauses(spark):
         )
     ).count()
     assert sum(1 for r in rows if r["score"] == 2.0) == both
+
+
+def test_lmjelinekmercer_formula_spot():
+    """LMJelinekMercerSimilarity.java:55-66: interpolated LM, λ=0.1."""
+    import math
+
+    from lucene_solr_spark.oracle import bm25 as _b
+
+    sim = SIMS["lmjelinekmercer"]
+    w = sim.term_weight(1.0, df=3, ttf=9, doc_count=100, sum_ttf=999)
+    p = 10.0 / 1000.0
+    L = float(_b.LENGTH_TABLE_F32[10])
+    s = sim.score(np.array([4]), np.array([10]), w, "double")
+    assert s[0] == pytest.approx(math.log(1 + (0.9 * 4 / L) / (0.1 * p)))
+
+
+def test_dfr_inl2_formula_spot():
+    """DFR I(n)L2: tfn = tf·log2(1+avg/len); score = w·tfn/(tfn+1)."""
+    import math
+
+    from lucene_solr_spark.oracle import bm25 as _b
+
+    sim = SIMS["dfr_inl2"]
+    w, ca = sim.term_weight(1.0, df=9, ttf=50, doc_count=99, sum_ttf=990)
+    assert w == pytest.approx(math.log2(100 / 9.5))
+    assert ca == pytest.approx(10.0)
+    L = float(_b.LENGTH_TABLE_F32[12])
+    tfn = 3 * math.log2(1 + 10.0 / L)
+    s = sim.score(np.array([3]), np.array([12]), (w, ca), "double")
+    assert s[0] == pytest.approx(w * tfn / (tfn + 1))
+
+
+def test_dfi_zero_below_expected():
+    """DFISimilarity.java: tf at or below the expected (chance) count
+    scores 0 — the independence measure only rewards surplus."""
+    sim = SIMS["dfi"]
+    # expected = (ttf+1)*len/(sumTtf+1); huge ttf makes e >> tf
+    w = sim.term_weight(1.0, df=10, ttf=500_000, doc_count=100, sum_ttf=999_999)
+    s = sim.score(np.array([2]), np.array([200]), w, "double")
+    assert s[0] == 0.0
+
+
+def test_indri_no_clip_negative_ok():
+    """IndriDirichletSimilarity: ln((tf+μp)/(len+μ)) is NOT clipped at 0
+    (unlike LMDirichlet) — rare terms in long docs go negative."""
+    sim = SIMS["indri"]
+    w = sim.term_weight(1.0, df=3, ttf=9, doc_count=100, sum_ttf=99_999)
+    s = sim.score(np.array([1]), np.array([200]), w, "double")
+    assert s[0] < 0.0
+
+
+def test_axiomatic_monotone_in_tf():
+    sim = SIMS["axiomatic_f2exp"]
+    w = sim.term_weight(1.0, df=17, ttf=60, doc_count=501, sum_ttf=25_000)
+    s = sim.score(np.array([1, 2, 10]), np.array([10, 10, 10]), w, "double")
+    assert s[0] < s[1] < s[2]
