@@ -103,6 +103,23 @@ class PhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class NGramPhraseQuery(Query):
+    """Phrase of CONSECUTIVE n-grams (``search/NGramPhraseQuery.java:30``):
+    over an n-gram analyzed field, matching every n-th gram plus the last
+    is equivalent to matching all of them — the rewrite keeps terms at
+    positions 0, n, 2n, … and the final term (``:42-77``), cutting the
+    number of postings streams ~n× with an identical match set. The
+    rewriter lowers this to a positions-explicit PhraseQuery."""
+
+    n: int
+    terms: Tuple[str, ...]
+
+    def __post_init__(self):
+        if self.n < 1:
+            raise ValueError(f"bad n-gram size {self.n}")
+
+
+@dataclass(frozen=True)
 class MultiPhraseQuery(Query):
     """Phrase with term ALTERNATIVES per position
     (``search/MultiPhraseQuery.java:53``): slot i matches any of

@@ -68,6 +68,19 @@ def _rewrite_once(q: ir.Query) -> ir.Query:
         if len(subs) == 1:
             return subs[0]
         return ir.DisjunctionMaxQuery(subs, q.tie_breaker)
+    if isinstance(q, ir.NGramPhraseQuery):
+        # NGramPhraseQuery.rewrite (search/NGramPhraseQuery.java:42-77):
+        # keep grams at 0, n, 2n, … plus the last; positions preserved so
+        # the lowered PhraseQuery matches the identical doc set
+        terms = q.terms
+        if len(terms) < 3 or q.n == 1:
+            return ir.PhraseQuery(terms)
+        keep = list(range(0, len(terms), q.n))
+        if keep[-1] != len(terms) - 1:
+            keep.append(len(terms) - 1)
+        return ir.PhraseQuery(
+            tuple(terms[i] for i in keep), positions=tuple(keep)
+        )
     if isinstance(q, ir.SynonymQuery) and len(q.terms) == 1:
         return ir.TermQuery(q.terms[0])
     if isinstance(q, ir.TermInSetQuery):

@@ -82,3 +82,39 @@ def test_msm_unsatisfiable():
 def test_boost_algebra():
     assert rewrite(ir.BoostQuery(ir.BoostQuery(T("a"), 2.0), 3.0)) == ir.BoostQuery(T("a"), 6.0)
     assert rewrite(ir.BoostQuery(T("a"), 1.0)) == T("a")
+
+
+def test_ngram_phrase_rewrite_shape():
+    """NGramPhraseQuery.java:42-77: keep grams at 0, n, 2n, … + last."""
+    q = ir.NGramPhraseQuery(2, ("ab", "bc", "cd", "de", "ef"))
+    r = rewrite(q)
+    assert r == ir.PhraseQuery(("ab", "cd", "ef"), positions=(0, 2, 4))
+    # last gram forced in even when off-stride
+    q = ir.NGramPhraseQuery(3, ("ab", "bc", "cd", "de"))
+    assert rewrite(q) == ir.PhraseQuery(("ab", "de"), positions=(0, 3))
+    # short phrases / unigrams lower to the plain phrase
+    assert rewrite(ir.NGramPhraseQuery(2, ("ab", "bc"))) == ir.PhraseQuery(
+        ("ab", "bc")
+    )
+    assert rewrite(ir.NGramPhraseQuery(1, ("a", "b", "c"))) == ir.PhraseQuery(
+        ("a", "b", "c")
+    )
+
+
+def test_ngram_phrase_match_set_equivalence():
+    """On a true n-gram token stream the rewritten (pruned) phrase matches
+    EXACTLY the docs of the full consecutive-gram phrase."""
+    from lucene_solr_spark.oracle.engine import OracleIndex
+
+    def grams(word):
+        return " ".join(word[i : i + 2] for i in range(len(word) - 1))
+
+    words = ["abcdef", "abcdeg", "zabcde", "abdcef", "xyabcd", "abcd"]
+    ix = OracleIndex((i, grams(w)) for i, w in enumerate(words))
+    target = "abcde"  # query grams: ab bc cd de
+    full = ir.PhraseQuery(tuple(grams(target).split()))
+    pruned = rewrite(ir.NGramPhraseQuery(2, tuple(grams(target).split())))
+    assert pruned != full  # the rewrite actually dropped a stream
+    docs_full = {sd.doc_id for sd in ix.search(full, k=100)}
+    docs_pruned = {sd.doc_id for sd in ix.search(pruned, k=100)}
+    assert docs_pruned == docs_full == {0, 1, 2}
