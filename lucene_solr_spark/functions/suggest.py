@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["spell_suggest", "prefix_suggest"]
+__all__ = ["spell_suggest", "prefix_suggest", "infix_suggest"]
 
 
 def spell_suggest(
@@ -78,5 +78,34 @@ def prefix_suggest(
         term_stats.filter(F.col("term").startswith(prefix))
         .select("term", "df")
         .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def infix_suggest(
+    term_stats: DataFrame, query: str, *, k: int = 10, min_df: int = 1
+) -> DataFrame:
+    """AnalyzingInfixSuggester role (``suggest/analyzing/
+    AnalyzingInfixSuggester.java:100-139``) reduced to the term
+    dictionary: suggestions CONTAINING ``query`` anywhere, prefix hits
+    ranked first (the reference boosts exact-prefix matches), then
+    weight (docFreq), then term → (term, df, is_prefix).
+
+    Scale note: an infix predicate cannot prune the term-sorted
+    dictionary's row groups (the reference builds a dedicated suggest
+    index for exactly this reason); the 10^9-term path is an n-gram
+    index over the dictionary — this full-scan form is the exact oracle
+    for it, and the dictionary scan is still a single column-pruned
+    pass."""
+    if not query:
+        raise ValueError("empty query")
+    return (
+        term_stats.select("term", "df")
+        .filter(F.col("df") >= min_df)
+        .filter(F.col("term").contains(query))
+        .withColumn(
+            "is_prefix", F.col("term").startswith(query).cast("int")
+        )
+        .orderBy(F.desc("is_prefix"), F.desc("df"), F.asc("term"))
         .limit(k)
     )
