@@ -501,6 +501,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["facet_counts"] = facet_counts
 
+    def facet_range_counts(spark, sf_dir):
+        """RangeFacetCounts (facet/range/DoubleRange.java): every
+        requested range counted in ONE scan via conditional sums;
+        overlapping ranges each count the row."""
+        from lucene_solr_spark.functions.facets import (
+            FacetRange,
+            range_facet_counts,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return range_facet_counts(
+            ev,
+            "value",
+            [
+                FacetRange("low", 0.0, 50.0),
+                FacetRange("mid", 50.0, 200.0),
+                FacetRange("high", 200.0, 1e18),
+                FacetRange("low_or_mid", 0.0, 200.0),  # overlap by design
+            ],
+        )
+
+    out["facet_range_counts"] = facet_range_counts
+
+    def facet_taxonomy(spark, sf_dir):
+        """TaxonomyFacetCounts: hierarchical dim lang/source — a doc
+        increments its node and every ancestor (one explode of ancestor
+        prefixes + one groupBy keyed by the taxonomy, not the corpus)."""
+        from lucene_solr_spark.functions.facets import taxonomy_counts
+
+        return taxonomy_counts(
+            _docs(spark, sf_dir), components=["lang", "source"]
+        )
+
+    out["facet_taxonomy"] = facet_taxonomy
+
+    def expr_score_topk(spark, sf_dir):
+        """Expressions module role (lucene/expressions, SURVEY §2.5):
+        a computed ranking expression over doc-value fields compiles to
+        a Catalyst expression — here ln(1+n_chars)·0.5 as the score."""
+        return (
+            _docs(spark, sf_dir)
+            .select(
+                "doc_id",
+                F.expr("ln(1.0 + n_chars) * 0.5").alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+        )
+
+    out["expr_score_topk"] = expr_score_topk
+
     def group_topk(spark, sf_dir):
         """Grouping module (BlockGroupingCollector): top-3 docs per group."""
         from pyspark.sql.window import Window
@@ -809,6 +860,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["boolean_sim_topk"] = boolean_sim_topk
 
+    def _sim_matches(name, term):
+        """Full match set under a pluggable similarity — exact-double
+        contract: the kernel scores via libm-LUTs in the same op order as
+        the DuckDB oracle expression (functions/similarities.py)."""
+
+        def gate(spark, sf_dir):
+            return (
+                _sim_executor(spark, sf_dir, name)
+                .matches(_T(term))
+                .select("doc_id", "score")
+            )
+
+        gate.__doc__ = f"{name} similarity over term {term!r} (full match set)"
+        return gate
+
+    out["lmjm_matches"] = _sim_matches("lmjelinekmercer", "dup")
+    out["dfr_matches"] = _sim_matches("dfr_inl2", "merge")
+    out["dfi_matches"] = _sim_matches("dfi", "window")
+    out["ib_matches"] = _sim_matches("ib_ll", "batch")
+    out["axiomatic_matches"] = _sim_matches("axiomatic_f2exp", "join")
+    out["indri_matches"] = _sim_matches("indri", "hash")
+
     # --- suggest / spellcheck (lucene/suggest roles) --------------------
     def spell_suggest_q(spark, sf_dir):
         """DirectSpellChecker: did-you-mean for the misspelling `scann`
@@ -828,6 +901,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return prefix_suggest(ex.index.term_stats, "s", k=10)
 
     out["prefix_suggest"] = prefix_suggest_q
+
+    def infix_suggest_q(spark, sf_dir):
+        """AnalyzingInfixSuggester role: dictionary terms containing
+        `at` anywhere; prefix hits first, then df."""
+        from lucene_solr_spark.functions.suggest import infix_suggest
+
+        ex = _executor(spark, sf_dir)
+        return infix_suggest(ex.index.term_stats, "at", k=10)
+
+    out["infix_suggest"] = infix_suggest_q
 
     # --- analysis-chain variants (EnglishAnalyzer, §2.1) -----------------
     def stop_filter_topk(spark, sf_dir):
@@ -1386,6 +1469,52 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, sum(score)::DOUBLE AS score FROM u GROUP BY doc_id
       ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
+    # pluggable-similarity match sets: each expression mirrors the
+    # engine's payload + score double chain op-for-op (all stats cast to
+    # DOUBLE first — DuckDB bare literals/BIGINTs are DECIMAL arithmetic)
+    _P = "((ts.ttf::DOUBLE + 1.0) / (g.sum_ttf::DOUBLE + 1.0))"
+    _AVG = "(g.sum_ttf::DOUBLE / g.doc_count)"
+    _TFN = f"(p.tf::DOUBLE * (ln(1.0 + {_AVG} / n.declen) / ln(2.0)))"
+
+    def _sim_matches_sql(score_expr, term):
+        return f"""WITH {_IX}
+      SELECT p.doc_id, {score_expr} AS score
+      FROM postings p JOIN term_stats ts USING (term)
+      JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      WHERE p.term = '{term}'"""
+
+    out["lmjm_matches"] = _sim_matches_sql(
+        f"(1.0 * ln(1.0 + (((0.9::DOUBLE) * p.tf::DOUBLE) / n.declen)"
+        f" / ((0.1::DOUBLE) * {_P})))",
+        "dup",
+    )
+    _DFR_W = "(1.0 * (ln((g.doc_count::DOUBLE + 1.0)/(ts.df::DOUBLE + 0.5)) / ln(2.0)))"
+    out["dfr_matches"] = _sim_matches_sql(
+        f"(({_DFR_W} * {_TFN}) / ({_TFN} + 1.0))", "merge"
+    )
+    _DFI_E = "(((ts.ttf::DOUBLE + 1.0) * n.declen) / (g.sum_ttf::DOUBLE + 1.0))"
+    out["dfi_matches"] = _sim_matches_sql(
+        f"(CASE WHEN p.tf::DOUBLE <= {_DFI_E} THEN 0.0 ELSE 1.0 * "
+        f"(ln(((p.tf::DOUBLE - {_DFI_E}) * (p.tf::DOUBLE - {_DFI_E}))"
+        f" / {_DFI_E} + 1.0) / ln(2.0)) END)",
+        "window",
+    )
+    _IB_LAM = "((ts.df::DOUBLE + 1.0) / (g.doc_count::DOUBLE + 1.0))"
+    out["ib_matches"] = _sim_matches_sql(
+        f"(1.0 * -ln({_IB_LAM} / ({_TFN} + {_IB_LAM})))", "batch"
+    )
+    out["axiomatic_matches"] = _sim_matches_sql(
+        f"((1.0 * power((g.doc_count::DOUBLE + 1.0) / ts.df, 0.35::DOUBLE))"
+        f" * (p.tf::DOUBLE / (p.tf::DOUBLE + (0.5::DOUBLE)"
+        f" + ((0.5::DOUBLE) * n.declen) / {_AVG})))",
+        "join",
+    )
+    out["indri_matches"] = _sim_matches_sql(
+        f"(1.0 * ln((p.tf::DOUBLE + (2000.0::DOUBLE) * {_P})"
+        f" / (n.declen + (2000.0::DOUBLE))))",
+        "hash",
+    )
+
     # suggest: same candidate pruning + plain levenshtein both engines
     out["spell_suggest"] = f"""WITH {_IX}
       SELECT term, df, levenshtein(term, 'scann')::INT AS distance
@@ -1399,6 +1528,13 @@ def oracle_sql() -> dict[str, str]:
       SELECT term, df FROM term_stats
       WHERE term LIKE 's%'
       ORDER BY df DESC, term ASC LIMIT 10"""
+
+    out["infix_suggest"] = f"""WITH {_IX}
+      SELECT term, df,
+             (CASE WHEN term LIKE 'at%' THEN 1 ELSE 0 END)::INT AS is_prefix
+      FROM term_stats
+      WHERE term LIKE '%at%'
+      ORDER BY is_prefix DESC, df DESC, term ASC LIMIT 10"""
 
     # highlight: reproduce the kernel's passage rule exactly — matches
     # cluster when index gaps <= 2*ctx+1 (=7), the best cluster (most
@@ -1585,6 +1721,29 @@ def oracle_sql() -> dict[str, str]:
     out["facet_counts"] = """
       SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_chars
       FROM documents GROUP BY lang"""
+
+    out["facet_range_counts"] = """
+      SELECT 'low' AS range,
+             sum(CASE WHEN value >= 0.0 AND value < 50.0 THEN 1 ELSE 0 END)::BIGINT AS count FROM events
+      UNION ALL SELECT 'mid',
+             sum(CASE WHEN value >= 50.0 AND value < 200.0 THEN 1 ELSE 0 END)::BIGINT FROM events
+      UNION ALL SELECT 'high',
+             sum(CASE WHEN value >= 200.0 AND value < 1e18 THEN 1 ELSE 0 END)::BIGINT FROM events
+      UNION ALL SELECT 'low_or_mid',
+             sum(CASE WHEN value >= 0.0 AND value < 200.0 THEN 1 ELSE 0 END)::BIGINT FROM events"""
+
+    out["facet_taxonomy"] = """
+      WITH p AS (SELECT lang || '/' || source AS path FROM documents)
+      SELECT path, len(string_split(path, '/'))::INT AS depth,
+             count(*)::BIGINT AS count
+      FROM (SELECT lang AS path FROM documents
+            UNION ALL SELECT path FROM p)
+      GROUP BY path"""
+
+    out["expr_score_topk"] = """
+      SELECT doc_id, ln(1.0 + n_chars) * 0.5 AS score
+      FROM documents
+      ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     out["group_topk"] = """
       SELECT lang, doc_id, n_chars, rn FROM (

@@ -154,9 +154,17 @@ def multiterm_cond(q: ir.Query) -> Column:
             )
         return cond
     if isinstance(q, ir.FuzzyQuery):
-        cond = F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits
+        # exactness-preserving prefilters BEFORE the levenshtein, in
+        # evaluation order (the automaton's pruning role,
+        # FuzzyTermsEnum.java): |len(term)−len(q)| ≤ maxEdits is a
+        # Levenshtein lower bound and a cheap codegen comparison; the
+        # shared-prefix predicate additionally prunes parquet row groups
+        # on the term-sorted dictionary
+        cond = F.length("term").between(
+            len(q.term) - q.max_edits, len(q.term) + q.max_edits
+        ) & (F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
         if q.prefix_length:
-            cond = cond & F.col("term").startswith(q.term[: q.prefix_length])
+            cond = F.col("term").startswith(q.term[: q.prefix_length]) & cond
         return cond
     raise TypeError(f"not a multi-term query: {type(q).__name__}")
 

@@ -64,6 +64,9 @@ def main() -> int:
     e_segments = eff("segments_sec")
     e_index = eff("index_sec")
     e_query = eff("query_sec")
+    e_invert_w = eff("invert_warm_sec")
+    e_segments_w = eff("segments_warm_sec")
+    e_index_w = eff("index_warm_sec")
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
@@ -92,9 +95,12 @@ into its two stages; ONE batched BM25 top-10 job over
 
 | phase | local[{N}] | local[{N4}] | speedup | efficiency (speedup/4) |
 |---|---|---|---|---|
-{row("invert (tokenize+invert+norms+dict)", "invert_sec", e_invert)}
-{row("segment encode+write", "segments_sec", e_segments)}
-{row("index build total", "index_sec", e_index)}
+{row("invert (tokenize+invert+norms+dict), cold", "invert_sec", e_invert)}
+{row("invert, WARM workers (steady state)", "invert_warm_sec", e_invert_w)}
+{row("segment encode+write, cold", "segments_sec", e_segments)}
+{row("segment encode+write, WARM workers", "segments_warm_sec", e_segments_w)}
+{row("index build total, cold", "index_sec", e_index)}
+{row("index build total, WARM workers", "index_warm_sec", e_index_w)}
 {row("batched query job", "query_sec", e_query)}
 
 Throughputs (best legs): invert {r_n["invert_gb_per_hour"]:.2f} → {r_4n["invert_gb_per_hour"]:.2f} GB/h;
@@ -102,11 +108,22 @@ full index {r_n["index_gb_per_hour"]:.2f} → {r_4n["index_gb_per_hour"]:.2f} GB
 queries {r_n["qps"]:.1f} → {r_4n["qps"]:.1f} q/s.
 
 North-rule criterion: efficiency ≥ 0.8 between N and 4N.
-- invert stage (corpus-bytes-proportional compute): **{e_invert:.3f}** — {"PASS" if e_invert >= 0.8 else "BELOW"}
+- invert stage, cold: **{e_invert:.3f}** — {"PASS" if e_invert >= 0.8 else "BELOW"}
+- invert stage, warm workers (steady state on a long-lived cluster):
+  **{e_invert_w:.3f}** — {"PASS" if e_invert_w >= 0.8 else "BELOW"}
 - batched query job: **{e_query:.3f}** — {"PASS" if e_query >= 0.8 else "BELOW"}
-- segment encode+write: **{e_segments:.3f}** — {"PASS" if e_segments >= 0.8 else "BELOW"} (sandbox IO-bound; on a
+- segment encode+write, cold: **{e_segments:.3f}** — {"PASS" if e_segments >= 0.8 else "BELOW"} (sandbox IO-bound; on a
   real cluster this write fans out across executor disks / object store)
-- index build total: **{e_index:.3f}** — {"PASS" if e_index >= 0.8 else "BELOW"}
+- segment encode+write, warm: **{e_segments_w:.3f}** — {"PASS" if e_segments_w >= 0.8 else "BELOW"}
+- index build total, cold: **{e_index:.3f}** — {"PASS" if e_index >= 0.8 else "BELOW"}
+- index build total, warm: **{e_index_w:.3f}** — {"PASS" if e_index_w >= 0.8 else "BELOW"}
+
+The warm legs time the SAME build job run a second time in the same JVM
+(fresh scratch + output dirs, full re-tokenize/re-encode/re-write): they
+remove only the once-per-JVM costs — Python daemon forks, worker
+imports, first-touch page faults through this sandbox kernel's
+serialized fault path (see below) — which a long-lived cluster pays once
+per executor lifetime, not per build.
 
 Raw JSON (all legs):
 
