@@ -27,7 +27,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["pq_train", "pq_encode", "pq_adc_topk", "encode_reference"]
+__all__ = [
+    "pq_train",
+    "pq_encode",
+    "pq_adc_topk",
+    "encode_reference",
+    "write_ivfpq_index",
+    "ivfpq_index_topk",
+]
 
 
 def _kmeans_1sub(x: np.ndarray, k: int, seed: int, iters: int) -> np.ndarray:
@@ -166,3 +173,69 @@ def pq_adc_topk(
     from lucene_solr_spark.functions.similarity import brute_force_cosine_topk
 
     return brute_force_cosine_topk(cand, qvec, k, id_col, emb_col)
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    *,
+    n_lists: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    keep_raw: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """IVFADC layout (TPAMI 2011 §IV): coarse IVF partitioning + PQ codes
+    per vector, written partitioned by ``list_id``. A probe reads nprobe
+    directories of m-byte codes (not raw vectors); ``keep_raw`` also
+    stores the raw vector column for the exact-refine stage (drop it at
+    extreme scale and refine from the source table instead).
+
+    Returns (centroids, codebooks)."""
+    import os
+
+    from lucene_solr_spark.functions.similarity import ivf_assign, ivf_train
+
+    centroids = ivf_train(
+        df, n_lists, emb_col=emb_col, seed=seed, sample_fraction=sample_fraction
+    )
+    books = pq_train(df, m=m, nbits=nbits, emb_col=emb_col, seed=seed)
+    assigned = pq_encode(
+        ivf_assign(df, centroids, emb_col=emb_col), books, emb_col=emb_col
+    )
+    cols = [id_col, "pq_code", "list_id"] + ([emb_col] if keep_raw else [])
+    assigned.select(*cols).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(path)
+    np.save(os.path.join(path, "_ivf_centroids.npy"), centroids)
+    np.save(os.path.join(path, "_pq_codebooks.npy"), books)
+    return centroids, books
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    qvec: list[float],
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    refine: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Query the IVFADC layout: partition-pruned scan of the nprobe
+    nearest lists' PQ codes → ADC top-``refine`` → exact cosine top-k."""
+    import os
+
+    from lucene_solr_spark.functions.similarity import ivf_probe_lists
+
+    centroids = np.load(os.path.join(path, "_ivf_centroids.npy"))
+    books = np.load(os.path.join(path, "_pq_codebooks.npy"))
+    lists = ivf_probe_lists(centroids, qvec, nprobe)
+    cand = spark.read.parquet(path).filter(F.col("list_id").isin(lists))
+    return pq_adc_topk(
+        cand, books, qvec, k, id_col=id_col, emb_col=emb_col, refine=refine
+    )

@@ -273,15 +273,29 @@ class _Compiler:
     mode: str
     k1: float
     b: float
+    sum_ttf: int = 0
+    #: non-BM25 pluggable similarity — weight payloads become plain lists
+    #: (JSON-safe), scored by _SegmentEval via sim.score; mirrors
+    #: DFExecutor._term_weight/_sum_weight exactly
+    sim: object | None = None
 
-    def weight(self, boost: float, df: int) -> float:
+    def weight(self, boost: float, df: int, ttf: int = 0):
+        if self.sim is not None:
+            return list(
+                self.sim.term_weight(boost, df, ttf, self.doc_count, self.sum_ttf)
+            )
         if self.mode == "float32":
             return float(bm25.term_weight(boost, bm25.idf(df, self.doc_count)))
         return boost * math.log(1.0 + (self.doc_count - df + 0.5) / (df + 0.5))
 
-    def sum_weight(self, boost: float, dfs: list[int]) -> float:
+    def sum_weight(self, boost: float, dfs: list[int], ttfs: list[int] | None = None):
         """Multi-term (phrase) weight: per-term idfs summed in double, one
         f32 cast (BM25Similarity.java:191-199) — mirrors DFExecutor._sum_weight."""
+        if self.sim is not None:
+            stats = list(zip(dfs, ttfs if ttfs is not None else [0] * len(dfs)))
+            return list(
+                self.sim.sum_weight(boost, stats, self.doc_count, self.sum_ttf)
+            )
         if self.mode == "float32":
             return float(bm25.term_weight(boost, bm25.idf_sum(dfs, self.doc_count)))
         n = self.doc_count
@@ -291,19 +305,24 @@ class _Compiler:
 
     def compile(self, q: ir.Query, boost: float = 1.0) -> dict:
         if isinstance(q, ir.TermQuery):
-            df = self.stats.get(q.term, (0, 0))[0]
+            df, ttf = self.stats.get(q.term, (0, 0))
             if df == 0:
                 return {"op": "none"}
-            return {"op": "term", "term": q.term, "weight": self.weight(boost, df)}
+            return {
+                "op": "term",
+                "term": q.term,
+                "weight": self.weight(boost, df, ttf),
+            }
         if isinstance(q, ir.SynonymQuery):
             dfs = [self.stats.get(t, (0, 0))[0] for t in q.terms]
             df_max = max(dfs, default=0)
             if df_max == 0:
                 return {"op": "none"}
+            ttf_sum = sum(self.stats.get(t, (0, 0))[1] for t in q.terms)
             return {
                 "op": "synonym",
                 "terms": list(q.terms),
-                "weight": self.weight(boost, df_max),
+                "weight": self.weight(boost, df_max, ttf_sum),
             }
         if isinstance(q, ir.TermInSetQuery):
             score = float(np.float32(boost)) if self.mode == "float32" else float(boost)
@@ -358,23 +377,25 @@ class _Compiler:
             dfs = [self.stats.get(t, (0, 0))[0] for t in q.terms]
             if min(dfs, default=0) == 0:
                 return {"op": "none"}
+            ttfs = [self.stats.get(t, (0, 0))[1] for t in q.terms]
             return {
                 "op": "phrase",
                 "terms": list(q.terms),
                 "offsets": [int(p) for p in q.positions],
                 "slop": int(q.slop),
-                "weight": self.sum_weight(boost, dfs),
+                "weight": self.sum_weight(boost, dfs, ttfs),
             }
         if isinstance(q, ir.SpanNearQuery):
             dfs = [self.stats.get(t, (0, 0))[0] for t in q.terms]
             if min(dfs, default=0) == 0:
                 return {"op": "none"}
+            ttfs = [self.stats.get(t, (0, 0))[1] for t in q.terms]
             return {
                 "op": "span_near",
                 "terms": list(q.terms),
                 "slop": int(q.slop),
                 "in_order": bool(q.in_order),
-                "weight": self.sum_weight(boost, dfs),
+                "weight": self.sum_weight(boost, dfs, ttfs),
             }
         if isinstance(q, _COMPOSITE_SPAN_TYPES):
             # composite span algebra (or/not/within/containing + term
@@ -387,27 +408,23 @@ class _Compiler:
             all_terms, positive, required = span_term_sets(q)
             if any(self.stats.get(t, (0, 0))[0] == 0 for t in required):
                 return {"op": "none"}
-            live_dfs = [
-                self.stats.get(t, (0, 0))[0]
-                for t in positive
-                if self.stats.get(t, (0, 0))[0] > 0
-            ]
-            if not live_dfs:
+            live = [t for t in positive if self.stats.get(t, (0, 0))[0] > 0]
+            if not live:
                 return {"op": "none"}
+            live_dfs = [self.stats.get(t, (0, 0))[0] for t in live]
+            live_ttfs = [self.stats.get(t, (0, 0))[1] for t in live]
             return {
                 "op": "span",
                 "node": ir.span_to_dict(q),
                 "all_terms": list(all_terms),
                 "positive": list(positive),
                 "required": list(required),
-                "weight": self.sum_weight(boost, live_dfs),
+                "weight": self.sum_weight(boost, live_dfs, live_ttfs),
             }
         if isinstance(q, ir.MultiPhraseQuery):
-            dfs = [
-                self.stats.get(t, (0, 0))[0]
-                for t in q.all_terms
-                if self.stats.get(t, (0, 0))[0] > 0
-            ]
+            live_mp = [t for t in q.all_terms if self.stats.get(t, (0, 0))[0] > 0]
+            dfs = [self.stats.get(t, (0, 0))[0] for t in live_mp]
+            ttfs_mp = [self.stats.get(t, (0, 0))[1] for t in live_mp]
             if any(
                 all(self.stats.get(t, (0, 0))[0] == 0 for t in g)
                 for g in q.term_groups
@@ -418,7 +435,7 @@ class _Compiler:
                 "groups": [list(g) for g in q.term_groups],
                 "offsets": [int(p) for p in q.positions],
                 "slop": int(q.slop),
-                "weight": self.sum_weight(boost, dfs),
+                "weight": self.sum_weight(boost, dfs, ttfs_mp),
             }
         if isinstance(q, ir.DisjunctionMaxQuery):
             return {
@@ -450,6 +467,7 @@ class _SegmentEval:
         mode: str,
         cache_f32: np.ndarray,
         inv_f64: np.ndarray,
+        sim: object | None = None,
     ):
         self.term_enc = term_enc
         self.seg_docs = seg_docs  # sorted doc_ids of the segment
@@ -457,6 +475,7 @@ class _SegmentEval:
         self.mode = mode
         self.cache_f32 = cache_f32
         self.inv_f64 = inv_f64
+        self.sim = sim  # pluggable similarity: weight payload = list
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._gmax_cache: dict[str, np.ndarray] = {}
         # per-(term, weight) scored-postings memo: benchmark query sets
@@ -496,7 +515,11 @@ class _SegmentEval:
         return enc
 
     # --- scoring ---
-    def score_tf_norm(self, tfs: np.ndarray, norms: np.ndarray, weight: float) -> np.ndarray:
+    def score_tf_norm(self, tfs: np.ndarray, norms: np.ndarray, weight) -> np.ndarray:
+        if self.sim is not None:
+            return np.asarray(
+                self.sim.score(np.asarray(tfs), np.asarray(norms), tuple(weight), self.mode)
+            )
         if self.mode == "float32":
             return bm25.score(tfs, norms, weight=np.float32(weight), cache=self.cache_f32)
         w = np.float64(weight)
@@ -512,7 +535,8 @@ class _SegmentEval:
         if op == "none":
             return empty
         if op == "term":
-            key = (plan["term"], plan["weight"])
+            w = plan["weight"]
+            key = (plan["term"], tuple(w) if isinstance(w, list) else w)
             hit = self._term_score_cache.get(key)
             if hit is not None:
                 return hit
@@ -1137,6 +1161,11 @@ class SegmentSearcher:
     k1: float = bm25.K1_DEFAULT
     b: float = bm25.B_DEFAULT
     prune: str = "exhaustive"  # or "block_max"
+    #: pluggable similarity (functions.similarities.Similarity): scoring
+    #: runs sim.score in the segment tasks; block-max pruning is
+    #: disabled (impact bounds encode the BM25 shape) — evaluation is
+    #: exhaustive, exactly like the DF executor path
+    similarity: object | None = None
     _stats_cache: dict = field(default_factory=dict)
 
     # --- global stats ---
@@ -1194,7 +1223,15 @@ class SegmentSearcher:
             all_terms |= _collect_terms(q)
             all_ranges += _collect_ranges(q)
         stats = self._stats(all_terms)
-        comp = _Compiler(stats, self.index.doc_count, self.mode, self.k1, self.b)
+        comp = _Compiler(
+            stats,
+            self.index.doc_count,
+            self.mode,
+            self.k1,
+            self.b,
+            self.index.sum_ttf,
+            self.similarity,
+        )
         for qid, q in prepared.items():
             compiled[qid] = comp.compile(q)
 
@@ -1248,6 +1285,7 @@ class SegmentSearcher:
             k1 * ((1.0 - b_) + b_ * bm25.LENGTH_TABLE_F32.astype(np.float64) / avgdl_f64)
         )
         prune = self.prune
+        sim = self.similarity
         kk = k
         # searchAfter cursor (IndexSearcher.searchAfter,
         # search/IndexSearcher.java:470): keep docs strictly past
@@ -1278,6 +1316,7 @@ class SegmentSearcher:
                 mode,
                 cache_f32,
                 inv_f64,
+                sim,
             )
             has_live_mask = tombs is not None and tombs.size > 0
             seg_docs_arr = ev.seg_docs
@@ -1295,6 +1334,7 @@ class SegmentSearcher:
                     kk is not None
                     and prune == "block_max"
                     and multi_window
+                    and sim is None
                     and _blockmax_eligible(plan)
                     # a tombstoned segment runs exhaustive: blockmax
                     # returns exactly k candidates, and masking a deleted

@@ -92,3 +92,45 @@ def test_adc_refine_recall(pq_setup):
     assert len(set(exact) & set(approx)) >= 8
     # and the refined scores come from the exact cosine path
     assert approx[0] == exact[0]
+
+
+def test_ivfpq_layout_and_probe(spark, tmp_path):
+    """IVFADC end-to-end: partitioned code layout, pruned probe, refined
+    top-k ≈ exact. Full-probe + wide refine == exact brute force."""
+    from lucene_solr_spark.functions.pq import ivfpq_index_topk, write_ivfpq_index
+    from lucene_solr_spark.functions.similarity import brute_force_cosine_topk
+
+    x = _clustered(n=300, dim=16)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    path = str(tmp_path / "ivfpq")
+    cents, books = write_ivfpq_index(
+        df, path, n_lists=4, m=4, nbits=4
+    )
+    assert cents.shape == (4, 16) and books.shape == (4, 16, 4)
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("list_id=")
+    ) == [f"list_id={i}" for i in range(4)]
+
+    q = [float(v) for v in (x[7] + 0.02)]
+    exact = [r["vec_id"] for r in brute_force_cosine_topk(df, q, 10).collect()]
+    # full probe + refine covering the corpus == exact
+    got = [
+        r["vec_id"]
+        for r in ivfpq_index_topk(
+            spark, path, q, 10, nprobe=4, refine=300
+        ).collect()
+    ]
+    assert got == exact
+    # pruned probe with modest refine still recovers most of the top-10
+    approx = [
+        r["vec_id"]
+        for r in ivfpq_index_topk(
+            spark, path, q, 10, nprobe=2, refine=50
+        ).collect()
+    ]
+    assert len(set(approx) & set(exact)) >= 7

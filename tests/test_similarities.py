@@ -253,3 +253,48 @@ def test_axiomatic_monotone_in_tf():
     w = sim.term_weight(1.0, df=17, ttf=60, doc_count=501, sum_ttf=25_000)
     s = sim.score(np.array([1, 2, 10]), np.array([10, 10, 10]), w, "double")
     assert s[0] < s[1] < s[2]
+
+
+def test_kernel_similarity_equals_df_executor(spark, tmp_path_factory):
+    """SegmentSearcher(similarity=...) must equal DFExecutor(similarity=
+    ...) — same weights (term/synonym/phrase shapes), same (tf, norm)
+    scorer, exhaustive evaluation (block-max is BM25-only)."""
+    from lucene_solr_spark.operators.index_build import build_index
+    from lucene_solr_spark.operators.segments import SegmentIndex, build_segments
+    from lucene_solr_spark.operators.topk import SegmentSearcher
+    from lucene_solr_spark.plans import ir
+    from lucene_solr_spark.plans.df_executor import DFExecutor
+    from lucene_solr_spark.sources.corpus import corpus_to_spark
+
+    corpus = corpus_to_spark(spark, 100, seed=42, num_partitions=4)
+    ix = build_index(corpus).persist()
+    base = str(tmp_path_factory.mktemp("simseg"))
+    build_segments(ix, base, segment_size=32)
+    six = SegmentIndex.open(base)
+
+    queries = [
+        ir.TermQuery("def"),
+        ir.BooleanQuery(
+            (
+                ir.BooleanClause(ir.Occur.MUST, ir.TermQuery("def")),
+                ir.BooleanClause(ir.Occur.SHOULD, ir.TermQuery("return")),
+            ),
+            0,
+        ),
+        ir.PhraseQuery(("x", "y")),
+        ir.SynonymQuery(("error", "warning")),
+    ]
+    for name in ("classic", "dfr_inl2", "ib_ll", "indri", "lmjelinekmercer"):
+        sim = get_similarity(name)
+        ker = SegmentSearcher(spark, six, mode="double", similarity=sim)
+        dfe = DFExecutor(ix, mode="double", similarity=sim)
+        for q in queries:
+            got = [
+                (r["doc_id"], r["score"])
+                for r in ker.topk(q, k=10).collect()
+            ]
+            want = [
+                (r["doc_id"], r["score"])
+                for r in dfe.topk(q, k=10).select("doc_id", "score").collect()
+            ]
+            assert got == want, (name, q)
