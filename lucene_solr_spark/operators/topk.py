@@ -110,6 +110,7 @@ _COMPOSITE_SPAN_TYPES = (
     ir.SpanNotQuery,
     ir.SpanWithinQuery,
     ir.SpanContainingQuery,
+    ir.SpanFirstQuery,
 )
 
 

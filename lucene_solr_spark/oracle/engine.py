@@ -153,6 +153,7 @@ class OracleIndex:
                 ir.SpanNotQuery,
                 ir.SpanWithinQuery,
                 ir.SpanContainingQuery,
+                ir.SpanFirstQuery,
             ),
         ):
             return self._span_scores(q, boost)

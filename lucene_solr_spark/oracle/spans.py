@@ -207,6 +207,10 @@ def eval_spans(node, term_pos: dict) -> list[Span]:
         return containing_spans(
             eval_spans(node.big, term_pos), eval_spans(node.little, term_pos)
         )
+    if isinstance(node, ir.SpanFirstQuery):
+        # SpanFirstQuery.java:34 / SpanPositionRangeQuery: keep spans
+        # whose END position is ≤ end (match fully inside [0, end))
+        return [sp for sp in eval_spans(node.match, term_pos) if sp[1] <= node.end]
     raise TypeError(f"not a span query: {type(node).__name__}")
 
 

@@ -73,6 +73,7 @@ _SPAN_TYPES = (
     ir.SpanNotQuery,
     ir.SpanWithinQuery,
     ir.SpanContainingQuery,
+    ir.SpanFirstQuery,
 )
 
 
@@ -114,6 +115,8 @@ def span_term_sets(q: ir.Query) -> tuple[list[str], list[str], list[str]]:
         a1, p1, r1 = span_term_sets(q.include)
         a2, _, _ = span_term_sets(q.exclude)
         return _dedup_keep_order(a1, a2), p1, r1
+    if isinstance(q, ir.SpanFirstQuery):
+        return span_term_sets(q.match)
     if isinstance(q, (ir.SpanWithinQuery, ir.SpanContainingQuery)):
         a1, p1, r1 = span_term_sets(q.big)
         a2, p2, r2 = span_term_sets(q.little)

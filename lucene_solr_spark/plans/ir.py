@@ -32,6 +32,9 @@ __all__ = [
     "SpanNotQuery",
     "SpanWithinQuery",
     "SpanContainingQuery",
+    "SpanFirstQuery",
+    "NGramPhraseQuery",
+    "MultiPhraseQuery",
     "span_to_dict",
     "span_from_dict",
     "SynonymQuery",
@@ -208,6 +211,16 @@ class SpanContainingQuery(Query):
     little: Query
 
 
+@dataclass(frozen=True)
+class SpanFirstQuery(Query):
+    """Spans of ``match`` that END within the first ``end`` positions of
+    the field (``spans/SpanFirstQuery.java:34`` — a SpanPositionRange
+    with start=0)."""
+
+    match: Query
+    end: int
+
+
 def span_to_dict(q: "Query") -> dict:
     """JSON-able form of a span tree: compiled kernel plans are plain
     JSON trees (broadcast + dedup-keyed by a canonical dump), so the IR
@@ -237,6 +250,8 @@ def span_to_dict(q: "Query") -> dict:
             "big": span_to_dict(q.big),
             "little": span_to_dict(q.little),
         }
+    if isinstance(q, SpanFirstQuery):
+        return {"t": "first", "match": span_to_dict(q.match), "end": q.end}
     if isinstance(q, SpanContainingQuery):
         return {
             "t": "containing",
@@ -267,6 +282,8 @@ def span_from_dict(d: dict) -> "Query":
         return SpanContainingQuery(
             span_from_dict(d["big"]), span_from_dict(d["little"])
         )
+    if t == "first":
+        return SpanFirstQuery(span_from_dict(d["match"]), d["end"])
     raise ValueError(f"unknown span node type: {t}")
 
 

@@ -181,6 +181,11 @@ COMPOSITE_QUERIES = {
         big=ir.SpanNearQuery(("def", "class"), slop=8, in_order=True),
         little=ir.SpanNearQuery(("def", "import"), slop=2, in_order=True),
     ),
+    # SpanFirstQuery.java:34: match must END within the first N positions
+    "first_term": ir.SpanFirstQuery(ir.SpanTermQuery("def"), 5),
+    "first_near": ir.SpanFirstQuery(
+        ir.SpanNearQuery(("def", "import"), slop=3, in_order=True), 12
+    ),
 }
 
 
