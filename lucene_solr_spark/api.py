@@ -145,6 +145,99 @@ class SearchEngine:
         q = parse_query(query) if isinstance(query, str) else query
         return self._searcher.matches(q).count()
 
+    def explain(self, query: str | ir.Query, doc_id: int) -> dict:
+        """``IndexSearcher.explain`` role (``search/IndexSearcher.java:720``
+        → ``Weight.explain``): nested score breakdown for one document.
+
+        Invariant (the reference's CheckHits contract): every node's
+        ``value`` is the EXACT engine score of that subtree restricted to
+        ``doc_id`` — explain can never drift from search. Debug API: each
+        tree node runs one small kernel job (the reference's explain is
+        likewise a per-doc re-evaluation)."""
+        from pyspark.sql import functions as F
+
+        from lucene_solr_spark.plans.rewriter import rewrite as _rw
+
+        q = parse_query(query) if isinstance(query, str) else query
+        q = _rw(q)
+        doc_id = int(doc_id)
+
+        def value(qq: ir.Query, boost: float = 1.0):
+            node = qq if boost == 1.0 else ir.BoostQuery(qq, boost)
+            rows = (
+                self._searcher.matches(node)
+                .filter(F.col("doc_id") == doc_id)
+                .collect()
+            )
+            return float(rows[0]["score"]) if rows else None
+
+        def miss(desc: str) -> dict:
+            return {
+                "match": False,
+                "value": 0.0,
+                "description": f"no match: {desc}",
+            }
+
+        def ex(qq: ir.Query, boost: float) -> dict:
+            if isinstance(qq, ir.BoostQuery):
+                inner = ex(qq.query, boost * qq.boost)
+                return {
+                    "match": inner["match"],
+                    "value": inner["value"],
+                    "description": f"boost({qq.boost}) of:",
+                    "details": [inner],
+                }
+            if isinstance(qq, ir.BooleanQuery):
+                details = []
+                for c in qq.clauses:
+                    sub = ex(
+                        c.query,
+                        1.0
+                        if c.occur in (ir.Occur.FILTER, ir.Occur.MUST_NOT)
+                        else boost,
+                    )
+                    details.append(dict(sub, occur=c.occur.value))
+                v = value(qq, boost)
+                if v is None:
+                    return dict(miss("boolean"), details=details)
+                return {
+                    "match": True,
+                    "value": v,
+                    "description": "sum of:",
+                    "details": details,
+                }
+            if isinstance(qq, ir.TermQuery):
+                v = value(qq, boost)
+                if v is None:
+                    return miss(f"term {qq.term!r}")
+                df, ttf = self._searcher._stats({qq.term})[qq.term]
+                import math
+
+                n = self.index.doc_count
+                return {
+                    "match": True,
+                    "value": v,
+                    "description": f"weight({qq.term}), product of:",
+                    "details": [
+                        {"value": float(boost), "description": "boost"},
+                        {
+                            "value": math.log(1.0 + (n - df + 0.5) / (df + 0.5)),
+                            "description": f"idf, from n={n}, df={df}",
+                        },
+                        {"value": int(ttf), "description": "collection ttf"},
+                    ],
+                }
+            v = value(qq, boost)
+            if v is None:
+                return miss(type(qq).__name__)
+            return {
+                "match": True,
+                "value": v,
+                "description": type(qq).__name__,
+            }
+
+        return ex(q, 1.0)
+
     # ----------------------------------------------------------- mutate
     def append(self, docs: DataFrame, **kwargs) -> int | None:
         """Index a batch of new documents as one appended segment (NRT)."""

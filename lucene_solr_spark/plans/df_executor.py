@@ -213,6 +213,99 @@ class DFExecutor:
         self._prefetch_stats(q)
         return self._eval(q, 1.0)
 
+    # ------------------------------------------------------------- explain
+    def explain(self, q: ir.Query, doc_id: int) -> dict:
+        """``IndexSearcher.explain`` role (``search/IndexSearcher.java:720``
+        → ``Weight.explain``): a nested score breakdown for one document.
+
+        Invariant (the reference's CheckHits contract): the top ``value``
+        is the EXACT engine score — every node's value comes from running
+        that subtree through the executor restricted to ``doc_id``, so
+        explain can never drift from search. ``details`` decompose
+        boolean shapes clause-by-clause and term leaves into
+        (boost, idf(df), tf/norm inputs)."""
+        q = rewrite(q)
+        self._prefetch_stats(q)
+        return self._explain(q, int(doc_id), 1.0)
+
+    def _node_value(self, q: ir.Query, doc_id: int, boost: float):
+        rows = (
+            self._eval(q, boost)
+            .filter(F.col("doc_id") == doc_id)
+            .select("score")
+            .collect()
+        )
+        return float(rows[0]["score"]) if rows else None
+
+    def _explain(self, q: ir.Query, doc_id: int, boost: float) -> dict:
+        def miss(desc):
+            return {"match": False, "value": 0.0, "description": f"no match: {desc}"}
+
+        if isinstance(q, ir.BoostQuery):
+            inner_boost = (
+                float(_f32(_f32(boost) * _f32(q.boost)))
+                if self.mode == "float32"
+                else boost * q.boost
+            )
+            e = self._explain(q.query, doc_id, inner_boost)
+            return {
+                "match": e["match"],
+                "value": e["value"],
+                "description": f"boost({q.boost}) of:",
+                "details": [e],
+            }
+        if isinstance(q, ir.BooleanQuery):
+            details, total = [], None
+            for c in q.clauses:
+                sub_boost = 1.0 if c.occur in (ir.Occur.FILTER, ir.Occur.MUST_NOT) else boost
+                e = self._explain(c.query, doc_id, sub_boost)
+                e = dict(e, occur=c.occur.value)
+                details.append(e)
+            v = self._node_value(q, doc_id, boost)
+            if v is None:
+                return dict(miss("boolean"), details=details)
+            return {
+                "match": True,
+                "value": v,
+                "description": "sum of:",
+                "details": details,
+            }
+        if isinstance(q, ir.TermQuery):
+            df, ttf = self._stats_cache.get(q.term, (0, 0))
+            v = self._node_value(q, doc_id, boost)
+            if v is None:
+                return miss(f"term {q.term!r}")
+            n = self.index.doc_count
+            det = [
+                {"value": float(boost), "description": "boost"},
+                {
+                    "value": float(np.log(1.0 + (n - df + 0.5) / (df + 0.5))),
+                    "description": f"idf, computed from n={n}, df={df}",
+                },
+                {
+                    "value": int(ttf),
+                    "description": "ttf (collection totalTermFreq)",
+                },
+            ]
+            return {
+                "match": True,
+                "value": v,
+                "description": f"weight({q.term}) [{self._sim_name()}], product of:",
+                "details": det,
+            }
+        # generic node: exact value + structural description
+        v = self._node_value(q, doc_id, boost)
+        if v is None:
+            return miss(type(q).__name__)
+        return {
+            "match": True,
+            "value": v,
+            "description": f"{type(q).__name__} [{self._sim_name()}]",
+        }
+
+    def _sim_name(self) -> str:
+        return getattr(self.similarity, "name", None) or "bm25"
+
     # ------------------------------------------------------- stats plumbing
     def _prefetch_stats(self, q: ir.Query) -> None:
         """ONE dictionary lookup for all leaf terms of the query tree (the

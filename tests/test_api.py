@@ -49,3 +49,57 @@ def test_api_end_to_end(spark, tmp_path_factory, tiny_oracle):
     eng.merge()
     assert eng.stats()["doc_count"] == 110
     assert len(eng.search("def", k=5)) == 5
+
+
+def test_explain_matches_search_value(spark, tmp_path_factory):
+    """CheckHits contract: explain(q, doc).value == the doc's search
+    score, exactly; boolean breakdown sums clause values; non-matching
+    docs explain as match=False."""
+    from lucene_solr_spark.api import SearchEngine
+    from lucene_solr_spark.sources.corpus import corpus_to_spark
+
+    base = str(tmp_path_factory.mktemp("exix"))
+    eng = SearchEngine.index_corpus(
+        spark, corpus_to_spark(spark, 100, seed=42), base, segment_size=32
+    )
+    qs = "+def return"
+    hits = eng.search(qs, k=3)
+    assert hits
+    for h in hits:
+        e = eng.explain(qs, h.doc_id)
+        assert e["match"] is True
+        assert e["value"] == h.score
+        assert e["description"] == "sum of:"
+        occurs = {d["occur"] for d in e["details"]}
+        assert occurs == {"MUST", "SHOULD"}
+        # term leaf details expose boost + idf inputs
+        leaf = e["details"][0]
+        assert leaf["description"].startswith("weight(")
+        assert leaf["details"][0]["description"] == "boost"
+    # a doc that cannot match (no 'def'): match=False, value 0
+    nohit_ids = {h.doc_id for h in hits}
+    all_ids = {h.doc_id for h in eng.search("def", k=100)}
+    missing = next(i for i in range(100) if i not in all_ids)
+    e = eng.explain("+def", missing)
+    assert e["match"] is False and e["value"] == 0.0
+
+
+def test_explain_df_executor(spark):
+    from lucene_solr_spark.operators.index_build import build_index
+    from lucene_solr_spark.plans import ir
+    from lucene_solr_spark.plans.df_executor import DFExecutor
+    from lucene_solr_spark.sources.corpus import corpus_to_spark
+
+    ix = build_index(corpus_to_spark(spark, 60, seed=42)).persist()
+    ex = DFExecutor(ix, mode="double")
+    q = ir.BooleanQuery(
+        (
+            ir.BooleanClause(ir.Occur.MUST, ir.TermQuery("def")),
+            ir.BooleanClause(ir.Occur.SHOULD, ir.TermQuery("return")),
+        ),
+        0,
+    )
+    top = ex.topk(q, k=1).collect()[0]
+    e = ex.explain(q, top["doc_id"])
+    assert e["value"] == top["score"]
+    assert e["details"][0]["occur"] == "MUST"
