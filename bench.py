@@ -80,23 +80,43 @@ def main() -> int:
         _warm, "id long"
     ).count()
 
+    # Every phase below runs TWICE and reports the MIN (steady-state
+    # protocol, BASELINE.md): the shared host's leg-to-leg variance is
+    # 2-10x on identical code (see BENCH/BASELINE.md noise study), so a
+    # single roll measures the neighbor, not the engine. Cold (first-run)
+    # times are reported alongside under "cold_queries".
+    cold: dict[str, float] = {}
+
     # ---- phase 1: index build ------------------------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     content_bytes = docs.selectExpr("sum(octet_length(text)) AS b").collect()[0]["b"]
     gb = (content_bytes or 0) / 1e9
 
-    t0 = time.perf_counter()
-    ix = build_index(docs, text_col="text", doc_id_col="doc_id").persist()
-    ix.postings.count()
-    ix.docs.count()
-    ix.term_stats.count()
-    timings["index_build_relational"] = time.perf_counter() - t0
-
+    ix = None
+    for attempt in range(2):
+        t0 = time.perf_counter()
+        nxt = build_index(docs, text_col="text", doc_id_col="doc_id").persist()
+        nxt.postings.count()
+        nxt.docs.count()
+        nxt.term_stats.count()
+        dt = time.perf_counter() - t0
+        cold.setdefault("index_build_relational", dt)
+        timings["index_build_relational"] = min(
+            timings.get("index_build_relational", dt), dt
+        )
+        if ix is not None:
+            ix.docs.unpersist()
+        ix = nxt
     seg_base = os.environ.get("SPARK_GRAFT_SEG_DIR", "/tmp/bench_segments")
-    shutil.rmtree(seg_base, ignore_errors=True)
-    t0 = time.perf_counter()
-    six = build_segments(ix, seg_base, segment_size=1 << 9)
-    timings["index_build_segments"] = time.perf_counter() - t0
+    for attempt in range(2):
+        shutil.rmtree(seg_base, ignore_errors=True)
+        t0 = time.perf_counter()
+        six = build_segments(ix, seg_base, segment_size=1 << 9)
+        dt = time.perf_counter() - t0
+        cold.setdefault("index_build_segments", dt)
+        timings["index_build_segments"] = min(
+            timings.get("index_build_segments", dt), dt
+        )
     index_sec = timings["index_build_relational"] + timings["index_build_segments"]
     gb_per_hour = gb / (index_sec / 3600.0) if index_sec > 0 else 0.0
 
@@ -106,10 +126,14 @@ def main() -> int:
         r["text"] for r in docs.orderBy("doc_id").limit(20).collect()
     ]
     qset = generate_queryset(spark, six.term_stats(spark), sample_texts)
-    t0 = time.perf_counter()
-    n_hits = searcher.topk_batch(qset, k=k).count()
-    batch_sec = time.perf_counter() - t0
-    timings[f"bm25_batch_{len(qset)}q"] = batch_sec
+    bname = f"bm25_batch_{len(qset)}q"
+    for attempt in range(2):
+        t0 = time.perf_counter()
+        n_hits = searcher.topk_batch(qset, k=k).count()
+        dt = time.perf_counter() - t0
+        cold.setdefault(bname, dt)
+        timings[bname] = min(timings.get(bname, dt), dt)
+    batch_sec = timings[bname]
     qps = len(qset) / batch_sec if batch_sec > 0 else 0.0
 
     # ---- phase 3: pipeline ops -----------------------------------------
@@ -124,9 +148,12 @@ def main() -> int:
     for name in PIPELINE_OPS:
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        timings[name] = time.perf_counter() - t0
+        for attempt in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            cold.setdefault(name, dt)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = sum(timings.values())
     print(
@@ -136,6 +163,7 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {n: round(s, 4) for n, s in timings.items()},
+                "cold_queries": {n: round(s, 4) for n, s in cold.items()},
                 "sf": sf,
                 "index_build_sec": round(index_sec, 3),
                 "index_gb": round(gb, 6),
