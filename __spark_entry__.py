@@ -64,13 +64,14 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "merged_term_topk", "purged_term_topk", "search_after_delete",
     "collection_stats",
     # stats / norms
-    "term_stats_all", "doc_norms", "match_all_count",
+    "doc_norms",
     # similarities
     "classic_sim_topk", "boolean_sim_topk", "lmdirichlet_matches",
     # highlight / suggest
     "highlight_topk", "spell_suggest",
     # aggregations / join
     "facet_on_query", "group_topk_on_query", "join_parent_child",
+    "block_join_parent_topk", "join_util_topk",
     # LLM-data-pipeline ops
     "dedup_exact", "minhash_near_dups", "simhash_sig", "ivf_ann_topk",
     "token_stats", "quality_score",
@@ -579,6 +580,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["join_parent_child"] = join_parent_child
+
+    # --- lucene/join module: block joins + value join -------------------
+    def block_join_parent_topk(spark, sf_dir):
+        """ToParentBlockJoinQuery (join/ToParentBlockJoinQuery.java:67):
+        children = documents, parent block key = `source`; child query
+        'dup' rolls up with ScoreMode.Avg → top-5 parents."""
+        from lucene_solr_spark.functions.joins import to_parent_block_join
+
+        ex = _executor(spark, sf_dir)
+        parents = to_parent_block_join(
+            ex.matches(_T("dup")), _docs(spark, sf_dir), "source", "avg"
+        )
+        return parents.orderBy(F.desc("score"), F.asc("source")).limit(5)
+
+    out["block_join_parent_topk"] = block_join_parent_topk
+
+    def block_join_child_set(spark, sf_dir):
+        """ToChildBlockJoinQuery (join/ToChildBlockJoinQuery.java:35):
+        parents scored by the to-parent rollup above, score handed down
+        to EVERY child in each matching block."""
+        from lucene_solr_spark.functions.joins import (
+            to_child_block_join,
+            to_parent_block_join,
+        )
+
+        ex = _executor(spark, sf_dir)
+        d = _docs(spark, sf_dir)
+        parents = to_parent_block_join(ex.matches(_T("dup")), d, "source", "avg")
+        return to_child_block_join(parents, d, "source")
+
+    out["block_join_child_set"] = block_join_child_set
+
+    def parent_children_topk(spark, sf_dir):
+        """ParentChildrenBlockJoinQuery (join/ParentChildrenBlockJoin
+        Query.java:35): the matching children of ONE parent ('src3'),
+        ranked by the child query's own scores."""
+        from lucene_solr_spark.functions.joins import parent_children_block_join
+
+        ex = _executor(spark, sf_dir)
+        kids = parent_children_block_join(
+            ex.matches(_T("merge")), _docs(spark, sf_dir), "source", "src3"
+        )
+        return kids.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+    out["parent_children_topk"] = parent_children_topk
+
+    def join_util_topk(spark, sf_dir):
+        """JoinUtil.createJoinQuery (join/JoinUtil.java:91): value join
+        from the 'dup' hits through `lang` back onto documents with
+        ScoreMode.Max — every to-side doc in a matched lang scores the
+        per-value max."""
+        from lucene_solr_spark.functions.joins import join_util
+
+        ex = _executor(spark, sf_dir)
+        d = _docs(spark, sf_dir)
+        hits = join_util(ex.matches(_T("dup")), d, "lang", d, "lang", "max")
+        return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+    out["join_util_topk"] = join_util_topk
 
     def term_doc_count(spark, sf_dir):
         """TermQuery count shortcut: totalHits = df straight from the
@@ -1756,6 +1816,46 @@ def oracle_sql() -> dict[str, str]:
       SELECT o.o_orderkey, c.c_name, o.o_totalprice
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 10"""
+
+    # block joins: child scores are float32 (Scorer.score() is float)
+    # accumulated in double — exact, order-independent (joins.py parity
+    # note), so sum/avg reproduce bit-for-bit across engines.
+    _kid = "CAST(CAST(h.score AS REAL) AS DOUBLE)"
+    out["block_join_parent_topk"] = f"""WITH {_IX},
+      hits AS ({_leaf_scores('dup')})
+      SELECT d.source, sum({_kid}) / count(*) AS score,
+             count(*)::BIGINT AS n_children
+      FROM hits h JOIN documents d USING (doc_id)
+      GROUP BY d.source
+      ORDER BY score DESC, d.source ASC LIMIT 5"""
+
+    out["block_join_child_set"] = f"""WITH {_IX},
+      hits AS ({_leaf_scores('dup')}),
+      parents AS (
+        SELECT d.source, sum({_kid}) / count(*) AS score
+        FROM hits h JOIN documents d USING (doc_id)
+        GROUP BY d.source
+      )
+      SELECT d.doc_id, p.score
+      FROM documents d JOIN parents p ON d.source = p.source"""
+
+    out["parent_children_topk"] = f"""WITH {_IX},
+      hits AS ({_leaf_scores('merge')})
+      SELECT h.doc_id, h.score
+      FROM hits h JOIN documents d USING (doc_id)
+      WHERE d.source = 'src3'
+      ORDER BY h.score DESC, h.doc_id ASC LIMIT 10"""
+
+    out["join_util_topk"] = f"""WITH {_IX},
+      hits AS ({_leaf_scores('dup')}),
+      vals AS (
+        SELECT d.lang, max({_kid}) AS score
+        FROM hits h JOIN documents d USING (doc_id)
+        GROUP BY d.lang
+      )
+      SELECT d.doc_id, v.score
+      FROM documents d JOIN vals v ON d.lang = v.lang
+      ORDER BY v.score DESC, d.doc_id ASC LIMIT 10"""
 
     out["term_doc_count"] = f"""WITH {_IX}
       SELECT term, df FROM term_stats WHERE term = 'scan'"""
