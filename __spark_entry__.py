@@ -537,6 +537,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["facet_taxonomy"] = facet_taxonomy
 
+    _DRILL_DIMS = {"lang": "en", "source": ["src1", "src2", "src3"]}
+
+    def drill_down_set(spark, sf_dir):
+        """DrillDownQuery (facet/DrillDownQuery.java:45-118): base query
+        'dup' + FILTER per dimension (multi-value dim ORs)."""
+        from lucene_solr_spark.functions.facets import drill_down
+
+        ex = _executor(spark, sf_dir)
+        hits = drill_down(ex.matches(_T("dup")), _docs(spark, sf_dir), _DRILL_DIMS)
+        return hits.select("doc_id")
+
+    out["drill_down_set"] = drill_down_set
+
+    def drill_sideways_counts(spark, sf_dir):
+        """DrillSideways (facet/DrillSideways.java:40-63): per drilled
+        dim, counts with every OTHER dim's filter applied but not its
+        own — sibling values stay visible."""
+        from lucene_solr_spark.functions.facets import drill_sideways
+
+        ex = _executor(spark, sf_dir)
+        sw = drill_sideways(
+            ex.matches(_T("dup")), _docs(spark, sf_dir), _DRILL_DIMS
+        )
+        frames = [
+            df.select(F.lit(dim).alias("dim"), "value", "count")
+            for dim, df in sw.items()
+        ]
+        out_df = frames[0]
+        for f2 in frames[1:]:
+            out_df = out_df.unionByName(f2)
+        return out_df
+
+    out["drill_sideways_counts"] = drill_sideways_counts
+
     def expr_score_topk(spark, sf_dir):
         """Expressions module role (lucene/expressions, SURVEY §2.5):
         a computed ranking expression over doc-value fields compiles to
@@ -1799,6 +1833,24 @@ def oracle_sql() -> dict[str, str]:
       FROM (SELECT lang AS path FROM documents
             UNION ALL SELECT path FROM p)
       GROUP BY path"""
+
+    out["drill_down_set"] = f"""WITH {_IX}
+      SELECT p.doc_id
+      FROM (SELECT DISTINCT doc_id FROM postings WHERE term = 'dup') p
+      JOIN documents d USING (doc_id)
+      WHERE d.lang = 'en' AND d.source IN ('src1','src2','src3')"""
+
+    out["drill_sideways_counts"] = f"""WITH {_IX},
+      j AS (
+        SELECT p.doc_id, d.lang, d.source
+        FROM (SELECT DISTINCT doc_id FROM postings WHERE term = 'dup') p
+        JOIN documents d USING (doc_id)
+      )
+      SELECT 'lang' AS dim, lang AS value, count(*)::BIGINT AS count
+      FROM j WHERE source IN ('src1','src2','src3') GROUP BY lang
+      UNION ALL
+      SELECT 'source', source, count(*)::BIGINT
+      FROM j WHERE lang = 'en' GROUP BY source"""
 
     out["expr_score_topk"] = """
       SELECT doc_id, ln(1.0 + n_chars) * 0.5 AS score

@@ -22,7 +22,13 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["FacetRange", "range_facet_counts", "taxonomy_counts"]
+__all__ = [
+    "FacetRange",
+    "range_facet_counts",
+    "taxonomy_counts",
+    "drill_down",
+    "drill_sideways",
+]
 
 
 @dataclass(frozen=True)
@@ -102,4 +108,64 @@ def taxonomy_counts(
         .withColumn("depth", F.size(F.split(F.col("path"), sep)))
         .select("path", "depth", "count")
     )
+    return out
+
+
+def _dim_pred(dim: str, values) -> F.Column:
+    """One drill-down dimension: values within a dim OR together
+    (``DrillDownQuery.java:104-118`` — same-dim adds disjoin)."""
+    vals = list(values) if not isinstance(values, str) else [values]
+    return F.col(dim).isin(vals)
+
+
+def drill_down(
+    hits: DataFrame,
+    docs: DataFrame,
+    dims: dict,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``DrillDownQuery`` (facet/DrillDownQuery.java:45-118): the base
+    hits FILTERed by every drill-down dimension — base query MUST +
+    per-dim FILTER clauses (``:73-74``; filters don't score).
+
+    ``hits`` = a scored match frame (doc_id, score);
+    ``dims`` = {dim_column: value | [values]} over ``docs``.
+    """
+    keyed = docs.select(id_col, *dims.keys())
+    for dim, values in dims.items():
+        keyed = keyed.filter(_dim_pred(dim, values))
+    return hits.join(keyed.select(id_col), id_col)
+
+
+def drill_sideways(
+    hits: DataFrame,
+    docs: DataFrame,
+    dims: dict,
+    *,
+    id_col: str = "doc_id",
+) -> dict:
+    """``DrillSideways`` (facet/DrillSideways.java:40-60): for each
+    drilled dimension, facet counts computed with every OTHER
+    dimension's filter applied but NOT its own — so a dimension's
+    sibling values stay visible after the user drills into it
+    (the "near-miss" collector per drill-down dim).
+
+    Returns {dim: DataFrame(value, count)}. One hits⋈dims join feeds
+    all |dims| aggregations; each agg shuffles only its dim's value
+    cardinality — the base hit set is scanned once per dim but never
+    re-searched (matching the reference's single base-query execution
+    with one FacetsCollector per dim, DrillSideways.java:60-63).
+    """
+    keyed = hits.select(id_col).join(docs.select(id_col, *dims.keys()), id_col)
+    out = {}
+    for dim in dims:
+        others = [_dim_pred(d, v) for d, v in dims.items() if d != dim]
+        near_miss = keyed
+        for p in others:
+            near_miss = near_miss.filter(p)
+        out[dim] = (
+            near_miss.groupBy(F.col(dim).alias("value"))
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
     return out

@@ -82,3 +82,40 @@ def test_infix_suggest_ranks_prefix_first(spark):
         ("part", 0),
         ("chart", 0),
     ]
+
+
+def test_drill_down_and_sideways(spark):
+    """DrillDownQuery/DrillSideways semantics (facet/DrillDownQuery.java:
+    45-118, DrillSideways.java:40-63): drill-down ANDs every dim's
+    filter; sideways counts for a dim drop ONLY that dim's filter."""
+    from lucene_solr_spark.functions.facets import drill_down, drill_sideways
+
+    hits = spark.createDataFrame(
+        [(i, 1.0) for i in range(8)], "doc_id long, score double"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "a"),
+            (1, "en", "a"),
+            (2, "en", "b"),
+            (3, "fr", "a"),
+            (4, "fr", "b"),
+            (5, "de", "a"),
+            (6, "en", "c"),
+            (7, "zz", "zz"),  # matches no dim
+            (99, "en", "a"),  # not a hit
+        ],
+        "doc_id long, lang string, source string",
+    )
+    dims = {"lang": "en", "source": ["a", "b"]}
+
+    dd = sorted(r["doc_id"] for r in drill_down(hits, docs, dims).collect())
+    assert dd == [0, 1, 2]  # en AND source∈{a,b}
+
+    sw = drill_sideways(hits, docs, dims)
+    # lang counts: source filter applied, lang filter NOT — fr stays visible
+    langs = {r["value"]: r["count"] for r in sw["lang"].collect()}
+    assert langs == {"en": 3, "fr": 2, "de": 1}
+    # source counts: lang=en applied, source filter NOT — c stays visible
+    sources = {r["value"]: r["count"] for r in sw["source"].collect()}
+    assert sources == {"a": 2, "b": 1, "c": 1}
