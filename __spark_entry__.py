@@ -145,6 +145,23 @@ def _english_executor(spark: SparkSession, sf_dir: str):
     return _CACHE[key]
 
 
+def _shingle_executor(spark: SparkSession, sf_dir: str):
+    """Executor over a SHINGLED index (unigrams + space-joined bigrams —
+    ShingleFilter defaults, analysis/shingle/ShingleFilter.java:44-56):
+    phrase lookups become single TermQuery probes."""
+    key = f"sh_ix::{sf_dir}"
+    if key not in _CACHE:
+        from lucene_solr_spark.operators.index_build import build_index
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ix = build_index(
+            docs, text_col="text", doc_id_col="doc_id", shingles=(2, 2)
+        ).persist()
+        _CACHE[key] = DFExecutor(ix, mode="double")
+    return _CACHE[key]
+
+
 def _stopped_executor(spark: SparkSession, sf_dir: str):
     """Executor over a stop-filtered (unstemmed) index — the StopFilter
     leg of the chain, exactly SQL-oracle-able."""
@@ -1016,6 +1033,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["stop_filter_topk"] = stop_filter_topk
 
+    def shingle_term_topk(spark, sf_dir):
+        """ShingleFilter (analysis/shingle/ShingleFilter.java): unigram+
+        bigram index; the phrase 'table scan' resolves as ONE TermQuery
+        against the shingle vocabulary — the filter's classic use."""
+        ex = _shingle_executor(spark, sf_dir)
+        return ex.topk(_T("table scan"), k=10).select("doc_id", "score")
+
+    out["shingle_term_topk"] = shingle_term_topk
+
     def stemmed_term_topk(spark, sf_dir):
         """Full EnglishAnalyzer chain incl. PorterStem. No SQL oracle:
         DuckDB's stem() lives in the unavailable fts extension — the
@@ -1500,6 +1526,15 @@ def oracle_sql() -> dict[str, str]:
       FROM postings p JOIN term_stats ts USING (term)
       JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
       WHERE p.term = 'scan'
+      ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+
+    from lucene_solr_spark.functions.bm25_sql import index_ctes as _ictes_sh
+
+    out["shingle_term_topk"] = f"""WITH {_ictes_sh(shingles=True)}
+      SELECT p.doc_id, {bm25_score_sql()} AS score
+      FROM postings p JOIN term_stats ts USING (term)
+      JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      WHERE p.term = 'table scan'
       ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
 
     # --- block-kernel path: same semantics → same oracles ----------------

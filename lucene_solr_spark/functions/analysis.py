@@ -150,6 +150,7 @@ def postings_frame(
     stemmer: str | None = None,
     with_positions: bool = True,
     with_offsets: bool = False,
+    shingles: tuple[int, int] | None = None,
 ):
     """corpus → (doc_id, term, tf, positions[, start_offsets,
     end_offsets]) posting rows, inverted
@@ -159,8 +160,17 @@ def postings_frame(
     is ever needed. The only wide shuffles in an index build are the ones
     the LAYOUT needs (doc-range repartition for segments), not the
     inversion itself — at 100 TB that removes the dominant all-to-all
-    exchange of individual token rows."""
+    exchange of individual token rows.
+
+    ``shingles=(min, max)`` appends token n-grams to the stream inside
+    the same kernel pass (ShingleFilter role — functions.shingles), so a
+    shingled index costs zero extra scans; shingle tokens count toward
+    the norm length exactly like the reference's chain (every emitted
+    token bumps FieldInvertState.length)."""
     import numpy as np
+
+    if shingles is not None and with_offsets:
+        raise ValueError("shingles + offsets not supported")
 
     stop = frozenset(stopwords)
     fields = [
@@ -205,6 +215,18 @@ def postings_frame(
             else:
                 tdoc, terms, pos = tok
                 t_soff = t_eoff = None
+            if shingles is not None and len(tdoc):
+                from lucene_solr_spark.functions.shingles import add_shingles
+
+                tdoc, terms, pos = add_shingles(
+                    tdoc,
+                    terms,
+                    pos,
+                    n_docs=len(pdf),
+                    min_size=shingles[0],
+                    max_size=shingles[1],
+                )
+                pos = pos.astype(np.int32)
             if len(tdoc) == 0:
                 yield pd.DataFrame(
                     {

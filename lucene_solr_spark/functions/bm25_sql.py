@@ -59,6 +59,7 @@ def index_ctes(
     index_options: str = "positions",
     stopwords: tuple = (),
     table: str = "documents",
+    shingles: bool = False,
 ) -> str:
     """The inverted-index tables as CTEs over ``table`` (default
     `documents`; pass a subquery to model an index whose deleted docs
@@ -66,19 +67,43 @@ def index_ctes(
 
     ``index_options="docs"`` mirrors Lucene's DOCS-only fields: tf
     collapses to 1 and the norm length is the uniqueTermCount
-    (``BM25Similarity.java:139-141``)."""
+    (``BM25Similarity.java:139-141``).
+
+    ``shingles=True`` appends space-joined bigrams to the token stream
+    (ShingleFilter with the default no-stopword chain — no holes, so a
+    bigram is exactly pos/pos+1 adjacency); shingle tokens count toward
+    the norm length like every emitted token."""
+    shingle_cte = ""
+    tokens_src = "tokens"
+    if shingles:
+        if stopwords:
+            raise ValueError("SQL shingle oracle models the no-hole chain only")
+        tokens_src = "tokens_sh"
+        shingle_cte = """,
+    tokens_sh AS (
+      SELECT doc_id, term, pos FROM tokens
+      UNION ALL
+      SELECT a.doc_id, a.term || ' ' || b.term AS term, a.pos
+      FROM tokens a JOIN tokens b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    )"""
     if index_options == "docs":
         postings = (
-            "SELECT term, doc_id, 1::BIGINT AS tf FROM tokens GROUP BY term, doc_id"
+            f"SELECT term, doc_id, 1::BIGINT AS tf FROM {tokens_src} "
+            "GROUP BY term, doc_id"
         )
         doclen = "SELECT doc_id, count(*)::BIGINT AS length FROM postings GROUP BY doc_id"
     else:
         postings = (
-            "SELECT term, doc_id, count(*)::BIGINT AS tf FROM tokens GROUP BY term, doc_id"
+            f"SELECT term, doc_id, count(*)::BIGINT AS tf FROM {tokens_src} "
+            "GROUP BY term, doc_id"
         )
-        doclen = "SELECT doc_id, count(*)::BIGINT AS length FROM tokens GROUP BY doc_id"
+        doclen = (
+            f"SELECT doc_id, count(*)::BIGINT AS length FROM {tokens_src} "
+            "GROUP BY doc_id"
+        )
     return f"""{norm_lut_sql()},
-    {tokens_cte(stopwords=stopwords, table=table)},
+    {tokens_cte(stopwords=stopwords, table=table)}{shingle_cte},
     postings AS ({postings}),
     doclen AS ({doclen}),
     norms AS (

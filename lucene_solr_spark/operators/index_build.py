@@ -243,6 +243,7 @@ def build_index(
     stemmer: str | None = None,
     with_positions: bool = True,
     index_options: str = "positions",  # "positions" | "freqs" | "docs"
+    shingles: tuple[int, int] | None = None,
     scratch: str | None = None,
 ) -> InvertedIndex:
     """Corpus → InvertedIndex. If ``doc_id_col`` is given it is trusted as a
@@ -286,6 +287,7 @@ def build_index(
         stemmer=stemmer,
         with_positions=with_positions,
         with_offsets=with_offsets,
+        shingles=shingles,
     )
     import tempfile
 
