@@ -22,7 +22,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lucene_solr_spark.functions.bm25_sql import bm25_score_sql, idf_sql, index_ctes
+from lucene_solr_spark.functions.bm25_sql import (
+    bm25_score_sql,
+    idf_sql,
+    index_ctes,
+    norm_lut_sql,
+    tokens_cte as _tokens_cte,
+)
 from lucene_solr_spark.plans import ir
 
 _T = ir.TermQuery
@@ -157,6 +163,27 @@ def _shingle_executor(spark: SparkSession, sf_dir: str):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         ix = build_index(
             docs, text_col="text", doc_id_col="doc_id", shingles=(2, 2)
+        ).persist()
+        _CACHE[key] = DFExecutor(ix, mode="double")
+    return _CACHE[key]
+
+
+def _synonym_executor(spark: SparkSession, sf_dir: str):
+    """Executor over an index with INDEX-TIME synonyms (SynonymGraphFilter
+    expand role): every 'slow' also emits a stacked 'fast' (posIncr=0);
+    stacked tokens count in tf/ttf but norms discount them
+    (discountOverlaps, BM25Similarity.java:138-148)."""
+    key = f"syn_ix::{sf_dir}"
+    if key not in _CACHE:
+        from lucene_solr_spark.operators.index_build import build_index
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ix = build_index(
+            docs,
+            text_col="text",
+            doc_id_col="doc_id",
+            synonyms={"slow": ("fast",)},
         ).persist()
         _CACHE[key] = DFExecutor(ix, mode="double")
     return _CACHE[key]
@@ -604,6 +631,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["expr_score_topk"] = expr_score_topk
 
+    def function_score_topk(spark, sf_dir):
+        """FunctionScoreQuery.boostByValue (queries/function/
+        FunctionScoreQuery.java:52): BM25 matches for 'dup' re-scored by
+        _score · ln(1 + n_chars) — expression compiles to codegen."""
+        from lucene_solr_spark.functions.function_query import function_score
+
+        ex = _executor(spark, sf_dir)
+        hits = function_score(
+            ex.matches(_T("dup")),
+            _docs(spark, sf_dir).select("doc_id", "n_chars"),
+            "_score * ln(1.0 + n_chars)",
+        )
+        return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+    out["function_score_topk"] = function_score_topk
+
+    def term_vectors_doc(spark, sf_dir):
+        """Term vectors (codecs/lucene90/Lucene90TermVectorsFormat role):
+        the per-document forward index — (term, tf) of one doc straight
+        from the postings, no extra storage needed in a columnar layout."""
+        ex = _executor(spark, sf_dir)
+        return (
+            ex.index.postings.filter(F.col("doc_id") == 7)
+            .select("term", "tf")
+        )
+
+    out["term_vectors_doc"] = term_vectors_doc
+
+    def all_groups_count(spark, sf_dir):
+        """AllGroupsCollector (grouping/AllGroupsCollector.java): the
+        number of distinct groups with >= 1 hit for the query."""
+        ex = _executor(spark, sf_dir)
+        d = _docs(spark, sf_dir)
+        return (
+            ex.matches(_T("dup"))
+            .join(d.select("doc_id", "source"), "doc_id")
+            .agg(F.countDistinct("source").alias("n_groups"))
+        )
+
+    out["all_groups_count"] = all_groups_count
+
     def group_topk(spark, sf_dir):
         """Grouping module (BlockGroupingCollector): top-3 docs per group."""
         from pyspark.sql.window import Window
@@ -1041,6 +1109,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ex.topk(_T("table scan"), k=10).select("doc_id", "score")
 
     out["shingle_term_topk"] = shingle_term_topk
+
+    def synonym_index_topk(spark, sf_dir):
+        """Index-time synonyms: 'slow'→'fast' stacked tokens merge into
+        the 'fast' postings (tf sums, df unions, norms discount the
+        stacked tokens); one TermQuery sees both spellings."""
+        ex = _synonym_executor(spark, sf_dir)
+        return ex.topk(_T("fast"), k=10).select("doc_id", "score")
+
+    out["synonym_index_topk"] = synonym_index_topk
 
     def stemmed_term_topk(spark, sf_dir):
         """Full EnglishAnalyzer chain incl. PorterStem. No SQL oracle:
@@ -1537,6 +1614,43 @@ def oracle_sql() -> dict[str, str]:
       WHERE p.term = 'table scan'
       ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
 
+    # index-time synonyms: postings from the stacked stream; doc length
+    # from the BASE stream only (discountOverlaps); avgdl from the
+    # stacked stream's total tf (BM25Similarity.java:114-117 vs :138-148)
+    out["synonym_index_topk"] = f"""WITH {norm_lut_sql()},
+      {_tokens_cte()},
+      tok_all AS (
+        SELECT doc_id, term, pos FROM tokens
+        UNION ALL
+        SELECT doc_id, 'fast' AS term, pos FROM tokens WHERE term = 'slow'
+      ),
+      postings AS (
+        SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok_all
+        GROUP BY term, doc_id
+      ),
+      doclen AS (
+        SELECT doc_id, count(*)::BIGINT AS length FROM tokens GROUP BY doc_id
+      ),
+      norms AS (
+        SELECT d.doc_id, d.length, l.norm, l.declen
+        FROM doclen d JOIN norm_lut l ON d.length >= l.lo AND d.length < l.hi
+      ),
+      gstats AS (
+        SELECT (SELECT count(*) FROM doclen)::BIGINT AS doc_count,
+               (SELECT sum(tf) FROM postings)::BIGINT AS sum_ttf,
+               (SELECT sum(tf) FROM postings)::DOUBLE
+                 / (SELECT count(*) FROM doclen) AS avgdl
+      ),
+      term_stats AS (
+        SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+        FROM postings GROUP BY term
+      )
+      SELECT p.doc_id, {bm25_score_sql()} AS score
+      FROM postings p JOIN term_stats ts USING (term)
+      JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      WHERE p.term = 'fast'
+      ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+
     # --- block-kernel path: same semantics → same oracles ----------------
     out["merged_term_topk"] = out["term_topk"]
 
@@ -1891,6 +2005,20 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, ln(1.0 + n_chars) * 0.5 AS score
       FROM documents
       ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+    out["function_score_topk"] = f"""WITH {_IX},
+      hits AS ({_leaf_scores('dup')})
+      SELECT h.doc_id, h.score * ln(1.0 + d.n_chars) AS score
+      FROM hits h JOIN documents d USING (doc_id)
+      ORDER BY score DESC, h.doc_id ASC LIMIT 10"""
+
+    out["term_vectors_doc"] = f"""WITH {_IX}
+      SELECT term, tf FROM postings WHERE doc_id = 7"""
+
+    out["all_groups_count"] = f"""WITH {_IX}
+      SELECT count(DISTINCT d.source)::BIGINT AS n_groups
+      FROM (SELECT DISTINCT doc_id FROM postings WHERE term = 'dup') p
+      JOIN documents d USING (doc_id)"""
 
     out["group_topk"] = """
       SELECT lang, doc_id, n_chars, rn FROM (

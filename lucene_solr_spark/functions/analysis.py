@@ -151,6 +151,7 @@ def postings_frame(
     with_positions: bool = True,
     with_offsets: bool = False,
     shingles: tuple[int, int] | None = None,
+    synonyms: dict | None = None,
 ):
     """corpus → (doc_id, term, tf, positions[, start_offsets,
     end_offsets]) posting rows, inverted
@@ -166,11 +167,16 @@ def postings_frame(
     the same kernel pass (ShingleFilter role — functions.shingles), so a
     shingled index costs zero extra scans; shingle tokens count toward
     the norm length exactly like the reference's chain (every emitted
-    token bumps FieldInvertState.length)."""
+    token bumps FieldInvertState.length).
+
+    ``synonyms={src: (alt, ...)}`` stacks synonym tokens at the source
+    positions (SynonymGraphFilter role — functions.synonyms); the output
+    then carries an ``otf`` column (overlap tf per posting) so norms can
+    discount stacked tokens (``BM25Similarity.java:138-148``)."""
     import numpy as np
 
-    if shingles is not None and with_offsets:
-        raise ValueError("shingles + offsets not supported")
+    if with_offsets and (shingles is not None or synonyms is not None):
+        raise ValueError("shingles/synonyms + offsets not supported")
 
     stop = frozenset(stopwords)
     fields = [
@@ -178,6 +184,10 @@ def postings_frame(
         T.StructField("term", T.StringType(), False),
         T.StructField("tf", T.LongType(), False),
     ]
+    if synonyms is not None:
+        # overlap tf: how many of this posting's occurrences are stacked
+        # (posIncr==0) tokens — norms discount these
+        fields.append(T.StructField("otf", T.LongType(), False))
     if with_positions:
         fields.append(T.StructField("positions", T.ArrayType(T.IntegerType()), True))
     if with_offsets:
@@ -227,12 +237,25 @@ def postings_frame(
                     max_size=shingles[1],
                 )
                 pos = pos.astype(np.int32)
+            overlap = None
+            if synonyms is not None:
+                from lucene_solr_spark.functions.synonyms import inject_synonyms
+
+                tdoc, terms, pos, overlap = inject_synonyms(
+                    tdoc, terms, pos, synonyms
+                )
+                pos = pos.astype(np.int32)
             if len(tdoc) == 0:
                 yield pd.DataFrame(
                     {
                         "doc_id": np.empty(0, np.int64),
                         "term": pd.Series([], dtype=pd.ArrowDtype(pa.string())),
                         "tf": np.empty(0, np.int64),
+                        **(
+                            {"otf": np.empty(0, np.int64)}
+                            if synonyms is not None
+                            else {}
+                        ),
                         **(
                             {
                                 "positions": pd.Series(
@@ -263,7 +286,12 @@ def postings_frame(
             denc = pc.dictionary_encode(terms)
             codes = np.asarray(denc.indices, dtype=np.int64)
             dictionary = denc.dictionary
-            order = np.lexsort((codes, tdoc))
+            if overlap is not None:
+                # stacked tokens share positions with their source — add
+                # pos as the minor sort key so group positions ascend
+                order = np.lexsort((pos, codes, tdoc))
+            else:
+                order = np.lexsort((codes, tdoc))
             sd, sc, sp = tdoc[order], codes[order], pos[order]
             newgrp = np.r_[True, (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])]
             gstart = np.nonzero(newgrp)[0]
@@ -276,6 +304,10 @@ def postings_frame(
                 ),
                 "tf": tf,
             }
+            if overlap is not None:
+                data["otf"] = np.add.reduceat(
+                    overlap[order].astype(np.int64), gstart
+                )
             if with_positions:
                 offs = np.r_[gstart, len(sd)].astype(np.int32)
                 plists = pa.ListArray.from_arrays(

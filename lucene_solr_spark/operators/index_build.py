@@ -244,6 +244,7 @@ def build_index(
     with_positions: bool = True,
     index_options: str = "positions",  # "positions" | "freqs" | "docs"
     shingles: tuple[int, int] | None = None,
+    synonyms: dict | None = None,
     scratch: str | None = None,
 ) -> InvertedIndex:
     """Corpus → InvertedIndex. If ``doc_id_col`` is given it is trusted as a
@@ -288,6 +289,7 @@ def build_index(
         with_positions=with_positions,
         with_offsets=with_offsets,
         shingles=shingles,
+        synonyms=synonyms,
     )
     import tempfile
 
@@ -303,8 +305,17 @@ def build_index(
     # DOCS-only fields norm by uniqueTermCount (BM25Similarity.java:139-141)
     if index_options == "docs":
         doc_len = postings.groupBy("doc_id").agg(F.count("*").alias("length"))
+    elif synonyms is not None:
+        # stacked synonym tokens are overlaps: discountOverlaps norms by
+        # length - numOverlap (BM25Similarity.java:138-148); totalTermFreq
+        # / avgdl still count them (BM25Similarity.java:114-117)
+        doc_len = postings.groupBy("doc_id").agg(
+            (F.sum("tf") - F.sum("otf")).alias("length")
+        )
     else:
         doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("length"))
+    if synonyms is not None:
+        postings = postings.drop("otf")  # downstream sees the std schema
     keep = [c for c in keep_cols if c in docs_src.columns]
     docs = (
         docs_src.select("doc_id", *keep)
