@@ -168,6 +168,28 @@ def _shingle_executor(spark: SparkSession, sf_dir: str):
     return _CACHE[key]
 
 
+def _sorted_executor(spark: SparkSession, sf_dir: str):
+    """Executor over an INDEX-SORTED build (IndexWriterConfig.setIndexSort
+    role): docIDs assigned by (n_chars DESC, original id) — doc order IS
+    the sort order, so field-sorted top-k is a doc-order prefix."""
+    key = f"sorted_ix::{sf_dir}"
+    if key not in _CACHE:
+        from lucene_solr_spark.operators.index_sort import build_sorted_index
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumnRenamed(
+            "doc_id", "orig_id"
+        )
+        ix = build_sorted_index(
+            docs,
+            [("n_chars", "desc")],
+            text_col="text",
+            tiebreak_col="orig_id",
+        ).persist()
+        _CACHE[key] = DFExecutor(ix, mode="double")
+    return _CACHE[key]
+
+
 def _synonym_executor(spark: SparkSession, sf_dir: str):
     """Executor over an index with INDEX-TIME synonyms (SynonymGraphFilter
     expand role): every 'slow' also emits a stacked 'fast' (posIncr=0);
@@ -1119,6 +1141,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["synonym_index_topk"] = synonym_index_topk
 
+    def index_sorted_topk(spark, sf_dir):
+        """Index sorting (IndexWriterConfig.setIndexSort): top-10 by the
+        index sort field = the first 10 matching docIDs — no score sort,
+        early-terminable (operators/index_sort.py)."""
+        ex = _sorted_executor(spark, sf_dir)
+        hits = ex.matches(_T("merge")).select("doc_id")
+        ids = ex.index.docs.select("doc_id", "orig_id")
+        nch = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("orig_id"), "n_chars"
+        )
+        return (
+            hits.join(ids, "doc_id")
+            .orderBy(F.asc("doc_id"))
+            .limit(10)
+            .join(nch, "orig_id")
+            .select(F.col("orig_id").alias("doc_id"), "n_chars")
+        )
+
+    out["index_sorted_topk"] = index_sorted_topk
+
     def stemmed_term_topk(spark, sf_dir):
         """Full EnglishAnalyzer chain incl. PorterStem. No SQL oracle:
         DuckDB's stem() lives in the unavailable fts extension — the
@@ -1650,6 +1692,12 @@ def oracle_sql() -> dict[str, str]:
       JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
       WHERE p.term = 'fast'
       ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+
+    out["index_sorted_topk"] = f"""WITH {_IX}
+      SELECT p.doc_id, d.n_chars
+      FROM (SELECT DISTINCT doc_id FROM postings WHERE term = 'merge') p
+      JOIN documents d USING (doc_id)
+      ORDER BY d.n_chars DESC, p.doc_id ASC LIMIT 10"""
 
     # --- block-kernel path: same semantics → same oracles ----------------
     out["merged_term_topk"] = out["term_topk"]

@@ -1195,8 +1195,12 @@ class SegmentSearcher:
             .select("doc_id", "score")
         )
 
-    def matches(self, q: ir.Query) -> DataFrame:
-        return self.topk_batch({"q": q}, k=None).select("doc_id", "score")
+    def matches(
+        self, q: ir.Query, segment_ids: list[int] | None = None
+    ) -> DataFrame:
+        return self.topk_batch(
+            {"q": q}, k=None, segment_ids=segment_ids
+        ).select("doc_id", "score")
 
     def topk_batch(
         self,
@@ -1204,6 +1208,7 @@ class SegmentSearcher:
         k: int | None = 10,
         direct: bool = True,
         after: tuple[float, int] | None = None,
+        segment_ids: list[int] | None = None,
     ) -> DataFrame:
         """Batched search: ONE Spark job scores every query against every
         segment (broadcast plans), then a driver-side window merge — the
@@ -1404,6 +1409,11 @@ class SegmentSearcher:
             seg_ids = [
                 s["segment_id"] for s in self.index.manifest()["segments"]
             ]
+            if segment_ids is not None:
+                # caller-restricted scan (sorted-index early termination
+                # reads a doc-order PREFIX of segments)
+                allowed = {int(s) for s in segment_ids}
+                seg_ids = [s for s in seg_ids if int(s) in allowed]
 
             def direct_kernel(iterator):
                 import pyarrow.parquet as pq
@@ -1482,6 +1492,9 @@ class SegmentSearcher:
             res = ids_df.mapInPandas(direct_kernel, schema=schema)
         else:
             seg_rows = self.index.segments(self.spark)
+            if segment_ids is not None:
+                ids = [int(s) for s in segment_ids]
+                seg_rows = seg_rows.filter(F.col("segment_id").isin(ids))
             if not full_scan:
                 conds = []
                 if needed_terms:
@@ -1499,6 +1512,10 @@ class SegmentSearcher:
                         cond = cond | c
                     seg_rows = seg_rows.filter(cond)
             seg_docs = self.index.seg_docs(self.spark)
+            if segment_ids is not None:
+                seg_docs = seg_docs.filter(
+                    F.col("segment_id").isin([int(s) for s in segment_ids])
+                )
             all_tombs = None
             if has_tombs:
                 # cogroup fallback path: ship the (small) tombstone set
