@@ -504,6 +504,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["minhash_near_dups"] = minhash_near_dups
 
+    def dedup_clusters(spark, sf_dir):
+        """Near-dup CLUSTERS: MinHash pairs → connected components (min
+        reachable doc_id as the cluster label) — the keep-one-per-group
+        step of a dedup pipeline; label propagation over the pair list,
+        never the corpus."""
+        from lucene_solr_spark.functions.dedup import (
+            connected_components,
+            minhash_near_duplicates,
+        )
+
+        pairs = minhash_near_duplicates(
+            _docs(spark, sf_dir), text_col="text", threshold=0.8,
+            num_hashes=64, bands=32,
+        ).select("doc_a", "doc_b")
+        return connected_components(pairs, src_col="doc_a", dst_col="doc_b")
+
+    out["dedup_clusters"] = dedup_clusters
+
     def simhash_sig(spark, sf_dir):
         from lucene_solr_spark.functions.dedup import simhash
 
@@ -1884,6 +1902,36 @@ def oracle_sql() -> dict[str, str]:
 
     # --- near-dup / token / language ops ---------------------------------
     out["minhash_near_dups"] = out["jaccard_pairs"]
+
+    # clusters = transitive closure of the near-dup pairs; cluster label
+    # = min reachable doc_id (DuckDB recursive CTE as the oracle)
+    out["dedup_clusters"] = """
+      WITH RECURSIVE tok AS (
+        SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+        FROM documents
+      ),
+      sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM tok GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+        FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ),
+      pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
+      ),
+      sym AS (
+        SELECT doc_a AS x, doc_b AS y FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(x, y) AS (
+        SELECT x, x FROM (SELECT DISTINCT x FROM sym)
+        UNION
+        SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
+      )
+      SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x"""
 
     out["token_counts"] = r"""
       SELECT doc_id,

@@ -215,3 +215,66 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return acc.select(
         "doc_id", F.expr(simhash_value_expr()).cast("long").alias("simhash")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src_col: str = "a",
+    dst_col: str = "b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Near-dup CLUSTERS from a pair list: (doc_id, cluster_id) where
+    cluster_id = the smallest doc_id reachable through the similarity
+    graph — the step that turns MinHash/SimHash candidate PAIRS into
+    keep-one-per-group dedup decisions.
+
+    Algorithm: iterated min-label propagation over the symmetric edge
+    set (the "small-star" half of Kiveris et al., MapReduce CC) —
+    each round every node adopts the min label in its closed
+    neighborhood; converges in O(diameter) rounds. Near-dup graphs are
+    dense cliques with tiny diameter (usually 2-3 rounds), so at 100 TB
+    this is a handful of self-joins on the (small) pair list, NOT the
+    corpus; each round is one shuffle keyed by node.
+
+    Convergence is checked with a count of changed labels per round —
+    an O(1)-row driver read, not a collect of the graph.
+    """
+    sym = (
+        pairs.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+        .union(pairs.select(F.col(dst_col).alias("x"), F.col(src_col).alias("y")))
+        .distinct()
+    )
+    nodes = sym.select(F.col("x").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node")).persist()
+    edges = sym.persist()
+    edges.count()
+    for _ in range(max_iters):
+        # min label over the closed neighborhood
+        nbr = (
+            edges.join(labels, edges["y"] == labels["node"])
+            .groupBy(F.col("x").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
