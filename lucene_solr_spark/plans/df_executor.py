@@ -182,6 +182,10 @@ class DFExecutor:
     #: non-BM25 pluggable similarity (functions.similarities.Similarity);
     #: None = the built-in Lucene-parity BM25 fast paths
     similarity: object | None = None
+    #: optional plans.query_cache.LRUQueryCache: FILTER / MUST_NOT
+    #: clauses (filter context, search/LRUQueryCache.java:85) are served
+    #: from pinned match-sets when the caching policy admits them
+    query_cache: object | None = None
     _stats_cache: dict = field(default_factory=dict)
 
     # ------------------------------------------------------------------ api
@@ -603,12 +607,23 @@ class DFExecutor:
             ),
         )
 
+    def _filter_matches(self, c: ir.Query) -> DataFrame:
+        """Filter-context match-set (doc_id only, no scores). Served from
+        the LRU query cache when one is attached and its usage-tracking
+        policy admits the query (LRUQueryCache caches only filter-context
+        clauses — scoring clauses are never cached)."""
+        if self.query_cache is None:
+            return self._eval(c, 1.0).select("doc_id")
+        return self.query_cache.get_or_compute(
+            c, lambda: self._eval(c, 1.0).select("doc_id")
+        )
+
     def _eval_boolean(self, q: ir.BooleanQuery, boost: float) -> DataFrame:
         musts = [self._eval(c, boost) for c in q.by_occur(ir.Occur.MUST)]
-        filters = [self._eval(c, 1.0).select("doc_id") for c in q.by_occur(ir.Occur.FILTER)]
+        filters = [self._filter_matches(c) for c in q.by_occur(ir.Occur.FILTER)]
         should_qs = q.by_occur(ir.Occur.SHOULD)
         shoulds = [self._eval(c, boost) for c in should_qs]
-        nots = [self._eval(c, 1.0).select("doc_id") for c in q.by_occur(ir.Occur.MUST_NOT)]
+        nots = [self._filter_matches(c) for c in q.by_occur(ir.Occur.MUST_NOT)]
         msm = q.min_should_match
 
         # required side: conjunction = chained inner joins on doc_id
