@@ -522,6 +522,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["dedup_clusters"] = dedup_clusters
 
+    def dedup_survivors(spark, sf_dir):
+        """Keep-one-per-cluster: doc ids surviving the full dedup pass
+        (drop every non-canonical member of each near-dup cluster)."""
+        from lucene_solr_spark.functions.dedup import dedup_survivors as surv
+
+        return surv(
+            _docs(spark, sf_dir), text_col="text", threshold=0.8,
+            num_hashes=64, bands=32,
+        )
+
+    out["dedup_survivors"] = dedup_survivors
+
     def simhash_sig(spark, sf_dir):
         from lucene_solr_spark.functions.dedup import simhash
 
@@ -1932,6 +1944,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
       )
       SELECT x AS doc_id, min(y) AS cluster_id FROM reach GROUP BY x"""
+
+    # survivors = docs that are NOT a non-canonical member of a cluster
+    # (canonical = min reachable doc_id); docs with no near-dup always survive
+    out["dedup_survivors"] = """
+      WITH RECURSIVE tok AS (
+        SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+        FROM documents
+      ),
+      sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM tok GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+        FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ),
+      pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
+      ),
+      sym AS (
+        SELECT doc_a AS x, doc_b AS y FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+      ),
+      reach(x, y) AS (
+        SELECT x, x FROM (SELECT DISTINCT x FROM sym)
+        UNION
+        SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
+      ),
+      dropped AS (
+        SELECT x AS doc_id FROM reach GROUP BY x HAVING min(y) < x
+      )
+      SELECT d.doc_id FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)"""
 
     out["token_counts"] = r"""
       SELECT doc_id,

@@ -29,6 +29,8 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_near_duplicates",
     "simhash",
+    "connected_components",
+    "dedup_survivors",
 ]
 
 _TOKEN_RX = "[a-z0-9]+"
@@ -239,20 +241,25 @@ def connected_components(
 
     Convergence is checked with a count of changed labels per round —
     an O(1)-row driver read, not a collect of the graph.
+
+    Each round's labels are eagerly ``localCheckpoint``-ed: iterative
+    self-joins otherwise grow the logical plan exponentially (the plan
+    itself OOMs the driver long before the data is a problem), so the
+    lineage MUST be truncated per iteration — the standard Spark shape
+    for iterative algorithms (GraphX/Pregel does the same).
     """
     sym = (
         pairs.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
         .union(pairs.select(F.col(dst_col).alias("x"), F.col(src_col).alias("y")))
         .distinct()
+        .persist()
     )
     nodes = sym.select(F.col("x").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node")).persist()
-    edges = sym.persist()
-    edges.count()
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
     for _ in range(max_iters):
         # min label over the closed neighborhood
         nbr = (
-            edges.join(labels, edges["y"] == labels["node"])
+            sym.join(labels, sym["y"] == labels["node"])
             .groupBy(F.col("x").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -264,7 +271,7 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)  # truncate lineage, materialize
         )
         changed = (
             new_labels.alias("n")
@@ -272,9 +279,45 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
+    sym.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """The keep-one-per-group decision of a full dedup pass: doc ids
+    that survive after dropping every non-canonical member of each
+    near-duplicate cluster (canonical = smallest doc_id reachable in
+    the similarity graph).
+
+    Exact duplicates are subsumed: byte-identical texts have Jaccard 1
+    ≥ threshold, so they land in the same cluster as any near-dups.
+
+    Scale shape: the corpus is touched exactly twice — once by the
+    MinHash signature scan and once by the final left_anti join against
+    the (small) drop list; clustering runs over the pair list only.
+    """
+    pairs = minhash_near_duplicates(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+    ).select("doc_a", "doc_b")
+    clusters = connected_components(pairs, src_col="doc_a", dst_col="doc_b")
+    drop = (
+        clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.select(id_col).join(drop, id_col, "left_anti")
