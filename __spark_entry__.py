@@ -1143,6 +1143,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["infix_suggest"] = infix_suggest_q
 
+    def fuzzy_suggest_q(spark, sf_dir):
+        """FuzzySuggester role: completions whose prefix is within 1
+        edit of the (typo'd) query `imprt`."""
+        from lucene_solr_spark.functions.suggest import fuzzy_suggest
+
+        ex = _executor(spark, sf_dir)
+        return fuzzy_suggest(ex.index.term_stats, "mergo", k=10, max_edits=1)
+
+    out["fuzzy_suggest"] = fuzzy_suggest_q
+
     # --- analysis-chain variants (EnglishAnalyzer, §2.1) -----------------
     def stop_filter_topk(spark, sf_dir):
         """StopFilter leg of the English chain: stop-filtered index
@@ -1856,6 +1866,21 @@ def oracle_sql() -> dict[str, str]:
       FROM term_stats
       WHERE term LIKE '%at%'
       ORDER BY is_prefix DESC, df DESC, term ASC LIMIT 10"""
+
+    # fuzzy completion: prefix-of-term within 1 edit of the typo'd
+    # query 'mergo' (len 5 -> prefixes of length 4..6; shared first char;
+    # weight-ranked) — catches every merg* completion at distance 1
+    out["fuzzy_suggest"] = f"""WITH {_IX}
+      SELECT term, df,
+             least(levenshtein(substr(term, 1, 4), 'mergo'),
+                   levenshtein(substr(term, 1, 5), 'mergo'),
+                   levenshtein(substr(term, 1, 6), 'mergo'))::INT AS distance
+      FROM term_stats
+      WHERE term LIKE 'm%' AND length(term) >= 4
+        AND least(levenshtein(substr(term, 1, 4), 'mergo'),
+                  levenshtein(substr(term, 1, 5), 'mergo'),
+                  levenshtein(substr(term, 1, 6), 'mergo')) <= 1
+      ORDER BY df DESC, distance ASC, term ASC LIMIT 10"""
 
     # highlight: reproduce the kernel's passage rule exactly — matches
     # cluster when index gaps <= 2*ctx+1 (=7), the best cluster (most

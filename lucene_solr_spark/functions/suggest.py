@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["spell_suggest", "prefix_suggest", "infix_suggest"]
+__all__ = ["spell_suggest", "prefix_suggest", "infix_suggest", "fuzzy_suggest"]
 
 
 def spell_suggest(
@@ -107,5 +107,51 @@ def infix_suggest(
             "is_prefix", F.col("term").startswith(query).cast("int")
         )
         .orderBy(F.desc("is_prefix"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def fuzzy_suggest(
+    term_stats: DataFrame,
+    query: str,
+    *,
+    k: int = 10,
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+) -> DataFrame:
+    """FuzzySuggester role (``suggest/analyzing/FuzzySuggester.java:47-90``):
+    completions whose PREFIX is within ``max_edits`` of the typed query —
+    typo-tolerant autocomplete. Reference defaults preserved: edits only
+    after ``non_fuzzy_prefix`` (=1) leading chars, fuzziness only for
+    queries of at least ``min_fuzzy_length`` (=3, shorter falls back to
+    exact prefix), ranked by weight (docFreq) like AnalyzingSuggester,
+    with (distance, term) as deterministic tiebreaks.
+
+    Re-expression of the Levenshtein-automaton×FST intersection: the
+    prefix distance is ``min over L in [len(q)-e, len(q)+e] of
+    lev(term[:L], q)`` — 2e+1 codegen'd levenshtein calls against the
+    pruned dictionary slice (first-char + length-band predicates reach
+    the term-sorted parquet scan), no automaton machinery needed."""
+    if len(query) < min_fuzzy_length:
+        return prefix_suggest(term_stats, query, k=k).withColumn(
+            "distance", F.lit(0)
+        )
+    lens = [
+        n for n in range(len(query) - max_edits, len(query) + max_edits + 1) if n > 0
+    ]
+    dists = [
+        F.levenshtein(F.substring(F.col("term"), 1, n), F.lit(query)) for n in lens
+    ]
+    dist = F.least(*dists) if len(dists) > 1 else dists[0]
+    cand = term_stats.select("term", "df").filter(
+        F.length("term") >= len(query) - max_edits
+    )
+    if non_fuzzy_prefix > 0:
+        cand = cand.filter(F.col("term").startswith(query[:non_fuzzy_prefix]))
+    return (
+        cand.withColumn("distance", dist.cast("int"))
+        .filter(F.col("distance") <= max_edits)
+        .orderBy(F.desc("df"), F.asc("distance"), F.asc("term"))
         .limit(k)
     )
