@@ -541,6 +541,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["simhash_sig"] = simhash_sig
 
+    def simhash_near_dups(spark, sf_dir):
+        """SimHash near-dup pairs (Hamming ≤ 3): pigeonhole banding
+        (4 chunks of 16 bits — recall 1 by construction) + bit_count
+        verify; the SimHash twin of the MinHash-LSH path."""
+        from lucene_solr_spark.functions.dedup import simhash_near_duplicates
+
+        return simhash_near_duplicates(
+            _docs(spark, sf_dir), text_col="text", max_hamming=3
+        )
+
+    out["simhash_near_dups"] = simhash_near_dups
+
     def token_counts_q(spark, sf_dir):
         from lucene_solr_spark.functions.text import token_counts
 
@@ -2091,6 +2103,20 @@ def oracle_sql() -> dict[str, str]:
       ),
       acc AS (SELECT doc_id, {sim_aggs} FROM tok GROUP BY doc_id)
       SELECT doc_id, {simhash_value_expr()}::BIGINT AS simhash FROM acc"""
+
+    # exact oracle for the banded path: all-pairs Hamming — pigeonhole
+    # banding has recall 1, so the engine must equal this exactly
+    out["simhash_near_dups"] = f"""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+        FROM documents
+      ),
+      acc AS (SELECT doc_id, {sim_aggs} FROM tok GROUP BY doc_id),
+      sig AS (SELECT doc_id, {simhash_value_expr()}::BIGINT AS simhash FROM acc)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
     # media_features: the FIMG pixel stream is closed-form
     # (pix[k] = (doc_id*A + k*B) mod 256), so the decoded per-channel

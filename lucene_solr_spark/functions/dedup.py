@@ -29,6 +29,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_near_duplicates",
     "simhash",
+    "simhash_near_duplicates",
     "connected_components",
     "dedup_survivors",
 ]
@@ -216,6 +217,72 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     acc = tok.groupBy("doc_id").agg(*aggs)
     return acc.select(
         "doc_id", F.expr(simhash_value_expr()).cast("long").alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs: (doc_a, doc_b, hamming) with Hamming
+    distance ≤ ``max_hamming`` between 64-bit fingerprints.
+
+    Pigeonhole banding makes this EXACT, not approximate: split the 64
+    bits into ``bands`` (default max_hamming+1) contiguous chunks — two
+    fingerprints within k bit flips must agree on at least one of k+1
+    chunks, so a bucket-join on (band, chunk value) has recall 1 by
+    construction and the bit_count(xor) verify removes false positives.
+
+    Scale shape: one signature scan, one shuffle on uniform (band,
+    chunk) keys, verification on candidate pairs only — the SimHash
+    twin of the MinHash-LSH path. Oversized buckets (all-zero chunks
+    from boilerplate) are capped like LSH buckets.
+    """
+    b = bands if bands is not None else max_hamming + 1
+    if not 1 <= b <= 64:
+        raise ValueError(f"bands must be in [1, 64], got {b}")
+    sig = simhash(df, text_col, id_col)
+    w = 64 // b
+    chunk_cols = []
+    for j in range(b):
+        width = w + (64 % b) if j == b - 1 else w  # last chunk absorbs remainder
+        mask = (1 << width) - 1
+        chunk_cols.append(
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), j * w)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk"),
+            )
+        )
+    exploded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_cols)).alias("bc")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bc.band").alias("band"),
+        F.col("bc.chunk").alias("chunk"),
+    )
+    sized = exploded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "chunk"))
+    ).filter(F.col("bucket_n") <= max_bucket_size)
+    a = sized.select("band", "chunk", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    bb = sized.select("band", "chunk", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.join(bb, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 

@@ -55,3 +55,29 @@ def test_survivors_keep_one_per_cluster(spark):
         for r in dedup_survivors(docs, threshold=0.8, num_hashes=64, bands=32).collect()
     )
     assert surv == [1, 4]
+
+
+def test_simhash_near_duplicates_banded_equals_bruteforce(spark):
+    """Pigeonhole banding has recall 1: the banded bucket-join result
+    must EQUAL the all-pairs Hamming filter, not approximate it."""
+    from lucene_solr_spark.functions.dedup import simhash, simhash_near_duplicates
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, base + f" tail{i % 4}") for i in range(24)]
+    rows += [(100 + i, f"completely unrelated corpus line number {i} with distinct tokens{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    k = 6
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_duplicates(docs, max_hamming=k).collect()
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(sigs)
+    want = sorted(
+        (a, b, bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= k
+    )
+    assert got == want and len(want) > 0
