@@ -214,10 +214,13 @@ def build_segments(
     enc = with_seg.groupBy("segment_id").applyInPandas(
         _encode_partition(segment_size), schema=SEGMENT_SCHEMA
     )
+    # No repartition before the write: the groupBy already placed each
+    # segment wholly inside one task, and _encode_partition emits its rows
+    # term-sorted (groupby(sort=True)), so partitionBy still yields one
+    # term-sorted file per segment dir. Re-shuffling the encoded blobs a
+    # second time doubled the heaviest IO of the whole flush for nothing.
     (
-        enc.repartition(F.col("segment_id"))
-        .sortWithinPartitions("term")
-        .write.mode("append" if done else "overwrite")
+        enc.write.mode("append" if done else "overwrite")
         .partitionBy("segment_id")
         .parquet(f"{base}/segments")
     )
