@@ -65,7 +65,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stop_filter_topk",
     # round-3 additions
     "mlt_topk", "common_terms_topk", "search_after_page2",
-    "highlight_offsets",
+    "highlight_offsets", "rescore_topk",
     # index lifecycle (merge / delete / purge)
     "merged_term_topk", "purged_term_topk", "search_after_delete",
     "collection_stats",
@@ -77,7 +77,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "highlight_topk", "spell_suggest",
     # aggregations / join
     "facet_on_query", "group_topk_on_query", "join_parent_child",
-    "block_join_parent_topk", "join_util_topk",
+    "block_join_parent_topk",
     # LLM-data-pipeline ops
     "dedup_exact", "minhash_near_dups", "simhash_sig", "ivf_ann_topk",
     "token_stats", "quality_score",
@@ -1328,6 +1328,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["common_terms_topk"] = common_terms_topk
 
+    def rescore_topk(spark, sf_dir):
+        """QueryRescorer (search/QueryRescorer.java:50-151): first pass =
+        top-50 TermQuery('table'); second pass = PhraseQuery('table scan')
+        at weight 2.0 — combine = firstPass + 2·secondPass where the
+        phrase matches, firstPass alone otherwise; re-sorted top-10."""
+        ex = _executor(spark, sf_dir)
+        first = ex.topk(_T("table"), k=50).select("doc_id", "score")
+        return ex.rescore(
+            first, ir.PhraseQuery(("table", "scan")), weight=2.0, k=10
+        ).select("doc_id", "score")
+
+    out["rescore_topk"] = rescore_topk
+
     def search_after_page2(spark, sf_dir):
         """Page 2 of the or2 ranking via IndexSearcher.searchAfter
         (search/IndexSearcher.java:470): cursor = page 1's last
@@ -1582,6 +1595,31 @@ def oracle_sql() -> dict[str, str]:
       FROM ph p JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
       ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
     out["phrase_topk"] = phrase_topk_sql
+
+    # QueryRescorer: top-50 first pass re-ranked by s1 + 2·s2 (phrase
+    # matches only — LEFT JOIN keeps non-matching hits at s1)
+    out["rescore_topk"] = f"""WITH {_IX},
+      firstp AS (
+        SELECT p.doc_id, {_SCORE} AS s1
+        FROM postings p JOIN term_stats ts USING (term)
+        JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+        WHERE p.term = 'table'
+        ORDER BY s1 DESC, p.doc_id ASC LIMIT 50
+      ),
+      ph AS (
+        SELECT a.doc_id, count(*)::BIGINT AS tf
+        FROM tokens a JOIN tokens b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'table' AND b.term = 'scan'
+        GROUP BY a.doc_id
+      ),
+      secondp AS (
+        SELECT p.doc_id, {bm25_score_sql(tf_expr='p.tf', w_expr=phrase_w)} AS s2
+        FROM ph p JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      )
+      SELECT f.doc_id, f.s1 + 2.0 * coalesce(s.s2, 0.0) AS score
+      FROM firstp f LEFT JOIN secondp s ON s.doc_id = f.doc_id
+      ORDER BY score DESC, f.doc_id ASC LIMIT 10"""
 
     # sloppy phrase MATCH SET: 2-term slop-s match ⟺ ∃ pa, pb with
     # |pb - pa - 1| ≤ s (SloppyPhraseMatcher matchLength for two pps)

@@ -141,6 +141,45 @@ class SearchEngine:
         }
         return self._searcher.topk_batch(qs, k=k)
 
+    def rescore(
+        self,
+        hits: list[Hit],
+        query: str | ir.Query,
+        *,
+        weight: float = 1.0,
+        k: int = 10,
+    ) -> list[Hit]:
+        """``QueryRescorer.rescore`` (``search/QueryRescorer.java:50-151``):
+        re-rank an existing page of hits by ``first + weight * second``
+        where the rescore query matches, first-pass score alone where it
+        doesn't. The second pass is one distributed job; the hit page is
+        broadcast onto it — per-hit work never touches the driver."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        q = parse_query(query) if isinstance(query, str) else query
+        first = self.spark.createDataFrame(
+            [(int(h.doc_id), float(h.score)) for h in hits],
+            "doc_id long, s1 float",
+        )
+        second = self._searcher.matches(q).withColumnRenamed("score", "s2")
+        w = F.lit(float(np.float32(weight))).cast("float")
+        comb = (
+            F.col("s1")
+            + (w * F.coalesce(F.col("s2"), F.lit(0.0)).cast("float")).cast(
+                "float"
+            )
+        ).cast("float")
+        rows = (
+            F.broadcast(first)
+            .join(second, "doc_id", "left")
+            .select("doc_id", comb.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return [Hit(r["doc_id"], r["score"]) for r in rows]
+
     def count(self, query: str | ir.Query) -> int:
         q = parse_query(query) if isinstance(query, str) else query
         return self._searcher.matches(q).count()

@@ -208,6 +208,49 @@ class DFExecutor:
             )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def rescore(
+        self,
+        first_pass: DataFrame,
+        q: ir.Query,
+        *,
+        weight: float = 1.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """``QueryRescorer.rescore`` (``search/QueryRescorer.java:50-116``
+        and the static helper ``:139-151``): re-rank an existing top-N by
+        ``firstPassScore + weight * secondPassScore`` for hits that match
+        the rescore query; non-matching hits keep their first-pass score
+        (``combine(firstPassScore, secondPassMatches, secondPassScore)``).
+
+        ``first_pass`` is a (doc_id, score) frame (normally a collected-N
+        ``topk`` result). The second-pass query scores ALL its matches
+        once (one distributed job) and broadcast-joins onto the small
+        first-pass set — never per-hit work, so the plan is the same at
+        100× corpus size. Float mode mirrors Lucene's float add/mul; in
+        double mode the combine is plain double arithmetic (the oracle
+        contract)."""
+        second = self.matches(q).withColumnRenamed("score", "s2")
+        joined = F.broadcast(
+            first_pass.withColumnRenamed("score", "s1")
+        ).join(second, "doc_id", "left")
+        if self.mode == "float32":
+            w = F.lit(float(np.float32(weight))).cast("float")
+            comb = (
+                F.col("s1").cast("float")
+                + (w * F.coalesce(F.col("s2"), F.lit(0.0)).cast("float")).cast(
+                    "float"
+                )
+            ).cast("float")
+        else:
+            comb = F.col("s1") + F.lit(float(weight)) * F.coalesce(
+                F.col("s2"), F.lit(0.0)
+            )
+        return (
+            joined.select("doc_id", comb.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def count(self, q: ir.Query) -> int:
         return self.matches(q).count()
 

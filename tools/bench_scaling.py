@@ -131,8 +131,18 @@ Raw JSON (all legs):
 {os.linesep.join(json.dumps(r) for rs in runs.values() for r in rs)}
 ```
 """
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
-        f.write(md)
+    # preserve prior rounds' evidence (everything from the first
+    # "# Prior evidence" heading down) across regenerations — the old
+    # tables and noise studies justify the protocol and must survive
+    path = f"{REPO}/BENCH/BASELINE.md"
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        i = old.find("# Prior evidence")
+        if i >= 0:
+            tail = "\n\n---\n\n" + old[i:]
+    with open(path, "w") as f:
+        f.write(md + tail)
     print(md)
     return 0
 
