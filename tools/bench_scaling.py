@@ -24,7 +24,7 @@ from datetime import datetime, timezone
 
 REPO = "/root/repo"
 N, N4 = 4, 16
-REPEATS = 2
+REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
 
 
 def run(cores: int) -> dict:
