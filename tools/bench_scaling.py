@@ -27,7 +27,24 @@ N, N4 = 4, 16
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
 
 
+def _wait_for_idle(max_load: float = 1.5, timeout_s: int = 600) -> None:
+    """Hold a leg until the host's 1-min load drops below ``max_load``
+    (or the timeout passes): the shared host's neighbors caused 2-7x
+    spread between repeats of identical legs, which min-of-N cannot
+    always filter. Gating on load keeps legs out of contention windows."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    while _time.monotonic() < deadline:
+        load1 = os.getloadavg()[0]
+        if load1 < max_load:
+            return
+        print(f"  [load {load1:.1f} >= {max_load}; waiting]", flush=True)
+        _time.sleep(15)
+
+
 def run(cores: int) -> dict:
+    _wait_for_idle()
     out = subprocess.run(
         [sys.executable, f"{REPO}/tools/scaling_workload.py", str(cores)],
         capture_output=True,
