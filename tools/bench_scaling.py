@@ -148,14 +148,17 @@ Raw JSON (all legs):
 {os.linesep.join(json.dumps(r) for rs in runs.values() for r in rs)}
 ```
 """
-    # preserve prior rounds' evidence (everything from the first
-    # "# Prior evidence" heading down) across regenerations — the old
-    # tables and noise studies justify the protocol and must survive
+    # preserve prior rounds' evidence across regenerations — everything
+    # from the explicit <!-- PRESERVE-BELOW --> marker (fallback: the
+    # first "# Prior evidence" heading) down; the old tables and noise
+    # studies justify the protocol and must survive
     path = f"{REPO}/BENCH/BASELINE.md"
     tail = ""
     if os.path.exists(path):
         old = open(path).read()
-        i = old.find("# Prior evidence")
+        i = old.find("<!-- PRESERVE-BELOW -->")
+        if i < 0:
+            i = old.find("# Prior evidence")
         if i >= 0:
             tail = "\n\n---\n\n" + old[i:]
     with open(path, "w") as f:
