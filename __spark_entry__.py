@@ -72,11 +72,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # stats / norms
     "doc_norms",
     # similarities
-    "classic_sim_topk", "boolean_sim_topk", "lmdirichlet_matches",
+    "classic_sim_topk", "lmdirichlet_matches",
     # highlight / suggest
     "highlight_topk", "spell_suggest",
-    # aggregations / join
-    "facet_on_query", "group_topk_on_query", "join_parent_child",
+    # aggregations / join / collapse
+    "facet_on_query", "group_topk_on_query", "collapse_topk",
+    "join_parent_child",
     "block_join_parent_topk",
     # LLM-data-pipeline ops
     "dedup_exact", "minhash_near_dups", "simhash_sig", "ivf_ann_topk",
@@ -1328,6 +1329,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["common_terms_topk"] = common_terms_topk
 
+    def collapse_topk(spark, sf_dir):
+        """Field collapsing (Solr CollapsingQParserPlugin / grouping
+        CollapsingTopDocsCollector): best-scoring doc per lang for the
+        merge-OR-window query, ranked (score desc, doc_id asc)."""
+        from lucene_solr_spark.functions.collapse import collapse_topk as ct
+
+        ex = _executor(spark, sf_dir)
+        q = _B(_C(_O.SHOULD, _T("merge")), _C(_O.SHOULD, _T("window")))
+        return ct(ex.matches(q), _docs(spark, sf_dir), "lang", k=10).select(
+            "doc_id", "score", "lang"
+        )
+
+    out["collapse_topk"] = collapse_topk
+
     def rescore_topk(spark, sf_dir):
         """QueryRescorer (search/QueryRescorer.java:50-151): first pass =
         top-50 TermQuery('table'); second pass = PhraseQuery('table scan')
@@ -1435,6 +1450,15 @@ def oracle_sql() -> dict[str, str]:
       SELECT req.doc_id, req.score + coalesce(opt.score, 0.0) AS score
       FROM req LEFT JOIN opt USING (doc_id)
       ORDER BY score DESC, req.doc_id ASC LIMIT 10"""
+
+    # field collapsing: best doc per lang over the or2 scored set
+    out["collapse_topk"] = f"""WITH {_IX},
+      u AS (SELECT * FROM ({_leaf_scores('merge')}) UNION ALL SELECT * FROM ({_leaf_scores('window')})),
+      scored AS (SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id),
+      keyed AS (SELECT s.doc_id, s.score, d.lang FROM scored s JOIN documents d USING (doc_id)),
+      best AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rn FROM keyed)
+      SELECT doc_id, score, lang FROM best WHERE rn = 1
+      ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     out["dismax_topk"] = f"""WITH {_IX},
       u AS (SELECT * FROM ({_leaf_scores('merge')}) UNION ALL SELECT * FROM ({_leaf_scores('window')}))

@@ -1,0 +1,52 @@
+"""Field collapsing (Solr CollapsingQParserPlugin / grouping
+CollapsingTopDocsCollector role): one survivor per key, group head =
+(score desc, doc_id asc), survivors ranked the same way."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_solr_spark.functions.collapse import collapse_topk
+from lucene_solr_spark.plans import ir
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def executor(spark):
+    from lucene_solr_spark.operators.index_build import build_index
+    from lucene_solr_spark.plans.df_executor import DFExecutor
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ix = build_index(docs, text_col="text", doc_id_col="doc_id").persist()
+    return DFExecutor(ix, mode="double")
+
+
+def test_collapse_matches_manual(spark, executor):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = ir.BooleanQuery(
+        (
+            ir.BooleanClause(ir.TermQuery("merge"), ir.Occur.SHOULD),
+            ir.BooleanClause(ir.TermQuery("window"), ir.Occur.SHOULD),
+        )
+    )
+    scored = executor.matches(q)
+    got = [
+        (r["doc_id"], r["score"], r["lang"])
+        for r in collapse_topk(scored, docs, "lang", k=10).collect()
+    ]
+
+    lang = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    rows = sorted(
+        ((r["doc_id"], r["score"]) for r in scored.collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    seen, want = set(), []
+    for d, s in rows:
+        if lang[d] in seen:
+            continue
+        seen.add(lang[d])
+        want.append((d, s, lang[d]))
+    assert got == want[:10]
+    # at most one row per key
+    assert len({g[2] for g in got}) == len(got)
