@@ -55,10 +55,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "term_topk", "and2_topk", "or2_topk", "req_opt_topk", "dismax_topk",
     "synonym_topk", "boost_topk", "bool_not_set", "filter_set", "msm2_set",
     "sort_by_field_topk", "docs_only_topk",
+    # per-field indexing + field-qualified parsing (round 4)
+    "field_term_topk", "multi_field_bool_topk",
     # phrases + spans
     "phrase_topk", "multi_phrase_topk", "sloppy_phrase_matches",
     "span_near_set", "span_near_unordered_set", "span_or_set",
-    "span_within_set",
     # multi-term (dictionary expansion)
     "prefix_set", "regexp_set", "fuzzy_set", "term_range_set", "term_in_set",
     # analysis chain
@@ -66,8 +67,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # round-3 additions
     "mlt_topk", "common_terms_topk", "search_after_page2",
     "highlight_offsets", "rescore_topk",
-    # index lifecycle (merge / delete / purge)
-    "merged_term_topk", "purged_term_topk", "search_after_delete",
+    # index lifecycle (merge / delete / purge; search_after_delete and
+    # span_within_set demoted past the window round 4 — their families
+    # keep hard-oracle twins in-window; both stay green locally)
+    "merged_term_topk", "purged_term_topk",
     "collection_stats",
     # stats / norms
     "doc_norms",
@@ -232,6 +235,37 @@ def _stopped_executor(spark: SparkSession, sf_dir: str):
     return _CACHE[key]
 
 
+#: SQL expression for the synthetic second field (computed deterministically
+#: from the corpus — identical text in Spark and DuckDB): a short prefix of
+#: the body with per-doc varying length, so the title field has its OWN df
+#: distribution, norms, and avgdl.
+_TITLE_EXPR_SPARK = "substring(text, 1, 20 + cast(doc_id % 30 as int))"
+_TITLE_EXPR_SQL = "substr(text, 1, (20 + (doc_id % 30))::INT)"
+
+
+def _mf_executor(spark: SparkSession, sf_dir: str):
+    """Executor over a TWO-FIELD index (body `text` + computed `title`) —
+    per-field postings/norms/stats from ONE tokenize pass
+    (operators.multi_field; FieldInfos / Term(field, text) role)."""
+    key = f"mf_ix::{sf_dir}"
+    if key not in _CACHE:
+        from lucene_solr_spark.operators.multi_field import (
+            MultiFieldExecutor,
+            build_multi_field_index,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+            "title", F.expr(_TITLE_EXPR_SPARK)
+        )
+        mf = build_multi_field_index(
+            docs,
+            {"text": {"col": "text"}, "title": {"col": "title"}},
+            doc_id_col="doc_id",
+        ).persist()
+        _CACHE[key] = MultiFieldExecutor(mf, mode="double")
+    return _CACHE[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -280,6 +314,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ir.DisjunctionMaxQuery((_T("merge"), _T("window")), tie_breaker=0.3)
     )
     out["synonym_topk"] = _topk(ir.SynonymQuery(("fast", "slow")))
+
+    # --- per-field indexing + field-qualified parsing (FieldInfos /
+    # Term(field, text) / QueryParserBase.getFieldQuery) -------------------
+    def field_term_topk(spark, sf_dir):
+        """`title:merge` through the classic parser → the title field's
+        postings + ITS norms/avgdl/df (not the body's)."""
+        from lucene_solr_spark.plans.parser import parse_query
+
+        ex = _mf_executor(spark, sf_dir)
+        return ex.topk(parse_query("title:merge"), k=10).select(
+            "doc_id", "score"
+        )
+
+    out["field_term_topk"] = field_term_topk
+
+    def multi_field_bool_topk(spark, sf_dir):
+        """`+dup title:merge` — cross-field req-opt boolean: MUST on the
+        body field, SHOULD on the title field, scores combined on the
+        shared doc_id space."""
+        from lucene_solr_spark.plans.parser import parse_query
+
+        ex = _mf_executor(spark, sf_dir)
+        return ex.topk(parse_query("+dup title:merge"), k=10).select(
+            "doc_id", "score"
+        )
+
+    out["multi_field_bool_topk"] = multi_field_bool_topk
+
+    def field_phrase_matches(spark, sf_dir):
+        """`title:"key agg"` — positional query against the title field's
+        positions stream (match set)."""
+        from lucene_solr_spark.plans.parser import parse_query
+
+        ex = _mf_executor(spark, sf_dir)
+        return ex.matches(parse_query('title:"key agg"')).select("doc_id")
+
+    out["field_phrase_matches"] = field_phrase_matches
 
     # --- boolean match sets (ConjunctionDISI / ReqExclScorer / WAND msm) ---
     out["bool_not_set"] = _match_set(
@@ -1400,6 +1471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------- oracle SQL
 _IX = index_ctes()
 _SCORE = bm25_score_sql()
+#: title-field index CTEs (prefix t_): the SECOND field's postings/norms/
+#: gstats coexisting with the body field's — shares the body's norm_lut
+_TITLE_IX = index_ctes(text_col=_TITLE_EXPR_SQL, prefix="t_", with_lut=False)
 
 
 def _topk_sql(term_pred: str, k: int = 10) -> str:
@@ -1414,10 +1488,12 @@ def _topk_sql(term_pred: str, k: int = 10) -> str:
     ORDER BY score DESC, p.doc_id ASC LIMIT {k}"""
 
 
-def _leaf_scores(term: str) -> str:
+def _leaf_scores(term: str, p: str = "") -> str:
+    """Scored single-term leaf; ``p`` selects a prefixed (non-default
+    field's) set of index CTEs."""
     return f"""SELECT p.doc_id, {_SCORE} AS score
-      FROM postings p JOIN term_stats ts USING (term)
-      JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      FROM {p}postings p JOIN {p}term_stats ts USING (term)
+      JOIN {p}norms n ON n.doc_id = p.doc_id CROSS JOIN {p}gstats g
       WHERE p.term = '{term}'"""
 
 
@@ -1450,6 +1526,28 @@ def oracle_sql() -> dict[str, str]:
       SELECT req.doc_id, req.score + coalesce(opt.score, 0.0) AS score
       FROM req LEFT JOIN opt USING (doc_id)
       ORDER BY score DESC, req.doc_id ASC LIMIT 10"""
+
+    # per-field: title:merge scored with the TITLE field's df/norms/avgdl
+    out["field_term_topk"] = f"""WITH {_IX}, {_TITLE_IX}
+      SELECT p.doc_id, {_SCORE} AS score
+      FROM t_postings p JOIN t_term_stats ts USING (term)
+      JOIN t_norms n ON n.doc_id = p.doc_id CROSS JOIN t_gstats g
+      WHERE p.term = 'merge'
+      ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+
+    # cross-field req-opt: MUST text:dup + SHOULD title:merge
+    out["multi_field_bool_topk"] = f"""WITH {_IX}, {_TITLE_IX},
+      req AS ({_leaf_scores('dup')}), opt AS ({_leaf_scores('merge', 't_')})
+      SELECT req.doc_id, req.score + coalesce(opt.score, 0.0) AS score
+      FROM req LEFT JOIN opt USING (doc_id)
+      ORDER BY score DESC, req.doc_id ASC LIMIT 10"""
+
+    # positional match on the title field: "key agg" adjacency
+    out["field_phrase_matches"] = f"""WITH {_IX}, {_TITLE_IX}
+      SELECT DISTINCT a.doc_id
+      FROM t_tokens a JOIN t_tokens b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.term = 'key' AND b.term = 'agg'"""
 
     # field collapsing: best doc per lang over the or2 scored set
     out["collapse_topk"] = f"""WITH {_IX},

@@ -137,6 +137,96 @@ def tokens_frame(
     return docs.select(id_col, text_col).mapInPandas(fn, schema=schema)
 
 
+def multi_postings_frame(
+    docs: "DataFrame",  # noqa: F821
+    *,
+    fields: dict[str, dict],
+    id_col: str = "doc_id",
+    with_positions: bool = True,
+):
+    """corpus → (field, doc_id, term, tf, positions) posting rows for ALL
+    fields in ONE ``mapInPandas`` pass — the Spark analog of Lucene's
+    per-document multi-field inversion (``index/IndexingChain.java:583-641``
+    processDocument iterates the doc's fields inside one DWPT pass;
+    per-field configs via ``index/FieldInfos.java``). One corpus scan
+    covers every field, so an N-field schema does NOT cost N scans of a
+    100 TB table; the per-(field, doc) posting still lives entirely inside
+    one document, so no token-level shuffle exists.
+
+    ``fields``: {field_name: {"col": column_name, ...analyzer opts...}}
+    where analyzer opts are the tokenizer kwargs (lowercase, stopwords,
+    max_token_length, strip_possessive, fold_ascii, stemmer) — the
+    PerFieldAnalyzerWrapper role (each field's analyzer binding is
+    captured by value, like make_tokenize_udf's closure).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lucene_solr_spark.functions.fast_tokenizer import batch_tokenize
+
+    configs = []
+    for fname, cfg in fields.items():
+        cfg = dict(cfg)
+        col = cfg.pop("col", fname)
+        cfg.setdefault("lowercase", True)
+        cfg["stopwords"] = frozenset(cfg.get("stopwords", ()))
+        configs.append((fname, col, cfg))
+    in_cols = [id_col] + sorted({c for _, c, _ in configs})
+
+    schema = T.StructType(
+        [
+            T.StructField("field", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.LongType(), False),
+        ]
+        + (
+            [T.StructField("positions", T.ArrayType(T.IntegerType()), True)]
+            if with_positions
+            else []
+        )
+    )
+    cols = [f.name for f in schema.fields]
+
+    def fn(iterator):
+        for pdf in iterator:
+            doc_ids = pdf[id_col].to_numpy(np.int64)
+            for fname, col, cfg in configs:
+                tdoc, terms, pos = batch_tokenize(pdf[col].tolist(), **cfg)
+                if len(tdoc) == 0:
+                    continue
+                # same vectorized inversion as postings_frame: dictionary-
+                # encode, stable lexsort by (doc, term-code), run-length
+                denc = pc.dictionary_encode(terms)
+                codes = np.asarray(denc.indices, dtype=np.int64)
+                order = np.lexsort((codes, tdoc))
+                sd, sc, sp = tdoc[order], codes[order], pos[order]
+                newgrp = np.r_[True, (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])]
+                gstart = np.nonzero(newgrp)[0]
+                tf = np.diff(np.r_[gstart, len(sd)])
+                data = {
+                    "field": fname,
+                    "doc_id": doc_ids[sd[gstart]],
+                    "term": pd.Series(
+                        denc.dictionary.take(pa.array(sc[gstart], pa.int64())),
+                        dtype=pd.ArrowDtype(pa.string()),
+                    ),
+                    "tf": tf,
+                }
+                if with_positions:
+                    offs = np.r_[gstart, len(sd)].astype(np.int32)
+                    plists = pa.ListArray.from_arrays(
+                        pa.array(offs, pa.int32()), pa.array(sp, pa.int32())
+                    )
+                    data["positions"] = pd.Series(
+                        plists, dtype=pd.ArrowDtype(pa.list_(pa.int32()))
+                    )
+                yield pd.DataFrame(data, columns=cols)
+
+    return docs.select(*in_cols).mapInPandas(fn, schema=schema)
+
+
 def postings_frame(
     docs: "DataFrame",  # noqa: F821
     *,

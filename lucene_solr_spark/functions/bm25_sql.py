@@ -35,6 +35,7 @@ def tokens_cte(
     text_col: str = "text",
     table: str = "documents",
     stopwords: tuple = (),
+    name: str = "tokens",
 ) -> str:
     """Tokenize: documents text is [a-z0-9 ]-clean, so StandardAnalyzer
     tokens == regexp [a-z0-9]+ runs (verified by analyzer parity tests).
@@ -45,7 +46,7 @@ def tokens_cte(
     if stopwords:
         stops = ", ".join(f"'{w}'" for w in sorted(stopwords))
         stop_sql = f" WHERE term NOT IN ({stops})"
-    return f"""tokens AS (
+    return f"""{name} AS (
       SELECT * FROM (
         SELECT doc_id,
                unnest(regexp_extract_all({text_col}, '[a-z0-9]+')) AS term,
@@ -60,6 +61,9 @@ def index_ctes(
     stopwords: tuple = (),
     table: str = "documents",
     shingles: bool = False,
+    text_col: str = "text",
+    prefix: str = "",
+    with_lut: bool = True,
 ) -> str:
     """The inverted-index tables as CTEs over ``table`` (default
     `documents`; pass a subquery to model an index whose deleted docs
@@ -72,19 +76,27 @@ def index_ctes(
     ``shingles=True`` appends space-joined bigrams to the token stream
     (ShingleFilter with the default no-stopword chain — no holes, so a
     bigram is exactly pos/pos+1 adjacency); shingle tokens count toward
-    the norm length like every emitted token."""
+    the norm length like every emitted token.
+
+    ``prefix`` namespaces every CTE (``{prefix}postings`` etc.) so the
+    index CTEs of TWO FIELDS coexist in one query — the per-field oracle
+    for the multi-field gates (each field has its own postings / norms /
+    gstats, the FieldInfos model); pass ``with_lut=False`` on the second
+    field to share the first's norm_lut. ``text_col`` may be any SQL
+    expression over ``table`` (computed fields)."""
+    p = prefix
     shingle_cte = ""
-    tokens_src = "tokens"
+    tokens_src = f"{p}tokens"
     if shingles:
         if stopwords:
             raise ValueError("SQL shingle oracle models the no-hole chain only")
-        tokens_src = "tokens_sh"
-        shingle_cte = """,
-    tokens_sh AS (
-      SELECT doc_id, term, pos FROM tokens
+        tokens_src = f"{p}tokens_sh"
+        shingle_cte = f""",
+    {p}tokens_sh AS (
+      SELECT doc_id, term, pos FROM {p}tokens
       UNION ALL
       SELECT a.doc_id, a.term || ' ' || b.term AS term, a.pos
-      FROM tokens a JOIN tokens b
+      FROM {p}tokens a JOIN {p}tokens b
         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
     )"""
     if index_options == "docs":
@@ -92,7 +104,10 @@ def index_ctes(
             f"SELECT term, doc_id, 1::BIGINT AS tf FROM {tokens_src} "
             "GROUP BY term, doc_id"
         )
-        doclen = "SELECT doc_id, count(*)::BIGINT AS length FROM postings GROUP BY doc_id"
+        doclen = (
+            f"SELECT doc_id, count(*)::BIGINT AS length FROM {p}postings "
+            "GROUP BY doc_id"
+        )
     else:
         postings = (
             f"SELECT term, doc_id, count(*)::BIGINT AS tf FROM {tokens_src} "
@@ -102,22 +117,22 @@ def index_ctes(
             f"SELECT doc_id, count(*)::BIGINT AS length FROM {tokens_src} "
             "GROUP BY doc_id"
         )
-    return f"""{norm_lut_sql()},
-    {tokens_cte(stopwords=stopwords, table=table)}{shingle_cte},
-    postings AS ({postings}),
-    doclen AS ({doclen}),
-    norms AS (
+    lut = f"{norm_lut_sql()},\n    " if with_lut else ""
+    return f"""{lut}{tokens_cte(text_col=text_col, stopwords=stopwords, table=table, name=f"{p}tokens")}{shingle_cte},
+    {p}postings AS ({postings}),
+    {p}doclen AS ({doclen}),
+    {p}norms AS (
       SELECT d.doc_id, d.length, l.norm, l.declen
-      FROM doclen d JOIN norm_lut l ON d.length >= l.lo AND d.length < l.hi
+      FROM {p}doclen d JOIN norm_lut l ON d.length >= l.lo AND d.length < l.hi
     ),
-    gstats AS (
+    {p}gstats AS (
       SELECT count(*)::BIGINT AS doc_count, sum(length)::BIGINT AS sum_ttf,
              sum(length)::DOUBLE / count(*) AS avgdl
-      FROM doclen
+      FROM {p}doclen
     ),
-    term_stats AS (
+    {p}term_stats AS (
       SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
-      FROM postings GROUP BY term
+      FROM {p}postings GROUP BY term
     )"""
 
 

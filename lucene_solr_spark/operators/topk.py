@@ -659,6 +659,7 @@ class _SegmentEval:
                     [pos_per_term[ti][ci] for ti in range(len(terms))],
                     offsets,
                     slop,
+                    terms=list(terms),
                 )
             keep = freqs > 0
             return cand[keep], freqs[keep]
@@ -736,7 +737,10 @@ class _SegmentEval:
                         break
                 tfs[ci] = base.size
             else:
-                tfs[ci] = sloppy_phrase_freq(pos_lists, offsets, slop)
+                tfs[ci] = sloppy_phrase_freq(
+                    pos_lists, offsets, slop,
+                    terms=[frozenset(g) for g in groups],
+                )
         keep = tfs > 0
         cand, tfs = cand[keep], tfs[keep]
         if not cand.size:

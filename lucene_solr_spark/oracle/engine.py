@@ -278,6 +278,7 @@ class OracleIndex:
                     [self.positions[t][d] for t in q.terms],
                     list(q.positions),
                     q.slop,
+                    terms=list(q.terms),
                 )
             if f > 0:
                 out[d] = bm25.score(f, self.norms[d], weight=w, cache=self.cache)[()]
@@ -367,6 +368,7 @@ class OracleIndex:
                     [np.asarray(pl, np.int64) for pl in pos_lists],
                     list(q.positions),
                     q.slop,
+                    terms=[frozenset(g) for g in q.term_groups],
                 )
             if f > 0:
                 out[d] = bm25.score(f, self.norms[d], weight=w, cache=self.cache)[()]

@@ -1,7 +1,7 @@
 """Sloppy-phrase matching kernel — reference semantics re-expressed.
 
-Mirrors ``search/SloppyPhraseMatcher.java`` for the no-repeated-term case
-(``initSimple`` path, ``:381-393``):
+Mirrors ``search/SloppyPhraseMatcher.java`` including repeated query
+terms:
 
 - per-term adjusted positions ``position - queryOffset``
   (``search/PhrasePositions.java:51-58``) so an exact match aligns all pps;
@@ -12,11 +12,23 @@ Mirrors ``search/SloppyPhraseMatcher.java`` for the no-repeated-term case
   minimizing matchLength, declare a match when ``matchLength <= slop``;
 - per-match weight ``1f / (1f + matchLength)`` (``:169-171``), accumulated
   in FLOAT across matches (``search/PhraseScorer.java:76-79``), and the
-  resulting float freq feeds BM25 unchanged.
+  resulting float freq feeds BM25 unchanged;
+- REPEATED TERMS (``initComplex`` path, ``:395-403``): pps of the same
+  term form a repetition group sorted by query offset
+  (``gatherRptGroups``/``sortRptGroups``, ``:532-587``); at doc start the
+  j-th group member is advanced j occurrences so no two group members sit
+  on the same document position (``advanceRepeatGroups`` simple branch,
+  ``:455-463``); during matching, a collision created by advancing a
+  repeater is resolved by advancing the lesser of the two colliding pps
+  and re-queuing the affected members (``advanceRpts``/``collide``/
+  ``lesser``, ``:286-344``).
 
-Repeated query terms take Lucene's ``initComplex`` machinery
-(rptGroups/collisions, ``:286-363``) — detected and rejected here with
-NotImplementedError rather than silently mis-scored.
+Repetition groups are detected from the content of the position lists
+(two pps of the same term share one postings list), or from an explicit
+``terms`` argument. MULTI-term repeats (MultiPhraseQuery slots that share
+a term — Lucene's ``hasMultiTermRpts`` union-group machinery, ``:436-454``
+and ``:562-585``) remain rejected with NotImplementedError rather than
+silently mis-scored.
 
 The same kernel drives the single-node oracle, the DataFrame executor's
 pandas UDF, and the segment search kernel, so all three agree by
@@ -25,15 +37,92 @@ construction.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 
 __all__ = ["sloppy_phrase_freq", "sloppy_phrase_match_lengths"]
 
 
+class _PhraseQueue:
+    """Faithful port of ``util/PriorityQueue.java`` (1-indexed binary heap,
+    upHeap :238-249 / downHeap :251-269) with PhraseQueue's lessThan
+    (``search/PhraseQueue.java:27-39``: position, then offset, then ord).
+
+    The port matters because the matcher MUTATES a queued pp's position
+    during repeat-collision resolution (``advanceRpts`` :286-323) and only
+    re-queues SOME members — the queue's state afterwards is
+    implementation-defined, so scoring parity requires the same array
+    layout and sift order as the reference, not just any heap."""
+
+    __slots__ = ("heap", "size")
+
+    def __init__(self, max_size: int):
+        self.heap: list = [None] * (max_size + 1)
+        self.size = 0
+
+    @staticmethod
+    def _less(a: "_PP", b: "_PP") -> bool:
+        if a.pos == b.pos:
+            if a.off == b.off:
+                return a.ord < b.ord
+            return a.off < b.off
+        return a.pos < b.pos
+
+    def add(self, element: "_PP") -> None:
+        self.size += 1
+        self.heap[self.size] = element
+        self._up(self.size)
+
+    def top(self) -> "_PP":
+        return self.heap[1]
+
+    def pop(self) -> "_PP":
+        if self.size > 0:
+            result = self.heap[1]
+            self.heap[1] = self.heap[self.size]
+            self.heap[self.size] = None
+            self.size -= 1
+            self._down(1)
+            return result
+        return None
+
+    def clear(self) -> None:
+        for i in range(self.size + 1):
+            self.heap[i] = None
+        self.size = 0
+
+    def _up(self, orig: int) -> None:
+        heap = self.heap
+        i = orig
+        node = heap[i]
+        j = i >> 1
+        while j > 0 and self._less(node, heap[j]):
+            heap[i] = heap[j]
+            i = j
+            j >>= 1
+        heap[i] = node
+
+    def _down(self, i: int) -> None:
+        heap, size = self.heap, self.size
+        node = heap[i]
+        j = i << 1
+        k = j + 1
+        if k <= size and self._less(heap[k], heap[j]):
+            j = k
+        while j <= size and self._less(heap[j], node):
+            heap[i] = heap[j]
+            i = j
+            j = i << 1
+            k = j + 1
+            if k <= size and self._less(heap[k], heap[j]):
+                j = k
+        heap[i] = node
+
+
 class _PP:
-    __slots__ = ("plist", "k", "off", "ord", "pos")
+    """PhrasePositions (search/PhrasePositions.java): one postings cursor
+    per query-phrase slot; ``pos`` is the offset-adjusted position."""
+
+    __slots__ = ("plist", "k", "off", "ord", "pos", "rpt_group", "rpt_ind")
 
     def __init__(self, plist, off, ord_):
         self.plist = plist
@@ -41,16 +130,39 @@ class _PP:
         self.ord = ord_
         self.k = 1
         self.pos = int(plist[0]) - off
+        self.rpt_group = -1
+        self.rpt_ind = -1
 
     def key(self):
         return (self.pos, self.off, self.ord)
 
+    def next_position(self) -> bool:
+        if self.k >= len(self.plist):
+            return False
+        self.pos = int(self.plist[self.k]) - self.off
+        self.k += 1
+        return True
+
+
+def _lesser(a: _PP, b: _PP) -> _PP:
+    """SloppyPhraseMatcher.lesser (:326-331): by (position, offset)."""
+    if a.pos < b.pos or (a.pos == b.pos and a.off < b.off):
+        return a
+    return b
+
+
+def _group_key(plist, term):
+    if term is not None:
+        return ("t", term)
+    arr = np.asarray(plist)
+    return ("c", arr.tobytes())
+
 
 def sloppy_phrase_match_lengths(
-    pos_lists: list, offsets: list[int], slop: int
+    pos_lists: list, offsets: list[int], slop: int, terms: list | None = None
 ) -> list[int]:
     """The sequence of match lengths the greedy matcher accepts
-    (``matchLength <= slop`` at ``SloppyPhraseMatcher.java:169``), in match
+    (``matchLength <= slop`` at ``SloppyPhraseMatcher.java:189``), in match
     order. ``sloppy_phrase_freq`` is the float32 fold of this list; the
     integer list itself is the exactly-SQL-gateable artifact (for the
     2-term case the sequence has a closed alternating-successor form —
@@ -58,46 +170,134 @@ def sloppy_phrase_match_lengths(
 
     ``pos_lists[i]`` = sorted absolute positions of term i in the doc;
     ``offsets[i]`` = the term's position in the query phrase.
+    ``terms[i]`` (optional) identifies slot i's term for repetition
+    grouping — a ``frozenset`` for MultiPhrase slots (any two distinct
+    multi-term slots sharing a term are rejected); when omitted, slots
+    sharing ONE positions list content are grouped (plain repeated terms).
     """
     if len(set(offsets)) != len(offsets):
         raise ValueError("duplicate phrase offsets")
 
-    end = -(1 << 62)
     pps = []
     for i, (plist, off) in enumerate(zip(pos_lists, offsets)):
         if len(plist) == 0:
             return []
-        pp = _PP(plist, int(off), i)
-        if pp.pos > end:
-            end = pp.pos
-        pps.append(pp)
-    heap = [(pp.key(), pp) for pp in pps]
-    heapq.heapify(heap)
+        pps.append(_PP(plist, int(off), i))
 
+    # --- repetition-group discovery (gatherRptGroups non-MTP, :536-561) --
+    groups: list[list[_PP]] = []
+    by_key: dict = {}
+    for i, pp in enumerate(pps):
+        t = terms[i] if terms is not None else None
+        if isinstance(t, frozenset) and len(t) > 1:
+            # multi-term slot: any shared term with a DIFFERENT slot is the
+            # hasMultiTermRpts union machinery — not implemented
+            for j, pp2 in enumerate(pps):
+                if j == i:
+                    continue
+                t2 = terms[j]
+                t2s = t2 if isinstance(t2, frozenset) else frozenset([t2])
+                if t & t2s:
+                    raise NotImplementedError(
+                        "multi-term repeats (hasMultiTermRpts) not supported"
+                    )
+            continue
+        if isinstance(t, frozenset):
+            t = next(iter(t))
+        by_key.setdefault(_group_key(pp.plist, t), []).append(pp)
+    for members in by_key.values():
+        if len(members) > 1:
+            # sortRptGroups (:512-529): sort by query offset, index members
+            members.sort(key=lambda p: p.off)
+            g = len(groups)
+            for j, pp in enumerate(members):
+                pp.rpt_group = g
+                pp.rpt_ind = j
+            groups.append(members)
+    has_rpts = bool(groups)
+
+    end = -(1 << 62)
     state = {"end": end, "positioned": True, "match_length": 1 << 62}
 
     def advance_pp(pp: _PP) -> bool:
-        if pp.k >= len(pp.plist):
+        """advancePP (:271-279): step + maintain the global end."""
+        if not pp.next_position():
             return False
-        pp.pos = int(pp.plist[pp.k]) - pp.off
-        pp.k += 1
         if pp.pos > state["end"]:
             state["end"] = pp.pos
         return True
 
+    # --- advanceRepeatGroups, simple branch (:455-463): the j-th member of
+    # an offset-sorted group starts on the term's (j+1)-th occurrence
+    for rg in groups:
+        for j in range(1, len(rg)):
+            for _ in range(j):
+                if not rg[j].next_position():
+                    return []  # PPs exhausted — doc cannot match
+
+    # fillQueue (:413-421): add in phrasePositions (ord) order
+    pq = _PhraseQueue(len(pps))
+    for pp in pps:
+        if pp.pos > state["end"]:
+            state["end"] = pp.pos
+        pq.add(pp)
+
+    def collide(pp: _PP) -> int:
+        """collide (:334-344): group index of a same-position twin."""
+        tp = pp.pos + pp.off
+        for pp2 in groups[pp.rpt_group]:
+            if pp2 is not pp and pp2.pos + pp2.off == tp:
+                return pp2.rpt_ind
+        return -1
+
+    def advance_rpts(pp: _PP) -> bool:
+        """advanceRpts (:286-323): resolve the (single) collision created
+        by advancing ``pp`` by advancing the lesser of the two colliding
+        pps; re-queue every queue member whose position changed."""
+        if pp.rpt_group < 0:
+            return True
+        rg = groups[pp.rpt_group]
+        marked: set[int] = set()
+        k0 = pp.rpt_ind
+        k = collide(pp)
+        while k >= 0:
+            pp = _lesser(pp, rg[k])
+            if not advance_pp(pp):
+                return False
+            if k != k0:
+                marked.add(k)
+            k = collide(pp)
+        # re-queue (mirrors the FixedBitSet/rptStack dance :304-321,
+        # including keying by rpt_ind alone — no group check, exactly like
+        # the reference): pop until every marked index was seen, then push
+        # the popped pps back in reverse pop order
+        stack: list[_PP] = []
+        pending = set(marked)
+        while pending:
+            pp2 = pq.pop()
+            stack.append(pp2)
+            if pp2.rpt_group >= 0 and pp2.rpt_ind in pending:
+                pending.discard(pp2.rpt_ind)
+        for pp2 in reversed(stack):
+            pq.add(pp2)
+        return True
+
     def next_match() -> bool:
+        """nextMatch (:174-206)."""
         if not state["positioned"]:
             return False
-        _, pp = heapq.heappop(heap)
+        pp = pq.pop()
         state["match_length"] = state["end"] - pp.pos
-        nxt = heap[0][1].pos
+        nxt = pq.top().pos
         while advance_pp(pp):
+            if has_rpts and not advance_rpts(pp):
+                break  # pps exhausted
             if pp.pos > nxt:  # done minimizing current match-length
-                heapq.heappush(heap, (pp.key(), pp))
+                pq.add(pp)
                 if state["match_length"] <= slop:
                     return True
-                _, pp = heapq.heappop(heap)
-                nxt = heap[0][1].pos
+                pp = pq.pop()
+                nxt = pq.top().pos
                 state["match_length"] = state["end"] - pp.pos
             else:
                 ml2 = state["end"] - pp.pos
@@ -113,13 +313,13 @@ def sloppy_phrase_match_lengths(
 
 
 def sloppy_phrase_freq(
-    pos_lists: list, offsets: list[int], slop: int
+    pos_lists: list, offsets: list[int], slop: int, terms: list | None = None
 ) -> float:
     """Per-document sloppy phrase frequency (float32 value as Python float);
     0.0 when the document has no slop-valid match. Float accumulation in
     match order (``search/PhraseScorer.java:76-79``) over the integer
     match-length sequence."""
-    lengths = sloppy_phrase_match_lengths(pos_lists, offsets, slop)
+    lengths = sloppy_phrase_match_lengths(pos_lists, offsets, slop, terms)
     if not lengths:
         return 0.0
     freq = np.float32(0.0)

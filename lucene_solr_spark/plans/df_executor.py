@@ -357,7 +357,10 @@ class DFExecutor:
     def _prefetch_stats(self, q: ir.Query) -> None:
         """ONE dictionary lookup for all leaf terms of the query tree (the
         role of TermStates/IndexReaderContext stats gathering)."""
-        terms = sorted(_collect_terms(q) - set(self._stats_cache))
+        self._prefetch_terms(_collect_terms(q))
+
+    def _prefetch_terms(self, term_set: set[str]) -> None:
+        terms = sorted(term_set - set(self._stats_cache))
         if not terms:
             return
         rows = (
@@ -778,10 +781,13 @@ class DFExecutor:
 
         else:
 
+            qterms = tuple(q.terms)
+
             @F.pandas_udf(T.FloatType())
             def phrase_freq(pos_lists: pd.Series) -> pd.Series:
                 """SloppyPhraseMatcher: float freq = Σ 1/(1+matchLength)
-                (oracle.sloppy kernel — shared with the oracle)."""
+                (oracle.sloppy kernel — shared with the oracle); repeated
+                query terms take the rptGroups machinery."""
                 from lucene_solr_spark.oracle.sloppy import sloppy_phrase_freq
 
                 return pos_lists.map(
@@ -789,6 +795,7 @@ class DFExecutor:
                         [np.asarray(x, np.int64) for x in lists],
                         list(offsets),
                         slop,
+                        terms=list(qterms),
                     )
                 )
 
@@ -831,6 +838,8 @@ class DFExecutor:
         offsets = tuple(int(p) for p in q.positions)
         slop = q.slop
 
+        qterms = tuple(q.terms)
+
         @F.pandas_udf("n_matches long, sum_ml long")
         def match_stats(pos_lists: pd.Series) -> pd.DataFrame:
             from lucene_solr_spark.oracle.sloppy import (
@@ -843,6 +852,7 @@ class DFExecutor:
                     [np.asarray(x, np.int64) for x in lists],
                     list(offsets),
                     slop,
+                    terms=list(qterms),
                 )
                 ns.append(len(mls))
                 sums.append(int(sum(mls)))
@@ -904,6 +914,8 @@ class DFExecutor:
 
         else:
 
+            slot_terms = tuple(frozenset(g) for g in q.term_groups)
+
             @F.pandas_udf(T.FloatType())
             def mp_freq(pos_lists: pd.Series) -> pd.Series:
                 from lucene_solr_spark.oracle.sloppy import sloppy_phrase_freq
@@ -913,6 +925,7 @@ class DFExecutor:
                         [np.asarray(x, np.int64) for x in lists],
                         list(offsets),
                         slop,
+                        terms=list(slot_terms),
                     )
                 )
 

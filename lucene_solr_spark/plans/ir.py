@@ -70,7 +70,14 @@ class Query:
 
 @dataclass(frozen=True)
 class TermQuery(Query):
+    """``field=None`` targets the index's default field; a name targets
+    that field's postings/norms/stats (the role of Lucene's
+    ``Term(field, text)`` — ``index/Term.java:36``; per-field stats via
+    ``index/FieldInfos.java``). Field-qualified leaves are routed by
+    operators.multi_field.MultiFieldExecutor."""
+
     term: str
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -99,6 +106,7 @@ class PhraseQuery(Query):
     #: explicit term positions (defaults to 0..n-1); supports holes from
     #: removed stopwords (PhraseQuery.Builder.add(term, position))
     positions: Tuple[int, ...] = field(default=None)  # type: ignore[assignment]
+    field: str | None = None
 
     def __post_init__(self):
         if self.positions is None:
@@ -135,6 +143,7 @@ class MultiPhraseQuery(Query):
     term_groups: Tuple[Tuple[str, ...], ...]
     slop: int = 0
     positions: Tuple[int, ...] = field(default=None)  # type: ignore[assignment]
+    field: str | None = None
 
     def __post_init__(self):
         if self.positions is None:
@@ -293,6 +302,7 @@ class SynonymQuery(Query):
     (search/SynonymQuery.java:514-545 collectionStatistics merge)."""
 
     terms: Tuple[str, ...]
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -325,6 +335,7 @@ class MatchNoDocsQuery(Query):
 @dataclass(frozen=True)
 class TermInSetQuery(Query):
     terms: Tuple[str, ...]
+    field: str | None = None
 
 
 # --- multi-term (dictionary-expansion) queries ------------------------------
@@ -333,16 +344,19 @@ class TermInSetQuery(Query):
 @dataclass(frozen=True)
 class PrefixQuery(Query):
     prefix: str
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class WildcardQuery(Query):
     pattern: str  # * = any run, ? = any single char
+    field: str | None = None
 
 
 @dataclass(frozen=True)
 class RegexpQuery(Query):
     regexp: str
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -350,6 +364,14 @@ class FuzzyQuery(Query):
     term: str
     max_edits: int = 2
     prefix_length: int = 0
+    #: False = reference default TopTermsBlendedFreqScoringRewrite
+    #: (FuzzyQuery.java:34,100): expand to the top-``max_expansions``
+    #: dictionary terms by (boost desc, term asc), blend df = max over the
+    #: expansion (BlendedTermQuery.java), score each as a boosted TermQuery.
+    #: True = CONSTANT_SCORE_REWRITE (match set only).
+    constant_score: bool = True
+    max_expansions: int = 50
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -358,3 +380,4 @@ class TermRangeQuery(Query):
     upper: str | None
     include_lower: bool = True
     include_upper: bool = True
+    field: str | None = None

@@ -37,10 +37,12 @@ _TOKEN_RX = re.compile(
     \s*(?:
       (?P<lparen>\() |
       (?P<rparen>\)) |
-      (?P<quoted>"(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?) |
+      (?P<quoted>(?:(?P<qfield>[A-Za-z_][A-Za-z0-9_]*):)?
+                 "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?) |
       (?P<and>AND\b) | (?P<or>OR\b) | (?P<not>NOT\b) |
       (?P<plus>\+) | (?P<minus>-) |
-      (?P<range>\[(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\]) |
+      (?P<range>(?:(?P<rfield>[A-Za-z_][A-Za-z0-9_]*):)?
+                \[(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\]) |
       (?P<word>[^\s()+\-][^\s()]*)
     )
     """,
@@ -72,7 +74,11 @@ def _lex(s: str) -> list[_Tok]:
             out.append(_Tok(")", ")"))
         elif m.group("quoted") is not None:
             out.append(
-                _Tok("phrase", m.group("phrase"), int(m.group("slop") or 0))
+                _Tok(
+                    "phrase",
+                    m.group("phrase"),
+                    (int(m.group("slop") or 0), m.group("qfield")),
+                )
             )
         elif m.group("and"):
             out.append(_Tok("AND", "AND"))
@@ -85,7 +91,13 @@ def _lex(s: str) -> list[_Tok]:
         elif m.group("minus"):
             out.append(_Tok("-", "-"))
         elif m.group("range"):
-            out.append(_Tok("range", (m.group("lo"), m.group("hi"))))
+            out.append(
+                _Tok(
+                    "range",
+                    (m.group("lo"), m.group("hi")),
+                    m.group("rfield"),
+                )
+            )
         elif m.group("word"):
             out.append(_Tok("word", m.group("word")))
     return out
@@ -97,23 +109,30 @@ def _word_to_query(w: str) -> ir.Query:
     if bm:
         boost = float(bm.group(1))
         w = w[: bm.start()]
+    # field-qualified word: `field:term` (QueryParser.java grammar —
+    # getFieldQuery(field, …) at QueryParserBase.java:437)
+    fld = None
+    fm_field = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", w)
+    if fm_field:
+        fld = fm_field.group(1)
+        w = fm_field.group(2)
     q: ir.Query
     fm = re.search(r"~(\d*)$", w)
     if w.endswith("*") and "*" not in w[:-1] and "?" not in w:
-        q = ir.PrefixQuery(w[:-1].lower())
+        q = ir.PrefixQuery(w[:-1].lower(), field=fld)
     elif "*" in w or "?" in w:
-        q = ir.WildcardQuery(w.lower())
+        q = ir.WildcardQuery(w.lower(), field=fld)
     elif fm:
         base = w[: fm.start()].lower()
-        q = ir.FuzzyQuery(base, max_edits=int(fm.group(1) or 2))
+        q = ir.FuzzyQuery(base, max_edits=int(fm.group(1) or 2), field=fld)
     else:
         toks = analyze(w)
         if not toks:
             q = ir.MatchNoDocsQuery()
         elif len(toks) == 1:
-            q = ir.TermQuery(toks[0].term)
+            q = ir.TermQuery(toks[0].term, field=fld)
         else:  # analyzer split the word → phrase (QueryParserBase.java:437)
-            q = ir.PhraseQuery(tuple(t.term for t in toks))
+            q = ir.PhraseQuery(tuple(t.term for t in toks), field=fld)
     if boost is not None:
         q = ir.BoostQuery(q, boost)
     return q
@@ -186,18 +205,20 @@ class _Parser:
                 q = ir.BoostQuery(q, float(nxt.val[1:]))
             return q
         if t.kind == "phrase":
+            slop, fld = t.extra if t.extra else (0, None)
             toks = analyze(t.val)
             if not toks:
                 return ir.MatchNoDocsQuery()
             if len(toks) == 1:
-                return ir.TermQuery(toks[0].term)
-            pq = ir.PhraseQuery(tuple(tk.term for tk in toks))
-            if t.extra:
-                pq = ir.PhraseQuery(tuple(tk.term for tk in toks), slop=t.extra)
-            return pq
+                return ir.TermQuery(toks[0].term, field=fld)
+            return ir.PhraseQuery(
+                tuple(tk.term for tk in toks), slop=slop, field=fld
+            )
         if t.kind == "range":
-            lo, hi = t.extra if t.extra else t.val
-            return ir.TermRangeQuery(lo.lower(), hi.lower(), True, True)
+            lo, hi = t.val
+            return ir.TermRangeQuery(
+                lo.lower(), hi.lower(), True, True, field=t.extra
+            )
         if t.kind == "word":
             return _word_to_query(t.val)
         return ir.MatchNoDocsQuery()

@@ -82,13 +82,13 @@ def _rewrite_once(q: ir.Query) -> ir.Query:
             tuple(terms[i] for i in keep), positions=tuple(keep)
         )
     if isinstance(q, ir.SynonymQuery) and len(q.terms) == 1:
-        return ir.TermQuery(q.terms[0])
+        return ir.TermQuery(q.terms[0], field=q.field)
     if isinstance(q, ir.TermInSetQuery):
         if not q.terms:
             return ir.MatchNoDocsQuery("empty term set")
         if len(q.terms) == 1:
             # TermInSetQuery rewrites to a constant-score term
-            return ir.ConstantScoreQuery(ir.TermQuery(q.terms[0]))
+            return ir.ConstantScoreQuery(ir.TermQuery(q.terms[0], field=q.field))
         return q
     if not isinstance(q, ir.BooleanQuery):
         return q
