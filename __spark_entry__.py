@@ -57,9 +57,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sort_by_field_topk", "docs_only_topk",
     # per-field indexing + field-qualified parsing (round 4)
     "field_term_topk", "multi_field_bool_topk",
-    # phrases + spans
+    # phrases + spans (span_or/span_within demoted past the window round 4
+    # — the span family keeps two hard-oracle gates in-window)
     "phrase_topk", "multi_phrase_topk", "sloppy_phrase_matches",
-    "span_near_set", "span_near_unordered_set", "span_or_set",
+    "sloppy_repeat_matches",
+    "span_near_set", "span_near_unordered_set",
     # multi-term (dictionary expansion)
     "prefix_set", "regexp_set", "fuzzy_set", "term_range_set", "term_in_set",
     # analysis chain
@@ -984,6 +986,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["sloppy_phrase_matches"] = sloppy_phrase_matches
 
+    def sloppy_repeat_matches(spark, sf_dir):
+        """REPEATED-term sloppy phrase ("merge scan merge"~3) — the
+        initComplex/rptGroups machinery (SloppyPhraseMatcher.java:395-403,
+        :286-344): group members start on distinct occurrences and
+        collisions advance the lesser pp. Match-set gate: the greedy
+        matcher accepts a doc iff an injective slop-valid assignment
+        exists (0/4000 mismatches vs brute-force in tests), which the
+        oracle states directly as a 3-way self-join."""
+        ex = _executor(spark, sf_dir)
+        return ex.matches(
+            ir.PhraseQuery(("merge", "scan", "merge"), slop=3)
+        ).select("doc_id")
+
+    out["sloppy_repeat_matches"] = sloppy_repeat_matches
+
     out["multi_phrase_topk"] = _topk(
         ir.MultiPhraseQuery((("table", "hash"), ("scan", "join")))
     )
@@ -1808,6 +1825,18 @@ def oracle_sql() -> dict[str, str]:
     # min-end pointer, match = frontier - predecessor in the opposite
     # list, next frontier = successor in the opposite list) — replayed
     # exactly with a recursive CTE (SloppyPhraseMatcher.java:174-206)
+    # repeated-term sloppy phrase "merge scan merge"~3: a doc matches iff
+    # an injective (distinct positions for the repeated term) slop-valid
+    # assignment exists — exactly what the greedy rptGroups matcher
+    # accepts (property-verified in tests/test_sloppy_phrase.py)
+    out["sloppy_repeat_matches"] = f"""WITH {_IX}
+      SELECT DISTINCT a.doc_id FROM tokens a, tokens b, tokens c
+      WHERE a.doc_id = b.doc_id AND b.doc_id = c.doc_id
+        AND a.term = 'merge' AND b.term = 'scan' AND c.term = 'merge'
+        AND a.pos <> c.pos
+        AND greatest(a.pos - 0, b.pos - 1, c.pos - 2)
+          - least(a.pos - 0, b.pos - 1, c.pos - 2) <= 3"""
+
     out["sloppy_phrase_matches"] = f"""WITH RECURSIVE {_IX},
       pts AS (
         SELECT doc_id, pos, 'x' AS lab FROM tokens WHERE term = 'table'

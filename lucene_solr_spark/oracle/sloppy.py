@@ -133,9 +133,6 @@ class _PP:
         self.rpt_group = -1
         self.rpt_ind = -1
 
-    def key(self):
-        return (self.pos, self.off, self.ord)
-
     def next_position(self) -> bool:
         if self.k >= len(self.plist):
             return False

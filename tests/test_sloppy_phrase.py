@@ -115,3 +115,112 @@ def test_sloppy_rank_identity_kernel(name, sloppy_setup, tiny_oracle):
         for r in searcher.topk(q, k=10).collect()
     ]
     assert got == expected, name
+
+
+# ------------------------------------------------- repeated terms (round 4)
+def _freq_rpt(doc_tokens, phrase, slop):
+    pos_lists = [
+        np.asarray([i for i, t in enumerate(doc_tokens) if t == term], np.int64)
+        for term in phrase
+    ]
+    if any(len(p) == 0 for p in pos_lists):
+        return 0.0
+    return sloppy_phrase_freq(
+        pos_lists, list(range(len(phrase))), slop, terms=list(phrase)
+    )
+
+
+def test_repeat_exact_alignment():
+    """"a b a"~2 over doc "a b a": one exact match (rptGroups assigns the
+    two a-pps to distinct occurrences 0 and 2)."""
+    assert _freq_rpt(["a", "b", "a"], ["a", "b", "a"], 2) == 1.0
+
+
+def test_repeat_needs_two_occurrences():
+    """"a a"~N cannot match a doc with a single `a` (advanceRepeatGroups
+    exhausts — SloppyPhraseMatcher.java:455-463)."""
+    assert _freq_rpt(["a", "x"], ["a", "a"], 4) == 0.0
+    assert _freq_rpt(["a", "a"], ["a", "a"], 0) == 1.0
+
+
+def test_repeat_injective_positions():
+    """The two a-pps may never sit on the same document position: "a b a"~0
+    over "a b" has only one `a`, no match; over "a b a" exact."""
+    assert _freq_rpt(["a", "b"], ["a", "b", "a"], 4) == 0.0
+
+
+def test_repeat_matches_exists_semantics():
+    """Property (4k random docs): the greedy rptGroups matcher accepts a
+    doc IFF an injective slop-valid assignment of positions exists — the
+    contract the sloppy_repeat_matches SQL oracle states directly."""
+    import itertools
+    import random
+
+    from lucene_solr_spark.oracle.sloppy import sloppy_phrase_match_lengths
+
+    rng = random.Random(7)
+
+    def brute_exists(pos_lists, offsets, slop, terms):
+        n = len(offsets)
+        for combo in itertools.product(*[list(map(int, pl)) for pl in pos_lists]):
+            ok = True
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if terms[i] == terms[j] and combo[i] == combo[j]:
+                        ok = False
+            if not ok:
+                continue
+            adj = [combo[i] - offsets[i] for i in range(n)]
+            if max(adj) - min(adj) <= slop:
+                return True
+        return False
+
+    checked = 0
+    for _ in range(4000):
+        nterms = rng.randint(2, 4)
+        vocab = ["a", "b", "c"]
+        qterms = [rng.choice(vocab[: rng.randint(1, 3)]) for _ in range(nterms)]
+        doc = [rng.choice(vocab) for _ in range(rng.randint(1, 10))]
+        slop = rng.randint(0, 4)
+        pls = [
+            np.asarray([i for i, w in enumerate(doc) if w == t], np.int64)
+            for t in qterms
+        ]
+        if any(len(p) == 0 for p in pls):
+            continue
+        offsets = list(range(nterms))
+        got = bool(sloppy_phrase_match_lengths(pls, offsets, slop, terms=qterms))
+        assert got == brute_exists(pls, offsets, slop, qterms), (qterms, doc, slop)
+        checked += 1
+    assert checked > 1500
+
+
+def test_repeat_engine_rank_identity(spark, tiny_corpus_rows, tiny_oracle):
+    """Repeated-term sloppy phrase through the DataFrame executor (float32)
+    == the single-node oracle, bit-for-bit (both run the same kernel, but
+    the executor path goes postings-join → pandas UDF)."""
+    from lucene_solr_spark.operators.index_build import build_index
+    from lucene_solr_spark.plans.df_executor import DFExecutor
+
+    corpus = spark.createDataFrame(
+        [(i, r["content"]) for i, r in enumerate(tiny_corpus_rows)],
+        "doc_id long, content string",
+    )
+    ix = build_index(corpus, text_col="content", doc_id_col="doc_id").persist()
+    ex = DFExecutor(ix, mode="float32")
+    # pick a term pair that actually repeats within slop somewhere
+    q = ir.PhraseQuery(("the", "a", "the"), slop=4)
+    got = {r["doc_id"]: bits(r["score"]) for r in ex.matches(q).collect()}
+    want = {d: bits(s) for d, s in tiny_oracle.matches(q).items()}
+    assert got == want
+
+
+def test_multi_term_repeats_still_rejected():
+    """MultiPhrase slots sharing a term (hasMultiTermRpts) stay rejected."""
+    with pytest.raises(NotImplementedError):
+        sloppy_phrase_freq(
+            [np.array([0, 3]), np.array([1, 3])],
+            [0, 1],
+            2,
+            terms=[frozenset({"a", "b"}), frozenset({"b", "c"})],
+        )
