@@ -62,8 +62,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "phrase_topk", "multi_phrase_topk", "sloppy_phrase_matches",
     "sloppy_repeat_matches",
     "span_near_set", "span_near_unordered_set",
-    # multi-term (dictionary expansion)
-    "prefix_set", "regexp_set", "fuzzy_set", "term_range_set", "term_in_set",
+    # multi-term (dictionary expansion; term_range_set demoted round 4 —
+    # the range predicate shape is also covered by prefix_set)
+    "prefix_set", "regexp_set", "fuzzy_set", "fuzzy_scored_topk",
+    "term_in_set",
     # analysis chain
     "stop_filter_topk",
     # round-3 additions
@@ -524,6 +526,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["wildcard_set"] = _match_set(ir.WildcardQuery("*an"))
     out["regexp_set"] = _match_set(ir.RegexpQuery("s.an"))
     out["fuzzy_set"] = _match_set(ir.FuzzyQuery("scon", max_edits=1))
+
+    # reference-DEFAULT fuzzy: TopTermsBlendedFreqScoringRewrite
+    # (FuzzyQuery.java:34,100) — scored expansion with blended df
+    out["fuzzy_scored_topk"] = _topk(
+        ir.FuzzyQuery("part", max_edits=2, constant_score=False)
+    )
 
     # --- boosted + phrase scoring --------------------------------------
     out["boost_topk"] = _topk(
@@ -1709,6 +1717,32 @@ def oracle_sql() -> dict[str, str]:
       SELECT DISTINCT doc_id FROM postings WHERE regexp_full_match(term, 's.an')"""
     out["fuzzy_set"] = f"""WITH {_IX}
       SELECT DISTINCT doc_id FROM postings WHERE levenshtein(term, 'scon') <= 1"""
+
+    # scored fuzzy part~2: boost = 1 - ed/min(len), top-50 by (boost, term),
+    # idf from the blended max-df over the expansion, disjunction sum.
+    # levenshtein == OSA on this dictionary (no transposition-only pairs).
+    out["fuzzy_scored_topk"] = f"""WITH {_IX},
+      cand AS (
+        SELECT term, df,
+               CASE WHEN term = 'part' THEN 1.0
+                    ELSE 1.0 - levenshtein(term, 'part')::DOUBLE
+                         / least(length(term), 4) END AS boost
+        FROM term_stats
+        WHERE levenshtein(term, 'part') <= 2
+        ORDER BY boost DESC, term ASC LIMIT 50
+      ),
+      blend AS (SELECT max(df)::BIGINT AS df FROM cand),
+      per AS (
+        SELECT p.doc_id, c.term,
+               {bm25_score_sql(tf_expr='p.tf', w_expr="(c.boost * ln(1.0 + (g.doc_count - bl.df + 0.5) / (bl.df + 0.5)))")} AS s
+        FROM postings p JOIN cand c USING (term)
+        CROSS JOIN blend bl
+        JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      )
+      SELECT doc_id,
+             list_aggregate(list(s ORDER BY term), 'sum') AS score
+      FROM per GROUP BY doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     # --- boosted + phrase scoring ---------------------------------------
     boost_w = f"(2.0 * {idf_sql('merge')})"

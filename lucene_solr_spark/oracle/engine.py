@@ -176,6 +176,8 @@ class OracleIndex:
                             other += float(v)
                 out[d] = _f32(float(score_max) + other * q.tie_breaker)
             return out
+        if isinstance(q, ir.FuzzyQuery) and not q.constant_score:
+            return self._scored_fuzzy_scores(q, boost)
         if isinstance(q, (ir.PrefixQuery, ir.WildcardQuery, ir.RegexpQuery, ir.FuzzyQuery, ir.TermRangeQuery)):
             expanded = self.expand_multiterm(q)
             # CONSTANT_SCORE_REWRITE (MultiTermQuery.java / QueryParserBase.java:66)
@@ -186,6 +188,48 @@ class OracleIndex:
         if isinstance(q, ir.BooleanQuery):
             return self._boolean_scores(q, boost)
         raise TypeError(f"unsupported query: {type(q).__name__}")
+
+    def _scored_fuzzy_scores(self, q: "ir.FuzzyQuery", boost) -> dict:
+        """TopTermsBlendedFreqScoringRewrite (FuzzyQuery.java:34,100;
+        TopTermsRewrite.java:210-213 pq order; BlendedTermQuery.java:281-286
+        df blending): top-N expansion by (boost desc, term asc), idf from
+        the blended max-df, disjunction sum of the boosted term scores."""
+        from lucene_solr_spark.oracle.editdist import fuzzy_boost, osa_distance
+
+        cands = []
+        for t in self.dictionary():
+            if q.prefix_length and not t.startswith(q.term[: q.prefix_length]):
+                continue
+            if abs(len(t) - len(q.term)) > q.max_edits:
+                continue
+            ed = osa_distance(t, q.term)
+            if ed <= q.max_edits:
+                cands.append((fuzzy_boost(t, q.term, ed), t))
+        cands.sort(key=lambda x: (-x[0], x[1]))
+        cands = cands[: q.max_expansions]
+        if not cands:
+            return {}
+        df_blend = max(len(self.postings[t]) for _, t in cands)
+        acc: dict[int, float] = {}
+        # accumulate in term-sorted order — the deterministic clause order
+        # both executors fold in (Lucene's heap order is unspecified)
+        for bst, t in sorted(cands, key=lambda x: x[1]):
+            # Lucene's boost is SINGLE-precision arithmetic end-to-end:
+            # 1.0f - (float) ed / (float) minTermLength
+            # (FuzzyTermsEnum.java:254) — not a rounded double
+            ed = osa_distance(t, q.term)
+            if ed == 0:
+                bst32 = np.float32(1.0)
+            else:
+                bst32 = np.float32(1.0) - np.float32(ed) / np.float32(
+                    min(len(t), len(q.term))
+                )
+            bt = np.float32(np.float32(boost) * bst32)
+            w = bm25.term_weight(float(bt), bm25.idf(df_blend, self.doc_count))
+            for d, tf in self.postings[t].items():
+                s = bm25.score(tf, self.norms[d], weight=w, cache=self.cache)[()]
+                acc[d] = acc.get(d, 0.0) + float(s)  # double accumulator
+        return {d: np.float32(v) for d, v in acc.items()}
 
     # ---- multi-term expansion over the dictionary ----
     def expand_multiterm(self, q: ir.Query) -> list[str]:

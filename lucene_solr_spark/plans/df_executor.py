@@ -406,10 +406,11 @@ class DFExecutor:
 
         return score_udf
 
-    def _score_double_col(self, weight: float) -> Column:
+    def _score_double_col(self, weight) -> Column:
         """Built-in double expression: w - w/(1 + tf * inv(norm)).  The norm
         byte decodes through the SmallFloat LUT as a CASE-free expression:
-        join-free via element_at on a literal 256-array."""
+        join-free via element_at on a literal 256-array.  ``weight`` may be
+        a Column (per-term weights — scored multi-term rewrites)."""
         lut = F.lit(bm25.LENGTH_TABLE_F32.astype(float).tolist())
         declen = F.element_at(lut, F.col("norm") + 1)
         inv = F.lit(1.0) / (
@@ -419,7 +420,7 @@ class DFExecutor:
                 + F.lit(float(self.b)) * declen / F.lit(self._avgdl_double)
             )
         )
-        w = F.lit(float(weight))
+        w = weight if isinstance(weight, Column) else F.lit(float(weight))
         return w - w / (F.lit(1.0) + F.col("tf").cast("double") * inv)
 
     def _scored_term_rows(self, rows: DataFrame, weight) -> DataFrame:
@@ -525,6 +526,8 @@ class DFExecutor:
             return rows.select("doc_id").distinct().select(
                 "doc_id", F.lit(float(_f32(boost))).cast(self._score_type()).alias("score")
             )
+        if isinstance(q, ir.FuzzyQuery) and not q.constant_score:
+            return self._eval_scored_fuzzy(q, boost)
         if isinstance(q, _MULTITERM_TYPES):
             # constant-score multi-term rewrite, FULLY DISTRIBUTED: the
             # term predicate is pushed straight into the postings scan —
@@ -651,6 +654,129 @@ class DFExecutor:
                 [self._df(t) for t in live],
                 [self._stats_cache[t][1] for t in live],
             ),
+        )
+
+    def _eval_scored_fuzzy(self, q: ir.FuzzyQuery, boost: float) -> DataFrame:
+        """Reference-DEFAULT fuzzy scoring: TopTermsBlendedFreqScoringRewrite
+        (``search/FuzzyQuery.java:34,100`` — the rewrite ctor arg;
+        ``search/MultiTermQuery.java:173-212``; ``search/TopTermsRewrite.java``;
+        ``search/BlendedTermQuery.java:271-300`` rewrite):
+
+        1. expand to dictionary terms within ``max_edits`` (OSA distance —
+           transpositions=true default), each with boost
+           1 − ed/min(|term|, |query|) (``FuzzyTermsEnum.java:249-256``);
+        2. keep the top ``max_expansions`` terms by (boost desc, term asc)
+           — the ScoreTerm priority-queue order (``TopTermsRewrite.java:210-213``);
+        3. BLEND document frequencies: df := max over the kept terms
+           (``BlendedTermQuery.java:281-286``), so rare typo-terms do not
+           out-rank the exact term;
+        4. score as a disjunction of boosted TermQueries that all use the
+           blended df for idf (BOOLEAN_REWRITE, ``BlendedTermQuery.java:138-149``).
+
+        Scale shape: the expansion is computed ON the distributed
+        dictionary (length-band + prefix pushdown prune the term-sorted
+        parquet, then an Arrow-batched OSA kernel over the pruned slice);
+        only the top-N (term, df, ed) rows ever reach the driver."""
+        ix = self.index
+        qterm = q.term
+        me = int(q.max_edits)
+        cond = F.length("term").between(len(qterm) - me, len(qterm) + me)
+        if q.prefix_length:
+            cond = F.col("term").startswith(qterm[: q.prefix_length]) & cond
+
+        @F.pandas_udf(T.IntegerType())
+        def osa_udf(terms: pd.Series) -> pd.Series:
+            from lucene_solr_spark.oracle.editdist import osa_batch
+
+            return pd.Series(
+                osa_batch(terms.tolist(), qterm, me), index=terms.index
+            )
+
+        b_col = F.when(F.col("_ed") == 0, F.lit(1.0)).otherwise(
+            F.lit(1.0)
+            - F.col("_ed").cast("double")
+            / F.least(F.length("term"), F.lit(len(qterm))).cast("double")
+        )
+        top = (
+            ix.term_stats.filter(cond)
+            .select("term", "df")
+            .withColumn("_ed", osa_udf(F.col("term")))
+            .filter(F.col("_ed") <= me)
+            .withColumn("_boost", b_col)
+            .orderBy(F.desc("_boost"), F.asc("term"))
+            .limit(int(q.max_expansions))
+            .collect()
+        )
+        if not top:
+            return self._empty()
+        df_blend = max(int(r["df"]) for r in top)
+
+        w_rows = []
+        for r in top:
+            ed, t = int(r["_ed"]), r["term"]
+            if self.mode == "float32":
+                bt = (
+                    np.float32(1.0)
+                    if ed == 0
+                    else np.float32(1.0)
+                    - np.float32(ed) / np.float32(min(len(t), len(qterm)))
+                )
+                w = float(
+                    bm25.term_weight(
+                        float(np.float32(np.float32(boost) * bt)),
+                        bm25.idf(df_blend, ix.doc_count),
+                    )
+                )
+            else:
+                import math
+
+                n = ix.doc_count
+                w = (boost * float(r["_boost"])) * math.log(
+                    1.0 + (n - df_blend + 0.5) / (df_blend + 0.5)
+                )
+            w_rows.append((t, w))
+        spark = ix.postings.sparkSession
+        wdf = F.broadcast(
+            spark.createDataFrame(w_rows, "term string, _w double")
+        )
+        rows = ix.postings_slim.filter(
+            F.col("term").isin([t for t, _ in w_rows])
+        )
+        with_norm = rows.join(wdf, "term").join(self._norms(), "doc_id")
+        if self.mode == "float32":
+            cache = bm25.norm_inverse_cache(self.k1, self.b, self._avgdl_f32)
+
+            @F.pandas_udf(T.FloatType())
+            def fz_score(tf: pd.Series, norm: pd.Series, w: pd.Series) -> pd.Series:
+                f = tf.to_numpy(np.float32)
+                nb = norm.to_numpy(np.int64)
+                ww = w.to_numpy(np.float32)  # exact: stored doubles are f32 values
+                one = np.float32(1.0)
+                s = (ww - ww / (one + f * cache[nb])).astype(np.float32)
+                return pd.Series(s, index=tf.index)
+
+            per = with_norm.select(
+                "doc_id",
+                "term",
+                fz_score(F.col("tf"), F.col("norm"), F.col("_w")).alias("_s"),
+            )
+        else:
+            per = with_norm.select(
+                "doc_id", "term", self._score_double_col(F.col("_w")).alias("_s")
+            )
+        # disjunction sum over the expansion clauses. A raw double sum is
+        # ORDER-SENSITIVE in the last ulp with 3+ clauses and Spark's SUM
+        # order is nondeterminate, so fold in term-sorted order — within
+        # the reference contract (Lucene's own heap order is unspecified)
+        # and reproducible; the double-mode fold is mirrored 1:1 by the
+        # SQL oracle's list(s ORDER BY term) left fold.
+        xs = F.sort_array(
+            F.collect_list(F.struct("term", F.col("_s").cast("double").alias("_s")))
+        )
+        return per.groupBy("doc_id").agg(
+            self._cast(
+                F.aggregate(xs, F.lit(0.0), lambda acc, x: acc + x["_s"])
+            ).alias("score")
         )
 
     def _filter_matches(self, c: ir.Query) -> DataFrame:
