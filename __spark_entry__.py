@@ -62,10 +62,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "phrase_topk", "multi_phrase_topk", "sloppy_phrase_matches",
     "sloppy_repeat_matches",
     "span_near_set", "span_near_unordered_set",
-    # multi-term (dictionary expansion; term_range_set demoted round 4 —
-    # the range predicate shape is also covered by prefix_set)
-    "prefix_set", "regexp_set", "fuzzy_set", "fuzzy_scored_topk",
-    "term_in_set",
+    # multi-term (dictionary expansion; term_range_set + regexp_set
+    # demoted round 4 — the dictionary-predicate shape keeps prefix_set
+    # and wildcard/regexp stay green locally)
+    "prefix_set", "fuzzy_set", "fuzzy_scored_topk", "term_in_set",
+    "span_prefix_near_set",
     # analysis chain
     "stop_filter_topk",
     # round-3 additions
@@ -973,6 +974,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
     )
+    # SpanMultiTermQueryWrapper (spans/SpanMultiTermQueryWrapper.java:54):
+    # prefix inside an ordered near — "s* then merge within 3"
+    out["span_prefix_near_set"] = _match_set(
+        ir.SpanNearClauseQuery(
+            (
+                ir.SpanMultiTermWrapper(ir.PrefixQuery("s")),
+                ir.SpanTermQuery("merge"),
+            ),
+            slop=3,
+            in_order=True,
+        )
+    )
+
     out["span_within_set"] = _match_set(
         ir.SpanWithinQuery(
             big=ir.SpanNearQuery(("slow", "data"), slop=8, in_order=True),
@@ -1817,6 +1831,15 @@ def oracle_sql() -> dict[str, str]:
         AND a.pos <> b.pos AND abs(b.pos - a.pos) - 1 <= 3"""
 
     # SpanOrQuery of two ordered nears: match set = union of the ∃-pair sets
+    # ordered near(prefix-expansion, merge): exists pa in the s%-union,
+    # pb in merge with pb >= pa+1 and gap <= 3 (2-clause ordered near's
+    # greedy-minimal completion accepts iff such a pair exists)
+    out["span_prefix_near_set"] = f"""WITH {_IX}
+      SELECT DISTINCT a.doc_id
+      FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id
+      WHERE a.term LIKE 's%' AND b.term = 'merge'
+        AND b.pos >= a.pos + 1 AND b.pos - a.pos - 1 <= 3"""
+
     out["span_or_set"] = f"""WITH {_IX}
       SELECT DISTINCT a.doc_id
       FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id

@@ -148,6 +148,8 @@ class OracleIndex:
             q,
             (
                 ir.SpanNearQuery,
+                ir.SpanNearClauseQuery,
+                ir.SpanMultiTermWrapper,
                 ir.SpanTermQuery,
                 ir.SpanOrQuery,
                 ir.SpanNotQuery,
@@ -338,7 +340,9 @@ class OracleIndex:
         accumulates identically."""
         from lucene_solr_spark.oracle.spans import eval_spans, spans_freq
         from lucene_solr_spark.plans.df_executor import span_term_sets
+        from lucene_solr_spark.plans.span_rewrite import expand_span_wrappers
 
+        q = expand_span_wrappers(q, self.expand_multiterm)
         all_terms, positive, required = span_term_sets(q)
         if any(self.df(t) == 0 for t in required):
             return {}

@@ -176,6 +176,21 @@ def containing_spans(big: list, little: list) -> list[Span]:
     ]
 
 
+def _clause_terms(c) -> tuple:
+    """Terms of a near CLAUSE: a SpanTermQuery or a SpanOrQuery of them."""
+    from lucene_solr_spark.plans import ir
+
+    if isinstance(c, ir.SpanTermQuery):
+        return (c.term,)
+    if isinstance(c, ir.SpanOrQuery) and all(
+        isinstance(s, ir.SpanTermQuery) for s in c.clauses
+    ):
+        return tuple(s.term for s in c.clauses)
+    raise TypeError(
+        f"span-near clause must be term or or-of-terms, got {type(c).__name__}"
+    )
+
+
 def eval_spans(node, term_pos: dict) -> list[Span]:
     """Evaluate a span-query IR tree (plans.ir Span* nodes) over one
     document's ``term -> sorted positions array`` map. The single-node
@@ -189,6 +204,38 @@ def eval_spans(node, term_pos: dict) -> list[Span]:
             [np.asarray(term_pos.get(t, ()), np.int64) for t in node.terms],
             node.slop,
             node.in_order,
+        )
+    if isinstance(node, ir.SpanNearClauseQuery):
+        # clause-based near (SpanNearQuery over SpanQuery clauses): a
+        # clause's positions are the UNION of its terms' width-1 spans —
+        # exactly SpanOrQuery's ordered union of sub-spans
+        groups = [_clause_terms(c) for c in node.clauses]
+        if not node.in_order:
+            seen: set[str] = set()
+            for g in groups:
+                if seen & set(g):
+                    raise ValueError(
+                        "unordered span-near with overlapping clause terms "
+                        "is not supported"
+                    )
+                seen |= set(g)
+        lists = []
+        for g in groups:
+            if len(g) == 1:
+                lists.append(np.asarray(term_pos.get(g[0], ()), np.int64))
+            else:
+                merged = np.unique(
+                    np.concatenate(
+                        [np.asarray(term_pos.get(t, ()), np.int64) for t in g]
+                        or [np.empty(0, np.int64)]
+                    )
+                )
+                lists.append(merged)
+        return near_spans(lists, node.slop, node.in_order)
+    if isinstance(node, ir.SpanMultiTermWrapper):
+        raise TypeError(
+            "SpanMultiTermWrapper must be dictionary-expanded by the "
+            "executor before kernel evaluation"
         )
     if isinstance(node, ir.SpanOrQuery):
         return or_spans([eval_spans(c, term_pos) for c in node.clauses])

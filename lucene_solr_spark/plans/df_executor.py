@@ -69,6 +69,8 @@ _MULTITERM_TYPES = (
 _SPAN_TYPES = (
     ir.SpanTermQuery,
     ir.SpanNearQuery,
+    ir.SpanNearClauseQuery,
+    ir.SpanMultiTermWrapper,
     ir.SpanOrQuery,
     ir.SpanNotQuery,
     ir.SpanWithinQuery,
@@ -96,6 +98,21 @@ def span_term_sets(q: ir.Query) -> tuple[list[str], list[str], list[str]]:
     if isinstance(q, ir.SpanTermQuery):
         s = [q.term]
         return s, list(s), list(s)
+    if isinstance(q, ir.SpanMultiTermWrapper):
+        # index-dependent: terms unknown until the executor expands it
+        return [], [], []
+    if isinstance(q, ir.SpanNearClauseQuery):
+        alls, poss, reqs = [], [], []
+        for c in q.clauses:
+            a, p, r = span_term_sets(c)
+            alls.append(a)
+            poss.append(p)
+            reqs.append(r)  # every clause must match → its required terms
+        return (
+            _dedup_keep_order(*alls),
+            _dedup_keep_order(*poss),
+            _dedup_keep_order(*reqs),
+        )
     if isinstance(q, ir.SpanNearQuery):
         s = _dedup_keep_order(q.terms)
         return s, list(s), list(s)
@@ -172,6 +189,38 @@ def multiterm_cond(q: ir.Query) -> Column:
     raise TypeError(f"not a multi-term query: {type(q).__name__}")
 
 
+def rescore_combine(
+    first_pass: DataFrame,
+    second: DataFrame,
+    *,
+    weight: float,
+    k: int,
+    mode: str = "float32",
+) -> DataFrame:
+    """Shared QueryRescorer combine (``search/QueryRescorer.java:184-188``):
+    ``first + weight * second`` where the second pass matched, first-pass
+    score alone where it didn't. ``first_pass`` is a small (doc_id, score)
+    frame, ``second`` a (doc_id, s2) match frame; the first pass is
+    broadcast onto the distributed second pass.
+
+    float32 mode mirrors the reference static helper exactly: the weight
+    stays a double, the accumulate runs in double, and ONE final rounding
+    to float happens at the end — not per-operation."""
+    joined = F.broadcast(
+        first_pass.withColumnRenamed("score", "s1")
+    ).join(second, "doc_id", "left")
+    comb = F.col("s1").cast("double") + F.lit(float(weight)) * F.coalesce(
+        F.col("s2"), F.lit(0.0)
+    ).cast("double")
+    if mode == "float32":
+        comb = comb.cast("float")
+    return (
+        joined.select("doc_id", comb.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 @dataclass
 class DFExecutor:
     index: InvertedIndex
@@ -226,29 +275,13 @@ class DFExecutor:
         ``topk`` result). The second-pass query scores ALL its matches
         once (one distributed job) and broadcast-joins onto the small
         first-pass set — never per-hit work, so the plan is the same at
-        100× corpus size. Float mode mirrors Lucene's float add/mul; in
-        double mode the combine is plain double arithmetic (the oracle
-        contract)."""
+        100× corpus size. Float mode mirrors Lucene's static-helper
+        combine (double weight, double accumulate, one final float
+        rounding — ``QueryRescorer.java:184-188``); double mode is plain
+        double arithmetic (the oracle contract)."""
         second = self.matches(q).withColumnRenamed("score", "s2")
-        joined = F.broadcast(
-            first_pass.withColumnRenamed("score", "s1")
-        ).join(second, "doc_id", "left")
-        if self.mode == "float32":
-            w = F.lit(float(np.float32(weight))).cast("float")
-            comb = (
-                F.col("s1").cast("float")
-                + (w * F.coalesce(F.col("s2"), F.lit(0.0)).cast("float")).cast(
-                    "float"
-                )
-            ).cast("float")
-        else:
-            comb = F.col("s1") + F.lit(float(weight)) * F.coalesce(
-                F.col("s2"), F.lit(0.0)
-            )
-        return (
-            joined.select("doc_id", comb.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
+        return rescore_combine(
+            first_pass, second, weight=weight, k=k, mode=self.mode
         )
 
     def count(self, q: ir.Query) -> int:
@@ -580,6 +613,26 @@ class DFExecutor:
             return self._eval_boolean(q, boost)
         raise TypeError(f"unsupported query type {type(q).__name__}")
 
+    def _expand_span(self, q: ir.Query) -> ir.Query:
+        """SpanMultiTermQueryWrapper expansion against THIS index's
+        dictionary (SCORING_SPAN_QUERY_REWRITE,
+        ``spans/SpanMultiTermQueryWrapper.java:146-162``): the term
+        predicate pushes into the term-sorted term_stats parquet scan, so
+        a broad prefix prunes row groups; only the matching terms (capped
+        at MAX_CLAUSE_COUNT) reach the driver."""
+        from lucene_solr_spark.plans.span_rewrite import expand_span_wrappers
+
+        def expand(mq: ir.Query) -> list[str]:
+            rows = (
+                self.index.term_stats.filter(multiterm_cond(mq))
+                .select("term")
+                .limit(ir.MAX_CLAUSE_COUNT + 1)
+                .collect()
+            )
+            return [r["term"] for r in rows]
+
+        return expand_span_wrappers(q, expand)
+
     def _eval_span(self, q: ir.Query, boost: float) -> DataFrame:
         """Span algebra (near/or/not/within/containing over term
         sub-spans): positions-array joins + the shared span kernel
@@ -588,7 +641,9 @@ class DFExecutor:
         the rest (OR branches, SpanNot excludes) left-join with an
         empty-array default, so the doc frame never over-prunes."""
         ix = self.index
+        q = self._expand_span(q)
         all_terms, positive, required = span_term_sets(q)
+        self._prefetch_terms(set(all_terms))
         for t in all_terms:
             self._df(t)
         if any(self._df(t) == 0 for t in required):

@@ -27,7 +27,9 @@ __all__ = [
     "BooleanQuery",
     "PhraseQuery",
     "SpanNearQuery",
+    "SpanNearClauseQuery",
     "SpanTermQuery",
+    "SpanMultiTermWrapper",
     "SpanOrQuery",
     "SpanNotQuery",
     "SpanWithinQuery",
@@ -182,6 +184,31 @@ class SpanTermQuery(Query):
     occurrence of ``term`` is a width-1 position span."""
 
     term: str
+
+
+@dataclass(frozen=True)
+class SpanMultiTermWrapper(Query):
+    """A multi-term query (prefix/wildcard/regexp/fuzzy/range) lifted into
+    the span algebra (``spans/SpanMultiTermQueryWrapper.java:54``):
+    executors expand it against THEIR dictionary into the SpanOr of the
+    matching terms (SCORING_SPAN_QUERY_REWRITE role —
+    ``SpanMultiTermQueryWrapper.java:146-162``), capped at
+    MAX_CLAUSE_COUNT. Enables \"foo* within 5 of bar\" shapes."""
+
+    query: Query
+
+
+@dataclass(frozen=True)
+class SpanNearClauseQuery(Query):
+    """Span-near over CLAUSE sub-spans (the reference SpanNearQuery takes
+    SpanQuery clauses, ``spans/SpanNearQuery.java:42``): each clause is a
+    SpanTermQuery, a SpanOrQuery of terms, or a SpanMultiTermWrapper; a
+    clause's spans are the union of its terms' width-1 position spans.
+    ``SpanNearQuery`` (terms-only) remains the common fast form."""
+
+    clauses: Tuple[Query, ...]
+    slop: int = 0
+    in_order: bool = True
 
 
 @dataclass(frozen=True)

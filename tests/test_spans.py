@@ -237,3 +237,71 @@ def test_span_set_matches_exists_pair(span_setup, tiny_oracle):
             if hit:
                 exp.add(d)
         assert got == exp, (in_order, slop)
+
+
+# -------------------------- SpanMultiTermQueryWrapper (round 4)
+def test_wrapper_expansion_equals_manual_spanor(span_setup, tiny_oracle):
+    """near(prefix-wrapper, term) == near(SpanOr of the expanded terms,
+    term) == oracle engine, bit-for-bit (DF executor path)."""
+    _, dfex = span_setup
+    wrapped = ir.SpanNearClauseQuery(
+        (
+            ir.SpanMultiTermWrapper(ir.PrefixQuery("fo")),
+            ir.SpanTermQuery("self"),
+        ),
+        slop=4,
+        in_order=True,
+    )
+    expanded_terms = sorted(tiny_oracle.expand_multiterm(ir.PrefixQuery("fo")))
+    assert expanded_terms, "corpus should have fo* terms"
+    manual = ir.SpanNearClauseQuery(
+        (
+            ir.SpanOrQuery(tuple(ir.SpanTermQuery(t) for t in expanded_terms)),
+            ir.SpanTermQuery("self"),
+        ),
+        slop=4,
+        in_order=True,
+    )
+    got = {r["doc_id"]: bits(r["score"]) for r in dfex.matches(wrapped).collect()}
+    man = {r["doc_id"]: bits(r["score"]) for r in dfex.matches(manual).collect()}
+    want = {d: bits(s) for d, s in tiny_oracle.matches(wrapped).items()}
+    assert got == man == want and got
+
+
+def test_wrapper_empty_expansion_matches_nothing(span_setup):
+    _, dfex = span_setup
+    q = ir.SpanNearClauseQuery(
+        (
+            ir.SpanMultiTermWrapper(ir.PrefixQuery("zzzzqx")),
+            ir.SpanTermQuery("self"),
+        ),
+        slop=4,
+    )
+    assert dfex.matches(q).count() == 0
+
+
+def test_wrapper_inside_span_or(span_setup, tiny_oracle):
+    """Wrapper as a SpanOr branch: union with a plain term."""
+    _, dfex = span_setup
+    q = ir.SpanOrQuery(
+        (ir.SpanMultiTermWrapper(ir.PrefixQuery("fo")), ir.SpanTermQuery("self"))
+    )
+    got = {r["doc_id"]: bits(r["score"]) for r in dfex.matches(q).collect()}
+    want = {d: bits(s) for d, s in tiny_oracle.matches(q).items()}
+    assert got == want and got
+
+
+def test_clause_near_unordered_overlap_rejected():
+    """Unordered near with overlapping clause term sets stays rejected."""
+    from lucene_solr_spark.oracle.spans import eval_spans
+
+    q = ir.SpanNearClauseQuery(
+        (
+            ir.SpanOrQuery((ir.SpanTermQuery("a"), ir.SpanTermQuery("b"))),
+            ir.SpanTermQuery("a"),
+        ),
+        slop=2,
+        in_order=False,
+    )
+    with pytest.raises(ValueError, match="overlapping"):
+        eval_spans(q, {"a": np.array([0, 5]), "b": np.array([2])})
