@@ -153,31 +153,21 @@ class SearchEngine:
         re-rank an existing page of hits by ``first + weight * second``
         where the rescore query matches, first-pass score alone where it
         doesn't. The second pass is one distributed job; the hit page is
-        broadcast onto it — per-hit work never touches the driver."""
-        import numpy as np
-        from pyspark.sql import functions as F
+        broadcast onto it — per-hit work never touches the driver. The
+        combine is the shared ``rescore_combine`` helper (double
+        accumulate, ONE final float rounding — the reference static
+        helper's semantics, ``QueryRescorer.java:184-188``)."""
+        from lucene_solr_spark.plans.df_executor import rescore_combine
 
         q = parse_query(query) if isinstance(query, str) else query
         first = self.spark.createDataFrame(
             [(int(h.doc_id), float(h.score)) for h in hits],
-            "doc_id long, s1 float",
+            "doc_id long, score float",
         )
         second = self._searcher.matches(q).withColumnRenamed("score", "s2")
-        w = F.lit(float(np.float32(weight))).cast("float")
-        comb = (
-            F.col("s1")
-            + (w * F.coalesce(F.col("s2"), F.lit(0.0)).cast("float")).cast(
-                "float"
-            )
-        ).cast("float")
-        rows = (
-            F.broadcast(first)
-            .join(second, "doc_id", "left")
-            .select("doc_id", comb.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-            .collect()
-        )
+        rows = rescore_combine(
+            first, second, weight=weight, k=k, mode="float32"
+        ).collect()
         return [Hit(r["doc_id"], r["score"]) for r in rows]
 
     def count(self, query: str | ir.Query) -> int:

@@ -15,6 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Solr CollapsingQParserPlugin nullPolicy values.
+NULL_POLICIES = ("ignore", "expand", "collapse")
+
 
 def collapse_topk(
     scored: DataFrame,
@@ -22,12 +25,35 @@ def collapse_topk(
     key_col: str,
     k: int = 10,
     id_col: str = "doc_id",
+    null_policy: str = "ignore",
 ) -> DataFrame:
     """``scored``: (doc_id, score) match set; ``keys``: a frame carrying
-    (doc_id, key_col). Returns (doc_id, score, key_col) — at most one row
-    per key value, ordered (score desc, doc_id asc), limit k."""
+    (doc_id, key_col) with AT MOST ONE row per doc_id (duplicate doc_id
+    rows would fan out scored rows — the single-valued-field requirement
+    CollapsingQParserPlugin imposes). Returns (doc_id, score, key_col) —
+    at most one row per key value, ordered (score desc, doc_id asc),
+    limit k.
+
+    ``null_policy`` mirrors Solr's nullPolicy: ``"ignore"`` (the Solr
+    default) drops null-key docs before collapsing; ``"expand"`` lets
+    every null-key doc through as its own group; ``"collapse"`` treats
+    null as one ordinary key value (a single group — what a bare window
+    partition would do)."""
+    if null_policy not in NULL_POLICIES:
+        raise ValueError(
+            f"null_policy must be one of {NULL_POLICIES}, got {null_policy!r}"
+        )
     keyed = scored.join(keys.select(id_col, key_col), id_col)
-    w = Window.partitionBy(key_col).orderBy(F.desc("score"), F.asc(id_col))
+    if null_policy == "ignore":
+        keyed = keyed.filter(F.col(key_col).isNotNull())
+        part = [key_col]
+    elif null_policy == "expand":
+        # null-key docs each form their own group: partition nulls by the
+        # (unique) doc id so row_number is 1 for every one of them
+        part = [key_col, F.when(F.col(key_col).isNull(), F.col(id_col))]
+    else:  # "collapse": nulls are one group — the window's native grouping
+        part = [key_col]
+    w = Window.partitionBy(*part).orderBy(F.desc("score"), F.asc(id_col))
     return (
         keyed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -50,3 +50,31 @@ def test_collapse_matches_manual(spark, executor):
     assert got == want[:10]
     # at most one row per key
     assert len({g[2] for g in got}) == len(got)
+
+
+def test_null_policy(spark):
+    """Solr nullPolicy parity: ignore (default) drops null-key docs,
+    expand passes each through as its own group, collapse makes null one
+    ordinary key."""
+    scored = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0), (3, 3.0), (4, 2.0), (5, 1.0)],
+        "doc_id long, score double",
+    )
+    keys = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None), (5, "b")],
+        "doc_id long, k string",
+    )
+
+    def rows(policy):
+        return [
+            (r["doc_id"], r["k"])
+            for r in collapse_topk(
+                scored, keys, "k", k=10, null_policy=policy
+            ).collect()
+        ]
+
+    assert rows("ignore") == [(1, "a"), (5, "b")]
+    assert rows("expand") == [(1, "a"), (2, None), (4, None), (5, "b")]
+    assert rows("collapse") == [(1, "a"), (2, None), (5, "b")]
+    with pytest.raises(ValueError, match="null_policy"):
+        rows("bogus")

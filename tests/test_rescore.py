@@ -55,9 +55,13 @@ def test_rescore_weight_zero_is_identity(executor):
     assert [r["score"] for r in got] == [r["score"] for r in base]
 
 
-def test_facade_rescore_float32(spark, tmp_path_factory):
-    """SearchEngine.rescore == manual float32 recombination of the page:
-    comb = f32(s1 + f32(w * s2)) — Lucene's float mul/add order."""
+@pytest.mark.parametrize("weight", [2.0, 0.3])
+def test_facade_rescore_float32(spark, tmp_path_factory, weight):
+    """SearchEngine.rescore == manual recombination of the page with the
+    reference static helper's semantics (``QueryRescorer.java:184-188``):
+    comb = f32(double(s1) + weight * double(s2)) — double accumulate, ONE
+    final float rounding (weight=0.3 exercises the non-power-of-two case
+    where per-operation rounding would differ)."""
     import struct
 
     from lucene_solr_spark.api import SearchEngine
@@ -72,10 +76,13 @@ def test_facade_rescore_float32(spark, tmp_path_factory):
         base, segment_size=32,
     )
     page = eng.search("def", k=30)
-    got = eng.rescore(page, '"x y"', weight=2.0, k=10)
+    got = eng.rescore(page, '"x y"', weight=weight, k=10)
     s2 = {h.doc_id: h.score for h in eng.search('"x y"', k=100)}
     want = sorted(
-        ((h.doc_id, f32(h.score + f32(2.0 * s2.get(h.doc_id, 0.0)))) for h in page),
+        (
+            (h.doc_id, f32(h.score + weight * s2.get(h.doc_id, 0.0)))
+            for h in page
+        ),
         key=lambda t: (-t[1], t[0]),
     )[:10]
     assert [(h.doc_id, h.score) for h in got] == want

@@ -27,24 +27,31 @@ N, N4 = 4, 16
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
 
 
-def _wait_for_idle(max_load: float = 1.5, timeout_s: int = 600) -> None:
+def _wait_for_idle(max_load: float = 1.5, timeout_s: int = 600) -> tuple[float, bool]:
     """Hold a leg until the host's 1-min load drops below ``max_load``
     (or the timeout passes): the shared host's neighbors caused 2-7x
     spread between repeats of identical legs, which min-of-N cannot
-    always filter. Gating on load keeps legs out of contention windows."""
+    always filter. Gating on load keeps legs out of contention windows.
+
+    Returns ``(load1_at_start, clean)`` — ``clean=False`` means the
+    timeout expired and the leg ran under load anyway; the flag is
+    recorded in the leg's JSON so tainted legs are identifiable."""
     import time as _time
 
     deadline = _time.monotonic() + timeout_s
-    while _time.monotonic() < deadline:
+    while True:
         load1 = os.getloadavg()[0]
         if load1 < max_load:
-            return
+            return load1, True
+        if _time.monotonic() >= deadline:
+            print(f"  [TIMEOUT: leg runs under load {load1:.1f}]", flush=True)
+            return load1, False
         print(f"  [load {load1:.1f} >= {max_load}; waiting]", flush=True)
         _time.sleep(15)
 
 
 def run(cores: int) -> dict:
-    _wait_for_idle()
+    load1, clean = _wait_for_idle()
     out = subprocess.run(
         [sys.executable, f"{REPO}/tools/scaling_workload.py", str(cores)],
         capture_output=True,
@@ -55,7 +62,13 @@ def run(cores: int) -> dict:
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
+            leg = json.loads(line)
+            # contention markers: start-of-leg 1-min load and whether the
+            # idle gate was satisfied (False = timed out, leg may be
+            # contention-tainted — visible in the raw JSON block)
+            leg["load1_at_start"] = round(load1, 2)
+            leg["idle_gate_clean"] = clean
+            return leg
     raise RuntimeError(
         f"no JSON from cores={cores}: {out.stdout[-2000:]}\n{out.stderr[-2000:]}"
     )
