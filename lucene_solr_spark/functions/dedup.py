@@ -2,9 +2,10 @@
 
 All-relational where possible (JVM-side, shuffle-aware):
 - exact dedup: hash-groupBy on content digest — one shuffle on the digest.
-- exact token-set Jaccard: distinct-token self-join — the *oracle* for the
-  approximate paths (quadratic in candidates; use only on small/blocked
-  candidate sets).
+- exact token-set Jaccard: prefix-filtered candidate join (PPJoin-style
+  rarity prefixes, recall 1 by construction) + exact verify — the exact
+  answer WITHOUT the all-pairs O(Σ df²) self-join (which survives only
+  as the test oracle).
 - MinHash + LSH banding: the 100 TB-scale near-dup path — per-doc
   signatures via xxhash64 min-aggregation (no Python in the hot path),
   band-bucket join to generate candidates, exact-Jaccard verify on the
@@ -61,28 +62,69 @@ def exact_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact token-set Jaccard over all pairs sharing ≥1 token.
+    """EXACT token-set Jaccard pairs — (doc_a, doc_b, jaccard) with
+    doc_a < doc_b and jaccard ≥ threshold — through a prefix-filtered
+    candidate join (PPJoin/SSJoin prefix principle), NOT an all-pairs
+    term self-join.
 
-    (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard ≥ threshold.
-    Quadratic worst case — the verification oracle, not the scale path.
-    """
+    Why: a raw self-join on ``term`` explodes as O(Σ_term df²) — one
+    boilerplate token shared by 10⁶ docs yields 10¹² candidate rows. The
+    prefix filter is the recall-1 banded shape: order every doc's tokens
+    by GLOBAL rarity (df asc, term asc); J(x,y) ≥ t implies
+    |x∩y| ≥ t·max(|x|,|y|) (union ≥ max), so x and y must share a token
+    inside each one's first |x| − ⌈t·|x|⌉ + 1 rarest tokens. Joining on
+    prefix tokens only is therefore lossless, and frequent terms — the
+    df² blowup — almost never appear in any prefix (they sort last). A
+    least/greatest size-ratio filter (J ≤ min/max) prunes further before
+    the exact verify computes true Jaccard on candidates only.
+
+    Shuffle shape at 100 TB: one groupBy(term) for df, one join
+    tok→df(term), one per-doc window (doc_id partitions), one candidate
+    join on (rare) prefix terms, one verify join on candidate doc ids —
+    every key either uniform (doc_id) or explicitly rarity-bounded. The
+    raw all-pairs form lives on only as the test oracle
+    (``tests/test_jaccard_pairs.py``)."""
     tok = _tokens(df, text_col, id_col).distinct()
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = tok.alias("a")
-    b = tok.alias("b")
+    tdf = tok.groupBy("term").agg(F.count("*").alias("tdf"))
+    ranked = tok.join(tdf, "term").select(
+        "doc_id",
+        "term",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("tdf", "term"))
+        .alias("r"),
+        F.count("*").over(Window.partitionBy("doc_id")).alias("sz"),
+    )
+    # prefix length |x| − ⌈t·|x|⌉ + 1 == ⌊(1−t)·|x|⌋ + 1
+    prefix = ranked.filter(
+        F.col("r") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    )
+    a = prefix.select("term", F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    b = prefix.select("term", F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    cands = (
+        a.join(b, "term")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # necessary size condition: J ≤ min(|x|,|y|)/max(|x|,|y|)
+            & (
+                F.least("sza", "szb").cast("double")
+                >= F.lit(threshold) * F.greatest("sza", "szb")
+            )
+        )
+        .select("doc_a", "doc_b", "sza", "szb")
+        .distinct()
+    )
+    # exact verify on candidates only (same shape as the MinHash verify)
+    ta = tok.withColumnRenamed("doc_id", "doc_a")
+    tb = tok.withColumnRenamed("doc_id", "doc_b")
     inter = (
-        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b", "sza", "szb")
         .agg(F.count("*").alias("i"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     jac = F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return inter.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
