@@ -198,40 +198,183 @@ def _levenshtein_leq(a: str, b: str, k: int) -> bool:
     return prev[-1] <= k
 
 
+def _cand_columns(cands):
+    """``(col_fn, lens, L)`` for a candidate set given as list[str] OR an
+    Arrow string array: ``col_fn(i)`` returns codepoint ``i`` of every
+    candidate as one numpy array. The Arrow all-ASCII fast path (the
+    overwhelmingly common dictionary case) gathers each column straight
+    from the utf8 data buffer — no per-string Python and no (n, L)
+    matrix materialization (column i of a candidate shorter than i+1 is
+    garbage, which is harmless: that candidate's distance was already
+    captured at its own final column). Mixed/non-ASCII inputs pad via
+    Python ljust over utf-32."""
+    is_arrow = not isinstance(cands, (list, tuple))
+    if is_arrow:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        a = cands.combine_chunks() if isinstance(cands, pa.ChunkedArray) else cands
+        if len(a) and pc.all(pc.string_is_ascii(a)).as_py():
+            lens = pc.utf8_length(a).to_numpy(zero_copy_only=False).astype(np.int64)
+            bufs = a.buffers()
+            L = int(lens.max())
+            if L == 0 or bufs[2] is None:
+                return (lambda i: np.zeros(len(a), np.uint8)), lens, 0
+            starts = np.frombuffer(bufs[1], np.int32)[
+                a.offset : a.offset + len(a)
+            ].astype(np.int64)
+            data = np.frombuffer(bufs[2], np.uint8)
+            cap = len(data) - 1
+
+            def col_fn(i: int) -> np.ndarray:
+                return data[np.minimum(starts + i, cap)]
+
+            return col_fn, lens, L
+        cands = a.to_pylist()
+    n = len(cands)
+    lens = np.fromiter((len(t) for t in cands), np.int64, n)
+    L = int(lens.max()) if n else 0
+    buf = "".join(t.ljust(L, "\0") for t in cands)
+    M = np.frombuffer(buf.encode("utf-32-le"), dtype=np.uint32).reshape(n, L)
+    return (lambda i: M[:, i]), lens, L
+
+
+def _levenshtein_leq_batch(cands, base: str, k: int) -> np.ndarray:
+    """Vectorized plain Levenshtein ≤ k over MANY candidates at once:
+    Myers' bit-parallel algorithm (Myers 1999, "A fast bit-vector
+    algorithm for approximate string matching") with the pattern = the
+    query term held in one uint64 bitvector per candidate, every update
+    a handful of numpy bitwise ops across ALL candidates simultaneously —
+    ~10·L vector ops total instead of a Python O(m·L) DP per candidate.
+    Exact same metric as _levenshtein_leq (no transpositions, matching
+    F.levenshtein); query terms longer than 64 codepoints fall back to
+    the scalar DP (never in practice for fuzzy queries)."""
+    n = len(cands)
+    if n == 0:
+        return np.zeros(0, bool)
+    m = len(base)
+    if m == 0 or m > 64:
+        it = cands.to_pylist() if hasattr(cands, "to_pylist") else cands
+        return np.fromiter(
+            (_levenshtein_leq(t, base, k) for t in it), bool, n
+        )
+    col_fn, lens, L = _cand_columns(cands)
+    # per-codepoint pattern-match bitmasks for the base term's alphabet
+    b_cp = np.frombuffer(base.encode("utf-32-le"), dtype=np.uint32)
+    alpha = np.unique(b_cp)
+    masks = np.zeros(len(alpha), np.uint64)
+    for i, cp in enumerate(b_cp):
+        masks[np.searchsorted(alpha, cp)] |= np.uint64(1) << np.uint64(i)
+    ones = np.uint64(0xFFFFFFFFFFFFFFFF)
+    one = np.uint64(1)
+    hibit = np.uint64(1) << np.uint64(m - 1)
+    Pv = np.full(n, (one << np.uint64(m)) - one if m < 64 else ones, np.uint64)
+    Mv = np.zeros(n, np.uint64)
+    score = np.full(n, m, np.int64)
+    dist = np.full(n, np.iinfo(np.int64).max, np.int64)
+    dist[lens == 0] = m
+    # preallocated temporaries: the update is ~12 vector ops per column;
+    # fresh 8n-byte allocations per op are the dominant cost on a
+    # first-touch-slow host, so every op below writes into a reused buffer
+    Eq = np.empty(n, np.uint64)
+    Xv = np.empty(n, np.uint64)
+    Xh = np.empty(n, np.uint64)
+    Ph = np.empty(n, np.uint64)
+    Mh = np.empty(n, np.uint64)
+    t1 = np.empty(n, np.uint64)
+    bsel = np.empty(n, bool)
+    with np.errstate(over="ignore"):
+        for i in range(L):
+            ci = col_fn(i)
+            idx = np.searchsorted(alpha, ci)
+            idx[idx >= len(alpha)] = 0
+            np.take(masks, idx, out=Eq)
+            np.not_equal(alpha[idx], ci, out=bsel)
+            Eq[bsel] = 0
+            np.bitwise_or(Eq, Mv, out=Xv)
+            np.bitwise_and(Eq, Pv, out=t1)
+            np.add(t1, Pv, out=t1)
+            np.bitwise_xor(t1, Pv, out=t1)
+            np.bitwise_or(t1, Eq, out=Xh)
+            np.bitwise_or(Xh, Pv, out=t1)
+            np.invert(t1, out=t1)
+            np.bitwise_or(Mv, t1, out=Ph)
+            np.bitwise_and(Pv, Xh, out=Mh)
+            np.bitwise_and(Ph, hibit, out=t1)
+            np.not_equal(t1, 0, out=bsel)
+            score += bsel
+            np.bitwise_and(Mh, hibit, out=t1)
+            np.not_equal(t1, 0, out=bsel)
+            score -= bsel
+            np.left_shift(Ph, one, out=Ph)
+            np.bitwise_or(Ph, one, out=Ph)
+            np.left_shift(Mh, one, out=Mh)
+            np.bitwise_or(Xv, Ph, out=t1)
+            np.invert(t1, out=t1)
+            np.bitwise_or(Mh, t1, out=Pv)
+            np.bitwise_and(Ph, Xv, out=Mv)
+            np.equal(lens, i + 1, out=bsel)
+            if bsel.any():
+                dist[bsel] = score[bsel]
+    return dist <= k
+
+
 def _match_dict_pred(plan: dict, terms) -> list[str]:
     """Per-segment dictionary intersection (the automaton∩terms-dict role,
     ``search/AutomatonQuery.java:45``): the candidate ``terms`` are this
-    segment's (range-pruned) dictionary — already task-local."""
+    segment's (range-pruned) dictionary — already task-local.
+
+    Vectorized: one Arrow-compute boolean mask over the whole dictionary
+    array per predicate — never a per-term Python loop over the full
+    dictionary (and not ``np.char``, whose per-element str-method calls
+    are barely faster than the loop). The only remaining Python DP
+    (fuzzy's banded Levenshtein) runs on the length-band + shared-prefix
+    SURVIVORS, typically a tiny fraction of a 10⁸-term segment
+    dictionary; regexes evaluate in Arrow's re2 when the pattern compiles
+    there, falling back to Python ``re`` for re2-unsupported constructs
+    (backrefs, lookaround)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = terms if isinstance(terms, pa.Array) else pa.array(list(terms), pa.string())
     kind = plan["kind"]
     if kind == "prefix":
-        p = plan["prefix"]
-        return [t for t in terms if t.startswith(p)]
+        return arr.filter(pc.starts_with(arr, pattern=plan["prefix"])).to_pylist()
     if kind == "range":
         lo, hi = plan["lower"], plan["upper"]
         il, iu = plan["include_lower"], plan["include_upper"]
-        out = []
-        for t in terms:
-            if lo is not None and (t < lo or (not il and t == lo)):
-                continue
-            if hi is not None and (t > hi or (not iu and t == hi)):
-                continue
-            out.append(t)
-        return out
+        mask = None
+        if lo is not None:
+            mask = pc.greater_equal(arr, lo) if il else pc.greater(arr, lo)
+        if hi is not None:
+            m2 = pc.less_equal(arr, hi) if iu else pc.less(arr, hi)
+            mask = m2 if mask is None else pc.and_(mask, m2)
+        return arr.to_pylist() if mask is None else arr.filter(mask).to_pylist()
     if kind == "regex":
-        import re as _re
+        anchored = f"^(?:{plan['regex']})$"
+        try:
+            mask = pc.match_substring_regex(arr, anchored)
+            return arr.filter(mask).to_pylist()
+        except Exception:  # re2-unsupported pattern → exact Python re
+            import re as _re
 
-        rx = _re.compile(plan["regex"])
-        return [t for t in terms if rx.fullmatch(t)]
+            rx = _re.compile(plan["regex"])
+            return [t for t in arr.to_pylist() if rx.fullmatch(t)]
     if kind == "fuzzy":
         base = plan["term"]
         pl = plan["prefix_length"]
         k = plan["max_edits"]
-        pref = base[:pl]
-        return [
-            t
-            for t in terms
-            if (not pl or t.startswith(pref)) and _levenshtein_leq(t, base, k)
-        ]
+        # vectorized exactness-preserving prefilters (FuzzyTermsEnum's
+        # automaton-pruning role): length band is a Levenshtein lower
+        # bound; the shared prefix is required by prefix_length semantics
+        mask = pc.less_equal(
+            pc.abs(pc.subtract(pc.utf8_length(arr), len(base))), k
+        )
+        if pl:
+            mask = pc.and_(mask, pc.starts_with(arr, pattern=base[:pl]))
+        surv = arr.filter(mask)  # stays Arrow: no materialize-then-DP
+        keep = _levenshtein_leq_batch(surv, base, k)
+        return surv.filter(pa.array(keep)).to_pylist()
     raise ValueError(kind)
 
 
@@ -483,6 +626,17 @@ class _SegmentEval:
         # reuse terms across many queries; scoring each term once per
         # segment amortizes the kernel across the whole batch
         self._term_score_cache: dict[tuple[str, float], tuple[np.ndarray, np.ndarray]] = {}
+        self._dict_arr = None  # lazy Arrow term-dictionary array
+
+    def dict_arr(self):
+        """This segment's dictionary as ONE Arrow string array (built
+        once, shared by every multi-term predicate in the batch) — the
+        vectorized _match_dict_pred operand."""
+        if self._dict_arr is None:
+            import pyarrow as pa
+
+            self._dict_arr = pa.array(list(self.term_enc.keys()), pa.string())
+        return self._dict_arr
 
     # --- postings access ---
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
@@ -563,7 +717,7 @@ class _SegmentEval:
             docs = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
             return docs, np.full(len(docs), plan["score"], self._out_dtype())
         if op == "dict_pred":
-            matched = _match_dict_pred(plan, self.term_enc.keys())
+            matched = _match_dict_pred(plan, self.dict_arr())
             parts = [self.postings(t)[0] for t in matched]
             docs = (
                 np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
