@@ -69,9 +69,12 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "span_prefix_near_set",
     # analysis chain
     "stop_filter_topk",
-    # round-3 additions
+    # round-3 additions (highlight_offsets demoted round 4 — the
+    # highlight family keeps two in-window gates: highlight_topk +
+    # the new sentence-BreakIterator gate; offsets source stays green
+    # locally and the offsets storage is also pinned by docs_only_topk)
     "mlt_topk", "common_terms_topk", "search_after_page2",
-    "highlight_offsets", "rescore_topk",
+    "rescore_topk",
     # index lifecycle (merge / delete / purge; search_after_delete and
     # span_within_set demoted past the window round 4 — their families
     # keep hard-oracle twins in-window; both stay green locally)
@@ -82,7 +85,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # similarities
     "classic_sim_topk", "lmdirichlet_matches",
     # highlight / suggest
-    "highlight_topk", "spell_suggest",
+    "highlight_topk", "highlight_sentence", "spell_suggest",
     # aggregations / join / collapse
     "facet_on_query", "group_topk_on_query", "collapse_topk",
     "join_parent_child",
@@ -1161,6 +1164,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["highlight_topk"] = highlight_topk
 
+    def highlight_sentence(spark, sf_dir):
+        """Sentence-BreakIterator passages (UnifiedHighlighter.java:72-74,
+        117-121): the corpus has no punctuation, so the gate derives a
+        deterministic sentenced text (period appended to every slow/fast
+        token — same regexp_replace in the oracle), then emits each hit
+        doc's best sentence containing `merge` with matches wrapped."""
+        from pyspark.sql import functions as F
+
+        from lucene_solr_spark.functions.highlight import highlight_hits
+
+        ex = _executor(spark, sf_dir)
+        hits = ex.matches(_T("merge")).select("doc_id")
+        docs = _docs(spark, sf_dir).withColumn(
+            "text", F.regexp_replace("text", r"\b(slow|fast)\b", "$1.")
+        )
+        return highlight_hits(
+            hits, docs, {"merge": 1.0}, join_tokens=True,
+            break_mode="sentence",
+        )
+
+    out["highlight_sentence"] = highlight_sentence
+
     # --- pluggable similarities (search/similarities/*, SURVEY §2.4) ----
     def _sim_executor(spark, sf_dir, name, **kw):
         key = f"sim::{name}::{sf_dir}"
@@ -2188,6 +2213,41 @@ def oracle_sql() -> dict[str, str]:
                ), ' ') AS snippet,
              n::DOUBLE AS passage_score,
              n::BIGINT AS n_matches
+      FROM best WHERE rn = 1"""
+    # sentence-BreakIterator highlight: derive sentenced text (period
+    # after every slow/fast), segment with the SAME re2 sentence regex as
+    # the kernel, rank sentences by (matches desc, position asc), wrap
+    out["highlight_sentence"] = r"""
+      WITH derived AS (
+        SELECT doc_id,
+               regexp_replace(text, '\b(slow|fast)\b', '\1.', 'g') AS text
+        FROM documents
+      ),
+      sent AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, '[^.!?]+[.!?]*|[.!?]+')) AS s,
+               generate_subscripts(
+                 regexp_extract_all(text, '[^.!?]+[.!?]*|[.!?]+'), 1) AS o
+        FROM derived
+      ),
+      scored AS (
+        SELECT doc_id, o, regexp_extract_all(s, '[a-z0-9]+') AS ws,
+               len(list_filter(regexp_extract_all(s, '[a-z0-9]+'),
+                               w -> w = 'merge'))::BIGINT AS n
+        FROM sent
+      ),
+      best AS (
+        SELECT doc_id, ws, n,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY n DESC, o ASC) AS rn
+        FROM scored WHERE n > 0
+      )
+      SELECT doc_id,
+             array_to_string(
+               list_transform(ws, w -> CASE WHEN w = 'merge'
+                   THEN '<b>' || w || '</b>' ELSE w END), ' ') AS snippet,
+             n::DOUBLE AS passage_score,
+             n AS n_matches
       FROM best WHERE rn = 1"""
     out["kernel_term_topk"] = out["term_topk"]
     out["kernel_and_topk"] = out["and2_topk"]

@@ -12,11 +12,14 @@ uhighlight/UnifiedHighlighter.java`` for the Spark engine:
   tokenizer's candidate regex + split rules, so highlight spans line up
   with indexed terms BY CONSTRUCTION (same chain: lowercase →
   possessive → stop → stem).
-- **Passages.** Lucene breaks at sentence boundaries via BreakIterator
-  (``UnifiedHighlighter.java:117-121``); we use a deterministic
-  token-window rule instead (± ``ctx`` tokens around each match, merged
-  when overlapping) — documented divergence that keeps the operator
-  pure-function and SQL-oracle-able.
+- **Passages.** Lucene breaks at sentence boundaries via
+  ``BreakIterator.getSentenceInstance`` (``UnifiedHighlighter.java:72-74,
+  117-121``). ``break_mode="sentence"`` mirrors that with a deterministic
+  regex subset of the ICU sentence rules (terminator run ``[.!?]+`` ends
+  a sentence; trailing whitespace attaches to the finished sentence) —
+  enough for prose and still exactly SQL-oracle-able. The default
+  ``break_mode="window"`` keeps the ± ``ctx``-token windows (merged when
+  overlapping) for corpora without sentence punctuation.
 - **Passage scoring.** ``PassageScorer.java:56-96`` ranks passages by
   Σ idf-weighted term hits; we implement the simplified form
   score(passage) = Σ_matches weight(term) (weight defaults to 1, or an
@@ -51,7 +54,30 @@ __all__ = [
     "highlight_text",
     "highlight_hits",
     "highlight_hits_from_index",
+    "sentence_spans",
 ]
+
+#: one sentence = a run of non-terminators followed by a terminator run
+#: (the regex subset of ICU sentence rules — BreakIterator
+#: .getSentenceInstance role, ``UnifiedHighlighter.java:72-74``); the
+#: final fragment without a terminator is its own sentence. re2-safe, so
+#: the DuckDB oracle segments identically.
+_SENT_RE = re.compile(r"[^.!?]+[.!?]*|[.!?]+")
+
+
+def sentence_spans(text: str) -> list[tuple[int, int]]:
+    """Whitespace-trimmed (start, end) char spans of each sentence, in
+    order; empty/whitespace-only fragments are dropped."""
+    out = []
+    for m in _SENT_RE.finditer(text):
+        s, e = m.start(), m.end()
+        while s < e and text[s].isspace():
+            s += 1
+        while e > s and text[e - 1].isspace():
+            e -= 1
+        if e > s:
+            out.append((s, e))
+    return out
 
 
 @dataclass(frozen=True)
@@ -128,6 +154,7 @@ def best_passages(
     pre_tag: str = "<b>",
     post_tag: str = "</b>",
     join_tokens: bool = False,
+    break_mode: str = "window",
     **analyzer_kwargs,
 ) -> list[Passage]:
     """Top-``top_n`` highlighted passages of one document.
@@ -138,7 +165,9 @@ def best_passages(
     passage. ``join_tokens=True`` rebuilds the snippet by joining token
     texts with single spaces (the exactly-SQL-reproducible form used by
     the correctness gate); default slices the ORIGINAL text, preserving
-    inter-token characters."""
+    inter-token characters. ``break_mode="sentence"`` makes each passage
+    one whole sentence containing ≥1 match (the reference's
+    BreakIterator behavior); ``"window"`` keeps ±ctx token windows."""
     weights = (
         query_terms
         if isinstance(query_terms, dict)
@@ -146,7 +175,8 @@ def best_passages(
     )
     toks = analyze_with_offsets(text, **analyzer_kwargs)
     return _passages_from_stream(
-        text, toks, weights, ctx, top_n, pre_tag, post_tag, join_tokens
+        text, toks, weights, ctx, top_n, pre_tag, post_tag, join_tokens,
+        break_mode,
     )
 
 
@@ -159,11 +189,18 @@ def _passages_from_stream(
     pre_tag: str,
     post_tag: str,
     join_tokens: bool,
+    break_mode: str = "window",
 ) -> list[Passage]:
     """Passage construction over an ordered (term, pos, start, end)
     stream — shared by the re-analysis offset source (best_passages) and
     the stored-offsets source (highlight_hits_from_index), which therefore
     produce IDENTICAL output for the same index chain."""
+    if break_mode == "sentence":
+        return _sentence_passages(
+            text, toks, weights, top_n, pre_tag, post_tag, join_tokens
+        )
+    if break_mode != "window":
+        raise ValueError(f"break_mode must be 'window' or 'sentence', got {break_mode!r}")
     hit_idx = [i for i, (t, _p, _s, _e) in enumerate(toks) if t in weights]
     if not hit_idx:
         return []
@@ -202,6 +239,61 @@ def _passages_from_stream(
     return passages[:top_n]
 
 
+def _sentence_passages(
+    text: str,
+    toks: list[tuple[str, int, int, int]],
+    weights: dict[str, float],
+    top_n: int,
+    pre_tag: str,
+    post_tag: str,
+    join_tokens: bool,
+) -> list[Passage]:
+    """Sentence-bounded passages (BreakIterator.getSentenceInstance role,
+    ``UnifiedHighlighter.java:72-74,117-121``): each sentence containing
+    ≥1 query-term occurrence becomes one candidate passage scored
+    Σ weights of its matches (``PassageScorer.java:56-96`` simplified
+    form), ranked (score desc, start asc). Snippet = the whole sentence
+    with every query-term token wrapped (join_tokens mode joins the
+    sentence's analyzed tokens with single spaces — the
+    SQL-reproducible form)."""
+    spans = sentence_spans(text)
+    if not spans or not toks:
+        return []
+    # assign tokens to sentences with one ordered sweep (both sorted)
+    passages: list[Passage] = []
+    ti = 0
+    n_toks = len(toks)
+    for s, e in spans:
+        while ti < n_toks and toks[ti][2] < s:
+            ti += 1
+        lo = ti
+        while ti < n_toks and toks[ti][2] < e:
+            ti += 1
+        span_toks = toks[lo:ti]
+        matches = [t for t, _p, _s, _e in span_toks if t in weights]
+        if not matches:
+            continue
+        score = float(sum(weights[t] for t in matches))
+        if join_tokens:
+            parts = [
+                f"{pre_tag}{text[ts:te]}{post_tag}" if t in weights else text[ts:te]
+                for t, _p, ts, te in span_toks
+            ]
+            snippet = " ".join(parts)
+        else:
+            buf, cur = [], s
+            for t, _p, ts, te in span_toks:
+                buf.append(text[cur:ts])
+                w = text[ts:te]
+                buf.append(f"{pre_tag}{w}{post_tag}" if t in weights else w)
+                cur = te
+            buf.append(text[cur:e])
+            snippet = "".join(buf)
+        passages.append(Passage(s, e, score, len(matches), snippet))
+    passages.sort(key=lambda p: (-p.score, p.start))
+    return passages[:top_n]
+
+
 def highlight_text(
     text: str, query_terms, **kwargs
 ) -> str | None:
@@ -222,6 +314,7 @@ def highlight_hits(
     pre_tag: str = "<b>",
     post_tag: str = "</b>",
     join_tokens: bool = False,
+    break_mode: str = "window",
     analyzer_kwargs: dict | None = None,
 ):
     """Distributed highlight: broadcast-join the (small) hit set onto the
@@ -255,6 +348,7 @@ def highlight_hits(
                     pre_tag=pre_tag,
                     post_tag=post_tag,
                     join_tokens=join_tokens,
+                    break_mode=break_mode,
                     **akw,
                 ):
                     out_id.append(did)
@@ -287,6 +381,7 @@ def highlight_hits_from_index(
     pre_tag: str = "<b>",
     post_tag: str = "</b>",
     join_tokens: bool = False,
+    break_mode: str = "window",
 ):
     """Offset-source highlighting: read token spans from the index's
     STORED offsets instead of re-analyzing (UnifiedHighlighter's
@@ -367,6 +462,7 @@ def highlight_hits_from_index(
                     pre_tag,
                     post_tag,
                     join_tokens,
+                    break_mode,
                 ):
                     out_id.append(did)
                     out_sn.append(p.snippet)

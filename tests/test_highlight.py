@@ -162,3 +162,56 @@ def test_offset_source_equals_reanalysis(spark):
     want = sorted(highlight_hits(hits, docs, q, ctx=2).collect(), key=key)
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) == 4
+
+
+# ------------------- sentence break mode (round 4, BreakIterator role)
+def test_sentence_spans_segmentation():
+    from lucene_solr_spark.functions.highlight import sentence_spans
+
+    text = "The fox runs. The dog sleeps!  No terminator tail"
+    spans = sentence_spans(text)
+    assert [text[s:e] for s, e in spans] == [
+        "The fox runs.",
+        "The dog sleeps!",
+        "No terminator tail",
+    ]
+    assert sentence_spans("") == []
+    assert sentence_spans("...") == [(0, 3)]
+    assert sentence_spans("one two") == [(0, 7)]
+
+
+def test_sentence_passages_whole_sentence_emitted():
+    text = "The fox runs fast. A slow dog naps. The fox naps too."
+    ps = best_passages(text, {"fox"}, break_mode="sentence", top_n=5)
+    assert [p.snippet for p in ps] == [
+        "The <b>fox</b> runs fast.",
+        "The <b>fox</b> naps too.",
+    ]
+    assert all(p.n_matches == 1 for p in ps)
+
+
+def test_sentence_passages_rank_by_matches_then_start():
+    text = "fox here. fox and fox again. nothing. fox last."
+    ps = best_passages(text, {"fox"}, break_mode="sentence", top_n=3)
+    assert ps[0].snippet == "<b>fox</b> and <b>fox</b> again."
+    assert ps[0].n_matches == 2
+    assert [p.snippet for p in ps[1:]] == ["<b>fox</b> here.", "<b>fox</b> last."]
+
+
+def test_sentence_join_tokens_mode():
+    text = "The fox runs fast. A slow dog naps."
+    ps = best_passages(
+        text, {"fox"}, break_mode="sentence", join_tokens=True, top_n=1
+    )
+    assert ps[0].snippet == "The <b>fox</b> runs fast"
+
+
+def test_sentence_mode_no_match_returns_empty():
+    assert best_passages("a b. c d.", {"zzz"}, break_mode="sentence") == []
+
+
+def test_bad_break_mode_rejected():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="break_mode"):
+        best_passages("a b", {"a"}, break_mode="paragraph")
