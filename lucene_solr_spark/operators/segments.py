@@ -183,6 +183,31 @@ def _encode_partition(segment_size: int):
     return fn
 
 
+def encode_frame(
+    ix: InvertedIndex,
+    segment_size: int = 1 << 16,
+    skip_segment_ids: list[int] | None = None,
+):
+    """The segment ENCODE pipeline as a DataFrame, unsunk: doc-range
+    segment assignment → one groupBy(segment_id) shuffle → the
+    applyInPandas block/impact/position encode kernel emitting term-sorted
+    SEGMENT_SCHEMA rows. ``build_segments`` writes this frame; the scaling
+    harness (tools/scaling_workload.py) drives it into the ``noop`` sink
+    to time encode COMPUTE separately from the parquet write — the
+    split the round-3 verdict asked for on the encode+write leg."""
+    pos_cols = ["positions"] if "positions" in ix.postings.columns else []
+    with_seg = (
+        ix.postings.join(F.broadcast(ix.norms), "doc_id")
+        .withColumn("segment_id", (F.col("doc_id") / segment_size).cast("long"))
+        .select("segment_id", "term", "doc_id", "tf", "norm", *pos_cols)
+    )
+    if skip_segment_ids:
+        with_seg = with_seg.filter(~F.col("segment_id").isin(skip_segment_ids))
+    return with_seg.groupBy("segment_id").applyInPandas(
+        _encode_partition(segment_size), schema=SEGMENT_SCHEMA
+    )
+
+
 def build_segments(
     ix: InvertedIndex,
     base: str,
@@ -200,20 +225,7 @@ def build_segments(
     if resume and os.path.exists(f"{base}/manifest.json"):
         done = {str(s["segment_id"]): s for s in SegmentIndex.open(base).manifest()["segments"]}
 
-    pos_cols = ["positions"] if "positions" in ix.postings.columns else []
-    with_seg = (
-        ix.postings.join(F.broadcast(ix.norms), "doc_id")
-        .withColumn("segment_id", (F.col("doc_id") / segment_size).cast("long"))
-        .select("segment_id", "term", "doc_id", "tf", "norm", *pos_cols)
-    )
-    if done:
-        with_seg = with_seg.filter(
-            ~F.col("segment_id").isin([int(k) for k in done])
-        )
-
-    enc = with_seg.groupBy("segment_id").applyInPandas(
-        _encode_partition(segment_size), schema=SEGMENT_SCHEMA
-    )
+    enc = encode_frame(ix, segment_size, skip_segment_ids=[int(k) for k in done])
     # No repartition before the write: the groupBy already placed each
     # segment wholly inside one task, and _encode_partition emits its rows
     # term-sorted (groupby(sort=True)), so partitionBy still yields one

@@ -91,6 +91,8 @@ def main() -> int:
         return (r_n[key_sec] / r_4n[key_sec]) / 4.0
 
     e_invert = eff("invert_sec")
+    e_encode = eff("encode_sec")
+    e_encode_w = eff("encode_warm_sec")
     e_segments = eff("segments_sec")
     e_index = eff("index_sec")
     e_query = eff("query_sec")
@@ -127,6 +129,8 @@ into its two stages; ONE batched BM25 top-10 job over
 |---|---|---|---|---|
 {row("invert (tokenize+invert+norms+dict), cold", "invert_sec", e_invert)}
 {row("invert, WARM workers (steady state)", "invert_warm_sec", e_invert_w)}
+{row("segment encode COMPUTE (noop sink, no file IO), cold", "encode_sec", e_encode)}
+{row("segment encode COMPUTE, WARM workers", "encode_warm_sec", e_encode_w)}
 {row("segment encode+write, cold", "segments_sec", e_segments)}
 {row("segment encode+write, WARM workers", "segments_warm_sec", e_segments_w)}
 {row("index build total, cold", "index_sec", e_index)}
@@ -142,6 +146,12 @@ North-rule criterion: efficiency ≥ 0.8 between N and 4N.
 - invert stage, warm workers (steady state on a long-lived cluster):
   **{e_invert_w:.3f}** — {"PASS" if e_invert_w >= 0.8 else "BELOW"}
 - batched query job: **{e_query:.3f}** — {"PASS" if e_query >= 0.8 else "BELOW"}
+- segment encode COMPUTE (noop sink), cold: **{e_encode:.3f}** — {"PASS" if e_encode >= 0.8 else "BELOW"}
+- segment encode COMPUTE, warm: **{e_encode_w:.3f}** — {"PASS" if e_encode_w >= 0.8 else "BELOW"}
+  (the round-3 verdict's asked-for split: the encode kernel's own
+  scaling, with the parquet write — the sandbox's serialized IO layer —
+  excluded; the gap between this leg and encode+write below IS the
+  measured IO ceiling)
 - segment encode+write, cold: **{e_segments:.3f}** — {"PASS" if e_segments >= 0.8 else "BELOW"} (sandbox IO-bound; on a
   real cluster this write fans out across executor disks / object store)
 - segment encode+write, warm: **{e_segments_w:.3f}** — {"PASS" if e_segments_w >= 0.8 else "BELOW"}

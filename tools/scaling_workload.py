@@ -8,6 +8,10 @@ Phases timed separately so the efficiency of the compute-bound stages is
 not masked by the sandbox's shared IO layer:
   invert   — tokenize + map-side inversion + doc lengths/norms/dictionary
              (the corpus-bytes-proportional stage; pure compute)
+  encode   — the SAME segment shuffle + encode kernel as `segments`, sunk
+             into Spark's `noop` datasource: encode COMPUTE with zero
+             file IO (isolates the sandbox's serialized-write ceiling
+             from the kernel's own scaling)
   segments — doc-range repartition + block/impact/position encode + parquet
              write (shuffle+IO heavy)
   query    — ONE batched top-k job over the generated query set (kernel
@@ -76,6 +80,17 @@ def main() -> int:
     ix2.term_stats.count()
     invert_warm_sec = time.perf_counter() - t0
 
+    # --- phase 2a: encode COMPUTE only (noop sink, no file IO) ----------
+    from lucene_solr_spark.operators.segments import encode_frame
+
+    t0 = time.perf_counter()
+    encode_frame(ix, 1 << 11).write.format("noop").mode("overwrite").save()
+    encode_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    encode_frame(ix2, 1 << 11).write.format("noop").mode("overwrite").save()
+    encode_warm_sec = time.perf_counter() - t0
+
     # --- phase 2: segment encode + write --------------------------------
     shutil.rmtree(seg_base, ignore_errors=True)
     t0 = time.perf_counter()
@@ -116,6 +131,8 @@ def main() -> int:
                 "gb": round(gb, 6),
                 "invert_sec": round(invert_sec, 3),
                 "invert_warm_sec": round(invert_warm_sec, 3),
+                "encode_sec": round(encode_sec, 3),
+                "encode_warm_sec": round(encode_warm_sec, 3),
                 "segments_sec": round(segments_sec, 3),
                 "segments_warm_sec": round(segments_warm_sec, 3),
                 "index_sec": round(invert_sec + segments_sec, 3),
