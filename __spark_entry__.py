@@ -1186,6 +1186,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["highlight_sentence"] = highlight_sentence
 
+    def payload_score_topk(spark, sf_dir):
+        """PayloadScoreQuery over a SpanTermQuery
+        (queries/payloads/PayloadScoreQuery.java:43), built-in decoder =
+        surface token length from the stored char spans, SumPayloadFunction
+        doc score, includeSpanScore=false: top-10 by (score desc,
+        doc_id asc)."""
+        from pyspark.sql import functions as F
+
+        from lucene_solr_spark.functions.payloads import payload_score_term
+        from lucene_solr_spark.operators.index_build import build_index
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        key = f"ixoff::{sf_dir}"
+        if key not in _CACHE:
+            d = _docs(spark, sf_dir)
+            ixo = build_index(
+                d, text_col="text", doc_id_col="doc_id", index_options="offsets"
+            ).persist()
+            _CACHE[key] = DFExecutor(ixo, mode="double")
+        return (
+            payload_score_term(_CACHE[key].index, "merge", fn="sum")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+        )
+
+    out["payload_score_topk"] = payload_score_topk
+
     # --- pluggable similarities (search/similarities/*, SURVEY §2.4) ----
     def _sim_executor(spark, sf_dir, name, **kw):
         key = f"sim::{name}::{sf_dir}"
@@ -2249,6 +2276,16 @@ def oracle_sql() -> dict[str, str]:
              n::DOUBLE AS passage_score,
              n AS n_matches
       FROM best WHERE rn = 1"""
+    # payload score: Σ surface lengths of the term's occurrences (the
+    # stored-offsets payload decoder), SumPayloadFunction docScore
+    out["payload_score_topk"] = """
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
+        FROM documents
+      )
+      SELECT doc_id, sum(length(w))::DOUBLE AS score
+      FROM tok WHERE w = 'merge' GROUP BY doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT 10"""
     out["kernel_term_topk"] = out["term_topk"]
     out["kernel_and_topk"] = out["and2_topk"]
     out["kernel_or_topk"] = out["or2_topk"]

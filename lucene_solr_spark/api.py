@@ -180,9 +180,10 @@ class SearchEngine:
 
         Invariant (the reference's CheckHits contract): every node's
         ``value`` is the EXACT engine score of that subtree restricted to
-        ``doc_id`` — explain can never drift from search. Debug API: each
-        tree node runs one small kernel job (the reference's explain is
-        likewise a per-doc re-evaluation)."""
+        ``doc_id`` — explain can never drift from search. ONE kernel job
+        total: every subtree the rendering needs is collected pre-order
+        and scored as one ``topk_batch`` (plans broadcast, map-only), so
+        a 10-clause boolean explain no longer runs ~20 jobs."""
         from pyspark.sql import functions as F
 
         from lucene_solr_spark.plans.rewriter import rewrite as _rw
@@ -191,14 +192,43 @@ class SearchEngine:
         q = _rw(q)
         doc_id = int(doc_id)
 
+        # pre-order collection mirroring ex()'s value() call order
+        nodes: list[tuple[ir.Query, float]] = []
+
+        def collect(qq: ir.Query, boost: float) -> None:
+            if isinstance(qq, ir.BoostQuery):
+                collect(qq.query, boost * qq.boost)
+                return
+            if isinstance(qq, ir.BooleanQuery):
+                for c in qq.clauses:
+                    collect(
+                        c.query,
+                        1.0
+                        if c.occur in (ir.Occur.FILTER, ir.Occur.MUST_NOT)
+                        else boost,
+                    )
+                nodes.append((qq, boost))
+                return
+            nodes.append((qq, boost))
+
+        collect(q, 1.0)
+        batch = {
+            str(i): (n if b == 1.0 else ir.BoostQuery(n, b))
+            for i, (n, b) in enumerate(nodes)
+        }
+        rows = (
+            self._searcher.topk_batch(batch, k=None)
+            .filter(F.col("doc_id") == doc_id)
+            .select("query_id", "score")
+            .collect()
+        )
+        vals = {int(r["query_id"]): float(r["score"]) for r in rows}
+        cursor = [0]
+
         def value(qq: ir.Query, boost: float = 1.0):
-            node = qq if boost == 1.0 else ir.BoostQuery(qq, boost)
-            rows = (
-                self._searcher.matches(node)
-                .filter(F.col("doc_id") == doc_id)
-                .collect()
-            )
-            return float(rows[0]["score"]) if rows else None
+            i = cursor[0]
+            cursor[0] = i + 1
+            return vals.get(i)
 
         def miss(desc: str) -> dict:
             return {

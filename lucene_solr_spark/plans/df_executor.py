@@ -303,12 +303,67 @@ class DFExecutor:
         that subtree through the executor restricted to ``doc_id``, so
         explain can never drift from search. ``details`` decompose
         boolean shapes clause-by-clause and term leaves into
-        (boost, idf(df), tf/norm inputs)."""
+        (boost, idf(df), tf/norm inputs).
+
+        ONE Spark job total: a pre-order collection pass enumerates every
+        subtree whose value the rendering needs (same traversal as
+        ``_explain``), their single-doc frames union into one plan, and
+        the rendering pass reads the collected values by cursor — a
+        10-clause boolean explain is no longer ~20 driver-blocking jobs."""
         q = rewrite(q)
         self._prefetch_stats(q)
-        return self._explain(q, int(doc_id), 1.0)
+        doc_id = int(doc_id)
+        nodes: list[tuple[ir.Query, float]] = []
+        self._collect_explain_nodes(q, 1.0, nodes)
+        vals: dict[int, float] = {}
+        if nodes:
+            frames = [
+                self._eval(n, b)
+                .filter(F.col("doc_id") == doc_id)
+                .select(F.lit(i).alias("_node"), F.col("score").cast("double"))
+                for i, (n, b) in enumerate(nodes)
+            ]
+            u = frames[0]
+            for f in frames[1:]:
+                u = u.unionAll(f)
+            vals = {int(r["_node"]): float(r["score"]) for r in u.collect()}
+        self._explain_cursor = [nodes, vals, 0]
+        try:
+            return self._explain(q, doc_id, 1.0)
+        finally:
+            self._explain_cursor = None
+
+    def _collect_explain_nodes(
+        self, q: ir.Query, boost: float, out: list
+    ) -> None:
+        """Mirror of ``_explain``'s ``_node_value`` call order (children
+        before the boolean parent; BoostQuery delegates to its child)."""
+        if isinstance(q, ir.BoostQuery):
+            inner_boost = (
+                float(_f32(_f32(boost) * _f32(q.boost)))
+                if self.mode == "float32"
+                else boost * q.boost
+            )
+            self._collect_explain_nodes(q.query, inner_boost, out)
+            return
+        if isinstance(q, ir.BooleanQuery):
+            for c in q.clauses:
+                sub_boost = (
+                    1.0
+                    if c.occur in (ir.Occur.FILTER, ir.Occur.MUST_NOT)
+                    else boost
+                )
+                self._collect_explain_nodes(c.query, sub_boost, out)
+            out.append((q, boost))
+            return
+        out.append((q, boost))
 
     def _node_value(self, q: ir.Query, doc_id: int, boost: float):
+        cur = getattr(self, "_explain_cursor", None)
+        if cur is not None:
+            nodes, vals, i = cur
+            cur[2] = i + 1
+            return vals.get(i)
         rows = (
             self._eval(q, boost)
             .filter(F.col("doc_id") == doc_id)

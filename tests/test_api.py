@@ -103,3 +103,50 @@ def test_explain_df_executor(spark):
     e = ex.explain(q, top["doc_id"])
     assert e["value"] == top["score"]
     assert e["details"][0]["occur"] == "MUST"
+
+
+def test_explain_df_executor_node_values_one_pass(spark):
+    """The one-job explain (round 4): every node's value in a deep
+    boolean tree still equals that subtree's standalone engine score for
+    the doc (CheckHits per node), including non-matching clauses and a
+    nested boost — pinning the traversal-order contract between the
+    collection pass and the rendering pass."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators.index_build import build_index
+    from lucene_solr_spark.plans import ir
+    from lucene_solr_spark.plans.df_executor import DFExecutor
+    from lucene_solr_spark.sources.corpus import corpus_to_spark
+
+    ix = build_index(corpus_to_spark(spark, 60, seed=42)).persist()
+    ex = DFExecutor(ix, mode="double")
+    q = ir.BooleanQuery(
+        (
+            ir.BooleanClause(ir.Occur.MUST, ir.TermQuery("def")),
+            ir.BooleanClause(ir.Occur.SHOULD, ir.BoostQuery(ir.TermQuery("return"), 2.0)),
+            ir.BooleanClause(ir.Occur.SHOULD, ir.TermQuery("zzzznothing")),
+            ir.BooleanClause(ir.Occur.MUST_NOT, ir.TermQuery("qqqabsent")),
+        ),
+        0,
+    )
+    top = ex.topk(q, k=1).collect()[0]
+    doc = top["doc_id"]
+    e = ex.explain(q, doc)
+    assert e["value"] == top["score"]
+
+    def standalone(sub, boost=1.0):
+        rows = (
+            ex._eval(sub, boost)
+            .filter(F.col("doc_id") == doc)
+            .select("score")
+            .collect()
+        )
+        return float(rows[0]["score"]) if rows else None
+
+    # clause order preserved; each detail's value == standalone eval
+    d = e["details"]
+    assert d[0]["occur"] == "MUST" and d[0]["value"] == standalone(ir.TermQuery("def"))
+    # boost wrapper: value equals the boosted subtree's engine score
+    assert d[1]["value"] == standalone(ir.TermQuery("return"), 2.0)
+    assert d[2]["match"] is False and d[2]["value"] == 0.0
+    assert d[3]["occur"] == "MUST_NOT"
