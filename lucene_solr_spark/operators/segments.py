@@ -203,8 +203,27 @@ def encode_frame(
     )
     if skip_segment_ids:
         with_seg = with_seg.filter(~F.col("segment_id").isin(skip_segment_ids))
-    return with_seg.groupBy("segment_id").applyInPandas(
-        _encode_partition(segment_size), schema=SEGMENT_SCHEMA
+    # Bucket-skew guard (measured: the 2x encode-scaling ceiling at N=16
+    # was NOT IO — tmpfs shuffle dirs changed nothing — but segment ids
+    # HASHING into only spark.sql.shuffle.partitions buckets: 59 segments
+    # over 16 buckets puts ~2x the mean into the worst bucket, and the
+    # stage runs at the speed of that bucket). Fix: RANGE-partition the
+    # encode shuffle on segment_id — contiguous ids per partition,
+    # boundaries from the row sampler, so partitions are balanced by ROWS
+    # (imbalance ≤ ceil(S/p)/(S/p) instead of the hash-collision tail).
+    # Task count is bounded at 4x the cluster parallelism, so tiny-task
+    # overhead never dominates small builds and web-scale builds don't
+    # schedule one task per 10^6 segments. RangePartitioning(segment_id)
+    # satisfies the groupBy's ClusteredDistribution, so Catalyst inserts
+    # NO second exchange before applyInPandas.
+    spark = ix.postings.sparkSession
+    n_segments = max(1, -(-int(ix.doc_count) // segment_size))
+    par = max(1, spark.sparkContext.defaultParallelism)
+    n_parts = min(n_segments, 4 * par)
+    return (
+        with_seg.repartitionByRange(n_parts, "segment_id")
+        .groupBy("segment_id")
+        .applyInPandas(_encode_partition(segment_size), schema=SEGMENT_SCHEMA)
     )
 
 
