@@ -149,9 +149,9 @@ North-rule criterion: efficiency ≥ 0.8 between N and 4N.
 - segment encode COMPUTE (noop sink), cold: **{e_encode:.3f}** — {"PASS" if e_encode >= 0.8 else "BELOW"}
 - segment encode COMPUTE, warm: **{e_encode_w:.3f}** — {"PASS" if e_encode_w >= 0.8 else "BELOW"}
   (the round-3 verdict's asked-for split: the encode kernel's own
-  scaling, with the parquet write — the sandbox's serialized IO layer —
-  excluded; the gap between this leg and encode+write below IS the
-  measured IO ceiling)
+  scaling with the parquet write excluded; the encode shuffle is
+  range-partitioned since the round-4 bucket-skew fix — see the probe
+  study in the preserved round-4 run A section)
 - segment encode+write, cold: **{e_segments:.3f}** — {"PASS" if e_segments >= 0.8 else "BELOW"} (sandbox IO-bound; on a
   real cluster this write fans out across executor disks / object store)
 - segment encode+write, warm: **{e_segments_w:.3f}** — {"PASS" if e_segments_w >= 0.8 else "BELOW"}
