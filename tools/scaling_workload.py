@@ -35,6 +35,13 @@ sys.path.insert(0, "/root/repo")
 def main() -> int:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n_docs = int(os.environ.get("SCALING_DOCS", "120000"))
+    # Which phases to time (comma list of invert,encode,segments,query).
+    # The big-corpus runs (SCALING_DOCS=480000) time only the compute
+    # stages — the write/query legs already have 480k evidence and the
+    # segments write is the sandbox IO ceiling, not engine compute.
+    phases = set(
+        os.environ.get("SCALING_PHASES", "invert,encode,segments,query").split(",")
+    )
     n_queries = int(os.environ.get("SCALING_QUERIES", "4000"))
     corpus_dir = os.environ.get("SCALING_CORPUS", f"/tmp/scaling_corpus_{n_docs}")
     seg_base = f"/tmp/scaling_segments_{n_docs}_{cores}"
@@ -80,76 +87,76 @@ def main() -> int:
     ix2.term_stats.count()
     invert_warm_sec = time.perf_counter() - t0
 
-    # --- phase 2a: encode COMPUTE only (noop sink, no file IO) ----------
-    from lucene_solr_spark.operators.segments import encode_frame
+    result = {
+        "cores": cores,
+        "n_docs": n_docs,
+        "gb": round(gb, 6),
+        "invert_sec": round(invert_sec, 3),
+        "invert_warm_sec": round(invert_warm_sec, 3),
+        "invert_warm_gb_per_hour": round(gb / (invert_warm_sec / 3600.0), 3),
+        "invert_gb_per_hour": round(gb / (invert_sec / 3600.0), 3),
+    }
 
-    t0 = time.perf_counter()
-    encode_frame(ix, 1 << 11).write.format("noop").mode("overwrite").save()
-    encode_sec = time.perf_counter() - t0
+    if "encode" in phases:
+        # --- phase 2a: encode COMPUTE only (noop sink, no file IO) ------
+        from lucene_solr_spark.operators.segments import encode_frame
 
-    t0 = time.perf_counter()
-    encode_frame(ix2, 1 << 11).write.format("noop").mode("overwrite").save()
-    encode_warm_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        encode_frame(ix, 1 << 11).write.format("noop").mode("overwrite").save()
+        encode_sec = time.perf_counter() - t0
 
-    # --- phase 2: segment encode + write --------------------------------
-    shutil.rmtree(seg_base, ignore_errors=True)
-    t0 = time.perf_counter()
-    six = build_segments(ix, seg_base, segment_size=1 << 11)
-    segments_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        encode_frame(ix2, 1 << 11).write.format("noop").mode("overwrite").save()
+        encode_warm_sec = time.perf_counter() - t0
+        result["encode_sec"] = round(encode_sec, 3)
+        result["encode_warm_sec"] = round(encode_warm_sec, 3)
+        result["encode_warm_gb_per_hour"] = round(gb / (encode_warm_sec / 3600.0), 3)
 
-    # --- phase 2b: WARM segment encode + write --------------------------
-    seg_warm = f"{seg_base}_warm"
-    shutil.rmtree(seg_warm, ignore_errors=True)
-    t0 = time.perf_counter()
-    build_segments(ix2, seg_warm, segment_size=1 << 11)
-    segments_warm_sec = time.perf_counter() - t0
-    shutil.rmtree(seg_warm, ignore_errors=True)
+    if "segments" in phases:
+        # --- phase 2: segment encode + write ----------------------------
+        shutil.rmtree(seg_base, ignore_errors=True)
+        t0 = time.perf_counter()
+        six = build_segments(ix, seg_base, segment_size=1 << 11)
+        segments_sec = time.perf_counter() - t0
+
+        # --- phase 2b: WARM segment encode + write ----------------------
+        seg_warm = f"{seg_base}_warm"
+        shutil.rmtree(seg_warm, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_segments(ix2, seg_warm, segment_size=1 << 11)
+        segments_warm_sec = time.perf_counter() - t0
+        shutil.rmtree(seg_warm, ignore_errors=True)
+        result["segments_sec"] = round(segments_sec, 3)
+        result["segments_warm_sec"] = round(segments_warm_sec, 3)
+        result["index_sec"] = round(invert_sec + segments_sec, 3)
+        result["index_warm_sec"] = round(invert_warm_sec + segments_warm_sec, 3)
+        result["index_gb_per_hour"] = round(
+            gb / ((invert_sec + segments_sec) / 3600.0), 3
+        )
     shutil.rmtree(warm_scratch, ignore_errors=True)
 
-    # --- phase 3: batched query job -------------------------------------
-    searcher = SegmentSearcher(spark, six, mode="float32", prune="block_max")
-    sample = [r["content"] for r in corpus.limit(20).collect()]
-    qset = generate_queryset(
-        spark,
-        six.term_stats(spark),
-        sample,
-        n_terms=n_queries // 2,
-        n_and=n_queries // 4,
-        n_or=n_queries // 4,
-        n_phrase=20,
-    )
-    res = searcher.topk_batch(qset, k=10)  # driver compile (constant) excluded
-    t0 = time.perf_counter()
-    res.count()
-    query_sec = time.perf_counter() - t0
-
-    print(
-        json.dumps(
-            {
-                "cores": cores,
-                "n_docs": n_docs,
-                "gb": round(gb, 6),
-                "invert_sec": round(invert_sec, 3),
-                "invert_warm_sec": round(invert_warm_sec, 3),
-                "encode_sec": round(encode_sec, 3),
-                "encode_warm_sec": round(encode_warm_sec, 3),
-                "segments_sec": round(segments_sec, 3),
-                "segments_warm_sec": round(segments_warm_sec, 3),
-                "index_sec": round(invert_sec + segments_sec, 3),
-                "index_warm_sec": round(invert_warm_sec + segments_warm_sec, 3),
-                "invert_warm_gb_per_hour": round(
-                    gb / (invert_warm_sec / 3600.0), 3
-                ),
-                "invert_gb_per_hour": round(gb / (invert_sec / 3600.0), 3),
-                "index_gb_per_hour": round(
-                    gb / ((invert_sec + segments_sec) / 3600.0), 3
-                ),
-                "n_queries": len(qset),
-                "query_sec": round(query_sec, 3),
-                "qps": round(len(qset) / query_sec, 2),
-            }
+    if "query" in phases:
+        # --- phase 3: batched query job ----------------------------------
+        searcher = SegmentSearcher(spark, six, mode="float32", prune="block_max")
+        sample = [r["content"] for r in corpus.limit(20).collect()]
+        qset = generate_queryset(
+            spark,
+            six.term_stats(spark),
+            sample,
+            n_terms=n_queries // 2,
+            n_and=n_queries // 4,
+            n_or=n_queries // 4,
+            n_phrase=20,
         )
-    )
+        res = searcher.topk_batch(qset, k=10)  # driver compile excluded
+        t0 = time.perf_counter()
+        res.count()
+        query_sec = time.perf_counter() - t0
+        result["n_queries"] = len(qset)
+        result["query_sec"] = round(query_sec, 3)
+        result["qps"] = round(len(qset) / query_sec, 2)
+
+    print(json.dumps(result))
     spark.stop()
     return 0
 
