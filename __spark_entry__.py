@@ -62,10 +62,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "phrase_topk", "multi_phrase_topk", "sloppy_phrase_matches",
     "sloppy_repeat_matches",
     "span_near_set", "span_near_unordered_set",
-    # multi-term (dictionary expansion; term_range_set + regexp_set
-    # demoted round 4 — the dictionary-predicate shape keeps prefix_set
-    # and wildcard/regexp stay green locally)
-    "prefix_set", "fuzzy_set", "fuzzy_scored_topk", "term_in_set",
+    # multi-term (dictionary expansion; term_range_set + regexp_set +
+    # prefix_set demoted round 4 — the dictionary-predicate shape keeps
+    # prefix_scored_topk (same automaton, scored) + span_prefix_near_set;
+    # the demoted set gates stay green locally)
+    "prefix_scored_topk", "fuzzy_set", "fuzzy_scored_topk", "term_in_set",
     "span_prefix_near_set",
     # analysis chain
     "stop_filter_topk",
@@ -535,6 +536,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (FuzzyQuery.java:34,100) — scored expansion with blended df
     out["fuzzy_scored_topk"] = _topk(
         ir.FuzzyQuery("part", max_edits=2, constant_score=False)
+    )
+
+    # SCORING_BOOLEAN_REWRITE (ScoringRewrite.java:67-74): s* expands to
+    # 6 SHOULD TermQueries each scored with its OWN df (no blending)
+    out["prefix_scored_topk"] = _topk(
+        ir.PrefixQuery("s", constant_score=False)
     )
 
     # --- boosted + phrase scoring --------------------------------------
@@ -1803,6 +1810,25 @@ def oracle_sql() -> dict[str, str]:
                {bm25_score_sql(tf_expr='p.tf', w_expr="(c.boost * ln(1.0 + (g.doc_count - bl.df + 0.5) / (bl.df + 0.5)))")} AS s
         FROM postings p JOIN cand c USING (term)
         CROSS JOIN blend bl
+        JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      )
+      SELECT doc_id,
+             list_aggregate(list(s ORDER BY term), 'sum') AS score
+      FROM per GROUP BY doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+    # SCORING_BOOLEAN_REWRITE prefix s*: every matching dictionary term
+    # scored with its OWN df (aliasing the candidate set as ts keeps the
+    # standard per-term idf expression), term-sorted left-fold sum —
+    # mirrors DFExecutor._scored_disjunction 1:1.
+    out["prefix_scored_topk"] = f"""WITH {_IX},
+      cand AS (
+        SELECT term, df FROM term_stats WHERE term LIKE 's%'
+        ORDER BY term LIMIT 1024
+      ),
+      per AS (
+        SELECT p.doc_id, ts.term, {_SCORE} AS s
+        FROM postings p JOIN cand ts USING (term)
         JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
       )
       SELECT doc_id,

@@ -180,6 +180,11 @@ class OracleIndex:
             return out
         if isinstance(q, ir.FuzzyQuery) and not q.constant_score:
             return self._scored_fuzzy_scores(q, boost)
+        if (
+            isinstance(q, (ir.PrefixQuery, ir.WildcardQuery, ir.RegexpQuery))
+            and not q.constant_score
+        ):
+            return self._scored_multiterm_scores(q, boost)
         if isinstance(q, (ir.PrefixQuery, ir.WildcardQuery, ir.RegexpQuery, ir.FuzzyQuery, ir.TermRangeQuery)):
             expanded = self.expand_multiterm(q)
             # CONSTANT_SCORE_REWRITE (MultiTermQuery.java / QueryParserBase.java:66)
@@ -230,6 +235,24 @@ class OracleIndex:
             w = bm25.term_weight(float(bt), bm25.idf(df_blend, self.doc_count))
             for d, tf in self.postings[t].items():
                 s = bm25.score(tf, self.norms[d], weight=w, cache=self.cache)[()]
+                acc[d] = acc.get(d, 0.0) + float(s)  # double accumulator
+        return {d: np.float32(v) for d, v in acc.items()}
+
+    def _scored_multiterm_scores(self, q: ir.Query, boost) -> dict:
+        """SCORING_BOOLEAN_REWRITE (ScoringRewrite.java:67-74): one SHOULD
+        TermQuery per matching dictionary term, each scored with its OWN
+        df (no blending — only fuzzy blends), boost identical across
+        terms. TooManyClauses past MAX_CLAUSE_COUNT
+        (MultiTermQuery.java:40). Clause fold in term-sorted order (the
+        deterministic order both executors use)."""
+        expanded = sorted(self.expand_multiterm(q))
+        if len(expanded) > ir.MAX_CLAUSE_COUNT:
+            raise ir.TooManyClauses(
+                f"scoring rewrite expanded past {ir.MAX_CLAUSE_COUNT} terms"
+            )
+        acc: dict[int, float] = {}
+        for t in expanded:
+            for d, s in self._term_scores(t, boost).items():
                 acc[d] = acc.get(d, 0.0) + float(s)  # double accumulator
         return {d: np.float32(v) for d, v in acc.items()}
 

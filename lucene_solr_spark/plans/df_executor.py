@@ -616,6 +616,11 @@ class DFExecutor:
             )
         if isinstance(q, ir.FuzzyQuery) and not q.constant_score:
             return self._eval_scored_fuzzy(q, boost)
+        if (
+            isinstance(q, (ir.PrefixQuery, ir.WildcardQuery, ir.RegexpQuery))
+            and not q.constant_score
+        ):
+            return self._eval_scored_multiterm(q, boost)
         if isinstance(q, _MULTITERM_TYPES):
             # constant-score multi-term rewrite, FULLY DISTRIBUTED: the
             # term predicate is pushed straight into the postings scan —
@@ -624,8 +629,8 @@ class DFExecutor:
             # (MultiTermQueryConstantScoreWrapper.java:39); no term list
             # ever collects to the driver, so a 10^9-term dictionary and a
             # broad prefix cost one pruned scan, not a giant IN-list.
-            # (maxClauseCount guards only the *scoring* boolean rewrite,
-            # which we never materialize — ir.MAX_CLAUSE_COUNT.)
+            # (maxClauseCount guards only the *scoring* boolean rewrite
+            # above — constant-score is exempt, like the reference.)
             rows = ix.postings_slim.filter(multiterm_cond(q)).select("doc_id").distinct()
             return rows.select(
                 "doc_id", F.lit(float(_f32(boost))).cast(self._score_type()).alias("score")
@@ -845,6 +850,47 @@ class DFExecutor:
                     1.0 + (n - df_blend + 0.5) / (df_blend + 0.5)
                 )
             w_rows.append((t, w))
+        return self._scored_disjunction(w_rows)
+
+    def _eval_scored_multiterm(self, q: ir.Query, boost: float) -> DataFrame:
+        """MultiTermQuery.SCORING_BOOLEAN_REWRITE for Prefix / Wildcard /
+        Regexp (``search/ScoringRewrite.java:67-74`` addClause): each
+        dictionary term matching the automaton becomes a SHOULD TermQuery
+        scored with its OWN df (NO df blending — that is fuzzy's
+        TopTermsBlendedFreq rewrite), boost identical across terms (only
+        FuzzyTermsEnum sets a BoostAttribute; ``TopTermsRewrite.java:110``).
+        Expansion past MAX_CLAUSE_COUNT raises TooManyClauses
+        (``MultiTermQuery.java:40``).
+
+        Scale shape: the term predicate pushes into the term-sorted
+        term_stats parquet scan (row-group pruned for prefixes); only the
+        matching (term, df) rows — ≤1024 by the cap — reach the driver."""
+        ix = self.index
+        rows = (
+            ix.term_stats.filter(multiterm_cond(q))
+            .select("term", "df", "ttf")
+            .orderBy("term")
+            .limit(ir.MAX_CLAUSE_COUNT + 1)
+            .collect()
+        )
+        if len(rows) > ir.MAX_CLAUSE_COUNT:
+            raise ir.TooManyClauses(
+                f"scoring rewrite expanded past {ir.MAX_CLAUSE_COUNT} terms"
+            )
+        if not rows:
+            return self._empty()
+        w_rows = [
+            (r["term"], float(self._term_weight(boost, int(r["df"]), int(r["ttf"]))))
+            for r in rows
+        ]
+        return self._scored_disjunction(w_rows)
+
+    def _scored_disjunction(self, w_rows: list[tuple[str, float]]) -> DataFrame:
+        """Disjunction-sum of per-term BM25 scores for an explicit
+        (term, weight) expansion list — the shared tail of the scored
+        multi-term rewrites. One broadcast weight join, one norm join,
+        and a TERM-SORTED double fold per doc (see the order note below)."""
+        ix = self.index
         spark = ix.postings.sparkSession
         wdf = F.broadcast(
             spark.createDataFrame(w_rows, "term string, _w double")

@@ -52,10 +52,17 @@ __all__ = [
     "FuzzyQuery",
     "TermRangeQuery",
     "MAX_CLAUSE_COUNT",
+    "TooManyClauses",
 ]
 
 #: search/IndexSearcher.java maxClauseCount default
 MAX_CLAUSE_COUNT = 1024
+
+
+class TooManyClauses(ValueError):
+    """A scoring multi-term rewrite expanded past MAX_CLAUSE_COUNT
+    (IndexSearcher.TooManyClauses; constant-score rewrites never
+    materialize clauses and are exempt, like the reference)."""
 
 
 class Occur(Enum):
@@ -370,20 +377,30 @@ class TermInSetQuery(Query):
 
 @dataclass(frozen=True)
 class PrefixQuery(Query):
+    """``constant_score=False`` selects SCORING_BOOLEAN_REWRITE
+    (``search/ScoringRewrite.java:67-74`` addClause → one SHOULD
+    TermQuery per matching dictionary term, each scored with its OWN
+    df; boost 1.0 for every term since only FuzzyTermsEnum sets a
+    BoostAttribute). Capped at MAX_CLAUSE_COUNT — the reference throws
+    IndexSearcher.TooManyClauses past it (``MultiTermQuery.java:40``)."""
+
     prefix: str
     field: str | None = None
+    constant_score: bool = True
 
 
 @dataclass(frozen=True)
 class WildcardQuery(Query):
     pattern: str  # * = any run, ? = any single char
     field: str | None = None
+    constant_score: bool = True  # False = SCORING_BOOLEAN_REWRITE
 
 
 @dataclass(frozen=True)
 class RegexpQuery(Query):
     regexp: str
     field: str | None = None
+    constant_score: bool = True  # False = SCORING_BOOLEAN_REWRITE
 
 
 @dataclass(frozen=True)
