@@ -32,6 +32,26 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def _cpu_sample() -> tuple:
+    """Host-wide cumulative CPU jiffies from /proc/stat line 1:
+    (user+nice, system+irq+softirq, iowait, steal, idle)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    u, n, s, idle, iow, irq, sirq, steal = (int(x) for x in parts[1:9])
+    return (u + n, s + irq + sirq, iow, steal, idle)
+
+
+def _cpu_shares(a: tuple, b: tuple) -> dict:
+    """Per-phase CPU-time shares between two samples — the leg's
+    contention fingerprint: high ``steal`` = a neighbor VM took the
+    cores; high ``sys`` = this kernel's serialized fault/IO paths; high
+    ``idle`` at full parallelism = descheduling or under-subscription."""
+    d = [y - x for x, y in zip(a, b)]
+    tot = max(1, sum(d))
+    keys = ("user", "sys", "iowait", "steal", "idle")
+    return {f"cpu_{k}_pct": round(100.0 * v / tot, 1) for k, v in zip(keys, d)}
+
+
 def main() -> int:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n_docs = int(os.environ.get("SCALING_DOCS", "120000"))
@@ -81,11 +101,13 @@ def main() -> int:
     # faults once per JVM (see BENCH/BASELINE.md kernel pathology note).
     warm_scratch = f"/tmp/scaling_warm_scratch_{cores}"
     shutil.rmtree(warm_scratch, ignore_errors=True)
+    cpu0 = _cpu_sample()
     t0 = time.perf_counter()
     ix2 = build_index(corpus, scratch=warm_scratch)
     ix2.docs.count()
     ix2.term_stats.count()
     invert_warm_sec = time.perf_counter() - t0
+    invert_warm_cpu = _cpu_shares(cpu0, _cpu_sample())
 
     result = {
         "cores": cores,
@@ -95,6 +117,7 @@ def main() -> int:
         "invert_warm_sec": round(invert_warm_sec, 3),
         "invert_warm_gb_per_hour": round(gb / (invert_warm_sec / 3600.0), 3),
         "invert_gb_per_hour": round(gb / (invert_sec / 3600.0), 3),
+        "invert_warm_cpu": invert_warm_cpu,
     }
 
     if "encode" in phases:
@@ -105,12 +128,15 @@ def main() -> int:
         encode_frame(ix, 1 << 11).write.format("noop").mode("overwrite").save()
         encode_sec = time.perf_counter() - t0
 
+        cpu0 = _cpu_sample()
         t0 = time.perf_counter()
         encode_frame(ix2, 1 << 11).write.format("noop").mode("overwrite").save()
         encode_warm_sec = time.perf_counter() - t0
         result["encode_sec"] = round(encode_sec, 3)
         result["encode_warm_sec"] = round(encode_warm_sec, 3)
         result["encode_warm_gb_per_hour"] = round(gb / (encode_warm_sec / 3600.0), 3)
+        result["encode_warm_cpu"] = _cpu_shares(cpu0, _cpu_sample())
+        result["load1_at_end"] = round(os.getloadavg()[0], 2)
 
     if "segments" in phases:
         # --- phase 2: segment encode + write ----------------------------
