@@ -78,6 +78,18 @@ class InvertedIndex:
     #: 1s from column-pruned parquet at 8M postings)
     parquet_backed: bool = False
 
+    #: True when the norm byte is exactly SmallFloat.intToByte4(Σtf per
+    #: doc) over ``postings`` — every standard chain, including DOCS-only
+    #: (tf=1 rows sum to uniqueTermCount). False for synonym-built
+    #: indexes (norm discounts overlaps: length − Σotf, and otf is
+    #: dropped from the postings schema) and for reloaded indexes whose
+    #: build options are unknown. Segment encode uses this to derive
+    #: norms INSIDE the per-segment kernel (a segment is a doc range, so
+    #: a doc's postings never split across groups) instead of
+    #: broadcast-joining the norms table — a broadcast that cannot exist
+    #: at 10^9-doc scale.
+    norm_from_tf: bool = False
+
     #: lazily-persisted (term, doc_id, tf) projection — see postings_slim
     _slim: DataFrame | None = None
 
@@ -268,6 +280,22 @@ def build_index(
     else:
         docs_src = corpus.withColumn("doc_id", F.col(doc_id_col).cast("long"))
 
+    # Parallelism floor for the tokenize pass: a coarse upstream scan
+    # (few files / one wave of read tasks) caps the whole invert at the
+    # scan's task count — measured at 960k docs/16 cores as a 16+3 wave
+    # tail running the stage at 23% CPU. One corpus shuffle buys
+    # balanced waves AND a fine-grained postings scratch layout (the
+    # file count downstream stats/encode scans re-read). Safe after id
+    # assignment (rows carry their ids). Threshold is < parallelism —
+    # i.e. the scan cannot even fill one wave (a 100 MB corpus reading
+    # as 1-3 tasks on 32 cores): only then does the shuffle beat the
+    # tail it removes (measured: repartitioning a 28-task scan on 16
+    # cores cost more than its 12-task second wave). At real cluster
+    # scale the scan is finer than the core count and this is a no-op.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if docs_src.rdd.getNumPartitions() < par:
+        docs_src = docs_src.repartition(4 * par)
+
     # Posting rows inverted MAP-SIDE inside the tokenizer pass (Lucene's
     # DWPT model — functions.analysis.postings_frame): no token-level
     # shuffle exists anywhere in the build. MATERIALIZED TO PARQUET (a
@@ -345,4 +373,5 @@ def build_index(
         doc_count=int(n),
         sum_ttf=int(s or 0),
         parquet_backed=True,
+        norm_from_tf=synonyms is None,
     )

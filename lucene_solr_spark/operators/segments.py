@@ -140,6 +140,21 @@ def _encode_partition(segment_size: int):
 
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         seg_id = int(key[0])
+        if "norm" not in pdf.columns:
+            # Norm derived IN-GROUP: the segment is a doc range, so every
+            # posting row of a doc is in this group and the norm byte is
+            # SmallFloat.intToByte4(Σtf) by definition (DOCS-only rows
+            # carry tf=1, summing to uniqueTermCount). Guarded by
+            # InvertedIndex.norm_from_tf — encode_frame joins the stored
+            # norms instead when the equality does not hold (synonyms).
+            from lucene_solr_spark.oracle.smallfloat import int_to_byte4_np
+
+            lengths = pdf.groupby("doc_id")["tf"].sum()
+            norm_map = pd.Series(
+                int_to_byte4_np(lengths.to_numpy()).astype(np.int64),
+                index=lengths.index,
+            )
+            pdf = pdf.assign(norm=pdf["doc_id"].map(norm_map))
         pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
         has_pos = "positions" in pdf.columns
         rows = []
@@ -196,11 +211,23 @@ def encode_frame(
     to time encode COMPUTE separately from the parquet write — the
     split the round-3 verdict asked for on the encode+write leg."""
     pos_cols = ["positions"] if "positions" in ix.postings.columns else []
-    with_seg = (
-        ix.postings.join(F.broadcast(ix.norms), "doc_id")
-        .withColumn("segment_id", (F.col("doc_id") / segment_size).cast("long"))
-        .select("segment_id", "term", "doc_id", "tf", "norm", *pos_cols)
-    )
+    if getattr(ix, "norm_from_tf", False):
+        # No norms join at all: the kernel re-derives the norm byte from
+        # Σtf inside each doc-range group (see _encode_partition). This
+        # removes a per-doc broadcast that is impossible at 10^9-doc
+        # scale (the hint forces it past the autoBroadcast threshold),
+        # its driver-side collect+serialize (measured as a data-
+        # proportional, core-count-independent cost on the encode leg),
+        # and the norm column from every shuffled posting row.
+        with_seg = ix.postings.withColumn(
+            "segment_id", (F.col("doc_id") / segment_size).cast("long")
+        ).select("segment_id", "term", "doc_id", "tf", *pos_cols)
+    else:
+        with_seg = (
+            ix.postings.join(F.broadcast(ix.norms), "doc_id")
+            .withColumn("segment_id", (F.col("doc_id") / segment_size).cast("long"))
+            .select("segment_id", "term", "doc_id", "tf", "norm", *pos_cols)
+        )
     if skip_segment_ids:
         with_seg = with_seg.filter(~F.col("segment_id").isin(skip_segment_ids))
     # Bucket-skew guard (measured: the 2x encode-scaling ceiling at N=16

@@ -59,6 +59,19 @@ def get_spark(
         # 4096-row batch paid ~140 s of first-touch across 16 workers,
         # a 512-row batch ~4 s). See _MALLOC_TUNING.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # Finer scan splits than the 128MB/4MB cluster defaults: medium
+        # corpora (0.5-3 GB) otherwise read as ~1 wave of tasks, and one
+        # straggler wave idles most of the cluster (measured: a 1.8 GB
+        # corpus read as 19 tasks ran invert at 23% CPU on 16 cores —
+        # the 16+3 wave tail). 32MB splits keep the scan-fused tokenize
+        # stage at >= 2 waves on medium corpora without paying per-task
+        # overhead on every scan (16MB was tried: the extra tasks bought
+        # nothing the leg noise could resolve). At web scale the split
+        # count is bounded by row groups, not this knob. 1MB open cost
+        # stops many-file scratch dirs from bin-packing back into a
+        # handful of coarse tasks.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.python.worker.reuse", "true")
