@@ -280,21 +280,16 @@ def build_index(
     else:
         docs_src = corpus.withColumn("doc_id", F.col(doc_id_col).cast("long"))
 
-    # Parallelism floor for the tokenize pass: a coarse upstream scan
-    # (few files / one wave of read tasks) caps the whole invert at the
-    # scan's task count — measured at 960k docs/16 cores as a 16+3 wave
-    # tail running the stage at 23% CPU. One corpus shuffle buys
-    # balanced waves AND a fine-grained postings scratch layout (the
-    # file count downstream stats/encode scans re-read). Safe after id
-    # assignment (rows carry their ids). Threshold is < parallelism —
-    # i.e. the scan cannot even fill one wave (a 100 MB corpus reading
-    # as 1-3 tasks on 32 cores): only then does the shuffle beat the
-    # tail it removes (measured: repartitioning a 28-task scan on 16
-    # cores cost more than its 12-task second wave). At real cluster
-    # scale the scan is finer than the core count and this is a no-op.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    if docs_src.rdd.getNumPartitions() < par:
-        docs_src = docs_src.repartition(4 * par)
+    # NOTE on tokenize parallelism: the pass runs at the upstream scan's
+    # task count, governed for file sources by the session's 32MB split
+    # size (see session.py — the fix for a 1.8GB corpus reading as 19
+    # tasks and running invert at 23% CPU on 16 cores). An explicit
+    # repartition floor was tried here and REVERTED: it fired only on
+    # tiny corpora (where the shuffle + small-file fan-out downstream
+    # cost more than single-task tokenize, bench +57% on the relational
+    # build) and on marginal 2-wave scans (where the shuffle cost more
+    # than the wave tail). Scan granularity, not a forced shuffle, is
+    # the right knob at every measured scale.
 
     # Posting rows inverted MAP-SIDE inside the tokenizer pass (Lucene's
     # DWPT model — functions.analysis.postings_frame): no token-level
