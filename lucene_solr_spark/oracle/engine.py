@@ -246,7 +246,12 @@ class OracleIndex:
         (MultiTermQuery.java:40). Clause fold in term-sorted order (the
         deterministic order both executors use)."""
         expanded = sorted(self.expand_multiterm(q))
-        if len(expanded) > ir.MAX_CLAUSE_COUNT:
+        top_n = getattr(q, "max_expansions", None)
+        if top_n is not None:
+            # TOP_TERMS variant: N lexicographically smallest at the
+            # constant boost (TopTermsRewrite.java:210-213 PQ order)
+            expanded = expanded[: int(top_n)]
+        elif len(expanded) > ir.MAX_CLAUSE_COUNT:
             raise ir.TooManyClauses(
                 f"scoring rewrite expanded past {ir.MAX_CLAUSE_COUNT} terms"
             )

@@ -866,17 +866,27 @@ class DFExecutor:
         term_stats parquet scan (row-group pruned for prefixes); only the
         matching (term, df) rows — ≤1024 by the cap — reach the driver."""
         ix = self.index
+        # TOP_TERMS_SCORING_BOOLEAN_REWRITE(N) truncates instead of
+        # erroring: at the constant boost of non-fuzzy multi-term queries
+        # the ScoreTerm priority-queue order (boost desc, then smaller
+        # term wins — TopTermsRewrite.java:210-213) keeps exactly the N
+        # lexicographically smallest matches, which is this orderBy+limit.
+        top_n = getattr(q, "max_expansions", None)
+        cap = ir.MAX_CLAUSE_COUNT if top_n is None else int(top_n)
         rows = (
             ix.term_stats.filter(multiterm_cond(q))
             .select("term", "df", "ttf")
             .orderBy("term")
-            .limit(ir.MAX_CLAUSE_COUNT + 1)
+            .limit(cap + 1)
             .collect()
         )
-        if len(rows) > ir.MAX_CLAUSE_COUNT:
-            raise ir.TooManyClauses(
-                f"scoring rewrite expanded past {ir.MAX_CLAUSE_COUNT} terms"
-            )
+        if len(rows) > cap:
+            if top_n is not None:
+                rows = rows[:cap]
+            else:
+                raise ir.TooManyClauses(
+                    f"scoring rewrite expanded past {ir.MAX_CLAUSE_COUNT} terms"
+                )
         if not rows:
             return self._empty()
         w_rows = [

@@ -387,6 +387,13 @@ class PrefixQuery(Query):
     prefix: str
     field: str | None = None
     constant_score: bool = True
+    #: None = SCORING_BOOLEAN_REWRITE (TooManyClauses past the cap);
+    #: an int N = TOP_TERMS_SCORING_BOOLEAN_REWRITE(N): keep the N
+    #: top-of-PQ terms — at the constant boost of non-fuzzy MTQs the
+    #: ScoreTerm order (boost desc, then SMALLER term wins,
+    #: ``TopTermsRewrite.java:210-213``) degenerates to the N
+    #: lexicographically smallest matches.
+    max_expansions: int | None = None
 
 
 @dataclass(frozen=True)
@@ -394,6 +401,7 @@ class WildcardQuery(Query):
     pattern: str  # * = any run, ? = any single char
     field: str | None = None
     constant_score: bool = True  # False = SCORING_BOOLEAN_REWRITE
+    max_expansions: int | None = None  # int = TOP_TERMS variant
 
 
 @dataclass(frozen=True)
@@ -401,6 +409,7 @@ class RegexpQuery(Query):
     regexp: str
     field: str | None = None
     constant_score: bool = True  # False = SCORING_BOOLEAN_REWRITE
+    max_expansions: int | None = None  # int = TOP_TERMS variant
 
 
 @dataclass(frozen=True)

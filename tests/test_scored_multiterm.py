@@ -94,3 +94,35 @@ def test_df_executor_rank_identity(spark, tiny_corpus_rows, tiny_oracle, q):
 def test_constant_score_default_unchanged(tiny_oracle):
     got = tiny_oracle.matches(ir.PrefixQuery("se"))
     assert got and all(float(s) == 1.0 for s in got.values())
+
+
+def test_top_terms_variant_truncates_not_errors(tiny_oracle, monkeypatch):
+    """TOP_TERMS_SCORING_BOOLEAN_REWRITE(N): keeps the N smallest terms
+    (constant-boost PQ order, TopTermsRewrite.java:210-213) instead of
+    raising TooManyClauses."""
+    monkeypatch.setattr(ir, "MAX_CLAUSE_COUNT", 1)
+    q = ir.PrefixQuery("se", constant_score=False, max_expansions=1)
+    got = tiny_oracle.matches(q)
+    first = sorted(t for t in tiny_oracle.dictionary() if t.startswith("se"))[0]
+    want = {
+        d: bits(s) for d, s in tiny_oracle._term_scores(first, 1.0).items()
+    }
+    assert {d: bits(s) for d, s in got.items()} == {
+        d: bits(np.float32(float(s))) for d, s in want.items()
+    } or {d: bits(s) for d, s in got.items()} == want
+
+
+def test_top_terms_df_executor_matches_oracle(spark, tiny_corpus_rows, tiny_oracle):
+    from lucene_solr_spark.operators.index_build import build_index
+    from lucene_solr_spark.plans.df_executor import DFExecutor
+
+    corpus = spark.createDataFrame(
+        [(i, r["content"]) for i, r in enumerate(tiny_corpus_rows)],
+        "doc_id long, content string",
+    )
+    ix = build_index(corpus, text_col="content", doc_id_col="doc_id").persist()
+    ex = DFExecutor(ix, mode="float32")
+    q = ir.PrefixQuery("s", constant_score=False, max_expansions=3)
+    got = {r["doc_id"]: bits(r["score"]) for r in ex.matches(q).collect()}
+    want = {d: bits(s) for d, s in tiny_oracle.matches(q).items()}
+    assert got == want and got
