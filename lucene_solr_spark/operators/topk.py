@@ -472,6 +472,17 @@ class _Compiler:
             score = float(np.float32(boost)) if self.mode == "float32" else float(boost)
             return {"op": "term_set", "terms": list(q.terms), "score": score}
         if isinstance(q, _MULTITERM_TYPES):
+            if isinstance(q, ir.FuzzyQuery) and not q.constant_score:
+                raise TypeError(
+                    "scored fuzzy (TopTermsBlendedFreq rewrite) is served by "
+                    "the DF executor — its blended-df weights cannot ride "
+                    "plain term clauses in the kernel plan"
+                )
+            if getattr(q, "constant_score", True) is False:
+                raise TypeError(
+                    "scored multi-term leaf reached compile un-expanded; "
+                    "SegmentSearcher._expand_scored lowers it pre-compile"
+                )
             # constant-score multi-term: no driver-side expansion — each
             # segment intersects the predicate with ITS OWN dictionary
             # (MultiTermQueryConstantScoreWrapper.java:39); the reader
@@ -1328,6 +1339,66 @@ class SegmentSearcher:
     _stats_cache: dict = field(default_factory=dict)
 
     # --- global stats ---
+    def _expand_scored(self, q: ir.Query) -> ir.Query:
+        """Pre-compile rewrite of SCORED Prefix/Wildcard/Regexp leaves
+        into a SHOULD BooleanQuery of TermQueries against the GLOBAL
+        dictionary (SCORING_BOOLEAN_REWRITE / TOP_TERMS variant,
+        ``ScoringRewrite.java:67-74``, ``TopTermsRewrite.java:210-213``)
+        — the kernel twin of ``DFExecutor._eval_scored_multiterm``.
+        Clauses are TERM-SORTED: the kernel's disjunction accumulates
+        with ``np.add.at`` in clause-concatenation order, so the per-doc
+        double fold matches the DF executor's sorted fold and the SQL
+        oracle bit-for-bit. Scored FuzzyQuery is NOT lowered here — its
+        blended-df weights cannot ride plain term clauses (compile
+        raises; the DF executor serves it)."""
+        import dataclasses
+
+        if (
+            isinstance(q, (ir.PrefixQuery, ir.WildcardQuery, ir.RegexpQuery))
+            and not q.constant_score
+        ):
+            from lucene_solr_spark.plans.df_executor import multiterm_cond
+
+            top_n = q.max_expansions
+            cap = ir.MAX_CLAUSE_COUNT if top_n is None else int(top_n)
+            rows = (
+                self.index.term_stats(self.spark)
+                .filter(multiterm_cond(q))
+                .select("term")
+                .orderBy("term")
+                .limit(cap + 1)
+                .collect()
+            )
+            if len(rows) > cap:
+                if top_n is None:
+                    raise ir.TooManyClauses(
+                        f"scoring rewrite expanded past {ir.MAX_CLAUSE_COUNT} terms"
+                    )
+                rows = rows[:cap]
+            if not rows:
+                return ir.MatchNoDocsQuery()
+            return ir.BooleanQuery(
+                tuple(
+                    ir.BooleanClause(ir.Occur.SHOULD, ir.TermQuery(r["term"]))
+                    for r in rows
+                )
+            )
+        if isinstance(q, ir.BooleanQuery):
+            return dataclasses.replace(
+                q,
+                clauses=tuple(
+                    dataclasses.replace(c, query=self._expand_scored(c.query))
+                    for c in q.clauses
+                ),
+            )
+        if isinstance(q, (ir.BoostQuery, ir.ConstantScoreQuery)):
+            return dataclasses.replace(q, query=self._expand_scored(q.query))
+        if isinstance(q, ir.DisjunctionMaxQuery):
+            return dataclasses.replace(
+                q, queries=tuple(self._expand_scored(s) for s in q.queries)
+            )
+        return q
+
     def _stats(self, terms: set[str]) -> dict[str, tuple[int, int]]:
         missing = sorted(terms - set(self._stats_cache))
         if missing:
@@ -1382,7 +1453,7 @@ class SegmentSearcher:
         all_ranges: list[tuple[str | None, str | None]] = []
         prepared = {}
         for qid, q in queries.items():
-            q = rewrite(q)
+            q = self._expand_scored(rewrite(q))
             prepared[qid] = q
             all_terms |= _collect_terms(q)
             all_ranges += _collect_ranges(q)

@@ -126,3 +126,28 @@ def test_top_terms_df_executor_matches_oracle(spark, tiny_corpus_rows, tiny_orac
     got = {r["doc_id"]: bits(r["score"]) for r in ex.matches(q).collect()}
     want = {d: bits(s) for d, s in tiny_oracle.matches(q).items()}
     assert got == want and got
+
+
+def test_kernel_scored_prefix_rank_identity(spark, tiny_corpus_rows, tiny_oracle, tmp_path):
+    """Block-kernel executor scored prefix == single-node oracle,
+    bit-exact (the np.add.at disjunction folds clauses in term-sorted
+    order, matching the oracle's left fold)."""
+    from lucene_solr_spark.operators.index_build import build_index
+    from lucene_solr_spark.operators.segments import SegmentIndex, build_segments
+    from lucene_solr_spark.operators.topk import SegmentSearcher
+
+    corpus = spark.createDataFrame(
+        [(i, r["content"]) for i, r in enumerate(tiny_corpus_rows)],
+        "doc_id long, content string",
+    )
+    ix = build_index(corpus, text_col="content", doc_id_col="doc_id").persist()
+    base = str(tmp_path / "seg")
+    build_segments(ix, base, segment_size=32)
+    searcher = SegmentSearcher(spark, SegmentIndex.open(base), mode="float32")
+    q = ir.PrefixQuery("se", constant_score=False)
+    got = {r["doc_id"]: bits(r["score"]) for r in searcher.matches(q).collect()}
+    want = {d: bits(s) for d, s in tiny_oracle.matches(q).items()}
+    assert got == want and got
+
+    with pytest.raises(TypeError):
+        searcher.matches(ir.FuzzyQuery("for", constant_score=False)).collect()
