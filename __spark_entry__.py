@@ -57,24 +57,31 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "sort_by_field_topk", "docs_only_topk",
     # per-field indexing + field-qualified parsing (round 4)
     "field_term_topk", "multi_field_bool_topk",
-    # phrases + spans (span_or/span_within demoted past the window round 4
-    # — the span family keeps two hard-oracle gates in-window)
-    "phrase_topk", "multi_phrase_topk", "sloppy_phrase_matches",
-    "sloppy_repeat_matches",
-    "span_near_set", "span_near_unordered_set",
-    # multi-term (dictionary expansion; term_range_set + regexp_set +
-    # prefix_set demoted round 4 — the dictionary-predicate shape keeps
-    # prefix_scored_topk (same automaton, scored) + span_prefix_near_set;
-    # the demoted set gates stay green locally)
-    "prefix_scored_topk", "fuzzy_set", "fuzzy_scored_topk", "term_in_set",
+    # phrases + spans (span_or/span_within demoted round 4;
+    # span_near_unordered_set demoted round 5 — the span family keeps
+    # span_near_set + span_prefix_near_set in-window, unordered stays
+    # green locally. Round 5: sloppy_multi_repeat_matches added (the new
+    # hasMultiTermRpts union machinery); sloppy_phrase_matches demoted —
+    # its alternating-successor chain is a sub-case of the multi-repeat
+    # replay and the plain-sloppy path stays pinned by sloppy_repeat_matches
+    # in-window + sloppy_phrase_matches green locally)
+    "phrase_topk", "multi_phrase_topk",
+    "sloppy_repeat_matches", "sloppy_multi_repeat_matches",
+    "span_near_set",
+    # multi-term (round 5: term_range_set + regexp_set RESTORED to the
+    # window — round 4 had left TermRange and Regexp graded only locally;
+    # fuzzy_transpose_set added as the OSA/transpositions=true
+    # discriminator for the round-5 constant-score fuzzy fix)
+    "prefix_scored_topk", "fuzzy_set", "fuzzy_transpose_set",
+    "fuzzy_scored_topk", "term_in_set",
+    "term_range_set", "regexp_set",
     "span_prefix_near_set",
     # analysis chain
     "stop_filter_topk",
-    # round-3 additions (highlight_offsets demoted round 4 — the
-    # highlight family keeps two in-window gates: highlight_topk +
-    # the new sentence-BreakIterator gate; offsets source stays green
-    # locally and the offsets storage is also pinned by docs_only_topk)
-    "mlt_topk", "common_terms_topk", "search_after_page2",
+    # round-3 additions (highlight_offsets demoted round 4;
+    # common_terms_topk demoted round 5 — component #52
+    # MoreLikeThis/CommonTermsQuery keeps mlt_topk in-window)
+    "mlt_topk", "search_after_page2",
     "rescore_topk",
     # index lifecycle (merge / delete / purge; search_after_delete and
     # span_within_set demoted past the window round 4 — their families
@@ -83,8 +90,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "collection_stats",
     # stats / norms
     "doc_norms",
-    # similarities
-    "classic_sim_topk", "lmdirichlet_matches",
+    # similarities (lmdirichlet_matches demoted round 5 — pluggable
+    # similarities keep classic_sim_topk in-window; all 8 non-BM25
+    # similarity gates stay green locally)
+    "classic_sim_topk",
     # highlight / suggest
     "highlight_topk", "highlight_sentence", "spell_suggest",
     # aggregations / join / collapse
@@ -532,6 +541,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["regexp_set"] = _match_set(ir.RegexpQuery("s.an"))
     out["fuzzy_set"] = _match_set(ir.FuzzyQuery("scon", max_edits=1))
 
+    # transposition discriminator: 'csan' is ONE adjacent transposition
+    # from dictionary term 'scan' (OSA/Damerau ed 1) but PLAIN Levenshtein
+    # ed 2 — matches iff the engine implements the reference default
+    # transpositions=true (search/FuzzyQuery.java:46-48)
+    out["fuzzy_transpose_set"] = _match_set(ir.FuzzyQuery("csan", max_edits=1))
+
     # reference-DEFAULT fuzzy: TopTermsBlendedFreqScoringRewrite
     # (FuzzyQuery.java:34,100) — scored expansion with blended df
     out["fuzzy_scored_topk"] = _topk(
@@ -949,6 +964,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["media_features"] = media_features
 
+    def media_features_png(spark, sf_dir):
+        """REAL-format decode (round 5): the same deterministic pixel
+        stream containered as genuine PNG bytes (filter type row%5 — all
+        five unfilter paths run), decoded by the in-repo pure-Python PNG
+        codec (stdlib zlib), features extracted via the identical
+        mapInPandas pipeline. Same closed-form relational oracle as
+        media_features — value-equality proves the real decoder is
+        bit-faithful to the synthetic path."""
+        from lucene_solr_spark.functions.multimodal import (
+            image_features,
+            synthesize_media,
+        )
+
+        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 100)
+        return image_features(synthesize_media(d, container="png"))
+
+    out["media_features_png"] = media_features_png
+
     # SloppyPhraseMatcher scoring (float freq = Σ 1/(1+matchLength)) is a
     # sequential greedy matcher — not ANSI-SQL-expressible; the scored
     # top-k stays rows-only, pinned by bit-exact rank-identity tests vs
@@ -1032,6 +1065,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id")
 
     out["sloppy_repeat_matches"] = sloppy_repeat_matches
+
+    def sloppy_multi_repeat_matches(spark, sf_dir):
+        """MULTI-term repeat sloppy phrase — "(merge|scan) scan"~3, the
+        hasMultiTermRpts union machinery (SloppyPhraseMatcher.java:436-454
+        repetition groups = connected components of the pp↔term graph,
+        :562-585 union-group doc-start placement/collisions). Integer
+        match-stats gate: per matching doc the count and sum of the greedy
+        matcher's accepted match lengths. The greedy machine is NOT the
+        injective-assignment relaxation here (it rejects ~5% of
+        assignment-feasible docs by design — reference-faithful, pinned in
+        tests/test_sloppy_phrase.py), so the oracle replays the exact
+        2-slot transition system (pop lesser adjusted pp; advance;
+        collision ⇒ the higher-offset pp re-advances) with a recursive CTE
+        (0/400 corpus mismatches + 50k-case Python fuzz vs the kernel)."""
+        ex = _executor(spark, sf_dir)
+        return ex.sloppy_match_stats(
+            ir.MultiPhraseQuery((("merge", "scan"), ("scan",)), slop=3)
+        )
+
+    out["sloppy_multi_repeat_matches"] = sloppy_multi_repeat_matches
 
     out["multi_phrase_topk"] = _topk(
         ir.MultiPhraseQuery((("table", "hash"), ("scan", "join")))
@@ -1305,6 +1358,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spell_suggest(ex.index.term_stats, "scann", max_edits=2, k=5)
 
     out["spell_suggest"] = spell_suggest_q
+
+    def spell_suggest_transpose_q(spark, sf_dir):
+        # OSA discriminator: 'csan' → 'scan' is one adjacent
+        # transposition (distance 1); plain Levenshtein says 2 and would
+        # return nothing. min_prefix=0 — the transposition is at char 0.
+        from lucene_solr_spark.functions.suggest import spell_suggest
+
+        ex = _executor(spark, sf_dir)
+        return spell_suggest(
+            ex.index.term_stats, "csan", max_edits=1, k=5, min_prefix=0
+        )
+
+    out["spell_suggest_transpose"] = spell_suggest_transpose_q
 
     def prefix_suggest_q(spark, sf_dir):
         """Completion: top dictionary terms under prefix `s` by df."""
@@ -1788,20 +1854,28 @@ def oracle_sql() -> dict[str, str]:
       SELECT DISTINCT doc_id FROM postings WHERE regexp_full_match(term, '.*an')"""
     out["regexp_set"] = f"""WITH {_IX}
       SELECT DISTINCT doc_id FROM postings WHERE regexp_full_match(term, 's.an')"""
+    # DuckDB damerau_levenshtein is unrestricted DL; at max_edits=1 it is
+    # IDENTICAL to OSA (single-edit neighborhoods coincide), so both
+    # fuzzy match-set oracles are exactly expressible
     out["fuzzy_set"] = f"""WITH {_IX}
-      SELECT DISTINCT doc_id FROM postings WHERE levenshtein(term, 'scon') <= 1"""
+      SELECT DISTINCT doc_id FROM postings
+      WHERE damerau_levenshtein(term, 'scon') <= 1"""
+    out["fuzzy_transpose_set"] = f"""WITH {_IX}
+      SELECT DISTINCT doc_id FROM postings
+      WHERE damerau_levenshtein(term, 'csan') <= 1"""
 
     # scored fuzzy part~2: boost = 1 - ed/min(len), top-50 by (boost, term),
     # idf from the blended max-df over the expansion, disjunction sum.
-    # levenshtein == OSA on this dictionary (no transposition-only pairs).
+    # damerau_levenshtein (unrestricted DL) == OSA on this dictionary: no
+    # transpose-then-insert-between pairs within ed 2 of 'part' (checked).
     out["fuzzy_scored_topk"] = f"""WITH {_IX},
       cand AS (
         SELECT term, df,
                CASE WHEN term = 'part' THEN 1.0
-                    ELSE 1.0 - levenshtein(term, 'part')::DOUBLE
+                    ELSE 1.0 - damerau_levenshtein(term, 'part')::DOUBLE
                          / least(length(term), 4) END AS boost
         FROM term_stats
-        WHERE levenshtein(term, 'part') <= 2
+        WHERE damerau_levenshtein(term, 'part') <= 2
         ORDER BY boost DESC, term ASC LIMIT 50
       ),
       blend AS (SELECT max(df)::BIGINT AS df FROM cand),
@@ -1821,15 +1895,23 @@ def oracle_sql() -> dict[str, str]:
     # scored with its OWN df (aliasing the candidate set as ts keeps the
     # standard per-term idf expression), term-sorted left-fold sum —
     # mirrors DFExecutor._scored_disjunction 1:1.
+    # contract parity with SCORING_BOOLEAN_REWRITE (max_expansions=None):
+    # the engine raises TooManyClauses past MAX_CLAUSE_COUNT=1024, so the
+    # oracle ERRORS (not truncates) if the expansion ever outgrows the cap
     out["prefix_scored_topk"] = f"""WITH {_IX},
       cand AS (
         SELECT term, df FROM term_stats WHERE term LIKE 's%'
-        ORDER BY term LIMIT 1024
+      ),
+      guard AS (
+        SELECT CASE WHEN (SELECT count(*) FROM cand) > 1024
+                    THEN error('TooManyClauses: scoring rewrite past 1024')
+                    ELSE 1 END AS ok
       ),
       per AS (
         SELECT p.doc_id, ts.term, {_SCORE} AS s
         FROM postings p JOIN cand ts USING (term)
         JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+        CROSS JOIN guard
       )
       SELECT doc_id,
              list_aggregate(list(s ORDER BY term), 'sum') AS score
@@ -2011,6 +2093,99 @@ def oracle_sql() -> dict[str, str]:
       FROM mls WHERE ml <= 2
       GROUP BY doc_id"""
 
+    # MULTI-term repeat sloppy phrase "(merge|scan) scan"~3 — the
+    # hasMultiTermRpts union machinery (SloppyPhraseMatcher.java:436-454,
+    # :562-585). The greedy machine is NOT the injective-assignment
+    # relaxation here, so the oracle replays the exact 2-slot transition
+    # system: x = slot-0 positions (union of merge/scan, offset 0),
+    # y = slot-1 positions adjusted by -1; doc-start placement resolves
+    # the collision x = y+1 by re-advancing the HIGHER-offset pp (the
+    # "lesser" tie-break on equal adjusted position is rpt_ind order);
+    # then the alternating pop-lesser/advance chain emits matchLength =
+    # frontier - lagging on every strict frontier advance, with the
+    # same collision resolution after each y-advance. Fuzz-verified
+    # 400/400 random corpora vs the Python kernel (and the kernel
+    # 50k/50k vs a brute-force replay) — see tests/test_sloppy_phrase.py.
+    out["sloppy_multi_repeat_matches"] = f"""WITH RECURSIVE {_IX},
+      pa AS (
+        SELECT doc_id, pos FROM tokens WHERE term IN ('merge', 'scan')
+      ),
+      pb AS (SELECT doc_id, pos FROM tokens WHERE term = 'scan'),
+      init0 AS (
+        SELECT a.doc_id, a.x0, b.yraw - 1 AS y0
+        FROM (SELECT doc_id, min(pos) AS x0 FROM pa GROUP BY doc_id) a
+        JOIN (SELECT doc_id, min(pos) AS yraw FROM pb GROUP BY doc_id) b
+          USING (doc_id)
+      ),
+      init1 AS (
+        -- advanceRepeatGroups MTP branch: collide iff x = y+1 (same raw
+        -- position); advance the higher-offset pp; NULL successor
+        -- rejects the doc
+        SELECT doc_id, x0 AS x,
+          CASE WHEN x0 = y0 + 1
+               THEN (SELECT min(p.pos) FROM pb p
+                     WHERE p.doc_id = i.doc_id AND p.pos > i.y0 + 1) - 1
+               ELSE y0 END AS y
+        FROM init0 i
+      ),
+      chain AS (
+        SELECT doc_id, CASE WHEN x <= y THEN 'x' ELSE 'y' END AS lab,
+          x, y, greatest(x, y) AS e,
+          greatest(x, y) - least(x, y) AS ml,
+          CASE WHEN x <= y THEN y ELSE x END AS nxt,
+          CAST(NULL AS BIGINT) AS emit
+        FROM init1 WHERE y IS NOT NULL
+        UNION ALL
+        SELECT doc_id,
+          CASE WHEN fin THEN 'E'
+               WHEN pos2 > nxt THEN (CASE WHEN x2 <= y2 THEN 'x' ELSE 'y' END)
+               ELSE lab END AS lab,
+          x2 AS x, y2 AS y, e2 AS e,
+          CASE WHEN fin THEN ml
+               WHEN pos2 > nxt THEN e2 - (CASE WHEN x2 <= y2 THEN x2 ELSE y2 END)
+               ELSE least(ml, e2 - pos2) END AS ml,
+          CASE WHEN fin THEN nxt
+               WHEN pos2 > nxt THEN (CASE WHEN x2 <= y2 THEN y2 ELSE x2 END)
+               ELSE nxt END AS nxt,
+          CASE WHEN (fin OR pos2 > nxt) AND ml <= 3 THEN ml ELSE NULL END AS emit
+        FROM (
+          SELECT *,
+            (x1 IS NULL OR y2p IS NULL) AS fin,
+            coalesce(x1, x) AS x2,
+            coalesce(y2p, y1, y) AS y2,
+            greatest(e, coalesce(x1, x), coalesce(y2p, y1, y)) AS e2,
+            CASE WHEN lab = 'x' THEN coalesce(x1, x)
+                 ELSE coalesce(y2p, y1, y) END AS pos2
+          FROM (
+            SELECT *,
+              -- collision resolve after the advance: collide iff
+              -- x1 = y1+1; advance y again (NULL = exhausted mid-resolve
+              -- = fin)
+              CASE WHEN x1 IS NOT NULL AND y1 IS NOT NULL AND x1 = y1 + 1
+                   THEN (SELECT min(p.pos) FROM pb p
+                         WHERE p.doc_id = t0.doc_id AND p.pos > t0.y1 + 1) - 1
+                   WHEN x1 IS NOT NULL AND y1 IS NOT NULL THEN y1
+                   ELSE NULL END AS y2p
+            FROM (
+              SELECT c.*,
+                CASE WHEN c.lab = 'x'
+                     THEN (SELECT min(p.pos) FROM pa p
+                           WHERE p.doc_id = c.doc_id AND p.pos > c.x)
+                     ELSE c.x END AS x1,
+                CASE WHEN c.lab = 'y'
+                     THEN (SELECT min(p.pos) FROM pb p
+                           WHERE p.doc_id = c.doc_id AND p.pos > c.y + 1) - 1
+                     ELSE c.y END AS y1
+              FROM chain c WHERE c.lab <> 'E'
+            ) t0
+          ) t1
+        ) t2
+      )
+      SELECT doc_id, count(emit)::BIGINT AS n_matches,
+             sum(emit)::BIGINT AS sum_ml
+      FROM chain WHERE emit IS NOT NULL
+      GROUP BY doc_id"""
+
     # stop-filtered index (StopFilter leg of the English chain): same
     # score shape over the stop-filtered CTEs
     from lucene_solr_spark.oracle.tokenizer import ENGLISH_STOP_WORDS as _ESW
@@ -2182,13 +2357,27 @@ def oracle_sql() -> dict[str, str]:
         "hash",
     )
 
-    # suggest: same candidate pruning + plain levenshtein both engines
+    # suggest: same candidate pruning; distance is OSA (the reference's
+    # LuceneLevenshteinDistance) — DuckDB damerau_levenshtein == OSA on
+    # this dictionary (no transpose-then-insert-between pairs; checked)
     out["spell_suggest"] = f"""WITH {_IX}
-      SELECT term, df, levenshtein(term, 'scann')::INT AS distance
+      SELECT term, df, damerau_levenshtein(term, 'scann')::INT AS distance
       FROM term_stats
       WHERE term LIKE 's%' AND term != 'scann'
         AND length(term) BETWEEN 3 AND 7
-        AND levenshtein(term, 'scann') <= 2
+        AND damerau_levenshtein(term, 'scann') <= 2
+      ORDER BY distance ASC, df DESC, term ASC LIMIT 5"""
+
+    # transposition discriminator for the suggest distance: 'csan' →
+    # 'scan' is OSA/Damerau 1 but plain Levenshtein 2 (max_edits=1, so
+    # unrestricted DL == OSA and the oracle is exact); min_prefix=0
+    # because the transposition sits at position 0
+    out["spell_suggest_transpose"] = f"""WITH {_IX}
+      SELECT term, df, damerau_levenshtein(term, 'csan')::INT AS distance
+      FROM term_stats
+      WHERE term != 'csan'
+        AND length(term) BETWEEN 3 AND 5
+        AND damerau_levenshtein(term, 'csan') <= 1
       ORDER BY distance ASC, df DESC, term ASC LIMIT 5"""
 
     out["prefix_suggest"] = f"""WITH {_IX}
@@ -2203,19 +2392,20 @@ def oracle_sql() -> dict[str, str]:
       WHERE term LIKE '%at%'
       ORDER BY is_prefix DESC, df DESC, term ASC LIMIT 10"""
 
-    # fuzzy completion: prefix-of-term within 1 edit of the typo'd
+    # fuzzy completion: prefix-of-term within 1 OSA edit of the typo'd
     # query 'mergo' (len 5 -> prefixes of length 4..6; shared first char;
-    # weight-ranked) — catches every merg* completion at distance 1
+    # weight-ranked) — catches every merg* completion at distance 1.
+    # max_edits=1 so unrestricted DL == OSA and the oracle is exact.
     out["fuzzy_suggest"] = f"""WITH {_IX}
       SELECT term, df,
-             least(levenshtein(substr(term, 1, 4), 'mergo'),
-                   levenshtein(substr(term, 1, 5), 'mergo'),
-                   levenshtein(substr(term, 1, 6), 'mergo'))::INT AS distance
+             least(damerau_levenshtein(substr(term, 1, 4), 'mergo'),
+                   damerau_levenshtein(substr(term, 1, 5), 'mergo'),
+                   damerau_levenshtein(substr(term, 1, 6), 'mergo'))::INT AS distance
       FROM term_stats
       WHERE term LIKE 'm%' AND length(term) >= 4
-        AND least(levenshtein(substr(term, 1, 4), 'mergo'),
-                  levenshtein(substr(term, 1, 5), 'mergo'),
-                  levenshtein(substr(term, 1, 6), 'mergo')) <= 1
+        AND least(damerau_levenshtein(substr(term, 1, 4), 'mergo'),
+                  damerau_levenshtein(substr(term, 1, 5), 'mergo'),
+                  damerau_levenshtein(substr(term, 1, 6), 'mergo')) <= 1
       ORDER BY df DESC, distance ASC, term ASC LIMIT 10"""
 
     # highlight: reproduce the kernel's passage rule exactly — matches
@@ -2521,6 +2711,11 @@ def oracle_sql() -> dict[str, str]:
         FROM pix GROUP BY doc_id, ch
       )
       SELECT doc_id, {", ".join(_mf_cols)} FROM agg GROUP BY doc_id"""
+
+    # identical pixel stream, real PNG container — the oracle is the same
+    # closed-form aggregate; a decoder defect (filter unmix, channel
+    # order, row order) would break value equality
+    out["media_features_png"] = out["media_features"]
 
     # --- facets / grouping / join / counting -----------------------------
     out["facet_counts"] = """

@@ -5,10 +5,12 @@
   the term dictionary within ``max_edits``, sharing a ``min_prefix``
   (default 1, the reference default), ranked by (distance, docFreq)
   exactly like SuggestWordQueue's score-then-frequency comparator
-  (``spell/SuggestWordQueue.java:30``). DIVERGENCE: distance is plain
-  Levenshtein (Spark ``F.levenshtein`` / DuckDB ``levenshtein``), not
-  the reference's transposition-aware LuceneLevenshteinDistance —
-  consistent with this engine's FuzzyQuery semantics.
+  (``spell/SuggestWordQueue.java:30``). Distance is OSA (adjacent
+  transposition = ONE edit) — the reference's transposition-aware
+  LuceneLevenshteinDistance (``spell/LuceneLevenshteinDistance.java``),
+  consistent with this engine's FuzzyQuery semantics; computed as a
+  codegen'd Levenshtein prefilter (OSA ≤ k ⇒ lev ≤ 2k) plus an
+  Arrow-batched OSA refinement on the tiny borderline band.
 - ``prefix_suggest``: completion over the dictionary weighted by
   docFreq — the HighFrequencyDictionary → AnalyzingSuggester path
   (``spell/HighFrequencyDictionary.java:33``,
@@ -26,10 +28,26 @@ this touches one prefix slice, never the driver.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["spell_suggest", "prefix_suggest", "infix_suggest", "fuzzy_suggest"]
+
+
+def _osa_dist_col(qterm: str):
+    """Exact OSA distance to ``qterm`` of the ``term`` column as an
+    Arrow-batched expression — callers prefilter with the codegen'd
+    ``F.levenshtein`` band first so this only sees survivors."""
+
+    @F.pandas_udf(T.IntegerType())
+    def osa_d(terms: pd.Series) -> pd.Series:
+        from lucene_solr_spark.oracle.editdist import osa_distance
+
+        return terms.map(lambda t: osa_distance(t, qterm)).astype("int32")
+
+    return osa_d(F.col("term"))
 
 
 def spell_suggest(
@@ -59,7 +77,10 @@ def spell_suggest(
         )
         .filter(F.col("term") != word)
         .filter(F.col("df") >= min_df)
-        .withColumn("distance", F.levenshtein(F.col("term"), F.lit(word)))
+        # OSA ≤ k forces lev ≤ 2k: the codegen'd levenshtein prunes the
+        # dictionary slice before the exact Arrow-batched OSA ranks it
+        .filter(F.levenshtein(F.col("term"), F.lit(word)) <= 2 * max_edits)
+        .withColumn("distance", _osa_dist_col(word))
         .filter(F.col("distance") <= max_edits)
     )
     return (
@@ -130,9 +151,13 @@ def fuzzy_suggest(
 
     Re-expression of the Levenshtein-automaton×FST intersection: the
     prefix distance is ``min over L in [len(q)-e, len(q)+e] of
-    lev(term[:L], q)`` — 2e+1 codegen'd levenshtein calls against the
-    pruned dictionary slice (first-char + length-band predicates reach
-    the term-sorted parquet scan), no automaton machinery needed."""
+    osa(term[:L], q)`` (OSA — the reference default
+    ``FuzzySuggester.DEFAULT_TRANSPOSITIONS=true``,
+    ``suggest/analyzing/FuzzySuggester.java:76``). The 2e+1 codegen'd
+    levenshtein calls against the pruned dictionary slice (first-char +
+    length-band predicates reach the term-sorted parquet scan) remain as
+    the exactness-preserving prefilter (OSA ≤ e ⇒ lev ≤ 2e); the exact
+    OSA min runs Arrow-batched on the survivors only."""
     if len(query) < min_fuzzy_length:
         return prefix_suggest(term_stats, query, k=k).withColumn(
             "distance", F.lit(0)
@@ -143,14 +168,26 @@ def fuzzy_suggest(
     dists = [
         F.levenshtein(F.substring(F.col("term"), 1, n), F.lit(query)) for n in lens
     ]
-    dist = F.least(*dists) if len(dists) > 1 else dists[0]
+    lev_min = F.least(*dists) if len(dists) > 1 else dists[0]
+
+    @F.pandas_udf(T.IntegerType())
+    def osa_prefix_min(terms: pd.Series) -> pd.Series:
+        from lucene_solr_spark.oracle.editdist import osa_distance
+
+        def d(t: str) -> int:
+            # t[:n] clamps like F.substring for terms shorter than n
+            return min(osa_distance(t[:n], query) for n in lens)
+
+        return terms.map(d).astype("int32")
+
     cand = term_stats.select("term", "df").filter(
         F.length("term") >= len(query) - max_edits
     )
     if non_fuzzy_prefix > 0:
         cand = cand.filter(F.col("term").startswith(query[:non_fuzzy_prefix]))
     return (
-        cand.withColumn("distance", dist.cast("int"))
+        cand.filter(lev_min <= 2 * max_edits)
+        .withColumn("distance", osa_prefix_min(F.col("term")).cast("int"))
         .filter(F.col("distance") <= max_edits)
         .orderBy(F.desc("df"), F.asc("distance"), F.asc("term"))
         .limit(k)

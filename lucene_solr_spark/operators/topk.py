@@ -110,6 +110,8 @@ _COMPOSITE_SPAN_TYPES = (
     ir.SpanNotQuery,
     ir.SpanWithinQuery,
     ir.SpanContainingQuery,
+    ir.SpanNotContainingQuery,
+    ir.SpanNotWithinQuery,
     ir.SpanFirstQuery,
 )
 
@@ -239,24 +241,63 @@ def _cand_columns(cands):
     return (lambda i: M[:, i]), lens, L
 
 
-def _levenshtein_leq_batch(cands, base: str, k: int) -> np.ndarray:
-    """Vectorized plain Levenshtein ≤ k over MANY candidates at once:
+def _osa_leq_batch(cands, base: str, k: int) -> np.ndarray:
+    """Vectorized OSA (restricted-Damerau, transpositions=true — the
+    reference FuzzyQuery default, ``search/FuzzyQuery.java:46-48``) ≤ k
+    over MANY candidates, exactness-preserving and still dominated by the
+    Myers bit-parallel Levenshtein sweep:
+
+    - lev ≤ k  ⇒  OSA ≤ k (a transposition can only REDUCE the distance),
+      so Myers-accepted candidates are accepted outright;
+    - OSA ≤ k  ⇒  lev ≤ 2k (one transposition is two substitutions), so
+      only the borderline band lev ∈ (k, 2k] can be rescued by
+      transpositions — those few survivors run the scalar OSA DP.
+
+    On a real dictionary the band is a tiny fraction of the length-band
+    survivors, so the cost is the same one bit-parallel sweep as before
+    plus a handful of scalar DPs."""
+    dist = _levenshtein_dist_batch(cands, base, cap=2 * k)
+    keep = dist <= k
+    border = np.nonzero((dist > k) & (dist <= 2 * k))[0]
+    if border.size:
+        from lucene_solr_spark.oracle.editdist import osa_distance
+
+        terms = (
+            cands.take(border).to_pylist()
+            if hasattr(cands, "take")
+            else [cands[i] for i in border]
+        )
+        keep[border] = [osa_distance(t, base) <= k for t in terms]
+    return keep
+
+
+def _levenshtein_dist_batch(cands, base: str, cap: int) -> np.ndarray:
+    """Vectorized plain Levenshtein distance over MANY candidates at once:
     Myers' bit-parallel algorithm (Myers 1999, "A fast bit-vector
     algorithm for approximate string matching") with the pattern = the
     query term held in one uint64 bitvector per candidate, every update
     a handful of numpy bitwise ops across ALL candidates simultaneously —
     ~10·L vector ops total instead of a Python O(m·L) DP per candidate.
-    Exact same metric as _levenshtein_leq (no transpositions, matching
-    F.levenshtein); query terms longer than 64 codepoints fall back to
-    the scalar DP (never in practice for fuzzy queries)."""
+    No transpositions (matching F.levenshtein); query terms longer than
+    64 codepoints fall back to the scalar DP (never in practice for fuzzy
+    queries), where distances past ``cap`` report as cap+1."""
     n = len(cands)
     if n == 0:
-        return np.zeros(0, bool)
+        return np.zeros(0, np.int64)
     m = len(base)
     if m == 0 or m > 64:
+        from lucene_solr_spark.oracle.editdist import levenshtein_distance
+
         it = cands.to_pylist() if hasattr(cands, "to_pylist") else cands
         return np.fromiter(
-            (_levenshtein_leq(t, base, k) for t in it), bool, n
+            (
+                levenshtein_distance(t, base)
+                if _levenshtein_leq(t, base, cap)
+                else cap + 1
+                for t in it
+            ),
+            np.int64,
+            n,
         )
     col_fn, lens, L = _cand_columns(cands)
     # per-codepoint pattern-match bitmasks for the base term's alphabet
@@ -316,7 +357,7 @@ def _levenshtein_leq_batch(cands, base: str, k: int) -> np.ndarray:
             np.equal(lens, i + 1, out=bsel)
             if bsel.any():
                 dist[bsel] = score[bsel]
-    return dist <= k
+    return np.minimum(dist, cap + 1)
 
 
 def _match_dict_pred(plan: dict, terms) -> list[str]:
@@ -328,8 +369,9 @@ def _match_dict_pred(plan: dict, terms) -> list[str]:
     array per predicate — never a per-term Python loop over the full
     dictionary (and not ``np.char``, whose per-element str-method calls
     are barely faster than the loop). The only remaining Python DP
-    (fuzzy's banded Levenshtein) runs on the length-band + shared-prefix
-    SURVIVORS, typically a tiny fraction of a 10⁸-term segment
+    (fuzzy's OSA refinement) runs on the Myers-batch borderline band of
+    the length-band + shared-prefix SURVIVORS, typically a tiny fraction
+    of a 10⁸-term segment
     dictionary; regexes evaluate in Arrow's re2 when the pattern compiles
     there, falling back to Python ``re`` for re2-unsupported constructs
     (backrefs, lookaround)."""
@@ -373,7 +415,7 @@ def _match_dict_pred(plan: dict, terms) -> list[str]:
         if pl:
             mask = pc.and_(mask, pc.starts_with(arr, pattern=base[:pl]))
         surv = arr.filter(mask)  # stays Arrow: no materialize-then-DP
-        keep = _levenshtein_leq_batch(surv, base, k)
+        keep = _osa_leq_batch(surv, base, k)
         return surv.filter(pa.array(keep)).to_pylist()
     raise ValueError(kind)
 
@@ -1337,6 +1379,8 @@ class SegmentSearcher:
     #: exhaustive, exactly like the DF executor path
     similarity: object | None = None
     _stats_cache: dict = field(default_factory=dict)
+    #: scored multi-term expansions keyed by the frozen query dataclass
+    _expand_cache: dict = field(default_factory=dict)
 
     # --- global stats ---
     def _expand_scored(self, q: ir.Query) -> ir.Query:
@@ -1359,8 +1403,16 @@ class SegmentSearcher:
         ):
             from lucene_solr_spark.plans.df_executor import multiterm_cond
 
+            cached = self._expand_cache.get(q)
+            if cached is not None:
+                return cached
             top_n = q.max_expansions
-            cap = ir.MAX_CLAUSE_COUNT if top_n is None else int(top_n)
+            # TopTermsRewrite.java:66: maxSize = min(size, maxClauseCount)
+            cap = (
+                ir.MAX_CLAUSE_COUNT
+                if top_n is None
+                else min(int(top_n), ir.MAX_CLAUSE_COUNT)
+            )
             rows = (
                 self.index.term_stats(self.spark)
                 .filter(multiterm_cond(q))
@@ -1375,14 +1427,21 @@ class SegmentSearcher:
                         f"scoring rewrite expanded past {ir.MAX_CLAUSE_COUNT} terms"
                     )
                 rows = rows[:cap]
-            if not rows:
-                return ir.MatchNoDocsQuery()
-            return ir.BooleanQuery(
-                tuple(
-                    ir.BooleanClause(ir.Occur.SHOULD, ir.TermQuery(r["term"]))
-                    for r in rows
+            expanded = (
+                ir.MatchNoDocsQuery()
+                if not rows
+                else ir.BooleanQuery(
+                    tuple(
+                        ir.BooleanClause(ir.Occur.SHOULD, ir.TermQuery(r["term"]))
+                        for r in rows
+                    )
                 )
             )
+            # memoized like _stats_cache: repeated identical queries (the
+            # head-repetition batch pattern) must not re-pay the driver-side
+            # dictionary scan; the frozen query dataclass is the key
+            self._expand_cache[q] = expanded
+            return expanded
         if isinstance(q, ir.BooleanQuery):
             return dataclasses.replace(
                 q,

@@ -155,6 +155,8 @@ class OracleIndex:
                 ir.SpanNotQuery,
                 ir.SpanWithinQuery,
                 ir.SpanContainingQuery,
+                ir.SpanNotContainingQuery,
+                ir.SpanNotWithinQuery,
                 ir.SpanFirstQuery,
             ),
         ):
@@ -249,8 +251,9 @@ class OracleIndex:
         top_n = getattr(q, "max_expansions", None)
         if top_n is not None:
             # TOP_TERMS variant: N lexicographically smallest at the
-            # constant boost (TopTermsRewrite.java:210-213 PQ order)
-            expanded = expanded[: int(top_n)]
+            # constant boost (TopTermsRewrite.java:210-213 PQ order);
+            # PQ size clamps to maxClauseCount (TopTermsRewrite.java:66)
+            expanded = expanded[: min(int(top_n), ir.MAX_CLAUSE_COUNT)]
         elif len(expanded) > ir.MAX_CLAUSE_COUNT:
             raise ir.TooManyClauses(
                 f"scoring rewrite expanded past {ir.MAX_CLAUSE_COUNT} terms"
@@ -290,11 +293,17 @@ class OracleIndex:
                 out.append(t)
             return out
         if isinstance(q, ir.FuzzyQuery):
+            # OSA (transpositions=true), the reference FuzzyQuery default
+            # (search/FuzzyQuery.java:46-48) — same metric as both
+            # executors' constant-score and scored paths
+            from lucene_solr_spark.oracle.editdist import osa_distance
+
             return [
                 t
                 for t in terms
                 if t[: q.prefix_length] == q.term[: q.prefix_length]
-                and _levenshtein(t, q.term) <= q.max_edits
+                and abs(len(t) - len(q.term)) <= q.max_edits
+                and osa_distance(t, q.term) <= q.max_edits
             ]
         raise TypeError(type(q).__name__)
 
@@ -521,13 +530,3 @@ class OracleIndex:
         return len(self.matches(q, 1.0))
 
 
-def _levenshtein(a: str, b: str) -> int:
-    if a == b:
-        return 0
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]

@@ -26,9 +26,12 @@ terms:
 Repetition groups are detected from the content of the position lists
 (two pps of the same term share one postings list), or from an explicit
 ``terms`` argument. MULTI-term repeats (MultiPhraseQuery slots that share
-a term — Lucene's ``hasMultiTermRpts`` union-group machinery, ``:436-454``
-and ``:562-585``) remain rejected with NotImplementedError rather than
-silently mis-scored.
+a term — Lucene's ``hasMultiTermRpts`` machinery) take the union-group
+path: repetition groups are the connected components of the bipartite
+pp↔repeating-term graph (``gatherRptGroups`` MTP branch ``:562-585``,
+``ppTermsBitSets``/``unionTermGroups``/``termGroups`` ``:628-680``), and
+doc-start placement resolves collisions iteratively instead of the
+fixed j-step advance (``advanceRepeatGroups`` MTP branch ``:436-454``).
 
 The same kernel drives the single-node oracle, the DataFrame executor's
 pandas UDF, and the segment search kernel, so all three agree by
@@ -181,36 +184,78 @@ def sloppy_phrase_match_lengths(
             return []
         pps.append(_PP(plist, int(off), i))
 
-    # --- repetition-group discovery (gatherRptGroups non-MTP, :536-561) --
+    # --- repetition-group discovery (gatherRptGroups, :532-587) ----------
     groups: list[list[_PP]] = []
-    by_key: dict = {}
-    for i, pp in enumerate(pps):
-        t = terms[i] if terms is not None else None
-        if isinstance(t, frozenset) and len(t) > 1:
-            # multi-term slot: any shared term with a DIFFERENT slot is the
-            # hasMultiTermRpts union machinery — not implemented
-            for j, pp2 in enumerate(pps):
-                if j == i:
-                    continue
-                t2 = terms[j]
-                t2s = t2 if isinstance(t2, frozenset) else frozenset([t2])
-                if t & t2s:
-                    raise NotImplementedError(
-                        "multi-term repeats (hasMultiTermRpts) not supported"
-                    )
-            continue
-        if isinstance(t, frozenset):
-            t = next(iter(t))
-        by_key.setdefault(_group_key(pp.plist, t), []).append(pp)
-    for members in by_key.values():
-        if len(members) > 1:
-            # sortRptGroups (:512-529): sort by query offset, index members
+    slot_terms: list[frozenset] | None = None
+    has_mtp = False
+    if terms is not None:
+        slot_terms = [
+            t if isinstance(t, frozenset) else frozenset([t]) for t in terms
+        ]
+        # repeatingTerms (:595-607): a term appearing in >= 2 slots repeats
+        tcnt: dict = {}
+        for ts in slot_terms:
+            for t in ts:
+                tcnt[t] = tcnt.get(t, 0) + 1
+        rpt_terms = frozenset(t for t, c in tcnt.items() if c >= 2)
+        # repeatingPPs (:610-622): hasMultiTermRpts |= a repeating pp is a
+        # multi-term slot (:616) — then ALL repeat groups take the union
+        # machinery, single-term repeaters included
+        rpp = [pp for pp in pps if slot_terms[pp.ord] & rpt_terms]
+        has_mtp = any(len(slot_terms[pp.ord]) > 1 for pp in rpp)
+    if has_mtp:
+        # MTP branch (:562-585): repetition groups = connected components
+        # of the bipartite pp↔repeating-term graph. ppTermsBitSets
+        # (:628-642) is each pp's repeating-term set; unionTermGroups
+        # (:648-663) merges intersecting sets until disjoint (a pp's own
+        # set already connects all its repeating terms, so every pp lands
+        # in exactly one component).
+        bb: list[set] = [set(slot_terms[pp.ord] & rpt_terms) for pp in rpp]
+        i = 0
+        while i < len(bb) - 1:
+            incr = 1
+            j = i + 1
+            while j < len(bb):
+                if bb[i] & bb[j]:
+                    bb[i] |= bb[j]
+                    del bb[j]
+                    incr = 0
+                else:
+                    j += 1
+            i += incr
+        member_lists: list[list[_PP]] = [[] for _ in bb]
+        for pp in rpp:
+            for gi, gterms in enumerate(bb):
+                if slot_terms[pp.ord] & gterms:
+                    member_lists[gi].append(pp)
+                    pp.rpt_group = gi
+                    break
+        # sortRptGroups (:512-529): by query offset, rpt_ind = index
+        for members in member_lists:
             members.sort(key=lambda p: p.off)
-            g = len(groups)
             for j, pp in enumerate(members):
-                pp.rpt_group = g
                 pp.rpt_ind = j
-            groups.append(members)
+        groups = member_lists
+    else:
+        # non-MTP gather (:536-561): single-term repeats, grouped by term
+        # (or by positions-list content when terms are not given)
+        by_key: dict = {}
+        for i, pp in enumerate(pps):
+            t = slot_terms[i] if slot_terms is not None else None
+            if isinstance(t, frozenset):
+                if len(t) > 1:
+                    continue  # multi-term slot sharing no repeated term
+                t = next(iter(t))
+            by_key.setdefault(_group_key(pp.plist, t), []).append(pp)
+        for members in by_key.values():
+            if len(members) > 1:
+                # sortRptGroups (:512-529): sort by query offset, index
+                members.sort(key=lambda p: p.off)
+                g = len(groups)
+                for j, pp in enumerate(members):
+                    pp.rpt_group = g
+                    pp.rpt_ind = j
+                groups.append(members)
     has_rpts = bool(groups)
 
     end = -(1 << 62)
@@ -224,21 +269,6 @@ def sloppy_phrase_match_lengths(
             state["end"] = pp.pos
         return True
 
-    # --- advanceRepeatGroups, simple branch (:455-463): the j-th member of
-    # an offset-sorted group starts on the term's (j+1)-th occurrence
-    for rg in groups:
-        for j in range(1, len(rg)):
-            for _ in range(j):
-                if not rg[j].next_position():
-                    return []  # PPs exhausted — doc cannot match
-
-    # fillQueue (:413-421): add in phrasePositions (ord) order
-    pq = _PhraseQueue(len(pps))
-    for pp in pps:
-        if pp.pos > state["end"]:
-            state["end"] = pp.pos
-        pq.add(pp)
-
     def collide(pp: _PP) -> int:
         """collide (:334-344): group index of a same-position twin."""
         tp = pp.pos + pp.off
@@ -246,6 +276,43 @@ def sloppy_phrase_match_lengths(
             if pp2 is not pp and pp2.pos + pp2.off == tp:
                 return pp2.rpt_ind
         return -1
+
+    # --- advanceRepeatGroups (:435-467) ---------------------------------
+    for rg in groups:
+        if has_mtp:
+            # multi-term branch (:437-454): members may or may not collide
+            # ("hidden collisions" — two union-postings slots on the same
+            # document position); resolve each in turn by advancing the
+            # lesser colliding pp until the group is collision-free
+            i = 0
+            while i < len(rg):
+                incr = 1
+                pp = rg[i]
+                while True:
+                    k = collide(pp)
+                    if k < 0:
+                        break
+                    pp2 = _lesser(pp, rg[k])
+                    if not advance_pp(pp2):
+                        return []  # PPs exhausted — doc cannot match
+                    if pp2.rpt_ind < i:  # "should not happen?" (:449-452)
+                        incr = 0
+                        break
+                i += incr
+        else:
+            # simple branch (:455-463): the j-th member of an offset-sorted
+            # group starts on the term's (j+1)-th occurrence
+            for j in range(1, len(rg)):
+                for _ in range(j):
+                    if not rg[j].next_position():
+                        return []  # PPs exhausted — doc cannot match
+
+    # fillQueue (:413-421): add in phrasePositions (ord) order
+    pq = _PhraseQueue(len(pps))
+    for pp in pps:
+        if pp.pos > state["end"]:
+            state["end"] = pp.pos
+        pq.add(pp)
 
     def advance_rpts(pp: _PP) -> bool:
         """advanceRpts (:286-323): resolve the (single) collision created

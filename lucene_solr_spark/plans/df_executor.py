@@ -75,6 +75,8 @@ _SPAN_TYPES = (
     ir.SpanNotQuery,
     ir.SpanWithinQuery,
     ir.SpanContainingQuery,
+    ir.SpanNotContainingQuery,
+    ir.SpanNotWithinQuery,
     ir.SpanFirstQuery,
 )
 
@@ -132,6 +134,15 @@ def span_term_sets(q: ir.Query) -> tuple[list[str], list[str], list[str]]:
         a1, p1, r1 = span_term_sets(q.include)
         a2, _, _ = span_term_sets(q.exclude)
         return _dedup_keep_order(a1, a2), p1, r1
+    if isinstance(q, ir.SpanNotContainingQuery):
+        # like SpanNot: subtrahend terms are evaluation-side only
+        a1, p1, r1 = span_term_sets(q.minuend)
+        a2, _, _ = span_term_sets(q.subtrahend)
+        return _dedup_keep_order(a1, a2), p1, r1
+    if isinstance(q, ir.SpanNotWithinQuery):
+        a1, p1, r1 = span_term_sets(q.little)
+        a2, _, _ = span_term_sets(q.big)
+        return _dedup_keep_order(a1, a2), p1, r1
     if isinstance(q, ir.SpanFirstQuery):
         return span_term_sets(q.match)
     if isinstance(q, (ir.SpanWithinQuery, ir.SpanContainingQuery)):
@@ -174,19 +185,43 @@ def multiterm_cond(q: ir.Query) -> Column:
             )
         return cond
     if isinstance(q, ir.FuzzyQuery):
-        # exactness-preserving prefilters BEFORE the levenshtein, in
+        # exactness-preserving prefilters BEFORE the edit-distance, in
         # evaluation order (the automaton's pruning role,
-        # FuzzyTermsEnum.java): |len(term)−len(q)| ≤ maxEdits is a
-        # Levenshtein lower bound and a cheap codegen comparison; the
-        # shared-prefix predicate additionally prunes parquet row groups
-        # on the term-sorted dictionary
+        # FuzzyTermsEnum.java): |len(term)−len(q)| ≤ maxEdits is an OSA
+        # lower bound and a cheap codegen comparison; the shared-prefix
+        # predicate additionally prunes parquet row groups on the
+        # term-sorted dictionary
         cond = F.length("term").between(
             len(q.term) - q.max_edits, len(q.term) + q.max_edits
-        ) & (F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
+        ) & _osa_leq_cond(q.term, int(q.max_edits))
         if q.prefix_length:
             cond = F.col("term").startswith(q.term[: q.prefix_length]) & cond
         return cond
     raise TypeError(f"not a multi-term query: {type(q).__name__}")
+
+
+def _osa_leq_cond(qterm: str, max_edits: int) -> Column:
+    """OSA distance (restricted Damerau — adjacent transposition = ONE
+    edit, the reference FuzzyQuery default ``transpositions=true``,
+    ``search/FuzzyQuery.java:46-48``) ≤ max_edits as a Catalyst predicate,
+    layered so the JVM-side codegen'd levenshtein does almost all the
+    work: lev ≤ k accepts outright (transpositions only lower the
+    distance), OSA ≤ k forces lev ≤ 2k (one transposition = two
+    substitutions), so the Arrow-batched Python OSA kernel only sees the
+    borderline lev ∈ (k, 2k] band — a handful of terms even on a huge
+    dictionary."""
+    lev = F.levenshtein(F.col("term"), F.lit(qterm))
+
+    @F.pandas_udf(T.BooleanType())
+    def osa_ok(terms: pd.Series) -> pd.Series:
+        from lucene_solr_spark.oracle.editdist import osa_batch
+
+        return pd.Series(
+            osa_batch(terms.tolist(), qterm, max_edits) <= max_edits,
+            index=terms.index,
+        )
+
+    return (lev <= max_edits) | ((lev <= 2 * max_edits) & osa_ok(F.col("term")))
 
 
 def rescore_combine(
@@ -616,6 +651,22 @@ class DFExecutor:
             )
         if isinstance(q, ir.FuzzyQuery) and not q.constant_score:
             return self._eval_scored_fuzzy(q, boost)
+        if isinstance(q, ir.FuzzyQuery):
+            # constant-score fuzzy: intersect the automaton with the TERM
+            # dictionary first (per-term — the OSA refinement UDF runs
+            # once per length-band candidate term, never per posting),
+            # then broadcast the tiny matched term set onto the postings
+            # scan. Same OSA metric as the scored path, so the match set
+            # of FuzzyQuery(t, k) is identical whichever rewrite runs.
+            matched = ix.term_stats.filter(multiterm_cond(q)).select("term")
+            rows = (
+                ix.postings_slim.join(F.broadcast(matched), "term", "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            return rows.select(
+                "doc_id", F.lit(float(_f32(boost))).cast(self._score_type()).alias("score")
+            )
         if (
             isinstance(q, (ir.PrefixQuery, ir.WildcardQuery, ir.RegexpQuery))
             and not q.constant_score
@@ -872,7 +923,9 @@ class DFExecutor:
         # term wins — TopTermsRewrite.java:210-213) keeps exactly the N
         # lexicographically smallest matches, which is this orderBy+limit.
         top_n = getattr(q, "max_expansions", None)
-        cap = ir.MAX_CLAUSE_COUNT if top_n is None else int(top_n)
+        # TopTermsRewrite.java:66: maxSize = min(size, getMaxClauseCount())
+        # — the PQ never outgrows the clause cap even for huge top_n
+        cap = ir.MAX_CLAUSE_COUNT if top_n is None else min(int(top_n), ir.MAX_CLAUSE_COUNT)
         rows = (
             ix.term_stats.filter(multiterm_cond(q))
             .select("term", "df", "ttf")
@@ -1101,36 +1154,58 @@ class DFExecutor:
             ),
         )
 
-    def sloppy_match_stats(self, q: "ir.PhraseQuery") -> DataFrame:
+    def sloppy_match_stats(self, q) -> DataFrame:
         """Integer artifact of the greedy SloppyPhraseMatcher
         (``search/SloppyPhraseMatcher.java:174-206``): per matching doc,
         the count and sum of accepted match lengths (``matchLength <=
         slop`` at ``:169``). The float sloppy score is the float32 fold of
         the same sequence — so this is the exactly-SQL-gateable view of
         the sloppy machinery (for 2 terms the sequence has a closed
-        alternating-successor form over the position lists)."""
+        alternating-successor form over the position lists; for a 2-slot
+        MultiPhrase with a shared term — hasMultiTermRpts — the same
+        chain gains the collision-resolution step, see
+        __spark_entry__.oracle_sql['sloppy_multi_repeat_matches']).
+        Accepts PhraseQuery or MultiPhraseQuery (union position lists per
+        slot, UnionPostingsEnum role)."""
         if q.slop <= 0:
             raise ValueError("sloppy_match_stats needs slop > 0")
         ix = self.index
-        if any(self._df(t) == 0 for t in q.terms):
+        if isinstance(q, ir.MultiPhraseQuery):
+            groups = [tuple(g) for g in q.term_groups]
+        else:
+            groups = [(t,) for t in q.terms]
+        if any(all(self._df(t) == 0 for t in g) for g in groups):
             return ix.postings.sparkSession.createDataFrame(
                 [], schema="doc_id long, n_matches long, sum_ml long"
             )
         parts = []
-        for i, t in enumerate(q.terms):
-            parts.append(
-                ix.postings.filter(F.col("term") == t).select(
-                    "doc_id", F.col("positions").alias(f"p{i}")
+        for i, g in enumerate(groups):
+            if len(g) == 1:
+                parts.append(
+                    ix.postings.filter(F.col("term") == g[0]).select(
+                        "doc_id", F.col("positions").alias(f"p{i}")
+                    )
                 )
-            )
+            else:
+                parts.append(
+                    ix.postings.filter(F.col("term").isin(list(g)))
+                    .groupBy("doc_id")
+                    .agg(
+                        F.array_sort(
+                            F.array_distinct(
+                                F.flatten(F.collect_list("positions"))
+                            )
+                        ).alias(f"p{i}")
+                    )
+                )
         joined = parts[0]
         for p in parts[1:]:
             joined = joined.join(p, "doc_id", "inner")
-        arrays = F.array(*[F.col(f"p{i}") for i in range(len(q.terms))])
+        arrays = F.array(*[F.col(f"p{i}") for i in range(len(groups))])
         offsets = tuple(int(p) for p in q.positions)
         slop = q.slop
 
-        qterms = tuple(q.terms)
+        qterms = tuple(frozenset(g) for g in groups)
 
         @F.pandas_udf("n_matches long, sum_ml long")
         def match_stats(pos_lists: pd.Series) -> pd.DataFrame:

@@ -34,6 +34,8 @@ __all__ = [
     "SpanNotQuery",
     "SpanWithinQuery",
     "SpanContainingQuery",
+    "SpanNotContainingQuery",
+    "SpanNotWithinQuery",
     "SpanFirstQuery",
     "NGramPhraseQuery",
     "MultiPhraseQuery",
@@ -255,6 +257,28 @@ class SpanContainingQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanNotContainingQuery(Query):
+    """Spans of ``minuend`` that do NOT contain any span of
+    ``subtrahend`` — the containment complement of SpanContainingQuery
+    (``queries/intervals/Intervals.java`` ``notContaining`` /
+    ``DifferenceIntervalsSource`` semantics: exclusion by CONTAINMENT,
+    not by overlap as in SpanNotQuery)."""
+
+    minuend: Query
+    subtrahend: Query
+
+
+@dataclass(frozen=True)
+class SpanNotWithinQuery(Query):
+    """Spans of ``little`` NOT enclosed by any span of ``big`` — the
+    containment complement of SpanWithinQuery
+    (``queries/intervals/Intervals.java`` ``notContainedBy``)."""
+
+    big: Query
+    little: Query
+
+
+@dataclass(frozen=True)
 class SpanFirstQuery(Query):
     """Spans of ``match`` that END within the first ``end`` positions of
     the field (``spans/SpanFirstQuery.java:34`` — a SpanPositionRange
@@ -301,6 +325,18 @@ def span_to_dict(q: "Query") -> dict:
             "big": span_to_dict(q.big),
             "little": span_to_dict(q.little),
         }
+    if isinstance(q, SpanNotContainingQuery):
+        return {
+            "t": "not_containing",
+            "minuend": span_to_dict(q.minuend),
+            "subtrahend": span_to_dict(q.subtrahend),
+        }
+    if isinstance(q, SpanNotWithinQuery):
+        return {
+            "t": "not_within",
+            "big": span_to_dict(q.big),
+            "little": span_to_dict(q.little),
+        }
     raise TypeError(f"not a span query: {type(q).__name__}")
 
 
@@ -323,6 +359,14 @@ def span_from_dict(d: dict) -> "Query":
         return SpanWithinQuery(span_from_dict(d["big"]), span_from_dict(d["little"]))
     if t == "containing":
         return SpanContainingQuery(
+            span_from_dict(d["big"]), span_from_dict(d["little"])
+        )
+    if t == "not_containing":
+        return SpanNotContainingQuery(
+            span_from_dict(d["minuend"]), span_from_dict(d["subtrahend"])
+        )
+    if t == "not_within":
+        return SpanNotWithinQuery(
             span_from_dict(d["big"]), span_from_dict(d["little"])
         )
     if t == "first":
@@ -395,6 +439,9 @@ class PrefixQuery(Query):
     #: lexicographically smallest matches.
     max_expansions: int | None = None
 
+    def __post_init__(self):
+        _check_max_expansions(self.max_expansions)
+
 
 @dataclass(frozen=True)
 class WildcardQuery(Query):
@@ -403,6 +450,9 @@ class WildcardQuery(Query):
     constant_score: bool = True  # False = SCORING_BOOLEAN_REWRITE
     max_expansions: int | None = None  # int = TOP_TERMS variant
 
+    def __post_init__(self):
+        _check_max_expansions(self.max_expansions)
+
 
 @dataclass(frozen=True)
 class RegexpQuery(Query):
@@ -410,6 +460,9 @@ class RegexpQuery(Query):
     field: str | None = None
     constant_score: bool = True  # False = SCORING_BOOLEAN_REWRITE
     max_expansions: int | None = None  # int = TOP_TERMS variant
+
+    def __post_init__(self):
+        _check_max_expansions(self.max_expansions)
 
 
 @dataclass(frozen=True)
@@ -425,6 +478,17 @@ class FuzzyQuery(Query):
     constant_score: bool = True
     max_expansions: int = 50
     field: str | None = None
+
+    def __post_init__(self):
+        _check_max_expansions(self.max_expansions)
+
+
+def _check_max_expansions(v) -> None:
+    """TopTermsRewrite rejects size < 1 (``TopTermsRewrite.java:64`` via
+    ``util/PriorityQueue`` ctor — IllegalArgumentException); mirror that
+    at construction so cap<=0 can never silently yield MatchNoDocs."""
+    if v is not None and int(v) < 1:
+        raise ValueError(f"max_expansions must be >= 1, got {v!r}")
 
 
 @dataclass(frozen=True)

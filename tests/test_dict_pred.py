@@ -37,12 +37,16 @@ def _loop_match(plan: dict, terms: list[str]) -> list[str]:
         rx = re.compile(plan["regex"])
         return [t for t in terms if rx.fullmatch(t)]
     if kind == "fuzzy":
+        from lucene_solr_spark.oracle.editdist import osa_distance
+
         base, pl, k = plan["term"], plan["prefix_length"], plan["max_edits"]
         pref = base[:pl]
         return [
             t
             for t in terms
-            if (not pl or t.startswith(pref)) and _levenshtein_leq(t, base, k)
+            if (not pl or t.startswith(pref))
+            and abs(len(t) - len(base)) <= k
+            and osa_distance(t, base) <= k
         ]
     raise ValueError(kind)
 
@@ -102,12 +106,22 @@ def test_empty_dictionary():
 
 
 def test_myers_batch_equals_scalar_dp_fuzz():
-    """Myers bit-parallel batch Levenshtein == the scalar DP, fuzzed over
-    short strings (dense small alphabet so edits actually land ≤ k),
-    ASCII and non-ASCII, list and Arrow inputs."""
+    """Myers bit-parallel batch Levenshtein distances == the scalar DP,
+    and the layered OSA acceptor == the scalar OSA DP (the
+    transpositions=true reference metric), fuzzed over short strings
+    (dense small alphabet so edits actually land ≤ k — and adjacent
+    transpositions occur constantly), ASCII and non-ASCII, list and
+    Arrow inputs."""
     import pyarrow as pa
 
-    from lucene_solr_spark.operators.topk import _levenshtein_leq_batch
+    from lucene_solr_spark.operators.topk import (
+        _levenshtein_dist_batch,
+        _osa_leq_batch,
+    )
+    from lucene_solr_spark.oracle.editdist import (
+        levenshtein_distance,
+        osa_distance,
+    )
 
     rng = random.Random(3)
     for trial in range(1500):
@@ -118,15 +132,17 @@ def test_myers_batch_equals_scalar_dp_fuzz():
             for _ in range(rng.randint(0, 5))
         ]
         k = rng.randint(0, 3)
-        want = [_levenshtein_leq(c, base, k) for c in cands]
-        assert list(_levenshtein_leq_batch(cands, base, k)) == want
+        want_d = [min(levenshtein_distance(c, base), 2 * k + 1) for c in cands]
+        got_d = [min(int(v), 2 * k + 1) for v in _levenshtein_dist_batch(cands, base, cap=2 * k)]
+        assert got_d == want_d
+        want = [osa_distance(c, base) <= k for c in cands]
+        assert list(_osa_leq_batch(cands, base, k)) == want
         assert (
-            list(_levenshtein_leq_batch(pa.array(cands, pa.string()), base, k))
-            == want
+            list(_osa_leq_batch(pa.array(cands, pa.string()), base, k)) == want
         )
     assert list(
-        _levenshtein_leq_batch(pa.array(["", "a"], pa.string()), "a", 1)
-    ) == [True, True]
+        _osa_leq_batch(pa.array(["", "a", "ab", "ba"], pa.string()), "ab", 1)
+    ) == [False, True, True, True]
 
 
 def test_fuzzy_microbench_1e6_terms():

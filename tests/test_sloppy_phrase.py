@@ -215,12 +215,158 @@ def test_repeat_engine_rank_identity(spark, tiny_corpus_rows, tiny_oracle):
     assert got == want
 
 
-def test_multi_term_repeats_still_rejected():
-    """MultiPhrase slots sharing a term (hasMultiTermRpts) stay rejected."""
-    with pytest.raises(NotImplementedError):
-        sloppy_phrase_freq(
-            [np.array([0, 3]), np.array([1, 3])],
-            [0, 1],
-            2,
-            terms=[frozenset({"a", "b"}), frozenset({"b", "c"})],
+# ------------------------------------- multi-term repeats (round 5, MTP)
+# hasMultiTermRpts: a repeating term sits in a multi-term slot
+# (SloppyPhraseMatcher.java:616). Repetition groups become the connected
+# components of the pp↔repeating-term graph (:562-585) and collisions are
+# resolved iteratively at doc start (:436-454) and after each advance
+# (:286-323 via collide :334-344).
+
+
+def _mtp_lengths(doc_tokens, slots, offsets, slop):
+    from lucene_solr_spark.oracle.sloppy import sloppy_phrase_match_lengths
+
+    pls = [
+        np.asarray(
+            [i for i, t in enumerate(doc_tokens) if t in s], np.int64
         )
+        for s in slots
+    ]
+    if any(len(p) == 0 for p in pls):
+        return []
+    return sloppy_phrase_match_lengths(pls, offsets, slop, terms=list(slots))
+
+
+def test_mtp_basic_collision():
+    """"(a|b) b"~1 over "b a": slot0 unions {a,b} = positions [0,1], slot1
+    = [0]. Doc-start placement collides (both land on raw position 0+off);
+    the higher-offset pp re-advances — exhausted ⇒ no match. Over "b x b"
+    the re-advance finds position 2 and the phrase matches."""
+    s0, s1 = frozenset({"a", "b"}), frozenset({"b"})
+    # "b a": slot1's only b collides with slot0 at raw position 0; the
+    # re-advance exhausts ⇒ no match even though (a@1, b@0) would be an
+    # assignment — the greedy machine (and the reference) rejects it
+    assert _mtp_lengths(["b", "a"], [s0, s1], [0, 1], 1) == []
+    assert _mtp_lengths(["b"], [s0, s1], [0, 1], 4) == []
+    assert _mtp_lengths(["b", "x", "b"], [s0, s1], [0, 1], 1) == [1]
+
+
+def test_mtp_single_term_repeat_joins_union_path():
+    """Once ANY repeating pp is multi-term, ALL repeat groups take the
+    union machinery (:610-622 sets hasMultiTermRpts globally). "(a|b) b"
+    still matches plain docs identically to the 2-distinct-term case when
+    no collision arises."""
+    s0, s1 = frozenset({"a", "b"}), frozenset({"b"})
+    # "a b": no shared position, behaves like an ordinary 2-term phrase
+    assert _mtp_lengths(["a", "b"], [s0, s1], [0, 1], 0) == [0]
+
+
+def test_mtp_greedy_replay_fuzz():
+    """The kernel's MTP path == an independent scalar replay of the 2-slot
+    transition system (pop lesser adjusted pp; advance; collision ⇒ the
+    higher-offset pp re-advances) — the exact machine the
+    sloppy_multi_repeat_matches SQL oracle transcribes. 50k random docs,
+    zero divergence (full-scale run recorded round 5; scaled here)."""
+    import bisect
+    import random
+
+    def succ(lst, v):
+        i = bisect.bisect_right(lst, v)
+        return lst[i] if i < len(lst) else None
+
+    def replay(A, B, slop):
+        x, y = A[0], B[0] - 1
+        if x == y + 1:
+            b = succ(B, y + 1)
+            if b is None:
+                return []
+            y = b - 1
+        end = max(x, y)
+        matches = []
+        lab = "x" if x <= y else "y"
+        ml = end - (x if lab == "x" else y)
+        nxt = y if lab == "x" else x
+        while True:
+            if lab == "x":
+                a = succ(A, x)
+                if a is None:
+                    if ml <= slop:
+                        matches.append(ml)
+                    return matches
+                x = a
+                end = max(end, x)
+            else:
+                b = succ(B, y + 1)
+                if b is None:
+                    if ml <= slop:
+                        matches.append(ml)
+                    return matches
+                y = b - 1
+                end = max(end, y)
+            if x == y + 1:  # collide: advance the higher-offset pp again
+                b = succ(B, y + 1)
+                if b is None:
+                    if ml <= slop:
+                        matches.append(ml)
+                    return matches
+                y = b - 1
+                end = max(end, y)
+            pos = x if lab == "x" else y
+            if pos > nxt:
+                if ml <= slop:
+                    matches.append(ml)
+                lab = "x" if x <= y else "y"
+                ml = end - (x if lab == "x" else y)
+                nxt = y if lab == "x" else x
+            else:
+                ml = min(ml, end - pos)
+
+    rng = random.Random(7)
+    s0, s1 = frozenset({"m", "s"}), frozenset({"s"})
+    checked = 0
+    for _ in range(8000):
+        toks = [rng.choice("msabc") for _ in range(rng.randint(1, 12))]
+        A = [i for i, t in enumerate(toks) if t in ("m", "s")]
+        B = [i for i, t in enumerate(toks) if t == "s"]
+        if not A or not B:
+            continue
+        slop = rng.randint(0, 5)
+        want = _mtp_lengths(toks, [s0, s1], [0, 1], slop)
+        assert want == replay(A, B, slop), (toks, slop)
+        checked += 1
+    assert checked > 4000
+
+
+def test_mtp_soundness_3slot():
+    """Greedy-accept ⇒ an injective slop-valid assignment exists
+    (soundness; 3-slot shapes with a shared term across slots 0/1). The
+    converse does NOT hold — the greedy machine is reference-faithfully
+    incomplete (~5% of assignment-feasible docs rejected), which is WHY
+    the SQL oracle replays the machine instead of stating ∃-semantics."""
+    import random
+
+    rng = random.Random(11)
+    slots = [frozenset({"m", "s"}), frozenset({"s"}), frozenset({"h", "j"})]
+    offs = [0, 1, 2]
+    checked = unsound = incomplete = 0
+    for _ in range(6000):
+        toks = [rng.choice("mshjab") for _ in range(rng.randint(2, 10))]
+        lists = [[i for i, t in enumerate(toks) if t in s] for s in slots]
+        if any(not x for x in lists):
+            continue
+        slop = rng.randint(0, 4)
+        accept = bool(_mtp_lengths(toks, slots, offs, slop))
+        exists = any(
+            p0 != p1 and max(p0, p1 - 1, p2 - 2) - min(p0, p1 - 1, p2 - 2) <= slop
+            for p0 in lists[0]
+            for p1 in lists[1]
+            for p2 in lists[2]
+        )
+        if accept and not exists:
+            unsound += 1
+        if exists and not accept:
+            incomplete += 1
+        checked += 1
+    assert checked > 1500
+    assert unsound == 0
+    assert incomplete > 0  # greedy (matches the reference), not ∃-relaxed
