@@ -3,12 +3,14 @@ metadata, with decode / feature-extract / resize / frame-sample as Arrow
 mapInPandas kernels.
 
 The Spark-side plumbing — schemas, batch shapes, partitioning, UDF
-signatures — is REAL and tested; the actual media codecs are stubbed
-behind an import-try (PIL / soundfile are not in this container): with
-libraries present, ``_decode_real`` paths take over; without, a
-deterministic synthetic codec (self-describing header + seeded pixel
-generator) exercises the identical dataflow. Swapping the codec does not
-change any plan shape.
+signatures — is real and tested, and (round 5) so are the image codecs:
+pure-Python/stdlib decoders for PNG (chunk stream, zlib IDAT, all five
+filter types), BMP (BI_RGB 24/32-bit), and binary PNM (P5/P6), plus
+matching encoders for round-trip tests — no external imaging deps. The
+deterministic synthetic FIMG codec remains as the fast path; video and
+audio containers are still out of scope (``_decode`` raises with the
+supported-magic list). Swapping the codec does not change any plan
+shape.
 
 Design for 100 TB: blobs stay in executor memory only within one Arrow
 batch (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak);
@@ -91,32 +93,244 @@ def _decode_fake(blob: bytes) -> np.ndarray:
     return pix.reshape(n, h, w, c)
 
 
+# ------------------------------------------------------- real codecs
+# Pure-Python/stdlib decoders for genuine public formats (no new deps):
+# PNG (RFC 2083 / W3C PNG spec: chunk stream, zlib IDAT, filter types
+# 0-4), BMP (BITMAPINFOHEADER BI_RGB 24/32-bit), and PNM (P5/P6). These
+# replace the round-4 "raises on any real format" stub — the FIMG
+# container remains as the synthetic fast path.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(filt: np.ndarray, prior: np.ndarray, ftype: int, bpp: int) -> np.ndarray:
+    """Reverse one scanline's filter (PNG spec §6). Filters 0/2 are
+    vectorized; 1/3/4 carry a left-neighbor recurrence and run per byte
+    (scanlines are short; the batch dimension is rows × Arrow batch)."""
+    n = filt.shape[0]
+    recon = filt.astype(np.int64)
+    pri = prior.astype(np.int64)
+    if ftype == 0:
+        return filt.copy()
+    if ftype == 2:  # Up
+        return ((recon + pri) % 256).astype(np.uint8)
+    out = np.zeros(n, np.int64)
+    for i in range(n):
+        a = out[i - bpp] if i >= bpp else 0  # left
+        b = pri[i]  # up
+        if ftype == 1:  # Sub
+            out[i] = (recon[i] + a) % 256
+        elif ftype == 3:  # Average
+            out[i] = (recon[i] + (a + b) // 2) % 256
+        elif ftype == 4:  # Paeth
+            c = pri[i - bpp] if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[i] = (recon[i] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+    return out.astype(np.uint8)
+
+
+def _decode_png(blob: bytes) -> np.ndarray:
+    """PNG → (1, H, W, C) uint8. Supports bit depth 8, color types
+    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced — the
+    shapes a training-data pipeline actually ingests. Palette (3),
+    16-bit, and Adam7 interlace raise with a precise message."""
+    if blob[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(blob):
+        (length,) = _struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + CRC
+        if ctype == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt_m, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color} (palette unsupported)")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    prior = np.zeros(stride, np.uint8)
+    for y in range(h):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        out[y] = _png_unfilter(
+            np.frombuffer(line[1:], np.uint8), prior, line[0], channels
+        )
+        prior = out[y]
+    return out.reshape(1, h, w, channels)
+
+
+def _encode_png(arr: np.ndarray, filter_mode: str = "mixed") -> bytes:
+    """(H, W, C) uint8 → PNG bytes, stdlib-only. ``filter_mode='mixed'``
+    picks filter type (row % 5) so round-trip tests exercise every
+    unfilter path; 'none' writes filter 0 throughout."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    a = arr.astype(np.int64)
+    left = np.zeros_like(a)
+    left[:, 1:, :] = a[:, :-1, :]
+    up = np.zeros_like(a)
+    up[1:] = a[:-1]
+    upleft = np.zeros_like(a)
+    upleft[1:, 1:, :] = a[:-1, :-1, :]
+    p = left + up - upleft
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+    paeth = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+    )
+    preds = [np.zeros_like(a), left, up, (left + up) // 2, paeth]
+    lines = []
+    for y in range(h):
+        f = (y % 5) if filter_mode == "mixed" else 0
+        row = ((a[y] - preds[f][y]) % 256).astype(np.uint8)
+        lines.append(bytes([f]) + row.tobytes())
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_bmp(blob: bytes) -> np.ndarray:
+    """BMP (BITMAPINFOHEADER, BI_RGB 24/32-bit) → (1, H, W, C) uint8.
+    Handles 4-byte row padding, bottom-up and top-down (negative height)
+    layouts, BGR(A)→RGB(A) channel order."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (data_off,) = _struct.unpack("<I", blob[10:14])
+    w, h_signed = _struct.unpack("<ii", blob[18:26])
+    (bpp,) = _struct.unpack("<H", blob[28:30])
+    (compression,) = _struct.unpack("<I", blob[30:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={compression} (BI_RGB 24/32 only)"
+        )
+    c = bpp // 8
+    h = abs(h_signed)
+    stride = (w * c + 3) & ~3
+    rows = np.frombuffer(
+        blob[data_off : data_off + stride * h], np.uint8
+    ).reshape(h, stride)[:, : w * c].reshape(h, w, c)
+    if h_signed > 0:  # bottom-up storage
+        rows = rows[::-1]
+    out = rows[:, :, [2, 1, 0] + ([3] if c == 4 else [])]  # BGR(A)→RGB(A)
+    return np.ascontiguousarray(out)[None, ...]
+
+
+def _encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → 24-bit BI_RGB BMP (bottom-up, padded rows)."""
+    h, w, c = arr.shape
+    assert c == 3
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    bgr = arr[:, :, ::-1]
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h - 1, -1, -1):
+        body += bgr[y].tobytes() + pad
+    header = b"BM" + _struct.pack(
+        "<IHHI", 14 + 40 + len(body), 0, 0, 14 + 40
+    )
+    dib = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + bytes(body)
+
+
+def _decode_pnm(blob: bytes) -> np.ndarray:
+    """Binary PNM (P5 gray / P6 RGB, maxval ≤ 255) → (1, H, W, C) uint8;
+    header comments (#) handled per the netpbm spec."""
+    if blob[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM stream")
+    c = 3 if blob[:2] == b"P6" else 1
+    pos = 2
+    vals = []
+    while len(vals) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    pix = np.frombuffer(blob[pos : pos + w * h * c], np.uint8)
+    return pix.reshape(1, h, w, c)
+
+
+def _encode_pnm(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
 def _decode(blob: bytes) -> np.ndarray:
-    """Decode → (frames, H, W, C) uint8. Real-codec path is stubbed."""
+    """Decode → (frames, H, W, C) uint8, dispatched on the container's
+    magic bytes: FIMG (synthetic stub), PNG, BMP, PNM — all decoded with
+    the in-repo pure-Python codecs (public formats, stdlib zlib only)."""
     if blob[:4] == _MAGIC:
         return _decode_fake(blob)
-    try:  # real path: only if the imaging stack exists in the runtime
-        import io
-
-        from PIL import Image  # noqa: F401
-
-        img = Image.open(io.BytesIO(blob))
-        arr = np.asarray(img)
-        if arr.ndim == 2:
-            arr = arr[:, :, None]
-        return arr[None, ...]
-    except ImportError as e:  # pragma: no cover - container has no PIL
-        raise NotImplementedError(
-            "real image decode needs PIL; container provides the FIMG stub"
-        ) from e
+    if blob[:8] == _PNG_MAGIC:
+        return _decode_png(blob)
+    if blob[:2] == b"BM":
+        return _decode_bmp(blob)
+    if blob[:2] in (b"P5", b"P6"):
+        return _decode_pnm(blob)
+    raise NotImplementedError(
+        f"unrecognized media container (magic {blob[:8]!r}); "
+        "supported: FIMG, PNG, BMP, P5/P6 PNM"
+    )
 
 
 def synthesize_media(
-    docs: DataFrame, *, media_type: str = "image", n_frames: int = 1
+    docs: DataFrame,
+    *,
+    media_type: str = "image",
+    n_frames: int = 1,
+    container: str = "fimg",
 ) -> DataFrame:
     """documents → deterministic media table (doc_id, media_type, blob,
     meta). Dimensions derive from doc_id, so the table is reproducible at
-    any parallelism."""
+    any parallelism. ``container`` picks the encoding of the SAME Weyl
+    pixel stream: 'fimg' (synthetic stub), or a REAL format — 'png'
+    (every filter type exercised), 'bmp' (24-bit BI_RGB), 'ppm' (P6) —
+    so feature aggregates keep the same closed-form relational oracle
+    while the decode path parses genuine container bytes."""
+    if container != "fimg" and media_type == "video":
+        raise ValueError("real still-image containers hold a single frame")
 
     def gen(iterator):
         for pdf in iterator:
@@ -126,17 +340,32 @@ def synthesize_media(
                 h = 8 + (doc_id % 3) * 4
                 c = 3
                 nf = n_frames if media_type == "video" else 1
+                if container == "fimg":
+                    blob = _encode_fake(doc_id, w, h, c, nf)
+                else:
+                    k = np.arange(h * w * c, dtype=np.int64)
+                    pix = ((doc_id * PIX_A + k * PIX_B) % 256).astype(
+                        np.uint8
+                    ).reshape(h, w, c)
+                    if container == "png":
+                        blob = _encode_png(pix)
+                    elif container == "bmp":
+                        blob = _encode_bmp(pix)
+                    elif container == "ppm":
+                        blob = _encode_pnm(pix)
+                    else:
+                        raise ValueError(f"unknown container {container!r}")
                 rows.append(
                     {
                         "doc_id": doc_id,
                         "media_type": media_type,
-                        "blob": _encode_fake(doc_id, w, h, c, nf),
+                        "blob": blob,
                         "meta": {
                             "width": w,
                             "height": h,
                             "channels": c,
                             "n_frames": nf,
-                            "format": "fimg",
+                            "format": container,
                         },
                     }
                 )

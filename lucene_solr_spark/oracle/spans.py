@@ -176,6 +176,29 @@ def containing_spans(big: list, little: list) -> list[Span]:
     ]
 
 
+def not_containing_spans(minuend: list, subtrahend: list) -> list[Span]:
+    """``Intervals.notContaining`` (``queries/intervals/Intervals.java``,
+    ``DifferenceIntervalsSource``): minuend spans with NO subtrahend span
+    inside them — exclusion by CONTAINMENT (a partially-overlapping
+    subtrahend does NOT disqualify, unlike SpanNot's overlap rule)."""
+    return [
+        (s, e, w)
+        for s, e, w in minuend
+        if not any(s <= xs and xe <= e for xs, xe, _ in subtrahend)
+    ]
+
+
+def not_within_spans(big: list, little: list) -> list[Span]:
+    """``Intervals.notContainedBy``: little spans not enclosed by any big
+    span — the containment complement of within_spans (overlap without
+    enclosure keeps the span)."""
+    return [
+        (s, e, w)
+        for s, e, w in little
+        if not any(bs <= s and e <= be for bs, be, _ in big)
+    ]
+
+
 def _clause_terms(c) -> tuple:
     """Terms of a near CLAUSE: a SpanTermQuery or a SpanOrQuery of them."""
     from lucene_solr_spark.plans import ir
@@ -252,6 +275,15 @@ def eval_spans(node, term_pos: dict) -> list[Span]:
         )
     if isinstance(node, ir.SpanContainingQuery):
         return containing_spans(
+            eval_spans(node.big, term_pos), eval_spans(node.little, term_pos)
+        )
+    if isinstance(node, ir.SpanNotContainingQuery):
+        return not_containing_spans(
+            eval_spans(node.minuend, term_pos),
+            eval_spans(node.subtrahend, term_pos),
+        )
+    if isinstance(node, ir.SpanNotWithinQuery):
+        return not_within_spans(
             eval_spans(node.big, term_pos), eval_spans(node.little, term_pos)
         )
     if isinstance(node, ir.SpanFirstQuery):

@@ -15,8 +15,11 @@ Semantics notes (divergences called out, mirroring the reference docs):
   is exactly ``SpanNear(slop=g, in_order=True)``. For UNORDERED sources
   the same width argument applies (``IntervalsSource`` unordered gap =
   width − k + 1).
-- ``or_``/``containing``/``contained_by``/``not_containing`` map 1:1 to
-  SpanOr / SpanContaining / SpanWithin / SpanNot.
+- ``or_``/``containing``/``contained_by`` map 1:1 to SpanOr /
+  SpanContaining / SpanWithin; ``not_containing``/``not_contained_by``
+  lower to the dedicated containment-complement span nodes
+  (SpanNotContaining / SpanNotWithin — round 5, replacing the earlier
+  overlap-based SpanNot approximation).
 """
 
 from __future__ import annotations
@@ -92,16 +95,15 @@ def contained_by(little, big) -> ir.Query:
 
 def not_containing(minuend, subtrahend) -> ir.Query:
     """``Intervals.notContaining`` — minuend intervals with NO subtrahend
-    interval inside them. Lowered to SpanNot (overlap removal), which is
-    EXACT when the subtrahend is a single-position source (term/or of
-    terms): a width-1 interval overlaps its container iff contained.
-    For wider subtrahends SpanNot also removes partial overlaps —
-    divergence documented here, matching SpanNotQuery.java semantics."""
-    return ir.SpanNotQuery(_leaf(minuend), _leaf(subtrahend))
+    interval inside them. EXACT (round 5): lowered to the containment-
+    complement node (``DifferenceIntervalsSource`` semantics — a
+    partially-overlapping subtrahend does NOT disqualify, unlike
+    SpanNot's overlap rule)."""
+    return ir.SpanNotContainingQuery(_leaf(minuend), _leaf(subtrahend))
 
 
 def not_contained_by(little, big) -> ir.Query:
     """``Intervals.notContainedBy`` — small intervals not enclosed by any
-    big interval. Lowered to SpanNot; exact when ``little`` is a
-    single-position source (overlap ⟺ containment for width 1)."""
-    return ir.SpanNotQuery(_leaf(little), _leaf(big))
+    big interval. EXACT (round 5): containment-complement node (overlap
+    without enclosure keeps the interval)."""
+    return ir.SpanNotWithinQuery(big=_leaf(big), little=_leaf(little))

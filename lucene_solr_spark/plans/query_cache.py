@@ -56,6 +56,8 @@ _COSTLY = (
     ir.SpanNotQuery,
     ir.SpanWithinQuery,
     ir.SpanContainingQuery,
+    ir.SpanNotContainingQuery,
+    ir.SpanNotWithinQuery,
     ir.SpanFirstQuery,
 )
 

@@ -49,6 +49,12 @@ def expand_span_wrappers(
             return ir.SpanWithinQuery(walk(node.big), walk(node.little))
         if isinstance(node, ir.SpanContainingQuery):
             return ir.SpanContainingQuery(walk(node.big), walk(node.little))
+        if isinstance(node, ir.SpanNotContainingQuery):
+            return ir.SpanNotContainingQuery(
+                walk(node.minuend), walk(node.subtrahend)
+            )
+        if isinstance(node, ir.SpanNotWithinQuery):
+            return ir.SpanNotWithinQuery(walk(node.big), walk(node.little))
         if isinstance(node, ir.SpanFirstQuery):
             return ir.SpanFirstQuery(walk(node.match), node.end)
         return node  # SpanTermQuery / SpanNearQuery leaves

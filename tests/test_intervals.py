@@ -54,3 +54,61 @@ def test_not_containing_width1_exact():
     big = I.ordered("a", "c", max_gaps=3)
     # b@11 sits inside (10,13) -> that span removed, (0,3) kept
     assert spans(I.not_containing(big, "b"), tp) == [(0, 3)]
+
+
+def test_not_containing_partial_overlap_kept():
+    """The round-5 exactness fix (Intervals.notContaining,
+    DifferenceIntervalsSource): a subtrahend interval that merely
+    OVERLAPS the minuend does not disqualify it — only true containment
+    does. The earlier SpanNot lowering dropped these."""
+    # minuend = ordered(a,c) span (0,3); subtrahend = phrase(c,d) span
+    # (2,4): overlaps positions {2} of the minuend but sticks out at 3
+    tp = {"a": [0], "c": [2], "d": [3]}
+    minu = I.ordered("a", "c", max_gaps=3)
+    sub = I.phrase("c", "d")
+    assert spans(sub, tp) == [(2, 4)]
+    assert spans(I.not_containing(minu, sub), tp) == [(0, 3)]  # KEPT
+    # contrast: a fully-inside subtrahend removes the span
+    tp2 = {"a": [0], "c": [3], "d": [2], "e": [1]}
+    minu2 = I.ordered("a", "c", max_gaps=3)  # span (0,4)
+    sub2 = I.phrase("e", "d")  # span (1,3) ⊂ (0,4)
+    assert spans(I.not_containing(minu2, sub2), tp2) == []
+
+
+def test_not_contained_by_partial_overlap_kept():
+    """Intervals.notContainedBy: overlap without enclosure keeps the
+    little interval (the old SpanNot lowering removed it)."""
+    # little = phrase(b,d) span (1,3); big = ordered(a,b) span (0,2):
+    # overlaps little at position 1 but does not enclose it
+    tp = {"a": [0], "b": [1], "d": [2]}
+    little = I.phrase("b", "d")
+    big = I.ordered("a", "b", max_gaps=2)
+    assert spans(big, tp) == [(0, 2)]
+    assert spans(I.not_contained_by(little, big), tp) == [(1, 3)]  # KEPT
+    # enclosed little is removed
+    tp2 = {"a": [0], "b": [1], "d": [2], "z": [4]}
+    big2 = I.ordered("a", "z", max_gaps=4)  # span (0,5) ⊇ (1,3)
+    assert spans(I.not_contained_by(little, big2), tp2) == []
+
+
+def test_not_containing_executor_rank_identity(spark, tiny_corpus_rows, tiny_oracle):
+    """SpanNotContaining through the DataFrame executor == the single-node
+    oracle, bit-for-bit (same kernel, postings-join + pandas UDF path)."""
+    import struct
+
+    from lucene_solr_spark.operators.index_build import build_index
+    from lucene_solr_spark.plans.df_executor import DFExecutor
+
+    def bits(x):
+        return struct.unpack("<I", struct.pack("<f", float(x)))[0]
+
+    corpus = spark.createDataFrame(
+        [(i, r["content"]) for i, r in enumerate(tiny_corpus_rows)],
+        "doc_id long, content string",
+    )
+    ix = build_index(corpus, text_col="content", doc_id_col="doc_id").persist()
+    ex = DFExecutor(ix, mode="float32")
+    q = I.not_containing(I.unordered("the", "of", max_gaps=6), I.term("a"))
+    got = {r["doc_id"]: bits(r["score"]) for r in ex.matches(q).collect()}
+    want = {d: bits(s) for d, s in tiny_oracle.matches(q).items()}
+    assert got == want and got
