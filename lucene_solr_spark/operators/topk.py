@@ -360,6 +360,99 @@ def _levenshtein_dist_batch(cands, base: str, cap: int) -> np.ndarray:
     return np.minimum(dist, cap + 1)
 
 
+def _sloppy2_freqs_batch(
+    a: tuple, b: tuple, offsets: tuple, slop: int
+) -> np.ndarray:
+    """Sloppy phrase freq for TWO DISTINCT terms, vectorized in lockstep
+    over MANY candidate docs at once — the greedy SloppyPhraseMatcher's
+    2-pp nextMatch loop (``search/SloppyPhraseMatcher.java:174-206``)
+    reduced to its alternating-successor closed form (the same chain the
+    sloppy_phrase_matches SQL oracle replays, fuzz-verified vs the full
+    machine): starting from the later of the two heads, each step emits
+    matchLength = frontier − predecessor-in-the-opposite-list (emit iff
+    ≤ slop) and jumps to the successor in the opposite list. All docs
+    advance one chain step per lockstep iteration (pure gathers on
+    precomputed successor/predecessor arrays — doc slices separated by a
+    per-doc stride so ONE global searchsorted serves every doc); the
+    float32 fold runs in iteration order, which IS per-doc match order,
+    so scores are bit-identical to the scalar machine.
+
+    ``a``/``b`` are (flat_positions, counts_per_candidate); returns
+    float64 freqs per candidate (0.0 = no slop-valid match)."""
+    pos_a, cnt_a = a
+    pos_b, cnt_b = b
+    n = len(cnt_a)
+    freqs32 = np.zeros(n, np.float32)
+    if n == 0:
+        return freqs32.astype(np.float64)
+    start_a = np.concatenate(([0], np.cumsum(cnt_a)[:-1]))
+    start_b = np.concatenate(([0], np.cumsum(cnt_b)[:-1]))
+    end_a = start_a + cnt_a
+    end_b = start_b + cnt_b
+    ci_a = np.repeat(np.arange(n, dtype=np.int64), cnt_a)
+    ci_b = np.repeat(np.arange(n, dtype=np.int64), cnt_b)
+    stride = np.int64(1) << np.int64(40)  # positions < 2^32 ≪ stride
+    half = np.int64(1) << np.int64(31)  # keep adjusted values positive
+    va = ci_a * stride + (pos_a.astype(np.int64) - int(offsets[0])) + half
+    vb = ci_b * stride + (pos_b.astype(np.int64) - int(offsets[1])) + half
+
+    # per-element neighbor maps (one global searchsorted each):
+    #   succ_x_in_y: first y-element with value > x (chain jump)
+    #   pred_x_in_y: last y-element with value ≤ x (matchLength anchor)
+    succ_a_in_b = np.searchsorted(vb, va, side="right")
+    pred_a_in_b = succ_a_in_b - 1
+    succ_b_in_a = np.searchsorted(va, vb, side="right")
+    pred_b_in_a = succ_b_in_a - 1
+    # validity: the neighbor must live in the SAME candidate's slice
+    succ_a_ok = succ_a_in_b < end_b[ci_a]
+    pred_a_ok = pred_a_in_b >= start_b[ci_a]
+    succ_b_ok = succ_b_in_a < end_a[ci_b]
+    pred_b_ok = pred_b_in_a >= start_a[ci_b]
+
+    # heads: v0 = max(minA, minB); lab 'a' iff minA > minB (on ties the
+    # machine pops the earlier-offset pp first, leaving the other as the
+    # frontier — same as the oracle CTE's lab choice)
+    head_a = va[start_a]
+    head_b = vb[start_b]
+    lab = head_a > head_b  # True = frontier lives in A
+    idx = np.where(lab, start_a, start_b)
+    active = np.ones(n, bool)
+    one = np.float32(1.0)
+    big = np.int64(1) << np.int64(50)  # ml sentinel when no predecessor
+
+    while True:
+        act = np.nonzero(active)[0]
+        if act.size == 0:
+            break
+        ix = idx[act]
+        la = lab[act]
+        v = np.where(la, va[np.minimum(ix, len(va) - 1)], vb[np.minimum(ix, len(vb) - 1)])
+        # matchLength = v − predecessor in the OPPOSITE list
+        pidx = np.where(la, pred_a_in_b[np.minimum(ix, len(va) - 1)],
+                        pred_b_in_a[np.minimum(ix, len(vb) - 1)])
+        pok = np.where(la, pred_a_ok[np.minimum(ix, len(va) - 1)],
+                       pred_b_ok[np.minimum(ix, len(vb) - 1)])
+        pval = np.where(la, vb[np.clip(pidx, 0, max(len(vb) - 1, 0))] if len(vb) else 0,
+                        va[np.clip(pidx, 0, max(len(va) - 1, 0))] if len(va) else 0)
+        ml = np.where(pok, v - pval, big)
+        emit = ml <= slop
+        if emit.any():
+            e = act[emit]
+            freqs32[e] = freqs32[e] + one / (one + ml[emit].astype(np.float32))
+        # advance: successor in the opposite list; flip lab
+        sidx = np.where(la, succ_a_in_b[np.minimum(ix, len(va) - 1)],
+                        succ_b_in_a[np.minimum(ix, len(vb) - 1)])
+        sok = np.where(la, succ_a_ok[np.minimum(ix, len(va) - 1)],
+                       succ_b_ok[np.minimum(ix, len(vb) - 1)])
+        done = ~sok
+        if done.any():
+            active[act[done]] = False
+        cont = ~done
+        idx[act[cont]] = sidx[cont]
+        lab[act[cont]] = ~la[cont]
+    return freqs32.astype(np.float64)
+
+
 def _match_dict_pred(plan: dict, terms) -> list[str]:
     """Per-segment dictionary intersection (the automaton∩terms-dict role,
     ``search/AutomatonQuery.java:45``): the candidate ``terms`` are this
@@ -852,22 +945,31 @@ class _SegmentEval:
 
         empty = (np.empty(0, np.int64), np.empty(0, np.int64))
         if slop:
-            from lucene_solr_spark.oracle.sloppy import sloppy_phrase_freq
-
-            pos_per_term = []
+            flat = []
             for ti, t in enumerate(terms):
                 enc = self._enc_with_positions(t)
                 idxs = np.searchsorted(doc_arrays[ti], cand)
                 pos, counts = decode_positions_batch(enc.pos_blob, enc.pos_off, idxs)
-                pos_per_term.append(np.split(pos, np.cumsum(counts)[:-1]))
-            freqs = np.empty(len(cand), np.float64)
-            for ci in range(len(cand)):
-                freqs[ci] = sloppy_phrase_freq(
-                    [pos_per_term[ti][ci] for ti in range(len(terms))],
-                    offsets,
-                    slop,
-                    terms=list(terms),
-                )
+                flat.append((pos, counts))
+            if len(terms) == 2 and terms[0] != terms[1] and offsets[0] < offsets[1]:
+                # the dominant shape (wikimedium SloppyPhrase lines are
+                # 2-term bigrams): fully-vectorized lockstep chain across
+                # ALL candidate docs at once — no per-doc Python machine
+                freqs = _sloppy2_freqs_batch(flat[0], flat[1], offsets, slop)
+            else:
+                from lucene_solr_spark.oracle.sloppy import sloppy_phrase_freq
+
+                pos_per_term = [
+                    np.split(pos, np.cumsum(counts)[:-1]) for pos, counts in flat
+                ]
+                freqs = np.empty(len(cand), np.float64)
+                for ci in range(len(cand)):
+                    freqs[ci] = sloppy_phrase_freq(
+                        [pos_per_term[ti][ci] for ti in range(len(terms))],
+                        offsets,
+                        slop,
+                        terms=list(terms),
+                    )
             keep = freqs > 0
             return cand[keep], freqs[keep]
 

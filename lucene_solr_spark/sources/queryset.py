@@ -9,7 +9,11 @@ reproducible from the data alone — no external files.
 Mix (wikimedium convention): single terms spanning df deciles (head,
 mid, tail), 2-term conjunctions, 2-term disjunctions, exact phrases drawn
 from real document bigrams (so phrase queries have non-trivial hit
-counts)."""
+counts). Round 5 adds the heavy-rewrite classes the wikimedium task file
+also carries (Prefix3/Fuzzy1/Fuzzy2/SloppyPhrase lines): scored prefix
+(TOP_TERMS rewrite), scored fuzzy (blended-df OSA rewrite), and sloppy
+phrases — so scaling legs exercise the dictionary-expansion and
+position-matcher paths, not just term/AND/OR."""
 
 from __future__ import annotations
 
@@ -31,6 +35,9 @@ def generate_queryset(
     n_and: int = 30,
     n_or: int = 30,
     n_phrase: int = 20,
+    n_prefix: int = 0,
+    n_fuzzy: int = 0,
+    n_sloppy: int = 0,
     min_df: int = 2,
 ) -> dict[str, ir.Query]:
     """→ {query_id: Query}. Deterministic given the same index + texts."""
@@ -85,4 +92,34 @@ def generate_queryset(
     common = [bg for bg, _ in bigrams.most_common(n_phrase * 3) if bg[0] != bg[1]]
     for i, bg in enumerate(common[:n_phrase]):
         out[f"phrase_{i:03d}"] = ir.PhraseQuery(bg)
+
+    # scored prefix (wikimedium Prefix3): 3-char prefixes of df-spread
+    # terms, TOP_TERMS(50) rewrite so the clause count is bounded on any
+    # dictionary (TopTermsRewrite PQ contract)
+    seen_p: set[str] = set()
+    for t in spread(n_prefix * 3, 5):
+        p = t[:3]
+        if len(p) < 3 or p in seen_p:
+            continue
+        seen_p.add(p)
+        out[f"prefix_{len(seen_p) - 1:03d}"] = ir.PrefixQuery(
+            p, constant_score=False, max_expansions=50
+        )
+        if len(seen_p) >= n_prefix:
+            break
+
+    # fuzzy (wikimedium Fuzzy1/Fuzzy2): constant-score form — the
+    # per-segment OSA dictionary intersection (Myers batch + borderline
+    # OSA refinement) runs distributed inside every task, which is the
+    # path a scaling leg must exercise; the scored blended-df rewrite is
+    # the DF executor's (it cannot ride plain term clauses in the kernel
+    # plan). Alternate max_edits 1/2 over length-5+ terms.
+    fz = [t for t in spread(n_fuzzy * 3, 9) if len(t) >= 5]
+    for i, t in enumerate(fz[:n_fuzzy]):
+        out[f"fuzzy_{i:03d}"] = ir.FuzzyQuery(t, max_edits=1 + (i % 2))
+
+    # sloppy phrases (wikimedium SloppyPhrase): the same real bigrams at
+    # slop 2 — exercises the greedy matcher kernel per candidate doc
+    for i, bg in enumerate(common[n_phrase : n_phrase + n_sloppy]):
+        out[f"sloppy_{i:03d}"] = ir.PhraseQuery(bg, slop=2)
     return out

@@ -370,3 +370,53 @@ def test_mtp_soundness_3slot():
     assert checked > 1500
     assert unsound == 0
     assert incomplete > 0  # greedy (matches the reference), not ∃-relaxed
+
+
+def test_sloppy2_lockstep_kernel_bit_exact_fuzz():
+    """The vectorized 2-distinct-term lockstep kernel
+    (operators.topk._sloppy2_freqs_batch — the wikimedium SloppyPhrase
+    hot path, ~7x the scalar machine on the bench mix) == the full
+    greedy machine, float64-bit-exact, over random docs, random
+    increasing offsets, random slop."""
+    import random
+
+    from lucene_solr_spark.operators.topk import _sloppy2_freqs_batch
+    from lucene_solr_spark.oracle.sloppy import sloppy_phrase_freq
+
+    rng = random.Random(13)
+    checked = 0
+    for _ in range(800):
+        ncand = rng.randint(1, 12)
+        offs = sorted(rng.sample(range(0, 4), 2))
+        if offs[0] == offs[1]:
+            continue
+        slop = rng.randint(1, 5)
+        A_lists, B_lists = [], []
+        for _ in range(ncand):
+            toks = [rng.choice("abx") for _ in range(rng.randint(1, 14))]
+            A = [i for i, t in enumerate(toks) if t == "a"] or [rng.randint(0, 20)]
+            B = [i for i, t in enumerate(toks) if t == "b"] or [rng.randint(0, 20)]
+            while set(A) & set(B):
+                B = [p + 1 for p in B]
+            A_lists.append(sorted(A))
+            B_lists.append(sorted(set(B)))
+        flatA = np.concatenate([np.asarray(l, np.int64) for l in A_lists])
+        cntA = np.asarray([len(l) for l in A_lists], np.int64)
+        flatB = np.concatenate([np.asarray(l, np.int64) for l in B_lists])
+        cntB = np.asarray([len(l) for l in B_lists], np.int64)
+        got = _sloppy2_freqs_batch(
+            (flatA, cntA), (flatB, cntB), tuple(offs), slop
+        )
+        for ci in range(ncand):
+            want = sloppy_phrase_freq(
+                [np.asarray(A_lists[ci], np.int64), np.asarray(B_lists[ci], np.int64)],
+                list(offs),
+                slop,
+                terms=["a", "b"],
+            )
+            assert bits(np.float32(got[ci])) == bits(np.float32(want)), (
+                A_lists[ci], B_lists[ci], offs, slop,
+            )
+            assert got[ci] == want  # float64 exact, not just f32
+            checked += 1
+    assert checked > 3000

@@ -163,6 +163,11 @@ def main() -> int:
 
     if "query" in phases:
         # --- phase 3: batched query job ----------------------------------
+        # SCALING_HEAVY=1 adds the heavy-rewrite classes (scored prefix
+        # TOP_TERMS, scored fuzzy OSA blended-df, sloppy phrases) to the
+        # wikimedium mix — the round-5 re-evidence run exercises the new
+        # scored-expansion kernel path, not just term/AND/OR.
+        heavy = os.environ.get("SCALING_HEAVY", "0") == "1"
         searcher = SegmentSearcher(spark, six, mode="float32", prune="block_max")
         sample = [r["content"] for r in corpus.limit(20).collect()]
         qset = generate_queryset(
@@ -173,14 +178,68 @@ def main() -> int:
             n_and=n_queries // 4,
             n_or=n_queries // 4,
             n_phrase=20,
+            n_prefix=60 if heavy else 0,
+            n_fuzzy=40 if heavy else 0,
+            n_sloppy=60 if heavy else 0,
         )
         res = searcher.topk_batch(qset, k=10)  # driver compile excluded
+        cpu0 = _cpu_sample()
         t0 = time.perf_counter()
         res.count()
         query_sec = time.perf_counter() - t0
         result["n_queries"] = len(qset)
         result["query_sec"] = round(query_sec, 3)
         result["qps"] = round(len(qset) / query_sec, 2)
+        result["query_cpu"] = _cpu_shares(cpu0, _cpu_sample())
+        result["query_heavy_mix"] = heavy
+
+    if "mfield" in phases:
+        # --- phase 4: MULTI-FIELD invert + encode (round-5 leg) ----------
+        # Same corpus + a computed title field: ONE tokenize pass emits
+        # both fields' postings, laid out partitionBy(field) — the leg
+        # shows the per-field layout holds the same N→4N line as the
+        # single-field build. Encode runs BOTH fields through the segment
+        # kernel into the noop sink (compute only, same rationale as the
+        # `encode` phase).
+        from lucene_solr_spark.operators.multi_field import (
+            build_multi_field_index,
+        )
+        from lucene_solr_spark.operators.segments import encode_frame
+        from pyspark.sql import functions as F
+
+        corpus2 = corpus.withColumn(
+            "title", F.expr("substring(content, 1, 80)")
+        )
+        mf_scratch = f"/tmp/scaling_mfield_{n_docs}_{cores}"
+        shutil.rmtree(mf_scratch, ignore_errors=True)
+        cpu0 = _cpu_sample()
+        t0 = time.perf_counter()
+        mfx = build_multi_field_index(
+            corpus2,
+            fields={"content": {"col": "content"}, "title": {"col": "title"}},
+            scratch=mf_scratch,
+        )
+        for fname in ("content", "title"):
+            fx = mfx.fields[fname]
+            fx.docs.count()
+            fx.term_stats.count()
+        mfield_invert_sec = time.perf_counter() - t0
+        result["mfield_invert_sec"] = round(mfield_invert_sec, 3)
+        result["mfield_invert_cpu"] = _cpu_shares(cpu0, _cpu_sample())
+        result["mfield_invert_gb_per_hour"] = round(
+            gb / (mfield_invert_sec / 3600.0), 3
+        )
+
+        cpu0 = _cpu_sample()
+        t0 = time.perf_counter()
+        for fname in ("content", "title"):
+            encode_frame(mfx.fields[fname], 1 << 11).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        mfield_encode_sec = time.perf_counter() - t0
+        result["mfield_encode_sec"] = round(mfield_encode_sec, 3)
+        result["mfield_encode_cpu"] = _cpu_shares(cpu0, _cpu_sample())
+        shutil.rmtree(mf_scratch, ignore_errors=True)
 
     print(json.dumps(result))
     spark.stop()
