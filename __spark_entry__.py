@@ -589,6 +589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _B(_C(_O.SHOULD, _T("merge")), _C(_O.SHOULD, _T("window")))
     )
     out["kernel_phrase_topk"] = _kernel_topk(ir.PhraseQuery(("table", "scan")))
+    # round 5: the kernel serves the reference-default scored fuzzy too —
+    # _expand_scored lowers it to ir.BlendedTermQuery (the reference's own
+    # rewrite target), same oracle as the DF executor's fuzzy_scored_topk
+    out["kernel_fuzzy_scored_topk"] = _kernel_topk(
+        ir.FuzzyQuery("part", max_edits=2, constant_score=False)
+    )
     out["kernel_msm2_set"] = _kernel_set(
         _B(
             _C(_O.SHOULD, _T("dup")),
@@ -2507,6 +2513,7 @@ def oracle_sql() -> dict[str, str]:
     out["kernel_or_topk"] = out["or2_topk"]
     out["kernel_phrase_topk"] = phrase_topk_sql
     out["kernel_msm2_set"] = out["msm2_set"]
+    out["kernel_fuzzy_scored_topk"] = out["fuzzy_scored_topk"]
 
     # --- near-dup / token / language ops ---------------------------------
     out["minhash_near_dups"] = out["jaccard_pairs"]

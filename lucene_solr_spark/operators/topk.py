@@ -526,6 +526,8 @@ def _collect_terms(q: ir.Query) -> set[str]:
         return set(span_term_sets(q)[0])
     if isinstance(q, ir.MultiPhraseQuery):
         return set(q.all_terms)
+    if isinstance(q, ir.BlendedTermQuery):
+        return set(q.terms)
     if isinstance(q, ir.BooleanQuery):
         s: set[str] = set()
         for c in q.clauses:
@@ -609,9 +611,9 @@ class _Compiler:
         if isinstance(q, _MULTITERM_TYPES):
             if isinstance(q, ir.FuzzyQuery) and not q.constant_score:
                 raise TypeError(
-                    "scored fuzzy (TopTermsBlendedFreq rewrite) is served by "
-                    "the DF executor — its blended-df weights cannot ride "
-                    "plain term clauses in the kernel plan"
+                    "scored fuzzy leaf reached compile un-expanded; "
+                    "SegmentSearcher._expand_scored lowers it to "
+                    "BlendedTermQuery pre-compile"
                 )
             if getattr(q, "constant_score", True) is False:
                 raise TypeError(
@@ -726,6 +728,55 @@ class _Compiler:
                 "offsets": [int(p) for p in q.positions],
                 "slop": int(q.slop),
                 "weight": self.sum_weight(boost, dfs, ttfs_mp),
+            }
+        if isinstance(q, ir.BlendedTermQuery):
+            # BlendedTermQuery.java:138-149 rewrite: a SHOULD boolean of
+            # boosted TermQueries that ALL use the blended (max) df for
+            # idf. Weight chain mirrors DFExecutor._eval_scored_fuzzy
+            # exactly per mode; clauses are TERM-SORTED by construction
+            # (np.add.at clause order == the DF/oracle sorted fold).
+            if self.sim is not None:
+                raise TypeError(
+                    "BlendedTermQuery carries BM25 df-blending; pluggable "
+                    "similarities take the DF executor path"
+                )
+            children = []
+            for t, ed in zip(q.terms, q.edits):
+                df, _ttf = self.stats.get(t, (0, 0))
+                if df == 0:
+                    continue  # expansion came from global stats; guard anyway
+                if self.mode == "float32":
+                    bt = (
+                        np.float32(1.0)
+                        if ed == 0
+                        else np.float32(1.0)
+                        - np.float32(ed) / np.float32(min(len(t), q.query_len))
+                    )
+                    w = float(
+                        bm25.term_weight(
+                            float(np.float32(np.float32(boost) * bt)),
+                            bm25.idf(q.df_blend, self.doc_count),
+                        )
+                    )
+                else:
+                    bt_d = (
+                        1.0 if ed == 0 else 1.0 - ed / min(len(t), q.query_len)
+                    )
+                    w = (boost * bt_d) * math.log(
+                        1.0
+                        + (self.doc_count - q.df_blend + 0.5)
+                        / (q.df_blend + 0.5)
+                    )
+                children.append({"op": "term", "term": t, "weight": w})
+            if not children:
+                return {"op": "none"}
+            return {
+                "op": "bool",
+                "musts": [],
+                "filters": [],
+                "shoulds": children,
+                "nots": [],
+                "msm": 0,
             }
         if isinstance(q, ir.DisjunctionMaxQuery):
             return {
@@ -1494,11 +1545,63 @@ class SegmentSearcher:
         Clauses are TERM-SORTED: the kernel's disjunction accumulates
         with ``np.add.at`` in clause-concatenation order, so the per-doc
         double fold matches the DF executor's sorted fold and the SQL
-        oracle bit-for-bit. Scored FuzzyQuery is NOT lowered here — its
-        blended-df weights cannot ride plain term clauses (compile
-        raises; the DF executor serves it)."""
+        oracle bit-for-bit. Round 5: scored FuzzyQuery lowers here too —
+        to ``ir.BlendedTermQuery`` (the reference rewrite target), whose
+        compile branch re-derives the boosted blended-df weights in the
+        executor's exact float chain."""
         import dataclasses
 
+        if isinstance(q, ir.FuzzyQuery) and not q.constant_score:
+            cached = self._expand_cache.get(q)
+            if cached is not None:
+                return cached
+            from pyspark.sql import functions as F
+            from pyspark.sql import types as T
+
+            qterm, me = q.term, int(q.max_edits)
+            cond = F.length("term").between(len(qterm) - me, len(qterm) + me)
+            if q.prefix_length:
+                cond = F.col("term").startswith(qterm[: q.prefix_length]) & cond
+
+            @F.pandas_udf(T.IntegerType())
+            def osa_udf(terms: pd.Series) -> pd.Series:
+                from lucene_solr_spark.oracle.editdist import osa_batch
+
+                return pd.Series(
+                    osa_batch(terms.tolist(), qterm, me), index=terms.index
+                )
+
+            b_col = F.when(F.col("_ed") == 0, F.lit(1.0)).otherwise(
+                F.lit(1.0)
+                - F.col("_ed").cast("double")
+                / F.least(F.length("term"), F.lit(len(qterm))).cast("double")
+            )
+            # same expansion query as DFExecutor._eval_scored_fuzzy: the
+            # length-band/prefix predicates push into the term-sorted
+            # dictionary scan; ScoreTerm PQ order (boost desc, term asc)
+            top = (
+                self.index.term_stats(self.spark)
+                .filter(cond)
+                .select("term", "df")
+                .withColumn("_ed", osa_udf(F.col("term")))
+                .filter(F.col("_ed") <= me)
+                .withColumn("_boost", b_col)
+                .orderBy(F.desc("_boost"), F.asc("term"))
+                .limit(int(q.max_expansions))
+                .collect()
+            )
+            if not top:
+                expanded: ir.Query = ir.MatchNoDocsQuery()
+            else:
+                pairs = sorted((r["term"], int(r["_ed"])) for r in top)
+                expanded = ir.BlendedTermQuery(
+                    terms=tuple(t for t, _ in pairs),
+                    edits=tuple(e for _, e in pairs),
+                    df_blend=max(int(r["df"]) for r in top),
+                    query_len=len(qterm),
+                )
+            self._expand_cache[q] = expanded
+            return expanded
         if (
             isinstance(q, (ir.PrefixQuery, ir.WildcardQuery, ir.RegexpQuery))
             and not q.constant_score

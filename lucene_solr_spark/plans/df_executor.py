@@ -651,6 +651,8 @@ class DFExecutor:
             )
         if isinstance(q, ir.FuzzyQuery) and not q.constant_score:
             return self._eval_scored_fuzzy(q, boost)
+        if isinstance(q, ir.BlendedTermQuery):
+            return self._eval_blended(q, boost)
         if isinstance(q, ir.FuzzyQuery):
             # constant-score fuzzy: intersect the automaton with the TERM
             # dictionary first (per-term — the OSA refinement UDF runs
@@ -899,6 +901,38 @@ class DFExecutor:
                 n = ix.doc_count
                 w = (boost * float(r["_boost"])) * math.log(
                     1.0 + (n - df_blend + 0.5) / (df_blend + 0.5)
+                )
+            w_rows.append((t, w))
+        return self._scored_disjunction(w_rows)
+
+    def _eval_blended(self, q: "ir.BlendedTermQuery", boost: float) -> DataFrame:
+        """Pre-expanded BlendedTermQuery leaf (round 5): the same weight
+        chain as ``_eval_scored_fuzzy`` steps 3-4, with the expansion and
+        blended df already carried on the node — so a FuzzyQuery lowered
+        by the kernel's ``_expand_scored`` and the DF-native fuzzy path
+        produce bit-identical scores."""
+        ix = self.index
+        w_rows = []
+        for t, ed in zip(q.terms, q.edits):
+            if self.mode == "float32":
+                bt = (
+                    np.float32(1.0)
+                    if ed == 0
+                    else np.float32(1.0)
+                    - np.float32(ed) / np.float32(min(len(t), q.query_len))
+                )
+                w = float(
+                    bm25.term_weight(
+                        float(np.float32(np.float32(boost) * bt)),
+                        bm25.idf(q.df_blend, ix.doc_count),
+                    )
+                )
+            else:
+                import math
+
+                bt_d = 1.0 if ed == 0 else 1.0 - ed / min(len(t), q.query_len)
+                w = (boost * bt_d) * math.log(
+                    1.0 + (ix.doc_count - q.df_blend + 0.5) / (q.df_blend + 0.5)
                 )
             w_rows.append((t, w))
         return self._scored_disjunction(w_rows)

@@ -52,6 +52,7 @@ __all__ = [
     "WildcardQuery",
     "RegexpQuery",
     "FuzzyQuery",
+    "BlendedTermQuery",
     "TermRangeQuery",
     "MAX_CLAUSE_COUNT",
     "TooManyClauses",
@@ -489,6 +490,32 @@ def _check_max_expansions(v) -> None:
     at construction so cap<=0 can never silently yield MatchNoDocs."""
     if v is not None and int(v) < 1:
         raise ValueError(f"max_expansions must be >= 1, got {v!r}")
+
+
+@dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """Pre-expanded blended-df scored disjunction — what the reference
+    default FuzzyQuery rewrites INTO (``search/BlendedTermQuery.java``:
+    df := max over the expansion :281-286, scored as a boolean of boosted
+    TermQueries :138-149). Round 5: first-class IR so BOTH executors
+    serve the scored-fuzzy rewrite (``SegmentSearcher._expand_scored``
+    lowers FuzzyQuery(constant_score=False) to this node driver-side).
+
+    ``edits[i]`` is the OSA edit distance of ``terms[i]`` from the
+    original query term; the per-clause boost 1 − ed/min(|term|,
+    ``query_len``) is re-derived at compile time in the executor's exact
+    float chain (carrying floats would lose the f32 expression order)."""
+
+    terms: Tuple[str, ...]
+    edits: Tuple[int, ...]
+    df_blend: int
+    query_len: int
+
+    def __post_init__(self):
+        if len(self.terms) != len(self.edits):
+            raise ValueError("terms and edits must align")
+        if not self.terms:
+            raise ValueError("empty BlendedTermQuery")
 
 
 @dataclass(frozen=True)

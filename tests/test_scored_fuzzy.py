@@ -133,3 +133,59 @@ def test_constant_score_counts_transposition_as_one_edit(spark, tiny_oracle):
             ir.FuzzyQuery("for", max_edits=1, constant_score=False)
         )
     )
+
+
+def test_kernel_scored_fuzzy_rank_identity(spark, tiny_corpus_rows, tiny_oracle):
+    """Round 5: the segment KERNEL serves scored fuzzy too —
+    _expand_scored lowers FuzzyQuery(constant_score=False) to
+    ir.BlendedTermQuery (the reference's own rewrite target,
+    BlendedTermQuery.java) and the compiled plan's term-sorted np.add.at
+    fold is bit-identical to the DF executor and the single-node oracle,
+    standalone and composed under a boolean."""
+    import tempfile
+
+    from lucene_solr_spark.operators.index_build import build_index
+    from lucene_solr_spark.operators.segments import SegmentIndex, build_segments
+    from lucene_solr_spark.operators.topk import SegmentSearcher
+    from lucene_solr_spark.plans.df_executor import DFExecutor
+
+    corpus = spark.createDataFrame(
+        [(i, r["content"]) for i, r in enumerate(tiny_corpus_rows)],
+        "doc_id long, content string",
+    )
+    ix = build_index(corpus, text_col="content", doc_id_col="doc_id").persist()
+    base = tempfile.mkdtemp(prefix="bfzix")
+    build_segments(ix, base, segment_size=32)
+    dfe = DFExecutor(ix, mode="float32")
+    ks = SegmentSearcher(spark, SegmentIndex.open(base), mode="float32")
+    queries = [
+        ir.FuzzyQuery("for", max_edits=1, constant_score=False),
+        ir.FuzzyQuery("self", max_edits=2, constant_score=False),
+        ir.BooleanQuery(
+            (
+                ir.BooleanClause(
+                    ir.Occur.SHOULD,
+                    ir.FuzzyQuery("for", 1, constant_score=False),
+                ),
+                ir.BooleanClause(ir.Occur.SHOULD, ir.TermQuery("def")),
+            ),
+            0,
+        ),
+    ]
+    for q in queries:
+        want = [
+            (r["doc_id"], bits(r["score"])) for r in dfe.topk(q, k=10).collect()
+        ]
+        got = [
+            (r["doc_id"], bits(r["score"])) for r in ks.topk(q, k=10).collect()
+        ]
+        assert got == want and got, q
+    # oracle agreement for the plain leaf (same OSA + blend + f32 fold)
+    q = queries[0]
+    want_o = [
+        (sd.doc_id, bits(sd.score)) for sd in tiny_oracle.search(q, k=10)
+    ]
+    got_k = [
+        (r["doc_id"], bits(r["score"])) for r in ks.topk(q, k=10).collect()
+    ]
+    assert got_k == want_o
