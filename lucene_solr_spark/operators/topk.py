@@ -741,7 +741,9 @@ class _Compiler:
                     "similarities take the DF executor path"
                 )
             children = []
-            for t, ed in zip(q.terms, q.edits):
+            # term-sorted fold regardless of node construction order (the
+            # DF executor's _scored_disjunction sorts internally too)
+            for t, ed in sorted(zip(q.terms, q.edits)):
                 df, _ttf = self.stats.get(t, (0, 0))
                 if df == 0:
                     continue  # expansion came from global stats; guard anyway

@@ -182,6 +182,8 @@ class OracleIndex:
             return out
         if isinstance(q, ir.FuzzyQuery) and not q.constant_score:
             return self._scored_fuzzy_scores(q, boost)
+        if isinstance(q, ir.BlendedTermQuery):
+            return self._blended_scores(q, boost)
         if (
             isinstance(q, (ir.PrefixQuery, ir.WildcardQuery, ir.RegexpQuery))
             and not q.constant_score
@@ -238,6 +240,27 @@ class OracleIndex:
             for d, tf in self.postings[t].items():
                 s = bm25.score(tf, self.norms[d], weight=w, cache=self.cache)[()]
                 acc[d] = acc.get(d, 0.0) + float(s)  # double accumulator
+        return {d: np.float32(v) for d, v in acc.items()}
+
+    def _blended_scores(self, q: "ir.BlendedTermQuery", boost) -> dict:
+        """Pre-expanded BlendedTermQuery leaf (round 5): same chain as the
+        tail of ``_scored_fuzzy_scores`` with the expansion and blended df
+        carried on the node — all three engines share the semantics."""
+        acc: dict[int, float] = {}
+        for t, ed in sorted(zip(q.terms, q.edits)):  # term-sorted fold
+            if t not in self.postings:
+                continue
+            if ed == 0:
+                bst32 = np.float32(1.0)
+            else:
+                bst32 = np.float32(1.0) - np.float32(ed) / np.float32(
+                    min(len(t), q.query_len)
+                )
+            bt = np.float32(np.float32(boost) * bst32)
+            w = bm25.term_weight(float(bt), bm25.idf(q.df_blend, self.doc_count))
+            for d, tf in self.postings[t].items():
+                s = bm25.score(tf, self.norms[d], weight=w, cache=self.cache)[()]
+                acc[d] = acc.get(d, 0.0) + float(s)
         return {d: np.float32(v) for d, v in acc.items()}
 
     def _scored_multiterm_scores(self, q: ir.Query, boost) -> dict:
