@@ -136,6 +136,32 @@ def main() -> int:
     batch_sec = timings[bname]
     qps = len(qset) / batch_sec if batch_sec > 0 else 0.0
 
+    # ---- phase 2b: heavy-rewrite batch (round 5) ------------------------
+    # The expensive wikimedium classes as their own metric (the base
+    # bm25_batch stays definition-identical across rounds): scored prefix
+    # TOP_TERMS(50), constant-score OSA fuzzy ed 1-2 (per-segment
+    # dictionary intersection), 2-term sloppy phrases (lockstep kernel).
+    hset = generate_queryset(
+        spark,
+        six.term_stats(spark),
+        sample_texts,
+        n_terms=0,
+        n_and=0,
+        n_or=0,
+        n_phrase=20,
+        n_prefix=60,
+        n_fuzzy=40,
+        n_sloppy=60,
+    )
+    hset = {k2: v for k2, v in hset.items() if not k2.startswith("phrase")}
+    hname = f"bm25_heavy_batch_{len(hset)}q"
+    for attempt in range(2):
+        t0 = time.perf_counter()
+        searcher.topk_batch(hset, k=k).count()
+        dt = time.perf_counter() - t0
+        cold.setdefault(hname, dt)
+        timings[hname] = min(timings.get(hname, dt), dt)
+
     # ---- phase 3: pipeline ops -----------------------------------------
     # Seed the entry module's per-sf cache with the phase-1 index: the
     # pipeline ops that need the inverted index (token_stats) use the same
