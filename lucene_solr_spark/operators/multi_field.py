@@ -49,9 +49,31 @@ from lucene_solr_spark.plans.df_executor import DFExecutor
 __all__ = [
     "MultiFieldIndex",
     "build_multi_field_index",
+    "multi_field_encode_frame",
     "MultiFieldExecutor",
     "collect_terms_by_field",
 ]
+
+
+def multi_field_encode_frame(mfx: "MultiFieldIndex", segment_size: int = 1 << 16):
+    """Every field's segment-ENCODE pipeline as ONE unioned DataFrame —
+    one Spark job when sunk, instead of sequential per-field jobs. Each
+    field keeps its own doc-range shuffle + block/impact/position encode
+    kernel (``operators.segments.encode_frame``); a ``field`` literal
+    tags the rows. At cluster scale the small fields' encode tasks pack
+    into the same executor slots the big field leaves idle at stage
+    tails, so a 2-field encode costs max(fields), not sum(fields) —
+    the per-field layout (``FieldInfos`` role) without per-field jobs."""
+    from lucene_solr_spark.operators.segments import encode_frame
+
+    parts = [
+        encode_frame(fx, segment_size).withColumn("field", F.lit(fname))
+        for fname, fx in mfx.fields.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 #: leaf query types that carry a ``field`` attribute
 _FIELD_LEAVES = (

@@ -175,3 +175,47 @@ def test_field_phrase_and_prefix(mf_setup):
         ir.PrefixQuery(t0[:2], field="title")).collect())
     wp = sorted(r["doc_id"] for r in sex.matches(ir.PrefixQuery(t0[:2])).collect())
     assert gp == wp and gp
+
+
+def test_multi_field_encode_frame_one_job_equals_sequential(mf_setup):
+    """multi_field_encode_frame (round 5): the single unioned encode job
+    emits exactly the rows the per-field encode_frame jobs emit — same
+    segments, same encoded blobs — just tagged by field and sunk once."""
+    from lucene_solr_spark.operators.multi_field import multi_field_encode_frame
+    from lucene_solr_spark.operators.segments import encode_frame
+
+    mf, _, _ = mf_setup
+
+    def key(rows, with_field=False):
+        out = []
+        for r in rows:
+            d = r.asDict()
+            f = d.pop("field", None)
+            out.append((f if with_field else None, tuple(sorted(
+                (k, bytes(v) if isinstance(v, (bytes, bytearray)) else v)
+                for k, v in d.items()
+            ))))
+        return sorted(out)
+
+    union_rows = multi_field_encode_frame(mf, segment_size=16).collect()
+    seq = []
+    for fname, fx in mf.fields.items():
+        for r in encode_frame(fx, segment_size=16).collect():
+            d = r.asDict()
+            d["field"] = fname
+            seq.append(d)
+    got = sorted(
+        (r["field"],) + tuple(
+            (k, bytes(v) if isinstance(v, (bytes, bytearray)) else v)
+            for k, v in sorted(r.asDict().items()) if k != "field"
+        )
+        for r in union_rows
+    )
+    want = sorted(
+        (d["field"],) + tuple(
+            (k, bytes(v) if isinstance(v, (bytes, bytearray)) else v)
+            for k, v in sorted(d.items()) if k != "field"
+        )
+        for d in seq
+    )
+    assert got == want and got
