@@ -19,6 +19,10 @@ QUERIES = {
     "mp_one_alt": MP((("x",), ("y", "z"))),
     "mp_sloppy": MP((("def", "import"), ("foo", "data")), slop=2),
     "mp_three": MP((("def",), ("foo", "bar"), ("baz", "qux")), slop=1),
+    # hasMultiTermRpts (round 5): a term shared across slots, one of them
+    # multi-term — the union-group machinery runs in all three engines
+    "mp_mtp_shared": MP((("def", "import"), ("def",)), slop=2),
+    "mp_mtp_both_multi": MP((("for", "in"), ("in", "x")), slop=3),
 }
 
 
