@@ -149,5 +149,11 @@ def test_kernel_scored_prefix_rank_identity(spark, tiny_corpus_rows, tiny_oracle
     want = {d: bits(s) for d, s in tiny_oracle.matches(q).items()}
     assert got == want and got
 
-    with pytest.raises(TypeError):
-        searcher.matches(ir.FuzzyQuery("for", constant_score=False)).collect()
+    # round 5: the kernel SERVES scored fuzzy now (BlendedTermQuery
+    # lowering) instead of raising — full parity in test_scored_fuzzy.py
+    fq = ir.FuzzyQuery("for", constant_score=False)
+    got_f = {
+        r["doc_id"]: bits(r["score"]) for r in searcher.matches(fq).collect()
+    }
+    want_f = {d: bits(s) for d, s in tiny_oracle.matches(fq).items()}
+    assert got_f == want_f and got_f
