@@ -135,14 +135,18 @@ def _png_unfilter(filt: np.ndarray, prior: np.ndarray, ftype: int, bpp: int) -> 
 
 def _decode_png(blob: bytes) -> np.ndarray:
     """PNG → (1, H, W, C) uint8. Supports bit depth 8, color types
-    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced — the
-    shapes a training-data pipeline actually ingests. Palette (3),
-    16-bit, and Adam7 interlace raise with a precise message."""
+    0 (gray), 2 (RGB), 3 (palette, incl. tRNS alpha), 4 (gray+alpha),
+    6 (RGBA), non-interlaced — the shapes a training-data pipeline
+    actually ingests. 16-bit and Adam7 interlace raise with a precise
+    message. Palette images decode to RGB (RGBA when tRNS is present),
+    matching the reference pipeline's post-decode channel layout."""
     if blob[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG stream")
     pos = 8
     ihdr = None
     idat = []
+    plte = None
+    trns = None
     while pos + 8 <= len(blob):
         (length,) = _struct.unpack(">I", blob[pos : pos + 4])
         ctype = blob[pos + 4 : pos + 8]
@@ -150,6 +154,10 @@ def _decode_png(blob: bytes) -> np.ndarray:
         pos += 12 + length  # length + type + data + CRC
         if ctype == b"IHDR":
             ihdr = _struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -161,9 +169,11 @@ def _decode_png(blob: bytes) -> np.ndarray:
         raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
     if interlace:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
-        raise NotImplementedError(f"PNG color type {color} (palette unsupported)")
+        raise NotImplementedError(f"PNG color type {color}")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
     raw = zlib.decompress(b"".join(idat))
     stride = w * channels
     if len(raw) != h * (stride + 1):
@@ -176,6 +186,20 @@ def _decode_png(blob: bytes) -> np.ndarray:
             np.frombuffer(line[1:], np.uint8), prior, line[0], channels
         )
         prior = out[y]
+    if color == 3:
+        # palette lookup: indices → RGB rows; tRNS (if any) supplies
+        # per-palette-entry alpha, short tables pad to opaque (spec §11.3.2)
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if idx.max(initial=0) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        rgb = pal[idx]  # (h, w, 3)
+        if trns is not None:
+            alpha = np.full(pal.shape[0], 255, np.uint8)
+            a = np.frombuffer(trns, np.uint8)
+            alpha[: a.shape[0]] = a
+            rgb = np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb[None, :, :, :]
     return out.reshape(1, h, w, channels)
 
 

@@ -163,6 +163,65 @@ def test_png_roundtrip_all_filters_and_color_types():
             assert np.array_equal(out[0], img), (c, h, w)
 
 
+def _palette_png(idx: np.ndarray, pal: np.ndarray, trns: bytes | None) -> bytes:
+    """Hand-assemble a color-type-3 PNG (the encoder only writes
+    truecolor), filter 0 scanlines."""
+    import struct
+    import zlib
+
+    h, w = idx.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + idx[y].astype(np.uint8).tobytes() for y in range(h))
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    )
+    out += chunk(b"PLTE", pal.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_palette_decodes_to_rgb_and_rgba():
+    """Color type 3: indices map through PLTE; tRNS (shorter than the
+    palette) pads to opaque and yields RGBA."""
+    import random
+
+    from lucene_solr_spark.functions.multimodal import _decode_png
+
+    rng = random.Random(7)
+    pal = np.array(
+        [[rng.randrange(256) for _ in range(3)] for _ in range(16)], np.uint8
+    )
+    idx = np.array([[rng.randrange(16) for _ in range(5)] for _ in range(4)], np.uint8)
+    out = _decode_png(_palette_png(idx, pal, None))
+    assert out.shape == (1, 4, 5, 3)
+    assert np.array_equal(out[0], pal[idx])
+    # tRNS covers only the first 3 entries; the rest must read opaque
+    out_a = _decode_png(_palette_png(idx, pal, bytes([0, 128, 200])))
+    assert out_a.shape == (1, 4, 5, 4)
+    assert np.array_equal(out_a[0, :, :, :3], pal[idx])
+    alpha_tbl = np.full(16, 255, np.uint8)
+    alpha_tbl[:3] = [0, 128, 200]
+    assert np.array_equal(out_a[0, :, :, 3], alpha_tbl[idx])
+
+
+def test_png_palette_index_out_of_range_rejected():
+    from lucene_solr_spark.functions.multimodal import _decode_png
+
+    pal = np.zeros((4, 3), np.uint8)
+    idx = np.array([[9]], np.uint8)  # index past the 4-entry palette
+    with pytest.raises(ValueError):
+        _decode_png(_palette_png(idx, pal, None))
+
+
 def test_png_rejects_unsupported_precisely():
     from lucene_solr_spark.functions.multimodal import _decode_png
 
