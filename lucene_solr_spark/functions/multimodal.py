@@ -134,12 +134,13 @@ def _png_unfilter(filt: np.ndarray, prior: np.ndarray, ftype: int, bpp: int) -> 
 
 
 def _decode_png(blob: bytes) -> np.ndarray:
-    """PNG → (1, H, W, C) uint8. Supports bit depth 8, color types
-    0 (gray), 2 (RGB), 3 (palette, incl. tRNS alpha), 4 (gray+alpha),
-    6 (RGBA), non-interlaced — the shapes a training-data pipeline
-    actually ingests. 16-bit and Adam7 interlace raise with a precise
-    message. Palette images decode to RGB (RGBA when tRNS is present),
-    matching the reference pipeline's post-decode channel layout."""
+    """PNG → (1, H, W, C) uint8. Supports bit depths 8 and 16 (16-bit
+    samples fold to 8 via the high byte), color types 0 (gray), 2 (RGB),
+    3 (palette, incl. tRNS alpha), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced — the shapes a training-data pipeline actually
+    ingests. Adam7 interlace raises with a precise message. Palette
+    images decode to RGB (RGBA when tRNS is present), matching the
+    reference pipeline's post-decode channel layout."""
     if blob[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG stream")
     pos = 8
@@ -165,8 +166,8 @@ def _decode_png(blob: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt_m, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} (8/16 supported)")
     if interlace:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
@@ -174,8 +175,12 @@ def _decode_png(blob: bytes) -> np.ndarray:
         raise NotImplementedError(f"PNG color type {color}")
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
+    if color == 3 and depth == 16:
+        raise ValueError("palette PNG cannot be 16-bit")
+    sample_bytes = depth // 8
+    bpp = channels * sample_bytes  # filter distance is in BYTES (spec §6)
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
     out = np.zeros((h, stride), np.uint8)
@@ -183,9 +188,14 @@ def _decode_png(blob: bytes) -> np.ndarray:
     for y in range(h):
         line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
         out[y] = _png_unfilter(
-            np.frombuffer(line[1:], np.uint8), prior, line[0], channels
+            np.frombuffer(line[1:], np.uint8), prior, line[0], bpp
         )
         prior = out[y]
+    if depth == 16:
+        # big-endian 16-bit samples → 8-bit via the high byte (the
+        # PIL/pipeline convention for ingesting 16-bit sources)
+        out = out.reshape(h, w * channels, 2)[:, :, 0].copy()
+        stride = w * channels
     if color == 3:
         # palette lookup: indices → RGB rows; tRNS (if any) supplies
         # per-palette-entry alpha, short tables pad to opaque (spec §11.3.2)

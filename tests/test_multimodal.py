@@ -213,6 +213,49 @@ def test_png_palette_decodes_to_rgb_and_rgba():
     assert np.array_equal(out_a[0, :, :, 3], alpha_tbl[idx])
 
 
+def test_png_16bit_folds_high_byte():
+    """Depth-16 gray and RGB: filter distance is channels*2 BYTES; the
+    decode folds each big-endian sample to its high byte. Uses filters
+    1 (Sub) and 2 (Up) so the byte-distance recurrence is exercised."""
+    import struct
+    import zlib
+
+    from lucene_solr_spark.functions.multimodal import _decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    for color, channels in ((0, 1), (2, 3)):
+        rng = np.random.default_rng(3)
+        img16 = rng.integers(0, 65536, size=(4, 3, channels), dtype=np.uint16)
+        rows = img16.astype(">u2").reshape(4, -1).view(np.uint8)  # (4, w*c*2)
+        bpp = channels * 2
+        lines = [b"\x00" + rows[0].tobytes()]
+        # row 1: Sub filter (left-neighbor at byte distance bpp)
+        r = rows[1].astype(np.int64)
+        sub = r.copy()
+        sub[bpp:] = (r[bpp:] - r[:-bpp]) % 256
+        lines.append(b"\x01" + sub.astype(np.uint8).tobytes())
+        # rows 2-3: Up filter
+        for y in (2, 3):
+            up = (rows[y].astype(np.int64) - rows[y - 1].astype(np.int64)) % 256
+            lines.append(b"\x02" + up.astype(np.uint8).tobytes())
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 4, 16, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b"")
+        )
+        out = _decode_png(blob)
+        assert out.shape == (1, 4, 3, channels)
+        assert np.array_equal(out[0], (img16 >> 8).astype(np.uint8)), color
+
+
 def test_png_palette_index_out_of_range_rejected():
     from lucene_solr_spark.functions.multimodal import _decode_png
 
