@@ -136,11 +136,11 @@ def _png_unfilter(filt: np.ndarray, prior: np.ndarray, ftype: int, bpp: int) -> 
 def _decode_png(blob: bytes) -> np.ndarray:
     """PNG → (1, H, W, C) uint8. Supports bit depths 8 and 16 (16-bit
     samples fold to 8 via the high byte), color types 0 (gray), 2 (RGB),
-    3 (palette, incl. tRNS alpha), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced — the shapes a training-data pipeline actually
-    ingests. Adam7 interlace raises with a precise message. Palette
-    images decode to RGB (RGBA when tRNS is present), matching the
-    reference pipeline's post-decode channel layout."""
+    3 (palette, incl. tRNS alpha), 4 (gray+alpha), 6 (RGBA), and both
+    interlace methods (none / Adam7) — the shapes a training-data
+    pipeline actually ingests. Palette images decode to RGB (RGBA when
+    tRNS is present), matching the reference pipeline's post-decode
+    channel layout."""
     if blob[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG stream")
     pos = 8
@@ -168,8 +168,8 @@ def _decode_png(blob: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt_m, interlace = ihdr
     if depth not in (8, 16):
         raise NotImplementedError(f"PNG bit depth {depth} (8/16 supported)")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise NotImplementedError(f"PNG color type {color}")
@@ -180,17 +180,54 @@ def _decode_png(blob: bytes) -> np.ndarray:
     sample_bytes = depth // 8
     bpp = channels * sample_bytes  # filter distance is in BYTES (spec §6)
     raw = zlib.decompress(b"".join(idat))
+
+    def unfilter_block(buf: bytes, off: int, rows: int, stride: int):
+        """Unfilter one filtered sub-image (rows × stride bytes, each
+        row prefixed by its filter byte) → ((rows, stride) array, bytes
+        consumed). Shared by the sequential image and each Adam7 pass
+        (each pass restarts filtering with a zero prior row, spec §8.2)."""
+        blockw = np.zeros((rows, stride), np.uint8)
+        prior = np.zeros(stride, np.uint8)
+        need = rows * (stride + 1)
+        if off + need > len(buf):
+            raise ValueError("PNG IDAT length mismatch")
+        for y in range(rows):
+            line = buf[off + y * (stride + 1) : off + (y + 1) * (stride + 1)]
+            blockw[y] = _png_unfilter(
+                np.frombuffer(line[1:], np.uint8), prior, line[0], bpp
+            )
+            prior = blockw[y]
+        return blockw, need
+
     stride = w * bpp
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    out = np.zeros((h, stride), np.uint8)
-    prior = np.zeros(stride, np.uint8)
-    for y in range(h):
-        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
-        out[y] = _png_unfilter(
-            np.frombuffer(line[1:], np.uint8), prior, line[0], bpp
-        )
-        prior = out[y]
+    if interlace == 0:
+        out, used = unfilter_block(raw, 0, h, stride)
+        if used != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+    else:
+        # Adam7 (spec §8.2): 7 passes, each an independently-filtered
+        # sub-image scattered onto the (x0 + i*dx, y0 + j*dy) grid
+        out = np.zeros((h, stride), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8),
+            (4, 0, 8, 8),
+            (0, 4, 4, 8),
+            (2, 0, 4, 4),
+            (0, 2, 2, 4),
+            (1, 0, 2, 2),
+            (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass emits no scanlines
+            block, used = unfilter_block(raw, off, ph, pw * bpp)
+            off += used
+            px = out.reshape(h, w, bpp)
+            px[y0::dy, x0::dx, :] = block.reshape(ph, pw, bpp)
+        if off != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
     if depth == 16:
         # big-endian 16-bit samples → 8-bit via the high byte (the
         # PIL/pipeline convention for ingesting 16-bit sources)

@@ -189,6 +189,66 @@ def _palette_png(idx: np.ndarray, pal: np.ndarray, trns: bytes | None) -> bytes:
     return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
 
 
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _adam7_png(img: np.ndarray, depth: int = 8) -> bytes:
+    """Hand-assemble an Adam7-interlaced PNG (filter 0 scanlines; the
+    shipped encoder only writes sequential)."""
+    import struct
+    import zlib
+
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    plane = img.astype(">u2").view(np.uint8).reshape(h, w, 2 * c) if depth == 16 \
+        else img.astype(np.uint8).reshape(h, w, c)
+    raw = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = plane[y0::dy, x0::dx, :]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += b"".join(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_interlace_matches_sequential():
+    """Adam7: pass scatter reassembles the exact image for shapes that
+    leave some passes empty (1x1, 3x3) and shapes that hit all 7
+    (9x10, 16x16), for gray and RGB; 16-bit interlaced folds the same
+    high bytes as sequential."""
+    import random
+
+    from lucene_solr_spark.functions.multimodal import _decode_png
+
+    rng = random.Random(11)
+    for c in (1, 3):
+        for h, w in ((1, 1), (3, 3), (9, 10), (16, 16)):
+            img = _rand_img(rng, h, w, c)
+            out = _decode_png(_adam7_png(img))
+            assert out.shape == (1, h, w, c)
+            assert np.array_equal(out[0], img), (c, h, w)
+    img16 = np.random.default_rng(4).integers(
+        0, 65536, size=(9, 10, 1), dtype=np.uint16
+    )
+    out = _decode_png(_adam7_png(img16, depth=16))
+    assert np.array_equal(out[0], (img16 >> 8).astype(np.uint8))
+
+
 def test_png_palette_decodes_to_rgb_and_rgba():
     """Color type 3: indices map through PLTE; tRNS (shorter than the
     palette) pads to opaque and yields RGBA."""
