@@ -988,6 +988,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["media_features_png"] = media_features_png
 
+    def media_features_png7(spark, sf_dir):
+        """Adam7-INTERLACED PNG decode (round 5): the same deterministic
+        pixel stream containered with interlace method 1 — the decoder's
+        7-pass scatter with per-pass filtering must reassemble the exact
+        image for every (w, h) in the corpus (empty-pass shapes
+        included). Same closed-form relational oracle; value equality
+        proves the interlaced path is bit-faithful."""
+        from lucene_solr_spark.functions.multimodal import (
+            image_features,
+            synthesize_media,
+        )
+
+        d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 100)
+        return image_features(synthesize_media(d, container="png7"))
+
+    out["media_features_png7"] = media_features_png7
+
     # SloppyPhraseMatcher scoring (float freq = Σ 1/(1+matchLength)) is a
     # sequential greedy matcher — not ANSI-SQL-expressible; the scored
     # top-k stays rows-only, pinned by bit-exact rank-identity tests vs
@@ -2723,6 +2740,7 @@ def oracle_sql() -> dict[str, str]:
     # closed-form aggregate; a decoder defect (filter unmix, channel
     # order, row order) would break value equality
     out["media_features_png"] = out["media_features"]
+    out["media_features_png7"] = out["media_features"]
 
     # --- facets / grouping / join / counting -----------------------------
     out["facet_counts"] = """

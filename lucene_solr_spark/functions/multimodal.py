@@ -102,6 +102,17 @@ def _decode_fake(blob: bytes) -> np.ndarray:
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# Adam7 pass grid (x0, y0, dx, dy), PNG spec §8.2
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
 
 def _png_unfilter(filt: np.ndarray, prior: np.ndarray, ftype: int, bpp: int) -> np.ndarray:
     """Reverse one scanline's filter (PNG spec §6). Filters 0/2 are
@@ -209,15 +220,7 @@ def _decode_png(blob: bytes) -> np.ndarray:
         # sub-image scattered onto the (x0 + i*dx, y0 + j*dy) grid
         out = np.zeros((h, stride), np.uint8)
         off = 0
-        for x0, y0, dx, dy in (
-            (0, 0, 8, 8),
-            (4, 0, 8, 8),
-            (0, 4, 4, 8),
-            (2, 0, 4, 4),
-            (0, 2, 2, 4),
-            (1, 0, 2, 2),
-            (0, 1, 1, 2),
-        ):
+        for x0, y0, dx, dy in _ADAM7_PASSES:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
@@ -250,14 +253,49 @@ def _decode_png(blob: bytes) -> np.ndarray:
     return out.reshape(1, h, w, channels)
 
 
-def _encode_png(arr: np.ndarray, filter_mode: str = "mixed") -> bytes:
+def _encode_png(
+    arr: np.ndarray, filter_mode: str = "mixed", interlace: bool = False
+) -> bytes:
     """(H, W, C) uint8 → PNG bytes, stdlib-only. ``filter_mode='mixed'``
     picks filter type (row % 5) so round-trip tests exercise every
-    unfilter path; 'none' writes filter 0 throughout."""
+    unfilter path; 'none' writes filter 0 throughout. ``interlace=True``
+    writes Adam7: each pass is an independently-filtered sub-image
+    (filter 0 on the pass's first scanline, Up on the rest, so decoding
+    exercises the per-pass prior-row reset)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if interlace:
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            sub = arr[y0::dy, x0::dx, :].astype(np.int64)
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue
+            for y in range(ph):
+                if y == 0:
+                    raw += b"\x00" + sub[0].astype(np.uint8).tobytes()
+                else:
+                    raw += b"\x02" + (
+                        (sub[y] - sub[y - 1]) % 256
+                    ).astype(np.uint8).tobytes()
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                _struct.pack(">I", len(data))
+                + ctype
+                + data
+                + _struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+        return (
+            _PNG_MAGIC
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b"")
+        )
     a = arr.astype(np.int64)
     left = np.zeros_like(a)
     left[:, 1:, :] = a[:, :-1, :]
@@ -397,7 +435,8 @@ def synthesize_media(
     meta). Dimensions derive from doc_id, so the table is reproducible at
     any parallelism. ``container`` picks the encoding of the SAME Weyl
     pixel stream: 'fimg' (synthetic stub), or a REAL format — 'png'
-    (every filter type exercised), 'bmp' (24-bit BI_RGB), 'ppm' (P6) —
+    (every filter type exercised), 'png7' (Adam7-interlaced PNG),
+    'bmp' (24-bit BI_RGB), 'ppm' (P6) —
     so feature aggregates keep the same closed-form relational oracle
     while the decode path parses genuine container bytes."""
     if container != "fimg" and media_type == "video":
@@ -420,6 +459,8 @@ def synthesize_media(
                     ).reshape(h, w, c)
                     if container == "png":
                         blob = _encode_png(pix)
+                    elif container == "png7":
+                        blob = _encode_png(pix, interlace=True)
                     elif container == "bmp":
                         blob = _encode_bmp(pix)
                     elif container == "ppm":

@@ -161,6 +161,8 @@ def test_png_roundtrip_all_filters_and_color_types():
             out = _decode_png(_encode_png(img))
             assert out.shape == (1, h, w, c)
             assert np.array_equal(out[0], img), (c, h, w)
+            out7 = _decode_png(_encode_png(img, interlace=True))
+            assert np.array_equal(out7[0], img), ("adam7", c, h, w)
 
 
 def _palette_png(idx: np.ndarray, pal: np.ndarray, trns: bytes | None) -> bytes:
