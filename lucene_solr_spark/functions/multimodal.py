@@ -331,21 +331,39 @@ def _encode_png(
 
 
 def _decode_bmp(blob: bytes) -> np.ndarray:
-    """BMP (BITMAPINFOHEADER, BI_RGB 24/32-bit) → (1, H, W, C) uint8.
-    Handles 4-byte row padding, bottom-up and top-down (negative height)
-    layouts, BGR(A)→RGB(A) channel order."""
+    """BMP (BITMAPINFOHEADER, BI_RGB 8-bit palettized / 24 / 32-bit) →
+    (1, H, W, C) uint8. Handles 4-byte row padding, bottom-up and
+    top-down (negative height) layouts, BGR(A)→RGB(A) channel order,
+    and the BGRX color table for 8-bit images (biClrUsed=0 → 256)."""
     if blob[:2] != b"BM":
         raise ValueError("not a BMP stream")
     (data_off,) = _struct.unpack("<I", blob[10:14])
+    (hdr_size,) = _struct.unpack("<I", blob[14:18])
     w, h_signed = _struct.unpack("<ii", blob[18:26])
     (bpp,) = _struct.unpack("<H", blob[28:30])
     (compression,) = _struct.unpack("<I", blob[30:34])
-    if compression != 0 or bpp not in (24, 32):
+    if compression != 0 or bpp not in (8, 24, 32):
         raise NotImplementedError(
-            f"BMP bpp={bpp} compression={compression} (BI_RGB 24/32 only)"
+            f"BMP bpp={bpp} compression={compression} (BI_RGB 8/24/32 only)"
         )
-    c = bpp // 8
     h = abs(h_signed)
+    if bpp == 8:
+        (clr_used,) = _struct.unpack("<I", blob[46:50])
+        n_pal = clr_used or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            blob[pal_off : pal_off + 4 * n_pal], np.uint8
+        ).reshape(n_pal, 4)[:, [2, 1, 0]]  # BGRX → RGB
+        stride = (w + 3) & ~3
+        idx = np.frombuffer(
+            blob[data_off : data_off + stride * h], np.uint8
+        ).reshape(h, stride)[:, :w]
+        if idx.max(initial=0) >= n_pal:
+            raise ValueError("BMP palette index out of range")
+        if h_signed > 0:
+            idx = idx[::-1]
+        return np.ascontiguousarray(pal[idx])[None, ...]
+    c = bpp // 8
     stride = (w * c + 3) & ~3
     rows = np.frombuffer(
         blob[data_off : data_off + stride * h], np.uint8
@@ -374,8 +392,10 @@ def _encode_bmp(arr: np.ndarray) -> bytes:
 
 
 def _decode_pnm(blob: bytes) -> np.ndarray:
-    """Binary PNM (P5 gray / P6 RGB, maxval ≤ 255) → (1, H, W, C) uint8;
-    header comments (#) handled per the netpbm spec."""
+    """Binary PNM (P5 gray / P6 RGB) → (1, H, W, C) uint8; header
+    comments (#) handled per the netpbm spec. maxval > 255 means
+    two-byte big-endian samples (netpbm 'plain' extension), folded to
+    8-bit via the high byte like 16-bit PNG."""
     if blob[:2] not in (b"P5", b"P6"):
         raise ValueError("not a binary PNM stream")
     c = 3 if blob[:2] == b"P6" else 1
@@ -394,8 +414,11 @@ def _decode_pnm(blob: bytes) -> np.ndarray:
         vals.append(int(blob[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = vals
+    if maxval > 65535 or maxval < 1:
+        raise ValueError(f"PNM maxval {maxval} out of spec range")
     if maxval > 255:
-        raise NotImplementedError("16-bit PNM not supported")
+        pix = np.frombuffer(blob[pos : pos + 2 * w * h * c], np.uint8)
+        return pix.reshape(1, h, w * c, 2)[:, :, :, 0].reshape(1, h, w, c).copy()
     pix = np.frombuffer(blob[pos : pos + w * h * c], np.uint8)
     return pix.reshape(1, h, w, c)
 

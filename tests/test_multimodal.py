@@ -349,6 +349,46 @@ def test_bmp_roundtrip_with_row_padding():
         assert np.array_equal(out[0], img), (h, w)
 
 
+def test_bmp_8bit_palettized():
+    """8-bit BI_RGB with a BGRX color table: indices map through the
+    palette; row padding to 4 bytes; bottom-up storage undone."""
+    import struct
+
+    from lucene_solr_spark.functions.multimodal import _decode_bmp
+
+    rng = np.random.default_rng(9)
+    pal_rgb = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(3, 5), dtype=np.uint8)  # w=5 → pad to 8
+    h, w = idx.shape
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w] = idx[::-1]  # bottom-up
+    pal_bgrx = np.zeros((256, 4), np.uint8)
+    pal_bgrx[:, :3] = pal_rgb[:, ::-1]
+    data_off = 14 + 40 + 256 * 4
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + stride * h, 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, stride * h, 0, 0, 0, 0)
+    )
+    blob = hdr + pal_bgrx.tobytes() + rows.tobytes()
+    out = _decode_bmp(blob)
+    assert out.shape == (1, h, w, 3)
+    assert np.array_equal(out[0], pal_rgb[idx])
+
+
+def test_pnm_16bit_folds_high_byte():
+    from lucene_solr_spark.functions.multimodal import _decode_pnm
+
+    img16 = np.random.default_rng(12).integers(
+        0, 65536, size=(3, 4, 3), dtype=np.uint16
+    )
+    blob = b"P6\n# wide\n4 3\n65535\n" + img16.astype(">u2").tobytes()
+    out = _decode_pnm(blob)
+    assert out.shape == (1, 3, 4, 3)
+    assert np.array_equal(out[0], (img16 >> 8).astype(np.uint8))
+
+
 def test_pnm_roundtrip_and_comments():
     import random
 
