@@ -1482,6 +1482,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["stemmed_term_topk"] = stemmed_term_topk
 
+    def _punct_text(spark, sf_dir):
+        """Punctuation-rich corpus for the auxiliary analyzer gates:
+        'small ring Brand#2/ECONOMY' — '#', '/', digits and mixed case
+        discriminate the three grammars from StandardAnalyzer."""
+        p = spark.read.parquet(f"{sf_dir}/part.parquet")
+        return p.select(
+            F.col("p_partkey").alias("doc_id"),
+            F.concat_ws(
+                "", F.col("p_name"), F.lit(" "), F.col("p_brand"),
+                F.lit("/"), F.col("p_type"),
+            ).alias("text"),
+        )
+
+    def whitespace_analyzer_counts(spark, sf_dir):
+        """WhitespaceAnalyzer (analysis/core/WhitespaceTokenizer.java):
+        maximal runs of non-Character.isWhitespace, NO lowercase —
+        'Brand#2/ECONOMY' stays one case-preserved token. Vectorized
+        batch kernel, map-only (functions/analyzers.py)."""
+        from lucene_solr_spark.functions.analyzers import analyze_frame
+
+        toks = analyze_frame(_punct_text(spark, sf_dir), grammar="whitespace")
+        return (
+            toks.groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count("*").alias("tf"),
+            )
+            .orderBy(F.desc("df"), F.desc("tf"), F.asc("term"))
+            .limit(20)
+        )
+
+    out["whitespace_analyzer_counts"] = whitespace_analyzer_counts
+
+    def simple_analyzer_counts(spark, sf_dir):
+        """SimpleAnalyzer (analysis/core/SimpleAnalyzer.java =
+        LetterTokenizer + LowerCaseFilter): maximal Character.isLetter
+        runs, lowercased — digits and punctuation split, 'Brand#2' →
+        'brand'."""
+        from lucene_solr_spark.functions.analyzers import analyze_frame
+
+        toks = analyze_frame(
+            _punct_text(spark, sf_dir), grammar="letter", lowercase=True
+        )
+        return (
+            toks.groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count("*").alias("tf"),
+            )
+            .orderBy(F.desc("df"), F.desc("tf"), F.asc("term"))
+            .limit(20)
+        )
+
+    out["simple_analyzer_counts"] = simple_analyzer_counts
+
+    def keyword_analyzer_counts(spark, sf_dir):
+        """KeywordAnalyzer (analysis/core/KeywordAnalyzer.java): the
+        whole field value is ONE untouched token — the exact-match /
+        identifier-field analyzer."""
+        from lucene_solr_spark.functions.analyzers import analyze_frame
+
+        toks = analyze_frame(_punct_text(spark, sf_dir), grammar="keyword")
+        return (
+            toks.groupBy("term")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("term"))
+            .limit(10)
+        )
+
+    out["keyword_analyzer_counts"] = keyword_analyzer_counts
+
     # --- search compositions (collector variants, SURVEY §2.3/§2.5) -----
     def sort_by_field_topk(spark, sf_dir):
         """TopFieldCollector role: matching docs ordered by a doc-values
@@ -2229,6 +2300,36 @@ def oracle_sql() -> dict[str, str]:
       JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
       WHERE p.term = 'table scan'
       ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+
+    # auxiliary analyzer pack: the derived part text is pure ASCII, so
+    # RE2 '\s' == Character.isWhitespace and '[a-z]+' on lower(text) ==
+    # Character.isLetter runs + LowerCaseFilter for this corpus
+    _punct_cte = r"""t AS (
+        SELECT p_partkey AS doc_id,
+               p_name || ' ' || p_brand || '/' || p_type AS text
+        FROM part)"""
+
+    out["whitespace_analyzer_counts"] = f"""WITH {_punct_cte},
+      toks AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+        FROM t)
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+             count(*)::BIGINT AS tf
+      FROM toks WHERE term <> ''
+      GROUP BY term ORDER BY df DESC, tf DESC, term ASC LIMIT 20"""
+
+    out["simple_analyzer_counts"] = f"""WITH {_punct_cte},
+      toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM t)
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+             count(*)::BIGINT AS tf
+      FROM toks
+      GROUP BY term ORDER BY df DESC, tf DESC, term ASC LIMIT 20"""
+
+    out["keyword_analyzer_counts"] = f"""WITH {_punct_cte}
+      SELECT text AS term, count(*)::BIGINT AS n
+      FROM t GROUP BY text ORDER BY n DESC, term ASC LIMIT 10"""
 
     # index-time synonyms: postings from the stacked stream; doc length
     # from the BASE stream only (discountOverlaps); avgdl from the
