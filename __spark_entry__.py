@@ -1553,6 +1553,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["keyword_analyzer_counts"] = keyword_analyzer_counts
 
+    def stop_analyzer_counts(spark, sf_dir):
+        """StopAnalyzer (analysis/core/StopAnalyzer.java = LetterTokenizer
+        + LowerCaseFilter + StopFilter): stop removal preserves position
+        GAPS (StopFilter's posInc) — sum_pos is computed over raw-stream
+        positions, so it differs from a re-compacted stream and pins the
+        gap semantics in the oracle comparison."""
+        from lucene_solr_spark.functions.analyzers import analyze_frame
+
+        toks = analyze_frame(
+            _punct_text(spark, sf_dir),
+            grammar="letter",
+            lowercase=True,
+            stopwords=frozenset({"economy", "small"}),
+        )
+        return (
+            toks.groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count("*").alias("tf"),
+                F.sum("pos").alias("sum_pos"),
+            )
+            .orderBy(F.desc("df"), F.desc("tf"), F.asc("term"))
+            .limit(20)
+        )
+
+    out["stop_analyzer_counts"] = stop_analyzer_counts
+
     # --- search compositions (collector variants, SURVEY §2.3/§2.5) -----
     def sort_by_field_topk(spark, sf_dir):
         """TopFieldCollector role: matching docs ordered by a doc-values
@@ -2330,6 +2357,21 @@ def oracle_sql() -> dict[str, str]:
     out["keyword_analyzer_counts"] = f"""WITH {_punct_cte}
       SELECT text AS term, count(*)::BIGINT AS n
       FROM t GROUP BY text ORDER BY n DESC, term ASC LIMIT 10"""
+
+    # StopFilter gap semantics: positions index the RAW letter-token
+    # stream (generate_subscripts before the stop filter), matching
+    # Lucene's posInc-preserving StopFilter
+    out["stop_analyzer_counts"] = f"""WITH {_punct_cte},
+      raw AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term,
+               generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1)
+                 - 1 AS pos
+        FROM t)
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+             count(*)::BIGINT AS tf, sum(pos)::BIGINT AS sum_pos
+      FROM raw WHERE term NOT IN ('economy', 'small')
+      GROUP BY term ORDER BY df DESC, tf DESC, term ASC LIMIT 20"""
 
     # index-time synonyms: postings from the stacked stream; doc length
     # from the BASE stream only (discountOverlaps); avgdl from the

@@ -93,6 +93,7 @@ def batch_tokenize_grammar(
     *,
     grammar: str,
     lowercase: bool = False,
+    stopwords: frozenset[str] = frozenset(),
 ):
     """Tokenize a batch under ``grammar``. Returns ``(doc_idx, terms,
     pos)`` exactly like ``fast_tokenizer.batch_tokenize``: int64 row
@@ -101,10 +102,16 @@ def batch_tokenize_grammar(
     Defaults mirror the reference analyzers: WhitespaceAnalyzer and
     KeywordAnalyzer do NOT lowercase; SimpleAnalyzer = letter grammar
     with ``lowercase=True`` (``SimpleAnalyzer.java`` wraps
-    LetterTokenizer in LowerCaseFilter).
+    LetterTokenizer in LowerCaseFilter); StopAnalyzer = letter grammar
+    with ``lowercase=True, stopwords=...`` (``StopAnalyzer.java``).
+    Stop removal preserves position gaps like Lucene's StopFilter
+    (positions are assigned over the raw token stream, then stopped
+    tokens drop out).
     """
     if grammar not in GRAMMARS:
         raise ValueError(f"unknown grammar {grammar!r} (one of {GRAMMARS})")
+    if stopwords and grammar == "keyword":
+        raise ValueError("KeywordAnalyzer takes no stop filter")
     n_docs = len(texts)
     norm_texts = ["" if t is None else t for t in texts]
 
@@ -204,7 +211,15 @@ def batch_tokenize_grammar(
     terms = pa.concat_arrays(
         [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_terms]
     ).take(pa.array(order, pa.int64()))
-    return tdoc[order], terms, np.concatenate(out_pos)[order]
+    tdoc, pos = tdoc[order], np.concatenate(out_pos)[order]
+    if stopwords:
+        import pyarrow.compute as pc
+
+        m = pc.is_in(terms, value_set=pa.array(sorted(stopwords), pa.utf8()))
+        keep = np.invert(pc.fill_null(m, False).to_numpy(zero_copy_only=False))
+        terms = terms.filter(pa.array(keep))
+        tdoc, pos = tdoc[keep], pos[keep]
+    return tdoc, terms, pos
 
 
 def analyze_frame(
@@ -214,6 +229,7 @@ def analyze_frame(
     text_col: str = "text",
     id_col: str = "doc_id",
     lowercase: bool = False,
+    stopwords: frozenset[str] = frozenset(),
 ):
     """corpus → flat (doc_id, term, pos) rows under ``grammar`` via ONE
     ``mapInPandas`` pass — the auxiliary-analyzer analog of
@@ -233,7 +249,10 @@ def analyze_frame(
         for pdf in iterator:
             doc_ids = pdf[id_col].to_numpy(np.int64)
             tdoc, terms, pos = batch_tokenize_grammar(
-                pdf[text_col].tolist(), grammar=grammar, lowercase=lowercase
+                pdf[text_col].tolist(),
+                grammar=grammar,
+                lowercase=lowercase,
+                stopwords=stopwords,
             )
             yield pd.DataFrame(
                 {

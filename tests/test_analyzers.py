@@ -109,6 +109,29 @@ def test_batching_invariance():
         assert whole == single, g
 
 
+def test_stop_filter_preserves_position_gaps():
+    """StopAnalyzer semantics: removing 'b' keeps 'c' at raw position 2
+    (StopFilter posInc), not re-compacted to 1."""
+    tdoc, terms, pos = batch_tokenize_grammar(
+        ["a b c", "b b d"],
+        grammar="letter",
+        lowercase=True,
+        stopwords=frozenset({"b"}),
+    )
+    assert list(zip(tdoc.tolist(), terms.to_pylist(), pos.tolist())) == [
+        (0, "a", 0),
+        (0, "c", 2),
+        (1, "d", 2),
+    ]
+
+
+def test_stop_filter_rejected_for_keyword():
+    with pytest.raises(ValueError):
+        batch_tokenize_grammar(
+            ["x"], grammar="keyword", stopwords=frozenset({"x"})
+        )
+
+
 def test_unknown_grammar_rejected():
     with pytest.raises(ValueError):
         batch_tokenize_grammar(["x"], grammar="nope")
