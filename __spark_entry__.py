@@ -253,6 +253,68 @@ def _stopped_executor(spark: SparkSession, sf_dir: str):
     return _CACHE[key]
 
 
+def _light_stem_executor(spark: SparkSession, sf_dir: str, stemmer: str):
+    """Executor over an index built with a UniNE light-stemmed chain
+    (de/GermanLightStemmer.java, es/SpanishLightStemmer.java) — both
+    stemmers have exact SQL twins (oracle.light_stemmers.*_SQL), so the
+    full BM25 chain is value-oracle-able, unlike Porter."""
+    key = f"{stemmer}_ix::{sf_dir}"
+    if key not in _CACHE:
+        from lucene_solr_spark.operators.index_build import build_index
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ix = build_index(
+            docs, text_col="text", doc_id_col="doc_id", stemmer=stemmer
+        ).persist()
+        _CACHE[key] = DFExecutor(ix, mode="double")
+    return _CACHE[key]
+
+
+#: deterministic apostrophe corpus for the FrenchAnalyzer-chain gates:
+#: every word starting 's'/'b' gains an elidable article prefix, giving
+#: the ElisionFilter real work (same expression evaluated by both
+#: engines; regexp_replace == replace for these literal patterns)
+def _apostrophe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.regexp_replace(F.col("text"), " s", " l's")
+    t = F.regexp_replace(t, " b", " qu'b")
+    return _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+
+
+_APOSTROPHE_TEXT_SQL = "replace(replace(text, ' s', ' l''s'), ' b', ' qu''b')"
+#: apostrophe-joined tokens (MidNumLet: ' joins letter-letter)
+_APOSTROPHE_TOKEN_RX = "[a-z0-9]+(?:'[a-z0-9]+)*"
+
+#: umlaut corpus for the GermanNormalizationFilter gate: map a→ä, o→ö
+#: but keep 'u' raw so the FSM's ue-deletion states fire on real input
+_UMLAUT_TEXT_SQL = "translate(text, 'ao', 'äö')"
+
+
+def _french_executor(spark: SparkSession, sf_dir: str):
+    """Full FrenchAnalyzer chain (fr/FrenchAnalyzer.java:130-136:
+    elision → lowercase → stop → FrenchLightStem) over the apostrophe
+    corpus."""
+    key = f"fr_ix::{sf_dir}"
+    if key not in _CACHE:
+        from lucene_solr_spark.operators.index_build import build_index
+        from lucene_solr_spark.oracle.light_stemmers import (
+            FRENCH_ARTICLES,
+            FRENCH_STOP_WORDS,
+        )
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        ix = build_index(
+            _apostrophe_docs(spark, sf_dir),
+            text_col="text",
+            doc_id_col="doc_id",
+            elide=FRENCH_ARTICLES,
+            stopwords=FRENCH_STOP_WORDS,
+            stemmer="french_light",
+        ).persist()
+        _CACHE[key] = DFExecutor(ix, mode="double")
+    return _CACHE[key]
+
+
 #: SQL expression for the synthetic second field (computed deterministically
 #: from the corpus — identical text in Spark and DuckDB): a short prefix of
 #: the body with per-doc varying length, so the title field has its OWN df
@@ -1580,6 +1642,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["stop_analyzer_counts"] = stop_analyzer_counts
 
+    # --- language analyzer pack (UniNE light stemmers, §2.1) ------------
+    def german_light_topk(spark, sf_dir):
+        """GermanLightStemmer chain end-to-end: BM25 top-10 for 'custom'
+        (the light stem of 'customer') over a german_light-stemmed index;
+        the oracle re-stems every token with the exact SQL twin of the
+        cascade (value-exact, unlike Porter's rows-only gate)."""
+        ex = _light_stem_executor(spark, sf_dir, "german_light")
+        return ex.topk(_T("custom"), k=10).select("doc_id", "score")
+
+    out["german_light_topk"] = german_light_topk
+
+    def spanish_light_topk(spark, sf_dir):
+        """SpanishLightStemmer chain end-to-end: BM25 top-10 for 'valu'
+        (the light stem of 'value'); same exact-SQL-twin oracle."""
+        ex = _light_stem_executor(spark, sf_dir, "spanish_light")
+        return ex.topk(_T("valu"), k=10).select("doc_id", "score")
+
+    out["spanish_light_topk"] = spanish_light_topk
+
+    def german_normalize_counts(spark, sf_dir):
+        """GermanNormalizationFilter (de/GermanNormalizationFilter.java
+        FSM) over the umlaut corpus: per-term df/tf/sum_pos vs the
+        regex-chain decomposition (fuzz-proven FSM-equivalent)."""
+        from lucene_solr_spark.functions.analysis import tokens_frame
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.expr(_UMLAUT_TEXT_SQL).alias("text")
+        )
+        toks = tokens_frame(
+            docs, text_col="text", stemmer="german_normalize"
+        )
+        return (
+            toks.groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count("*").alias("tf"),
+                F.sum("pos").alias("sum_pos"),
+            )
+            .orderBy(F.desc("df"), F.desc("tf"), F.asc("term"))
+            .limit(20)
+        )
+
+    out["german_normalize_counts"] = german_normalize_counts
+
+    def french_elision_counts(spark, sf_dir):
+        """ElisionFilter + French stop set in the FrenchAnalyzer chain
+        ORDER (elide BEFORE stop — an elided article can expose a
+        stopword) over the apostrophe corpus; positions keep gaps."""
+        from lucene_solr_spark.functions.analysis import tokens_frame
+        from lucene_solr_spark.oracle.light_stemmers import (
+            FRENCH_ARTICLES,
+            FRENCH_STOP_WORDS,
+        )
+
+        toks = tokens_frame(
+            _apostrophe_docs(spark, sf_dir),
+            text_col="text",
+            elide=FRENCH_ARTICLES,
+            stopwords=FRENCH_STOP_WORDS,
+        )
+        return (
+            toks.groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count("*").alias("tf"),
+                F.sum("pos").alias("sum_pos"),
+            )
+            .orderBy(F.desc("df"), F.desc("tf"), F.asc("term"))
+            .limit(20)
+        )
+
+    out["french_elision_counts"] = french_elision_counts
+
+    def french_light_topk(spark, sf_dir):
+        """Full FrenchAnalyzer chain incl. FrenchLightStemmer. No SQL
+        oracle (the UniNE French cascade is not SQL-expressible) —
+        rows-only here; the stemmer itself is pinned bit-exact against
+        the reference's full 20,403-pair vocabulary in
+        tests/test_light_stemmers.py."""
+        ex = _french_executor(spark, sf_dir)
+        return ex.topk(_T("custom"), k=10).select("doc_id", "score")
+
+    out["french_light_topk"] = french_light_topk
+
     # --- search compositions (collector variants, SURVEY §2.3/§2.5) -----
     def sort_by_field_topk(spark, sf_dir):
         """TopFieldCollector role: matching docs ordered by a doc-values
@@ -2372,6 +2518,60 @@ def oracle_sql() -> dict[str, str]:
              count(*)::BIGINT AS tf, sum(pos)::BIGINT AS sum_pos
       FROM raw WHERE term NOT IN ('economy', 'small')
       GROUP BY term ORDER BY df DESC, tf DESC, term ASC LIMIT 20"""
+
+    # --- language analyzer pack: exact SQL twins of the light stemmers
+    # (oracle.light_stemmers.*_SQL; verified bit-exact against the
+    # reference's full vocabulary files in tests/test_light_stemmers.py)
+    from lucene_solr_spark.functions.bm25_sql import index_ctes as _ictes_lang
+    from lucene_solr_spark.functions.bm25_sql import tokens_cte as _tokens_lang
+    from lucene_solr_spark.oracle import light_stemmers as _ls
+
+    _lang_topk = """
+    SELECT p.doc_id, {score} AS score
+    FROM postings p
+    JOIN term_stats ts USING (term)
+    JOIN norms n ON n.doc_id = p.doc_id
+    CROSS JOIN gstats g
+    WHERE p.term = '{term}'
+    ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+
+    out["german_light_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_ls.GERMAN_LIGHT_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="custom")
+    )
+    out["spanish_light_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_ls.SPANISH_LIGHT_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="valu")
+    )
+
+    _counts_tail = """
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+             count(*)::BIGINT AS tf, sum(pos)::BIGINT AS sum_pos
+      FROM tokens
+      GROUP BY term ORDER BY df DESC, tf DESC, term ASC LIMIT 20"""
+
+    out["german_normalize_counts"] = (
+        "WITH "
+        + _tokens_lang(
+            text_col=_UMLAUT_TEXT_SQL,
+            token_regex="[a-z0-9äö]+",
+            term_expr=_ls.GERMAN_NORMALIZE_SQL,
+        )
+        + _counts_tail
+    )
+    out["french_elision_counts"] = (
+        "WITH "
+        + _tokens_lang(
+            text_col=_APOSTROPHE_TEXT_SQL,
+            token_regex=_APOSTROPHE_TOKEN_RX,
+            elide_regex=_ls.elision_regex(_ls.FRENCH_ARTICLES),
+            stopwords=tuple(_ls.FRENCH_STOP_WORDS),
+        )
+        + _counts_tail
+    )
+    # french_light_topk: intentionally NO oracle entry — the UniNE French
+    # cascade is not SQL-expressible; rows-only by documented design
+    # (stemmer pinned bit-exact on the 20,403-pair reference vocabulary).
 
     # index-time synonyms: postings from the stacked stream; doc length
     # from the BASE stream only (discountOverlaps); avgdl from the

@@ -44,6 +44,7 @@ def make_tokenize_udf(
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
     strip_possessive: bool = False,
     stemmer: str | None = None,
+    elide: frozenset[str] | None = None,
 ):
     """Build a tokenizer pandas UDF with a fixed analyzer config.
 
@@ -64,6 +65,7 @@ def make_tokenize_udf(
                     max_token_length=max_token_length,
                     strip_possessive=strip_possessive,
                     stemmer=stemmer,
+                    elide=elide,
                 )
             ]
         )
@@ -92,7 +94,9 @@ def tokens_frame(
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
     strip_possessive: bool = False,
+    fold_ascii: bool = False,
     stemmer: str | None = None,
+    elide: frozenset[str] | None = None,
 ):
     """corpus → flat (doc_id, term, pos) token rows via ONE ``mapInPandas``
     pass over the VECTORIZED batch tokenizer (functions.fast_tokenizer):
@@ -125,6 +129,7 @@ def tokens_frame(
                 strip_possessive=strip_possessive,
                 fold_ascii=fold_ascii,
                 stemmer=stemmer,
+                elide=elide,
             )
             yield pd.DataFrame(
                 {
@@ -238,6 +243,7 @@ def postings_frame(
     strip_possessive: bool = False,
     fold_ascii: bool = False,
     stemmer: str | None = None,
+    elide: frozenset[str] | None = None,
     with_positions: bool = True,
     with_offsets: bool = False,
     shingles: tuple[int, int] | None = None,
@@ -308,6 +314,7 @@ def postings_frame(
                 strip_possessive=strip_possessive,
                 fold_ascii=fold_ascii,
                 stemmer=stemmer,
+                elide=elide,
                 with_offsets=with_offsets,
             )
             if with_offsets:

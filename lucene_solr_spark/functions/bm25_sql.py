@@ -36,23 +36,47 @@ def tokens_cte(
     table: str = "documents",
     stopwords: tuple = (),
     name: str = "tokens",
+    token_regex: str = "[a-z0-9]+",
+    elide_regex: str | None = None,
+    term_expr=None,
 ) -> str:
     """Tokenize: documents text is [a-z0-9 ]-clean, so StandardAnalyzer
     tokens == regexp [a-z0-9]+ runs (verified by analyzer parity tests).
     pos is 0-based; with ``stopwords`` the filter runs AFTER position
     assignment, so surviving positions keep gaps (StopFilter /
-    FilteringTokenFilter.java:49-63)."""
+    FilteringTokenFilter.java:49-63).
+
+    Language-chain hooks (each stage mirrors one token filter, applied
+    in the reference's chain order elide → stop → stem):
+
+    - ``token_regex``: override for corpora beyond [a-z0-9 ] (umlauts,
+      apostrophe-joined tokens — the MidNumLet rule);
+    - ``elide_regex``: anchored first-match article strip applied BEFORE
+      the stop filter (ElisionFilter's slot in FrenchAnalyzer);
+    - ``term_expr``: a SQL expression over ``term`` — or a sequence of
+      them, applied as successive layers (a multi-step stemmer stays
+      readable instead of one exploded CASE) — applied AFTER the stop
+      filter (the stem filter's slot)."""
     stop_sql = ""
     if stopwords:
         stops = ", ".join(f"'{w}'" for w in sorted(stopwords))
         stop_sql = f" WHERE term NOT IN ({stops})"
+    rx = token_regex.replace("'", "''")
+    body = f"""SELECT doc_id,
+               unnest(regexp_extract_all({text_col}, '{rx}')) AS term,
+               generate_subscripts(regexp_extract_all({text_col}, '{rx}'), 1) - 1 AS pos
+        FROM {table}"""
+    if elide_regex:
+        erx = elide_regex.replace("'", "''")
+        body = f"""SELECT doc_id, regexp_replace(term, '{erx}', '') AS term, pos
+        FROM ({body})"""
+    body = f"SELECT * FROM (\n        {body}\n      ){stop_sql}"
+    if term_expr:
+        exprs = [term_expr] if isinstance(term_expr, str) else list(term_expr)
+        for expr in exprs:
+            body = f"SELECT doc_id, {expr} AS term, pos FROM (\n      {body}\n      )"
     return f"""{name} AS (
-      SELECT * FROM (
-        SELECT doc_id,
-               unnest(regexp_extract_all({text_col}, '[a-z0-9]+')) AS term,
-               generate_subscripts(regexp_extract_all({text_col}, '[a-z0-9]+'), 1) - 1 AS pos
-        FROM {table}
-      ){stop_sql}
+      {body}
     )"""
 
 
@@ -64,6 +88,9 @@ def index_ctes(
     text_col: str = "text",
     prefix: str = "",
     with_lut: bool = True,
+    token_regex: str = "[a-z0-9]+",
+    elide_regex: str | None = None,
+    term_expr=None,
 ) -> str:
     """The inverted-index tables as CTEs over ``table`` (default
     `documents`; pass a subquery to model an index whose deleted docs
@@ -118,7 +145,7 @@ def index_ctes(
             "GROUP BY doc_id"
         )
     lut = f"{norm_lut_sql()},\n    " if with_lut else ""
-    return f"""{lut}{tokens_cte(text_col=text_col, stopwords=stopwords, table=table, name=f"{p}tokens")}{shingle_cte},
+    return f"""{lut}{tokens_cte(text_col=text_col, stopwords=stopwords, table=table, name=f"{p}tokens", token_regex=token_regex, elide_regex=elide_regex, term_expr=term_expr)}{shingle_cte},
     {p}postings AS ({postings}),
     {p}doclen AS ({doclen}),
     {p}norms AS (

@@ -165,6 +165,7 @@ def batch_tokenize(
     strip_possessive: bool = False,
     fold_ascii: bool = False,
     stemmer: str | None = None,
+    elide: frozenset[str] | None = None,
     with_offsets: bool = False,
 ):
     """Tokenize a batch of documents.
@@ -172,8 +173,14 @@ def batch_tokenize(
     ``texts``: sequence of str|None (one per document).
     Returns ``(doc_idx, terms, pos)``: int64 row index into ``texts`` per
     token, an Arrow string array of (lowercased, possessive-stripped,
-    stop-filtered, optionally stemmed) terms, and int32 positions with
-    stop/overlong gaps preserved.
+    optionally elided, stop-filtered, optionally stemmed) terms, and
+    int32 positions with stop/overlong gaps preserved.
+
+    ``elide``: article set for ElisionFilter (util/ElisionFilter.java —
+    drop ``l'``/``qu'``-style prefixes); runs BEFORE the stop filter
+    like the FrenchAnalyzer chain, as one vectorized anchored-regex
+    replace. ``stemmer``: any ``oracle.light_stemmers.resolve`` name
+    ("porter", "german_light", "french_light", …).
 
     ``with_offsets=True`` returns ``(doc_idx, terms, pos, soff, eoff)``
     with each surviving token's character span in its source document —
@@ -188,8 +195,9 @@ def batch_tokenize(
     vocabulary is tiny next to the token stream), so neither filter adds
     per-token Python to the hot path.
     """
-    if stemmer not in (None, "porter"):
-        raise ValueError(f"unknown stemmer {stemmer!r}")
+    from lucene_solr_spark.oracle.light_stemmers import resolve as _resolve
+
+    stem_fn = _resolve(stemmer)  # validate the name before any work
     n_docs = len(texts)
     norm_texts = ["" if t is None else t for t in texts]
 
@@ -300,6 +308,17 @@ def batch_tokenize(
                 terms = pc.replace_substring_regex(
                     terms, pattern="['’][sS]$", replacement=""
                 )
+            if elide:
+                from lucene_solr_spark.oracle.light_stemmers import (
+                    elision_regex,
+                )
+
+                terms = pc.replace_substring_regex(
+                    terms,
+                    pattern=elision_regex(elide),
+                    replacement="",
+                    max_replacements=1,
+                )
             if fold_ascii and len(terms):
                 # per-DISTINCT-term fold via dictionary encode (the
                 # stemmer pattern): the batch vocabulary is tiny next to
@@ -326,12 +345,10 @@ def batch_tokenize(
                 if with_offsets:
                     soff = soff[keep2]
                     eoff = eoff[keep2]
-            if stemmer == "porter" and len(terms):
-                from lucene_solr_spark.oracle.porter import porter_stem
-
+            if stem_fn is not None and len(terms):
                 denc = pc.dictionary_encode(terms)
                 stemmed = pa.array(
-                    [porter_stem(t) for t in denc.dictionary.to_pylist()],
+                    [stem_fn(t) for t in denc.dictionary.to_pylist()],
                     pa.utf8(),
                 )
                 terms = stemmed.take(denc.indices)
@@ -354,6 +371,7 @@ def batch_tokenize(
                 strip_possessive=strip_possessive,
                 fold_ascii=fold_ascii,
                 stemmer=stemmer,
+                elide=elide,
             )
             if not otoks:
                 continue
@@ -377,6 +395,7 @@ def batch_tokenize(
             strip_possessive=strip_possessive,
             fold_ascii=fold_ascii,
             stemmer=stemmer,
+            elide=elide,
         )
         if not toks:
             continue

@@ -100,16 +100,21 @@ def analyze_with_offsets(
     strip_possessive: bool = False,
     fold_ascii: bool = False,
     stemmer: str | None = None,
+    elide: frozenset | None = None,
 ) -> list[tuple[str, int, int, int]]:
     """Analyzer chain WITH character offsets → [(term, pos, start, end)].
 
     Same semantics as ``oracle.tokenizer.analyze`` (parity-tested), plus
     the source span of each surviving token — the ANALYSIS offset source.
     Sub-tokens of a split candidate (``obj.method``) get their exact
-    sub-spans; stopwords drop but consume positions (gaps preserved)."""
-    if stemmer not in (None, "porter"):
-        raise ValueError(f"unknown stemmer {stemmer!r}")
-    from lucene_solr_spark.oracle.porter import porter_stem, strip_possessive as _sp
+    sub-spans; stopwords drop but consume positions (gaps preserved).
+    Elision/stemming rewrite the term but keep the ORIGINAL span, like
+    Lucene's token filters."""
+    from lucene_solr_spark.oracle.light_stemmers import french_elide
+    from lucene_solr_spark.oracle.light_stemmers import resolve as _resolve
+    from lucene_solr_spark.oracle.porter import strip_possessive as _sp
+
+    stem_fn = _resolve(stemmer)
 
     raw: list[tuple[str, int, int]] = []  # (raw_term, start, end)
     for m in _TOKEN_RE.finditer(text):
@@ -133,14 +138,16 @@ def analyze_with_offsets(
             term = term.lower()
         if strip_possessive:
             term = _sp(term)
+        if elide:
+            term = french_elide(term, elide)
         if fold_ascii:
             from lucene_solr_spark.oracle.tokenizer import fold_accents
 
             term = fold_accents(term)
         if term in stopwords:
             continue
-        if stemmer == "porter":
-            term = porter_stem(term)
+        if stem_fn is not None:
+            term = stem_fn(term)
         out.append((term, pos, s, e))
     return out
 

@@ -253,6 +253,7 @@ def build_index(
     strip_possessive: bool = False,
     fold_ascii: bool = False,
     stemmer: str | None = None,
+    elide: frozenset[str] | None = None,
     with_positions: bool = True,
     index_options: str = "positions",  # "positions" | "freqs" | "docs"
     shingles: tuple[int, int] | None = None,
@@ -309,6 +310,7 @@ def build_index(
         strip_possessive=strip_possessive,
         fold_ascii=fold_ascii,
         stemmer=stemmer,
+        elide=elide,
         with_positions=with_positions,
         with_offsets=with_offsets,
         shingles=shingles,

@@ -1,0 +1,552 @@
+"""UniNE "light" stemmers + language normalizers (pure Python).
+
+Re-expresses the reference's light language-analysis kernels — the
+algorithms are published (Jacques Savoy, *Light Stemming Approaches for
+the French, Portuguese, German and Hungarian Languages*, ACM SAC 2006,
+and *Report on CLEF-2001 Experiments*; reference code at
+members.unine.ch/jacques.savoy/clef/):
+
+- ``german_light_stem`` — ``analysis/common/.../de/GermanLightStemmer.java``
+  (vowel-accent fold + two plural/inflection suffix steps);
+- ``german_normalize`` — ``de/GermanNormalizationFilter.java`` (the
+  Snowball *german2* heuristic: ß→ss, umlaut fold, and ae/oe/ue → a/o/u
+  via a 3-state FSM that protects ``que``/``aue``-style sequences);
+- ``french_light_stem`` — ``fr/FrenchLightStemmer.java`` (full UniNE
+  rule cascade + ``norm()`` repeated-letter dedup and final truncation);
+- ``french_elide`` — ``util/ElisionFilter.java`` with
+  ``fr/FrenchAnalyzer.java:56-62``'s default article set (l', qu', …);
+- ``spanish_light_stem`` — ``es/SpanishLightStemmer.java``.
+
+Parity contract: ``tests/test_light_stemmers.py`` diffs every function
+against the reference's own published vocabulary expectations
+(``delight.txt`` 35k pairs, ``frlight.txt`` 20k, ``eslight.txt`` 28k)
+plus the inline ``checkOneTerm`` goldens from the reference test
+classes, and fuzzes ``german_normalize`` against the regex-chain
+decomposition used by the DuckDB oracle gate.
+
+All functions take and return ``str`` and are applied once per DISTINCT
+term via dictionary-encode in the batch tokenizer (the Porter pattern),
+so none of them adds per-token Python to the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = [
+    "german_light_stem",
+    "german_normalize",
+    "german_normalize_regex",
+    "french_light_stem",
+    "french_elide",
+    "spanish_light_stem",
+    "FRENCH_ARTICLES",
+    "ELISION_REGEX",
+    "STEMMERS",
+    "resolve",
+    "elision_regex",
+    "FRENCH_STOP_WORDS",
+    "GERMAN_STOP_WORDS",
+    "SPANISH_STOP_WORDS",
+]
+
+# ---------------------------------------------------------------------------
+# German — GermanLightStemmer.java (UniNE SAC-2006 German light)
+# ---------------------------------------------------------------------------
+
+_DE_FOLD = str.maketrans(
+    "äàáâöòóôïìíîüùúû",
+    "aaaaooooiiiiuuuu",
+)
+
+#: consonants that may precede a dropped 's'/'st' (stEnding)
+_DE_ST = frozenset("bdfghklmnt")
+
+
+def german_light_stem(term: str) -> str:
+    """GermanLightStemmer.stem: fold accented vowels, then drop plural /
+    case suffixes in two ordered first-match-wins steps."""
+    s = term.translate(_DE_FOLD)
+    n = len(s)
+    # step 1 (GermanLightStemmer.java:115-133)
+    if n > 5 and s.endswith("ern"):
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in "mnrs":
+        n -= 2
+    elif n > 3 and s[n - 1] == "e":
+        n -= 1
+    elif n > 3 and s[n - 1] == "s" and s[n - 2] in _DE_ST:
+        n -= 1
+    # step 2 (:135-143) on the step-1 stem
+    if n > 5 and s[n - 3 : n] == "est":
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in "rn":
+        n -= 2
+    elif n > 4 and s[n - 2 : n] == "st" and s[n - 3] in _DE_ST:
+        n -= 2
+    return s[:n]
+
+
+def german_normalize(term: str) -> str:
+    """GermanNormalizationFilter: ß→ss; ä/ö/ü→a/o/u; drop 'e' of ae/oe
+    and of ue-not-after-vowel/q — the 3-state FSM (N/V/U) verbatim from
+    ``de/GermanNormalizationFilter.java:41-103``."""
+    N, V, U = 0, 1, 2
+    state = N
+    out: list[str] = []
+    for c in term:
+        if c in "ao":
+            out.append(c)
+            state = U
+        elif c == "u":
+            out.append(c)
+            state = U if state == N else V
+        elif c == "e":
+            if state != U:
+                out.append(c)
+            state = V
+        elif c in "iqy":
+            out.append(c)
+            state = V
+        elif c == "ä":
+            out.append("a")
+            state = V
+        elif c == "ö":
+            out.append("o")
+            state = V
+        elif c == "ü":
+            out.append("u")
+            state = V
+        elif c == "ß":
+            out.append("ss")
+            state = N
+        else:
+            out.append(c)
+            state = N
+    return "".join(out)
+
+
+# The SQL-expressible decomposition of the FSM, used by the DuckDB
+# oracle gate and fuzz-verified equivalent in tests: because deletions
+# only ever remove 'e' and every rule's context survives the other
+# rule's deletions, the FSM factors into two sequential global regex
+# passes over the ß-expanded string, folding umlauts last.
+_DE_NORM_AOE = re.compile(r"([ao])e")
+_DE_NORM_UE = re.compile(r"(^|[^aeiouqyäöü])ue")
+_DE_UMLAUT = str.maketrans("äöü", "aou")
+
+
+def german_normalize_regex(term: str) -> str:
+    """Regex-chain twin of :func:`german_normalize` (the oracle form)."""
+    s = term.replace("ß", "ss")
+    s = _DE_NORM_AOE.sub(r"\1", s)
+    s = _DE_NORM_UE.sub(r"\1u", s)
+    return s.translate(_DE_UMLAUT)
+
+
+# ---------------------------------------------------------------------------
+# French — FrenchLightStemmer.java (UniNE SAC-2006 French light)
+# ---------------------------------------------------------------------------
+
+_FR_FOLD = str.maketrans("àáâôèéêùûîç", "aaaoeeeuuic")
+
+
+def _fr_norm(s: list[str]) -> list[str]:
+    """FrenchLightStemmer.norm (``fr/FrenchLightStemmer.java:212-257``):
+    accent fold + collapse repeated letters (len>4 only), drop trailing
+    'ie', then final r/e/e/double-letter truncation (len>4 re-checked
+    per the reference's single guard)."""
+    if len(s) > 4:
+        s = list("".join(s).translate(_FR_FOLD))
+        # collapse consecutive equal letters; ch only advances on change
+        out: list[str] = [s[0]]
+        ch = s[0]
+        for c in s[1:]:
+            if c == ch and ch.isalpha():
+                continue
+            out.append(c)
+            ch = c
+        s = out
+    if len(s) > 4 and s[-2] == "i" and s[-1] == "e":
+        s = s[:-2]
+    if len(s) > 4:
+        if s[-1] == "r":
+            s = s[:-1]
+        if s and s[-1] == "e":
+            s = s[:-1]
+        if s and s[-1] == "e":
+            s = s[:-1]
+        if len(s) >= 2 and s[-1] == s[-2] and s[-1].isalpha():
+            s = s[:-1]
+    return s
+
+
+def french_light_stem(term: str) -> str:  # noqa: C901 — mirrors the rule list
+    """FrenchLightStemmer.stem: the ordered UniNE suffix-rewrite cascade
+    (``fr/FrenchLightStemmer.java:63-210``), then :func:`_fr_norm`."""
+    s = list(term)
+
+    def ends(suf: str) -> bool:
+        return len(s) >= len(suf) and "".join(s[-len(suf) :]) == suf
+
+    if len(s) > 5 and s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u" and s[-4] != "e":
+            s[-2] = "l"
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "x":
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "s":
+        s = s[:-1]
+
+    if len(s) > 9 and ends("issement"):
+        s = s[:-6]
+        s[-1] = "r"
+        return "".join(_fr_norm(s))
+    if len(s) > 8 and ends("issant"):
+        s = s[:-4]
+        s[-1] = "r"
+        return "".join(_fr_norm(s))
+    if len(s) > 6 and ends("ement"):
+        s = s[:-4]
+        if len(s) > 3 and ends("ive"):
+            s = s[:-1]
+            s[-1] = "f"
+        return "".join(_fr_norm(s))
+    if len(s) > 11 and ends("ficatrice"):
+        s = s[:-5]
+        s[-2] = "e"
+        s[-1] = "r"
+        return "".join(_fr_norm(s))
+    if len(s) > 10 and ends("ficateur"):
+        s = s[:-4]
+        s[-2] = "e"
+        s[-1] = "r"
+        return "".join(_fr_norm(s))
+    if len(s) > 9 and ends("catrice"):
+        s = s[:-3]
+        s[-4] = "q"
+        s[-3] = "u"
+        s[-2] = "e"  # s[-1] already 'r'
+        return "".join(_fr_norm(s))
+    if len(s) > 8 and ends("cateur"):
+        s = s[:-2]
+        s[-4] = "q"
+        s[-3] = "u"
+        s[-2] = "e"
+        s[-1] = "r"
+        return "".join(_fr_norm(s))
+    if len(s) > 8 and ends("atrice"):
+        s = s[:-4]
+        s[-2] = "e"
+        s[-1] = "r"
+        return "".join(_fr_norm(s))
+    if len(s) > 7 and ends("ateur"):
+        s = s[:-3]
+        s[-2] = "e"
+        s[-1] = "r"
+        return "".join(_fr_norm(s))
+    if len(s) > 6 and ends("trice"):
+        s = s[:-1]
+        s[-3] = "e"
+        s[-2] = "u"
+        s[-1] = "r"
+        # falls through (no return in the reference)
+    if len(s) > 5 and ends("ième"):
+        return "".join(_fr_norm(s[:-4]))
+    if len(s) > 7 and ends("teuse"):
+        s = s[:-2]
+        s[-1] = "r"
+        return "".join(_fr_norm(s))
+    if len(s) > 6 and ends("teur"):
+        s = s[:-1]
+        s[-1] = "r"
+        return "".join(_fr_norm(s))
+    if len(s) > 5 and ends("euse"):
+        return "".join(_fr_norm(s[:-2]))
+    if len(s) > 8 and ends("ère"):
+        s = s[:-1]
+        s[-2] = "e"
+        return "".join(_fr_norm(s))
+    if len(s) > 7 and ends("ive"):
+        s = s[:-1]
+        s[-1] = "f"
+        return "".join(_fr_norm(s))
+    if len(s) > 4 and (ends("folle") or ends("molle")):
+        s = s[:-2]
+        s[-1] = "u"
+        return "".join(_fr_norm(s))
+    if len(s) > 9 and ends("nnelle"):
+        return "".join(_fr_norm(s[:-5]))
+    if len(s) > 9 and ends("nnel"):
+        return "".join(_fr_norm(s[:-3]))
+    if len(s) > 4 and ends("ète"):
+        s = s[:-1]
+        s[-2] = "e"
+        # falls through
+    if len(s) > 8 and ends("ique"):
+        s = s[:-4]
+        # falls through
+    if len(s) > 8 and ends("esse"):
+        return "".join(_fr_norm(s[:-3]))
+    if len(s) > 7 and ends("inage"):
+        return "".join(_fr_norm(s[:-3]))
+    if len(s) > 9 and ends("isation"):
+        s = s[:-7]
+        if len(s) > 5 and ends("ual"):
+            s[-2] = "e"
+        return "".join(_fr_norm(s))
+    if len(s) > 9 and ends("isateur"):
+        return "".join(_fr_norm(s[:-7]))
+    if len(s) > 8 and ends("ation"):
+        return "".join(_fr_norm(s[:-5]))
+    if len(s) > 8 and ends("ition"):
+        return "".join(_fr_norm(s[:-5]))
+    return "".join(_fr_norm(s))
+
+
+#: FrenchAnalyzer.DEFAULT_ARTICLES (``fr/FrenchAnalyzer.java:56-62``)
+FRENCH_ARTICLES = frozenset(
+    ["l", "m", "t", "qu", "n", "s", "j", "d", "c", "jusqu", "quoiqu", "lorsqu", "puisqu"]
+)
+
+#: longest-first alternation so RE2/``re`` pick the whole article —
+#: also the exact pattern of the DuckDB oracle gate
+ELISION_REGEX = r"^(?:jusqu|quoiqu|lorsqu|puisqu|qu|c|d|j|l|m|n|s|t)['’]"
+_ELISION_RE = re.compile(ELISION_REGEX, re.IGNORECASE)
+
+
+def french_elide(term: str, articles: frozenset[str] = FRENCH_ARTICLES) -> str:
+    """ElisionFilter: if the prefix before the FIRST apostrophe (either
+    ``'`` or ``’``) is an article, drop prefix + apostrophe
+    (``util/ElisionFilter.java:46-63``; match is case-insensitive like
+    the CharArraySet(…, true) article set)."""
+    if articles is FRENCH_ARTICLES:
+        return _ELISION_RE.sub("", term, count=1)
+    for i, ch in enumerate(term):
+        if ch in "'’":
+            if term[:i].lower() in articles:
+                return term[i + 1 :]
+            return term
+    return term
+
+
+# ---------------------------------------------------------------------------
+# Spanish — SpanishLightStemmer.java (Savoy CLEF-2001)
+# ---------------------------------------------------------------------------
+
+_ES_FOLD = str.maketrans(
+    "àáâäòóôöèéêëùúûüìíîï",
+    "aaaaooooeeeeuuuuiiii",
+)
+
+
+def spanish_light_stem(term: str) -> str:
+    """SpanishLightStemmer.stem: accent fold + final-vowel / plural
+    suffix drop (``es/SpanishLightStemmer.java:62-114``)."""
+    if len(term) < 5:
+        return term
+    s = term.translate(_ES_FOLD)
+    last = s[-1]
+    if last in "oae":
+        return s[:-1]
+    if last == "s":
+        if s[-4:-1] == "ese":
+            return s[:-2]
+        if s[-3:-1] == "ce":
+            return s[:-3] + "z"
+        if s[-2] in "oae":
+            return s[:-2]
+    return s
+
+
+# ---------------------------------------------------------------------------
+# stemmer registry — the `stemmer=` seam of the batch tokenizer
+# ---------------------------------------------------------------------------
+
+
+def _german_chain(term: str) -> str:
+    """GermanAnalyzer's stem stage (``de/GermanAnalyzer.java:121-127``):
+    GermanNormalizationFilter then GermanLightStemFilter."""
+    return german_light_stem(german_normalize(term))
+
+
+#: name → per-distinct-term transform; "porter" stays special-cased in
+#: callers for backward compatibility but is registered here too
+STEMMERS: dict[str, object] = {
+    "german_light": german_light_stem,
+    "german": _german_chain,
+    "french_light": french_light_stem,
+    "spanish_light": spanish_light_stem,
+    "german_normalize": german_normalize,
+}
+
+
+def resolve(name: str | None):
+    """``stemmer=`` seam resolver shared by the batch tokenizer, the
+    scalar ``oracle.tokenizer.analyze`` chain, and the offsets chain:
+    name → per-term callable (or None for the identity). Every stemmer
+    is applied once per DISTINCT term via dictionary-encode in the batch
+    kernel, so registry growth never adds per-token Python."""
+    if name is None:
+        return None
+    if name == "porter":
+        from lucene_solr_spark.oracle.porter import porter_stem
+
+        return porter_stem
+    fn = STEMMERS.get(name)
+    if fn is None:
+        raise ValueError(
+            f"unknown stemmer {name!r} (one of {('porter', *sorted(STEMMERS))})"
+        )
+    return fn
+
+
+#: DuckDB-oracle SQL twins of the stemmers, each a chain of expressions
+#: over a column named ``term`` (one tokens-CTE layer per entry — see
+#: ``functions.bm25_sql.tokens_cte(term_expr=…)``). These make the
+#: German/Spanish light-stemmed chains VALUE-exact against SQL (unlike
+#: Porter, whose 60-rule machine stays pytest-pinned): the rule cascades
+#: are short enough to state as CASE expressions.
+_DE_S_ENDS = ", ".join(f"'{c}s'" for c in sorted(_DE_ST))
+_DE_ST_ENDS = ", ".join(f"'{c}st'" for c in sorted(_DE_ST))
+
+GERMAN_LIGHT_SQL = (
+    # fold accented vowels (GermanLightStemmer.java:48-113)
+    "translate(term, 'äàáâöòóôïìíîüùúû', 'aaaaooooiiiiuuuu')",
+    # step 1 (:115-133)
+    f"""CASE
+        WHEN length(term) > 5 AND right(term, 3) = 'ern' THEN left(term, length(term)-3)
+        WHEN length(term) > 4 AND right(term, 2) IN ('em','en','er','es') THEN left(term, length(term)-2)
+        WHEN length(term) > 3 AND right(term, 1) = 'e' THEN left(term, length(term)-1)
+        WHEN length(term) > 3 AND right(term, 2) IN ({_DE_S_ENDS}) THEN left(term, length(term)-1)
+        ELSE term END""",
+    # step 2 (:135-143)
+    f"""CASE
+        WHEN length(term) > 5 AND right(term, 3) = 'est' THEN left(term, length(term)-3)
+        WHEN length(term) > 4 AND right(term, 2) IN ('er','en') THEN left(term, length(term)-2)
+        WHEN length(term) > 4 AND right(term, 3) IN ({_DE_ST_ENDS}) THEN left(term, length(term)-2)
+        ELSE term END""",
+)
+
+#: the regex-chain decomposition of the normalization FSM (fuzz-proven
+#: equivalent in tests/test_light_stemmers.py)
+GERMAN_NORMALIZE_SQL = (
+    "replace(term, 'ß', 'ss')",
+    r"regexp_replace(term, '([ao])e', '\1', 'g')",
+    r"regexp_replace(term, '(^|[^aeiouqyäöü])ue', '\1u', 'g')",
+    "translate(term, 'äöü', 'aou')",
+)
+
+_ES_F = "translate(term, 'àáâäòóôöèéêëùúûüìíîï', 'aaaaooooeeeeuuuuiiii')"
+SPANISH_LIGHT_SQL = (
+    f"""CASE
+        WHEN length(term) < 5 THEN term
+        WHEN right({_ES_F}, 1) IN ('o','a','e') THEN left({_ES_F}, length(term)-1)
+        WHEN right({_ES_F}, 1) = 's' AND substr({_ES_F}, length(term)-3, 3) = 'ese' THEN left({_ES_F}, length(term)-2)
+        WHEN right({_ES_F}, 1) = 's' AND substr({_ES_F}, length(term)-2, 2) = 'ce' THEN left({_ES_F}, length(term)-3) || 'z'
+        WHEN right({_ES_F}, 1) = 's' AND substr({_ES_F}, length(term)-1, 1) IN ('o','a','e') THEN left({_ES_F}, length(term)-2)
+        ELSE {_ES_F} END""",
+)
+
+
+def elision_regex(articles: frozenset[str]) -> str:
+    """Longest-first anchored alternation for an article set — the
+    vectorized (RE2-compatible) form of :func:`french_elide`, shared by
+    the Arrow batch kernel and the DuckDB oracle gates. Valid only for
+    lowercase ASCII-letter article sets (the reference default is)."""
+    alts = "|".join(sorted(articles, key=lambda a: (-len(a), a)))
+    return f"(?i)^(?:{alts})['’]"
+
+
+# ---------------------------------------------------------------------------
+# Default stop sets — parsed from the public Snowball-project lists the
+# reference ships verbatim (``analysis/snowball/{french,german,spanish}_
+# stop.txt``; loaded by ``FrenchAnalyzer.getDefaultStopSet`` etc. via
+# WordlistLoader.getSnowballWordSet: '|' comments stripped, whitespace-
+# split). The lists are data, not code — snowballstem.org, BSD license.
+# ---------------------------------------------------------------------------
+FRENCH_STOP_WORDS = frozenset(
+(
+    "ai aie aient aies ait au aurai auraient aurais aurait aurez "
+    "auriez aurions aurons auront aux avaient avais avait avec avez "
+    "aviez avons ayant ayez ayons c ce ceci cela celà ces cet cette "
+    "d dans de des du elle en es et eu eue eues eurent eus eusse "
+    "eussent eusses eussiez eussions eut eux eûmes eût eûtes furent "
+    "fus fusse fussent fusses fussiez fussions fut fûmes fûtes ici "
+    "il ils j je l la le les leur leurs lui m ma mais me mes moi mon "
+    "même n ne nos notre nous on ont ou par pas pour qu que quel "
+    "quelle quelles quels qui s sa sans se sera serai seraient "
+    "serais serait seras serez seriez serions serons seront ses soi "
+    "soient sois soit sont soyez soyons suis sur t ta te tes toi ton "
+    "tu un une vos votre vous y à étaient étais était étant étiez "
+    "étions étée étées êtes "
+).split()
+)
+
+GERMAN_STOP_WORDS = frozenset(
+(
+    "aber alle allem allen aller alles als also am an ander andere "
+    "anderem anderen anderer anderes anderm andern anderr anders "
+    "auch auf aus bei bin bis bist da damit dann das dasselbe dazu "
+    "daß dein deine deinem deinen deiner deines dem demselben den "
+    "denn denselben der derer derselbe derselben des desselben "
+    "dessen dich die dies diese dieselbe dieselben diesem diesen "
+    "dieser dieses dir doch dort du durch ein eine einem einen einer "
+    "eines einig einige einigem einigen einiger einiges einmal er es "
+    "etwas euch euer eure eurem euren eurer eures für gegen gewesen "
+    "hab habe haben hat hatte hatten hier hin hinter ich ihm ihn "
+    "ihnen ihr ihre ihrem ihren ihrer ihres im in indem ins ist jede "
+    "jedem jeden jeder jedes jene jenem jenen jener jenes jetzt kann "
+    "kein keine keinem keinen keiner keines können könnte machen man "
+    "manche manchem manchen mancher manches mein meine meinem meinen "
+    "meiner meines mich mir mit muss musste nach nicht nichts noch "
+    "nun nur ob oder ohne sehr sein seine seinem seinen seiner "
+    "seines selbst sich sie sind so solche solchem solchen solcher "
+    "solches soll sollte sondern sonst um und uns unse unsem unsen "
+    "unser unses unter viel vom von vor war waren warst was weg weil "
+    "weiter welche welchem welchen welcher welches wenn werde werden "
+    "wie wieder will wir wird wirst wo wollen wollte während würde "
+    "würden zu zum zur zwar zwischen über "
+).split()
+)
+
+SPANISH_STOP_WORDS = frozenset(
+(
+    "a al algo algunas algunos ante antes como con contra cual "
+    "cuando de del desde donde durante e el ella ellas ellos en "
+    "entre era erais eran eras eres es esa esas ese eso esos esta "
+    "estaba estabais estaban estabas estad estada estadas estado "
+    "estados estamos estando estar estaremos estará estarán estarás "
+    "estaré estaréis estaría estaríais estaríamos estarían estarías "
+    "estas este estemos esto estos estoy estuve estuviera "
+    "estuvierais estuvieran estuvieras estuvieron estuviese "
+    "estuvieseis estuviesen estuvieses estuvimos estuviste "
+    "estuvisteis estuviéramos estuviésemos estuvo está estábamos "
+    "estáis están estás esté estéis estén estés fue fuera fuerais "
+    "fueran fueras fueron fuese fueseis fuesen fueses fui fuimos "
+    "fuiste fuisteis fuéramos fuésemos ha habida habidas habido "
+    "habidos habiendo habremos habrá habrán habrás habré habréis "
+    "habría habríais habríamos habrían habrías habéis había habíais "
+    "habíamos habían habías han has hasta hay haya hayamos hayan "
+    "hayas hayáis he hemos hube hubiera hubierais hubieran hubieras "
+    "hubieron hubiese hubieseis hubiesen hubieses hubimos hubiste "
+    "hubisteis hubiéramos hubiésemos hubo la las le les lo los me mi "
+    "mis mucho muchos muy más mí mía mías mío míos nada ni no nos "
+    "nosotras nosotros nuestra nuestras nuestro nuestros o os otra "
+    "otras otro otros para pero poco por porque que quien quienes "
+    "qué se sea seamos sean seas seremos será serán serás seré "
+    "seréis sería seríais seríamos serían serías seáis sido siendo "
+    "sin sobre sois somos son soy su sus suya suyas suyo suyos sí "
+    "también tanto te tendremos tendrá tendrán tendrás tendré "
+    "tendréis tendría tendríais tendríamos tendrían tendrías tened "
+    "tenemos tenga tengamos tengan tengas tengo tengáis tenida "
+    "tenidas tenido tenidos teniendo tenéis tenía teníais teníamos "
+    "tenían tenías ti tiene tienen tienes todo todos tu tus tuve "
+    "tuviera tuvierais tuvieran tuvieras tuvieron tuviese tuvieseis "
+    "tuviesen tuvieses tuvimos tuviste tuvisteis tuviéramos "
+    "tuviésemos tuvo tuya tuyas tuyo tuyos tú un una uno unos "
+    "vosotras vosotros vuestra vuestras vuestro vuestros y ya yo él "
+    "éramos "
+).split()
+)
+

@@ -174,30 +174,38 @@ def analyze(
     strip_possessive: bool = False,
     fold_ascii: bool = False,
     stemmer: str | None = None,
+    elide: frozenset[str] | None = None,
 ) -> list[Token]:
     """Full analyzer chain. Default = Lucene StandardAnalyzer (lowercase,
     NO stopwords). The EnglishAnalyzer chain
     (``analysis/common/.../en/EnglishAnalyzer.java:46-52``: possessive →
     lowercase → stop → PorterStem) = ``stopwords=ENGLISH_STOP_WORDS,
-    strip_possessive=True, stemmer="porter"``. We lowercase before the
-    possessive strip — equivalent, since the strip is case-insensitive
-    and lowercasing preserves apostrophes. Positions keep gaps across
-    dropped tokens."""
-    if stemmer not in (None, "porter"):
-        raise ValueError(f"unknown stemmer {stemmer!r}")
-    from lucene_solr_spark.oracle.porter import porter_stem, strip_possessive as _sp
+    strip_possessive=True, stemmer="porter"``. The FrenchAnalyzer chain
+    (``fr/FrenchAnalyzer.java:130-136``: elision → lowercase → stop →
+    FrenchLightStem) = ``elide=FRENCH_ARTICLES,
+    stopwords=FRENCH_STOP_WORDS, stemmer="french_light"`` — elision runs
+    BEFORE the stop filter (an elided article may expose a stopword).
+    We lowercase before the possessive strip / elision — equivalent,
+    since both are case-insensitive and lowercasing preserves
+    apostrophes. Positions keep gaps across dropped tokens."""
+    from lucene_solr_spark.oracle.light_stemmers import french_elide
+    from lucene_solr_spark.oracle.light_stemmers import resolve as _resolve
+    from lucene_solr_spark.oracle.porter import strip_possessive as _sp
 
+    stem = _resolve(stemmer)
     out: list[Token] = []
     for term, pos in tokenize(text, max_token_length):
         if lowercase:
             term = term.lower()
         if strip_possessive:
             term = _sp(term)
+        if elide:
+            term = french_elide(term, elide)
         if fold_ascii:
             term = fold_accents(term)
         if term in stopwords:
             continue
-        if stemmer == "porter":
-            term = porter_stem(term)
+        if stem is not None:
+            term = stem(term)
         out.append(Token(term, pos))
     return out

@@ -1,0 +1,210 @@
+"""Language analyzer pack parity: UniNE light stemmers + normalizers.
+
+The strongest gate in the repo's arsenal applies here: the reference
+ships its own full-vocabulary expectation files (35,033 German, 20,403
+French, 28,377 Spanish word→stem pairs, published with the UniNE
+algorithms), so each stemmer is diffed against EVERY pair — bit-exact,
+no sampling. Chain behavior (elision → lowercase → stop → stem) is
+pinned by the reference's own analyzer goldens, and the batch kernel is
+checked against the scalar oracle chain on mixed multilingual text.
+"""
+
+from __future__ import annotations
+
+import random
+import zipfile
+
+import pytest
+
+from lucene_solr_spark.oracle.light_stemmers import (
+    FRENCH_ARTICLES,
+    FRENCH_STOP_WORDS,
+    french_elide,
+    french_light_stem,
+    german_light_stem,
+    german_normalize,
+    german_normalize_regex,
+    resolve,
+    spanish_light_stem,
+)
+from lucene_solr_spark.oracle.tokenizer import analyze
+
+_REF = "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/analysis"
+
+
+def _golden_pairs(rel: str):
+    with zipfile.ZipFile(f"{_REF}/{rel}") as z:
+        data = z.read(z.namelist()[0]).decode("utf-8")
+    out = []
+    for line in data.splitlines():
+        if line.strip():
+            w, s = line.split("\t")
+            out.append((w, s))
+    return out
+
+
+@pytest.mark.parametrize(
+    "zip_rel, fn, expected_n",
+    [
+        ("de/delighttestdata.zip", german_light_stem, 35033),
+        ("fr/frlighttestdata.zip", french_light_stem, 20403),
+        ("es/eslighttestdata.zip", spanish_light_stem, 28377),
+    ],
+    ids=["german", "french", "spanish"],
+)
+def test_full_vocabulary_parity(zip_rel, fn, expected_n):
+    """Every pair of the reference's own expectation file, bit-exact."""
+    pairs = _golden_pairs(zip_rel)
+    assert len(pairs) == expected_n
+    bad = [(w, fn(w), s) for w, s in pairs if fn(w) != s]
+    assert not bad, bad[:10]
+
+
+def test_german_normalize_goldens():
+    # TestGermanNormalizationFilter.java:50-66 checkOneTerm cases
+    cases = [
+        ("Schaltflächen", "Schaltflachen"),
+        ("Schaltflaechen", "Schaltflachen"),
+        ("dauer", "dauer"),
+        ("weißbier", "weissbier"),
+        ("", ""),
+        # FSM edge: ue after vowel/q is protected
+        ("quelle", "quelle"),
+        ("aue", "aue"),
+        ("bauern", "bauern"),
+        ("müller", "muller"),
+    ]
+    for inp, want in cases:
+        assert german_normalize(inp) == want, inp
+
+
+def test_german_normalize_regex_twin_fuzz():
+    """The DuckDB oracle's regex-chain decomposition ≡ the FSM, fuzzed
+    over the full trigger alphabet (vowels, umlauts, ß, q, separators)."""
+    rng = random.Random(42)
+    alpha = "aeouäöüßqi bxyz"
+    for _ in range(100_000):
+        s = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 12)))
+        assert german_normalize(s) == german_normalize_regex(s), s
+
+
+def test_french_elision():
+    # util/ElisionFilter.java semantics with FrenchAnalyzer's articles
+    assert french_elide("l'avion") == "avion"
+    assert french_elide("L'avion".lower()) == "avion"
+    assert french_elide("qu’avion") == "avion"  # curly apostrophe
+    assert french_elide("jusqu'au") == "au"
+    assert french_elide("x'avion") == "x'avion"  # not an article
+    assert french_elide("avion") == "avion"  # no apostrophe
+    assert french_elide("l'") == ""  # article + nothing
+    # only the FIRST apostrophe is considered
+    assert french_elide("aujourd'hui") == "aujourd'hui"
+    # custom article set path
+    assert french_elide("d'art", frozenset(["d"])) == "art"
+    assert french_elide("l'art", frozenset(["d"])) == "l'art"
+
+
+def test_french_analyzer_chain_goldens():
+    """TestFrenchAnalyzer.java:30-78 assertAnalyzesTo cases, run through
+    the scalar chain (elision → lowercase → stop → french_light)."""
+
+    def fa(text):
+        return [
+            t.term
+            for t in analyze(
+                text,
+                lowercase=True,
+                elide=FRENCH_ARTICLES,
+                stopwords=FRENCH_STOP_WORDS,
+                stemmer="french_light",
+            )
+        ]
+
+    assert fa("") == []
+    assert fa("chien chat cheval") == ["chien", "chat", "cheval"]
+    assert fa("chien CHAT CHEVAL") == ["chien", "chat", "cheval"]
+    assert fa("chien++") == ["chien"]
+    assert fa('mot "entreguillemet"') == ["mot", "entreguilemet"]
+    assert fa("Jean-François") == ["jean", "francoi"]
+    assert fa("le la chien les aux chat du des à cheval") == [
+        "chien",
+        "chat",
+        "cheval",
+    ]
+    assert fa("lances chismes habitable chiste éléments captifs") == [
+        "lanc",
+        "chism",
+        "habitabl",
+        "chist",
+        "element",
+        "captif",
+    ]
+    assert fa("finissions souffrirent rugissante") == [
+        "finision",
+        "soufrirent",
+        "rugisant",
+    ]
+    assert fa("C3PO aujourd'hui oeuf ïâöûàä anticonstitutionnellement Java++ ") == [
+        "c3po",
+        "aujourd'hui",
+        "oeuf",
+        "ïaöuaä",
+        "anticonstitutionel",
+        "java",
+    ]
+    assert fa("33Bis 1940-1945 1940:1945 (---i+++)*") == [
+        "33bi",
+        "1940",
+        "1945",
+        "1940",
+        "1945",
+        "i",
+    ]
+
+
+def test_resolver_contract():
+    assert resolve(None) is None
+    assert resolve("porter")("running") == "run"
+    assert resolve("german_light")("häuser") == "haus"
+    assert resolve("german")("bären") == "bar"  # normalize + light stem
+    assert resolve("french_light")("lances") == "lanc"
+    assert resolve("spanish_light")("torcidos") == "torcid"
+    with pytest.raises(ValueError):
+        resolve("klingon")
+
+
+def test_batch_kernel_matches_scalar_chain():
+    """fast path ≡ scalar oracle on mixed multilingual text, for every
+    registered stemmer and the elision filter."""
+    from lucene_solr_spark.functions.fast_tokenizer import batch_tokenize
+
+    texts = [
+        "L'avion des enfants",
+        "qu’une ANNEAU issement aujourd'hui",
+        None,
+        "Häuser hütte über quelle weißbier aufgabe",
+        "lances captifs finissions 1940-1945",
+        "torcidos guardianes \U0001F600 astral",  # astral → slow path
+    ]
+    configs = [
+        dict(lowercase=True, elide=FRENCH_ARTICLES, stemmer="french_light"),
+        dict(
+            lowercase=True,
+            elide=FRENCH_ARTICLES,
+            stopwords=FRENCH_STOP_WORDS,
+            stemmer="french_light",
+        ),
+        dict(lowercase=True, stemmer="german"),
+        dict(lowercase=True, stemmer="german_light"),
+        dict(lowercase=True, stemmer="german_normalize"),
+        dict(lowercase=True, stemmer="spanish_light"),
+    ]
+    for cfg in configs:
+        td, terms, pos = batch_tokenize(texts, **cfg)
+        got = list(zip(td.tolist(), terms.to_pylist(), pos.tolist()))
+        want = [
+            (i, t.term, t.pos)
+            for i, text in enumerate(texts)
+            for t in analyze(text or "", **cfg)
+        ]
+        assert got == want, cfg
