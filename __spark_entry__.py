@@ -76,8 +76,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "fuzzy_scored_topk", "term_in_set",
     "term_range_set", "regexp_set",
     "span_prefix_near_set",
-    # analysis chain
-    "stop_filter_topk",
+    # analysis chain (round 5: german_light_topk added — the language
+    # analyzer pack's hard-oracle representative, a full BM25 chain over
+    # a light-stemmed index vs the exact SQL twin of the cascade;
+    # highlight_sentence demoted to make room — the highlight family
+    # keeps highlight_topk in-window, sentence passages stay green
+    # locally + pinned by tests)
+    "stop_filter_topk", "german_light_topk",
     # round-3 additions (highlight_offsets demoted round 4;
     # common_terms_topk demoted round 5 — component #52
     # MoreLikeThis/CommonTermsQuery keeps mlt_topk in-window)
@@ -95,7 +100,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # similarity gates stay green locally)
     "classic_sim_topk",
     # highlight / suggest
-    "highlight_topk", "highlight_sentence", "spell_suggest",
+    "highlight_topk", "spell_suggest",
     # aggregations / join / collapse
     "facet_on_query", "group_topk_on_query", "collapse_topk",
     "join_parent_child",
@@ -310,6 +315,45 @@ def _french_executor(spark: SparkSession, sf_dir: str):
             elide=FRENCH_ARTICLES,
             stopwords=FRENCH_STOP_WORDS,
             stemmer="french_light",
+        ).persist()
+        _CACHE[key] = DFExecutor(ix, mode="double")
+    return _CACHE[key]
+
+
+#: Italian-gate corpus: the apostrophe corpus plus 'er'→'ero' so the
+#: corpus carries vowel-final long words (the base corpus has none ≥6
+#: chars — the Italian stemmer would be an identity otherwise)
+_ITALIAN_TEXT_SQL = (
+    "replace(replace(replace(text, ' s', ' l''s'), ' b', ' qu''b'), "
+    "'er', 'ero')"
+)
+
+
+def _italian_executor(spark: SparkSession, sf_dir: str):
+    """Full ItalianAnalyzer chain (it/ItalianAnalyzer.java:122-129:
+    elision with the Italian article set → lowercase → stop →
+    ItalianLightStem; the reference default stemmer is Snowball Italian,
+    the light variant is the analyzer's documented alternative)."""
+    key = f"it_ix::{sf_dir}"
+    if key not in _CACHE:
+        from lucene_solr_spark.operators.index_build import build_index
+        from lucene_solr_spark.oracle.light_stemmers import (
+            ITALIAN_ARTICLES,
+            ITALIAN_STOP_WORDS,
+        )
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        t = F.regexp_replace(F.col("text"), " s", " l's")
+        t = F.regexp_replace(t, " b", " qu'b")
+        t = F.regexp_replace(t, "er", "ero")
+        docs = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+        ix = build_index(
+            docs,
+            text_col="text",
+            doc_id_col="doc_id",
+            elide=ITALIAN_ARTICLES,
+            stopwords=ITALIAN_STOP_WORDS,
+            stemmer="italian_light",
         ).persist()
         _CACHE[key] = DFExecutor(ix, mode="double")
     return _CACHE[key]
@@ -1726,6 +1770,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["french_light_topk"] = french_light_topk
 
+    def italian_chain_topk(spark, sf_dir):
+        """Full ItalianAnalyzer chain VALUE-exact end-to-end: elision
+        (Italian article set) → Italian stop set → ItalianLightStemmer,
+        BM25 top-10 for 'customer' (the stem of the corpus's
+        'customero'). Every stage has an exact SQL twin."""
+        ex = _italian_executor(spark, sf_dir)
+        return ex.topk(_T("customer"), k=10).select("doc_id", "score")
+
+    out["italian_chain_topk"] = italian_chain_topk
+
+    def portuguese_light_topk(spark, sf_dir):
+        """PortugueseLightStemmer chain end-to-end: BM25 top-10 for
+        'merg' (the light stem of 'merge'); the SQL twin threads a
+        chr(1) sentinel so len<4 terms stay unfolded exactly like the
+        reference (PortugueseLightStemmer.java:64)."""
+        ex = _light_stem_executor(spark, sf_dir, "portuguese_light")
+        return ex.topk(_T("merg"), k=10).select("doc_id", "score")
+
+    out["portuguese_light_topk"] = portuguese_light_topk
+
     # --- search compositions (collector variants, SURVEY §2.3/§2.5) -----
     def sort_by_field_topk(spark, sf_dir):
         """TopFieldCollector role: matching docs ordered by a doc-values
@@ -2572,6 +2636,15 @@ def oracle_sql() -> dict[str, str]:
     # french_light_topk: intentionally NO oracle entry — the UniNE French
     # cascade is not SQL-expressible; rows-only by documented design
     # (stemmer pinned bit-exact on the 20,403-pair reference vocabulary).
+
+    out["italian_chain_topk"] = (
+        f"WITH {_ictes_lang(text_col=_ITALIAN_TEXT_SQL, token_regex=_APOSTROPHE_TOKEN_RX, elide_regex=_ls.elision_regex(_ls.ITALIAN_ARTICLES), stopwords=tuple(_ls.ITALIAN_STOP_WORDS), term_expr=_ls.ITALIAN_LIGHT_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="customer")
+    )
+    out["portuguese_light_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_ls.PORTUGUESE_LIGHT_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="merg")
+    )
 
     # index-time synonyms: postings from the stacked stream; doc length
     # from the BASE stream only (discountOverlaps); avgdl from the

@@ -71,13 +71,24 @@ def tokens_cte(
         body = f"""SELECT doc_id, regexp_replace(term, '{erx}', '') AS term, pos
         FROM ({body})"""
     body = f"SELECT * FROM (\n        {body}\n      ){stop_sql}"
-    if term_expr:
-        exprs = [term_expr] if isinstance(term_expr, str) else list(term_expr)
-        for expr in exprs:
-            body = f"SELECT doc_id, {expr} AS term, pos FROM (\n      {body}\n      )"
-    return f"""{name} AS (
+    if not term_expr:
+        return f"""{name} AS (
       {body}
     )"""
+    # Each stemmer layer references `term` many times; nested subqueries
+    # would be INLINED by the optimizer, multiplying the expression tree
+    # exponentially (a 5-layer cascade OOMs the planner). MATERIALIZED
+    # CTEs pin each layer to one evaluation.
+    exprs = [term_expr] if isinstance(term_expr, str) else list(term_expr)
+    ctes = [f"{name}_l0 AS MATERIALIZED (\n      {body}\n    )"]
+    for i, expr in enumerate(exprs):
+        ctes.append(
+            f"{name}_l{i + 1} AS MATERIALIZED (\n"
+            f"      SELECT doc_id, {expr} AS term, pos FROM {name}_l{i}\n"
+            f"    )"
+        )
+    ctes.append(f"{name} AS (SELECT * FROM {name}_l{len(exprs)})")
+    return ",\n    ".join(ctes)
 
 
 def index_ctes(

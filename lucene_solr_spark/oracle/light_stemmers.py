@@ -14,15 +14,20 @@ members.unine.ch/jacques.savoy/clef/):
 - ``french_light_stem`` — ``fr/FrenchLightStemmer.java`` (full UniNE
   rule cascade + ``norm()`` repeated-letter dedup and final truncation);
 - ``french_elide`` — ``util/ElisionFilter.java`` with
-  ``fr/FrenchAnalyzer.java:56-62``'s default article set (l', qu', …);
-- ``spanish_light_stem`` — ``es/SpanishLightStemmer.java``.
+  ``fr/FrenchAnalyzer.java:56-62``'s default article set (l', qu', …)
+  and ``it/ItalianAnalyzer.java:48-54``'s Italian set;
+- ``spanish_light_stem`` — ``es/SpanishLightStemmer.java``;
+- ``italian_light_stem`` — ``it/ItalianLightStemmer.java``;
+- ``portuguese_light_stem`` — ``pt/PortugueseLightStemmer.java``.
 
 Parity contract: ``tests/test_light_stemmers.py`` diffs every function
 against the reference's own published vocabulary expectations
-(``delight.txt`` 35k pairs, ``frlight.txt`` 20k, ``eslight.txt`` 28k)
+(``delight.txt`` 35,033 pairs, ``frlight.txt`` 20,403, ``eslight.txt``
+28,377, ``itlight.txt`` 35,494, ``ptlight.txt`` 32,016 — 151,323 total)
 plus the inline ``checkOneTerm`` goldens from the reference test
-classes, and fuzzes ``german_normalize`` against the regex-chain
-decomposition used by the DuckDB oracle gate.
+classes, fuzzes ``german_normalize`` against the regex-chain
+decomposition used by the DuckDB oracle gate, and re-verifies every
+``*_SQL`` twin below against the same vocabularies in DuckDB itself.
 
 All functions take and return ``str`` and are applied once per DISTINCT
 term via dictionary-encode in the batch tokenizer (the Porter pattern),
@@ -48,6 +53,11 @@ __all__ = [
     "FRENCH_STOP_WORDS",
     "GERMAN_STOP_WORDS",
     "SPANISH_STOP_WORDS",
+    "italian_light_stem",
+    "portuguese_light_stem",
+    "ITALIAN_ARTICLES",
+    "ITALIAN_STOP_WORDS",
+    "PORTUGUESE_STOP_WORDS",
 ]
 
 # ---------------------------------------------------------------------------
@@ -370,6 +380,120 @@ def _german_chain(term: str) -> str:
     return german_light_stem(german_normalize(term))
 
 
+# ---------------------------------------------------------------------------
+# Italian — ItalianLightStemmer.java (Savoy CLEF-2001)
+# ---------------------------------------------------------------------------
+
+_IT_FOLD = str.maketrans(
+    "àáâäòóôöèéêëùúûüìíîï",
+    "aaaaooooeeeeuuuuiiii",
+)
+
+
+def italian_light_stem(term: str) -> str:
+    """ItalianLightStemmer.stem (``it/ItalianLightStemmer.java:60-115``):
+    accent fold + final-vowel drop with plural-marker lookbehind
+    (ie/he → 2, hi/ii → 2, ia/io → 2, else 1); len<6 untouched."""
+    if len(term) < 6:
+        return term
+    s = term.translate(_IT_FOLD)
+    last, prev = s[-1], s[-2]
+    if last == "e":
+        return s[:-2] if prev in "ih" else s[:-1]
+    if last == "i":
+        return s[:-2] if prev in "hi" else s[:-1]
+    if last == "a":
+        return s[:-2] if prev == "i" else s[:-1]
+    if last == "o":
+        return s[:-2] if prev == "i" else s[:-1]
+    return s
+
+
+#: ItalianAnalyzer.DEFAULT_ARTICLES (``it/ItalianAnalyzer.java:48-54``)
+ITALIAN_ARTICLES = frozenset(
+    [
+        "c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
+        "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s",
+        "v", "d",
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Portuguese — PortugueseLightStemmer.java (UniNE SAC-2006 Portuguese light)
+# ---------------------------------------------------------------------------
+
+_PT_FOLD = str.maketrans(
+    "àáâäãòóôöõèéêëùúûüìíîïç",
+    "aaaaaoooooeeeeuuuuiiiic",
+)
+
+#: consonants allowed before a dropped 'es' plural
+_PT_ES = frozenset("rslz")
+
+
+def _pt_remove_suffix(s: str) -> str:
+    """removeSuffix (``pt/PortugueseLightStemmer.java:120-166``):
+    plural / adverb endings, first match wins."""
+    n = len(s)
+    if n > 4 and s.endswith("es") and s[-3] in _PT_ES:
+        return s[:-2]
+    if n > 3 and s.endswith("ns"):
+        return s[:-2] + "m"
+    if n > 4 and (s.endswith("eis") or s.endswith("éis")):
+        return s[:-3] + "el"
+    if n > 4 and s.endswith("ais"):
+        return s[:-2] + "l"
+    if n > 4 and s.endswith("óis"):
+        return s[:-3] + "ol"
+    if n > 4 and s.endswith("is"):
+        return s[:-1] + "l"
+    if n > 3 and (s.endswith("ões") or s.endswith("ães")):
+        return s[:-3] + "ão"
+    if n > 6 and s.endswith("mente"):
+        return s[:-5]
+    if n > 3 and s[-1] == "s":
+        return s[:-1]
+    return s
+
+
+def _pt_norm_feminine(s: str) -> str:
+    """normFeminine (``:168-209``) — only reached when the suffix-
+    stripped form still ends in 'a'."""
+    n = len(s)
+    if n > 7 and (
+        s.endswith("inha") or s.endswith("iaca") or s.endswith("eira")
+    ):
+        return s[:-1] + "o"
+    if n > 6:
+        if s[-3:] in ("osa", "ica", "ida", "ada", "iva", "ama"):
+            return s[:-1] + "o"
+        if s.endswith("ona"):
+            return s[:-3] + "ão"
+        if s.endswith("ora"):
+            return s[:-1]
+        if s.endswith("esa"):
+            return s[:-3] + "ês"
+        if s.endswith("na"):
+            return s[:-1] + "o"
+    return s
+
+
+def portuguese_light_stem(term: str) -> str:
+    """PortugueseLightStemmer.stem (``pt/PortugueseLightStemmer.java:
+    63-118``): suffix strip → feminine normalization → final-vowel drop
+    → accent fold (fold LAST — the suffix rules match accented forms);
+    len<4 untouched (and unfolded)."""
+    if len(term) < 4:
+        return term
+    s = _pt_remove_suffix(term)
+    if len(s) > 3 and s[-1] == "a":
+        s = _pt_norm_feminine(s)
+    if len(s) > 4 and s[-1] in "eao":
+        s = s[:-1]
+    return s.translate(_PT_FOLD)
+
+
 #: name → per-distinct-term transform; "porter" stays special-cased in
 #: callers for backward compatibility but is registered here too
 STEMMERS: dict[str, object] = {
@@ -378,6 +502,8 @@ STEMMERS: dict[str, object] = {
     "french_light": french_light_stem,
     "spanish_light": spanish_light_stem,
     "german_normalize": german_normalize,
+    "italian_light": italian_light_stem,
+    "portuguese_light": portuguese_light_stem,
 }
 
 
@@ -435,6 +561,61 @@ GERMAN_NORMALIZE_SQL = (
     r"regexp_replace(term, '([ao])e', '\1', 'g')",
     r"regexp_replace(term, '(^|[^aeiouqyäöü])ue', '\1u', 'g')",
     "translate(term, 'äöü', 'aou')",
+)
+
+_IT_F = "translate(term, 'àáâäòóôöèéêëùúûüìíîï', 'aaaaooooeeeeuuuuiiii')"
+ITALIAN_LIGHT_SQL = (
+    f"""CASE
+        WHEN length(term) < 6 THEN term
+        WHEN right({_IT_F}, 1) = 'e' AND substr({_IT_F}, length(term)-1, 1) IN ('i','h') THEN left({_IT_F}, length(term)-2)
+        WHEN right({_IT_F}, 1) = 'i' AND substr({_IT_F}, length(term)-1, 1) IN ('h','i') THEN left({_IT_F}, length(term)-2)
+        WHEN right({_IT_F}, 1) IN ('a','o') AND substr({_IT_F}, length(term)-1, 1) = 'i' THEN left({_IT_F}, length(term)-2)
+        WHEN right({_IT_F}, 1) IN ('e','i','a','o') THEN left({_IT_F}, length(term)-1)
+        ELSE {_IT_F} END""",
+)
+
+# Portuguese folds LAST and skips terms shorter than 4 ENTIRELY (incl.
+# the fold), but a long term may SHRINK below 4 and must still fold —
+# per-layer length checks can't tell the two apart. The twin therefore
+# tags short terms with a chr(1) sentinel in layer 0 (prefix-safe: every
+# rule matches suffixes; the tokenizer never emits control chars) and
+# strips it unfolded in the final layer.
+_PT_SKIP = "left(term, 1) = chr(1)"
+PORTUGUESE_LIGHT_SQL = (
+    "CASE WHEN length(term) < 4 THEN chr(1) || term ELSE term END",
+    # removeSuffix (PortugueseLightStemmer.java:120-166)
+    f"""CASE
+        WHEN {_PT_SKIP} THEN term
+        WHEN length(term) > 4 AND right(term, 3) IN ('res','ses','les','zes') THEN left(term, length(term)-2)
+        WHEN length(term) > 3 AND right(term, 2) = 'ns' THEN left(term, length(term)-2) || 'm'
+        WHEN length(term) > 4 AND right(term, 3) IN ('eis','éis') THEN left(term, length(term)-3) || 'el'
+        WHEN length(term) > 4 AND right(term, 3) = 'ais' THEN left(term, length(term)-2) || 'l'
+        WHEN length(term) > 4 AND right(term, 3) = 'óis' THEN left(term, length(term)-3) || 'ol'
+        WHEN length(term) > 4 AND right(term, 2) = 'is' THEN left(term, length(term)-1) || 'l'
+        WHEN length(term) > 3 AND right(term, 3) IN ('ões','ães') THEN left(term, length(term)-3) || 'ão'
+        WHEN length(term) > 6 AND right(term, 5) = 'mente' THEN left(term, length(term)-5)
+        WHEN length(term) > 3 AND right(term, 1) = 's' THEN left(term, length(term)-1)
+        ELSE term END""",
+    # normFeminine (:168-209), guarded on the still-ends-in-'a' branch
+    f"""CASE
+        WHEN {_PT_SKIP} THEN term
+        WHEN NOT (length(term) > 3 AND right(term, 1) = 'a') THEN term
+        WHEN length(term) > 7 AND right(term, 4) IN ('inha','iaca','eira') THEN left(term, length(term)-1) || 'o'
+        WHEN length(term) > 6 AND right(term, 3) IN ('osa','ica','ida','ada','iva','ama') THEN left(term, length(term)-1) || 'o'
+        WHEN length(term) > 6 AND right(term, 3) = 'ona' THEN left(term, length(term)-3) || 'ão'
+        WHEN length(term) > 6 AND right(term, 3) = 'ora' THEN left(term, length(term)-1)
+        WHEN length(term) > 6 AND right(term, 3) = 'esa' THEN left(term, length(term)-3) || 'ês'
+        WHEN length(term) > 6 AND right(term, 2) = 'na' THEN left(term, length(term)-1) || 'o'
+        ELSE term END""",
+    # final-vowel drop (:71-79)
+    f"""CASE
+        WHEN {_PT_SKIP} THEN term
+        WHEN length(term) > 4 AND right(term, 1) IN ('e','a','o') THEN left(term, length(term)-1)
+        ELSE term END""",
+    # unmark shorts (unfolded) / fold everything else (:79-116)
+    f"""CASE
+        WHEN {_PT_SKIP} THEN substr(term, 2)
+        ELSE translate(term, 'àáâäãòóôöõèéêëùúûüìíîïç', 'aaaaaoooooeeeeuuuuiiiic') END""",
 )
 
 _ES_F = "translate(term, 'àáâäòóôöèéêëùúûüìíîï', 'aaaaooooeeeeuuuuiiii')"
@@ -546,6 +727,64 @@ SPANISH_STOP_WORDS = frozenset(
     "tuviesen tuvieses tuvimos tuviste tuvisteis tuviéramos "
     "tuviésemos tuvo tuya tuyas tuyo tuyos tú un una uno unos "
     "vosotras vosotros vuestra vuestras vuestro vuestros y ya yo él "
+    "éramos "
+).split()
+)
+
+ITALIAN_STOP_WORDS = frozenset(
+(
+    "a abbia abbiamo abbiano abbiate ad agl agli ai al all alla alle "
+    "allo anche avemmo avendo avesse avessero avessi avessimo aveste "
+    "avesti avete aveva avevamo avevano avevate avevi avevo avrai "
+    "avranno avrebbe avrebbero avrei avremmo avremo avreste avresti "
+    "avrete avrà avrò avuta avute avuti avuto c che chi ci coi col "
+    "come con contro cui da dagl dagli dai dal dall dalla dalle "
+    "dallo degl degli dei del dell della delle dello di dov dove e "
+    "ebbe ebbero ebbi ed era erano eravamo eravate eri ero essendo "
+    "faccia facciamo facciano facciate faccio facemmo facendo "
+    "facesse facessero facessi facessimo faceste facesti faceva "
+    "facevamo facevano facevate facevi facevo fai fanno farai "
+    "faranno farebbe farebbero farei faremmo faremo fareste faresti "
+    "farete farà farò fece fecero feci fosse fossero fossi fossimo "
+    "foste fosti fu fui fummo furono gli ha hai hanno ho i il in io "
+    "l la le lei li lo loro lui ma mi mia mie miei mio ne negl negli "
+    "nei nel nell nella nelle nello noi non nostra nostre nostri "
+    "nostro o per perché più quale quanta quante quanti quanto "
+    "quella quelle quelli quello questa queste questi questo sarai "
+    "saranno sarebbe sarebbero sarei saremmo saremo sareste saresti "
+    "sarete sarà sarò se sei si sia siamo siano siate siete sono sta "
+    "stai stando stanno starai staranno starebbe starebbero starei "
+    "staremmo staremo stareste staresti starete starà starò stava "
+    "stavamo stavano stavate stavi stavo stemmo stesse stessero "
+    "stessi stessimo steste stesti stette stettero stetti stia "
+    "stiamo stiano stiate sto su sua sue sugl sugli sui sul sull "
+    "sulla sulle sullo suo suoi ti tra tu tua tue tuo tuoi tutti "
+    "tutto un una uno vi voi vostra vostre vostri vostro è "
+).split()
+)
+
+PORTUGUESE_STOP_WORDS = frozenset(
+(
+    "a ao aos aquela aquelas aquele aqueles aquilo as até com como "
+    "da das de dela delas dele deles depois do dos e ela elas ele "
+    "eles em entre era eram essa essas esse esses esta estamos estas "
+    "estava estavam este esteja estejam estejamos estes esteve "
+    "estive estivemos estiver estivera estiveram estiverem "
+    "estivermos estivesse estivessem estivéramos estivéssemos estou "
+    "está estávamos estão eu foi fomos for fora foram forem formos "
+    "fosse fossem fui fôramos fôssemos haja hajam hajamos havemos "
+    "hei houve houvemos houver houvera houveram houverei houverem "
+    "houveremos houveria houveriam houvermos houverá houverão "
+    "houveríamos houvesse houvessem houvéramos houvéssemos há hão "
+    "isso isto já lhe lhes mais mas me mesmo meu meus minha minhas "
+    "muito na nas nem no nos nossa nossas nosso nossos num numa não "
+    "nós o os ou para pela pelas pelo pelos por qual quando que quem "
+    "se seja sejam sejamos sem serei seremos seria seriam será serão "
+    "seríamos seu seus somos sou sua suas são só também te tem temos "
+    "tenha tenham tenhamos tenho terei teremos teria teriam terá "
+    "terão teríamos teu teus teve tinha tinham tive tivemos tiver "
+    "tivera tiveram tiverem tivermos tivesse tivessem tivéramos "
+    "tivéssemos tu tua tuas tém tínhamos um uma você vocês vos à às "
     "éramos "
 ).split()
 )

@@ -19,11 +19,18 @@ import pytest
 from lucene_solr_spark.oracle.light_stemmers import (
     FRENCH_ARTICLES,
     FRENCH_STOP_WORDS,
+    GERMAN_LIGHT_SQL,
+    GERMAN_NORMALIZE_SQL,
+    ITALIAN_LIGHT_SQL,
+    PORTUGUESE_LIGHT_SQL,
+    SPANISH_LIGHT_SQL,
     french_elide,
     french_light_stem,
     german_light_stem,
     german_normalize,
     german_normalize_regex,
+    italian_light_stem,
+    portuguese_light_stem,
     resolve,
     spanish_light_stem,
 )
@@ -49,8 +56,10 @@ def _golden_pairs(rel: str):
         ("de/delighttestdata.zip", german_light_stem, 35033),
         ("fr/frlighttestdata.zip", french_light_stem, 20403),
         ("es/eslighttestdata.zip", spanish_light_stem, 28377),
+        ("it/itlighttestdata.zip", italian_light_stem, 35494),
+        ("pt/ptlighttestdata.zip", portuguese_light_stem, 32016),
     ],
-    ids=["german", "french", "spanish"],
+    ids=["german", "french", "spanish", "italian", "portuguese"],
 )
 def test_full_vocabulary_parity(zip_rel, fn, expected_n):
     """Every pair of the reference's own expectation file, bit-exact."""
@@ -162,6 +171,81 @@ def test_french_analyzer_chain_goldens():
     ]
 
 
+def test_portuguese_goldens():
+    # TestPortugueseLightStemFilter.java:101-118 checkOneTerm cases —
+    # every removeSuffix rewrite family
+    cases = [
+        ("doutores", "doutor"),
+        ("doutor", "doutor"),
+        ("homens", "homem"),
+        ("homem", "homem"),
+        ("papéis", "papel"),
+        ("papel", "papel"),
+        ("normais", "normal"),
+        ("normal", "normal"),
+        ("lencóis", "lencol"),
+    ]
+    for w, s in cases:
+        assert portuguese_light_stem(w) == s, w
+
+
+_SQL_TWINS = [
+    ("de/delighttestdata.zip", GERMAN_LIGHT_SQL, german_light_stem),
+    ("es/eslighttestdata.zip", SPANISH_LIGHT_SQL, spanish_light_stem),
+    ("it/itlighttestdata.zip", ITALIAN_LIGHT_SQL, italian_light_stem),
+    ("pt/ptlighttestdata.zip", PORTUGUESE_LIGHT_SQL, portuguese_light_stem),
+]
+
+
+@pytest.mark.parametrize(
+    "zip_rel, exprs, fn",
+    _SQL_TWINS,
+    ids=["german", "spanish", "italian", "portuguese"],
+)
+def test_sql_twin_parity(zip_rel, exprs, fn):
+    """The DuckDB oracle's SQL stemmer ≡ the Python stemmer over the
+    reference's full vocabulary + short-accented edge cases (incl. the
+    Portuguese chr(1)-sentinel path: len<4 terms stay UNFOLDED while a
+    term that SHRINKS below 4 still folds)."""
+    import duckdb
+
+    con = duckdb.connect()
+    words = [w for w, _s in _golden_pairs(zip_rel)]
+    words += ["às", "ão", "ões", "ãos", "cão", "àbc", "xões", "cità"]
+    con.execute("CREATE TABLE w AS SELECT unnest(?) AS term", [words])
+    body = "SELECT term FROM w"
+    for e in exprs:
+        body = f"SELECT {e} AS term FROM ({body})"
+    got = [r[0] for r in con.execute(body).fetchall()]
+    bad = [(w, g, fn(w)) for w, g in zip(words, got) if g != fn(w)]
+    assert not bad, bad[:10]
+
+
+def test_german_normalize_sql_twin():
+    import random
+
+    import duckdb
+
+    rng = random.Random(9)
+    alpha = "aeouäöüßqixyz"
+    words = [
+        "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 12)))
+        for _ in range(20_000)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w AS SELECT unnest(?) AS term", [words])
+    body = "SELECT term FROM w"
+    for e in GERMAN_NORMALIZE_SQL:
+        body = f"SELECT {e} AS term FROM ({body})"
+    got = [r[0] for r in con.execute(body).fetchall()]
+    bad = [
+        (w, g, german_normalize(w))
+        for w, g in zip(words, got)
+        if g != german_normalize(w)
+    ]
+    assert not bad, bad[:10]
+
+
 def test_resolver_contract():
     assert resolve(None) is None
     assert resolve("porter")("running") == "run"
@@ -169,6 +253,8 @@ def test_resolver_contract():
     assert resolve("german")("bären") == "bar"  # normalize + light stem
     assert resolve("french_light")("lances") == "lanc"
     assert resolve("spanish_light")("torcidos") == "torcid"
+    assert resolve("italian_light")("ragazzo") == "ragazz"
+    assert resolve("portuguese_light")("doutores") == "doutor"
     with pytest.raises(ValueError):
         resolve("klingon")
 
