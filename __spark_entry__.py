@@ -258,22 +258,34 @@ def _stopped_executor(spark: SparkSession, sf_dir: str):
     return _CACHE[key]
 
 
-def _light_stem_executor(spark: SparkSession, sf_dir: str, stemmer: str):
+def _light_stem_executor(
+    spark: SparkSession, sf_dir: str, stemmer: str, text_sql: str | None = None
+):
     """Executor over an index built with a UniNE light-stemmed chain
-    (de/GermanLightStemmer.java, es/SpanishLightStemmer.java) — both
-    stemmers have exact SQL twins (oracle.light_stemmers.*_SQL), so the
-    full BM25 chain is value-oracle-able, unlike Porter."""
+    (de/GermanLightStemmer.java etc.) — these stemmers have exact SQL
+    twins (oracle.light_stemmers.*_SQL), so the full BM25 chain is
+    value-oracle-able, unlike Porter. ``text_sql``: optional corpus
+    transform, the SAME SQL expression both engines evaluate (e.g. the
+    pseudo-Cyrillic mapping for the Russian gate)."""
     key = f"{stemmer}_ix::{sf_dir}"
     if key not in _CACHE:
         from lucene_solr_spark.operators.index_build import build_index
         from lucene_solr_spark.plans.df_executor import DFExecutor
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if text_sql:
+            docs = docs.select("doc_id", F.expr(text_sql).alias("text"))
         ix = build_index(
             docs, text_col="text", doc_id_col="doc_id", stemmer=stemmer
         ).persist()
         _CACHE[key] = DFExecutor(ix, mode="double")
     return _CACHE[key]
+
+
+#: Russian-gate corpus: vowels mapped to their Cyrillic homoglyph slots
+#: so the (Cyrillic-only) case/normalize rules fire on real tokens
+_RUSSIAN_TEXT_SQL = "translate(text, 'aeiou', 'аеиоу')"
+_RU_MAP = str.maketrans("aeiou", "аеиоу")
 
 
 #: deterministic apostrophe corpus for the FrenchAnalyzer-chain gates:
@@ -1790,6 +1802,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["portuguese_light_topk"] = portuguese_light_topk
 
+    def swedish_light_topk(spark, sf_dir):
+        """SwedishLightStemmer (CLEF-2003): BM25 top-10 for 'vect' (the
+        stem of 'vector'); exact SQL twin oracle."""
+        ex = _light_stem_executor(spark, sf_dir, "swedish_light")
+        return ex.topk(_T("vect"), k=10).select("doc_id", "score")
+
+    out["swedish_light_topk"] = swedish_light_topk
+
+    def hungarian_light_topk(spark, sf_dir):
+        """HungarianLightStemmer (UniNE): BM25 top-10 for 'dat' (the
+        possessive-rule stem of 'data'); exact SQL twin oracle."""
+        ex = _light_stem_executor(spark, sf_dir, "hungarian_light")
+        return ex.topk(_T("dat"), k=10).select("doc_id", "score")
+
+    out["hungarian_light_topk"] = hungarian_light_topk
+
+    def russian_light_topk(spark, sf_dir):
+        """RussianLightStemmer (Dolamic & Savoy) over the pseudo-
+        Cyrillic corpus (the rules only fire on Cyrillic codepoints);
+        query = the stem of the mapped 'merge'; exact SQL twin oracle."""
+        ex = _light_stem_executor(
+            spark, sf_dir, "russian_light", text_sql=_RUSSIAN_TEXT_SQL
+        )
+        from lucene_solr_spark.oracle.light_stemmers import (
+            russian_light_stem,
+        )
+
+        q = russian_light_stem("merge".translate(_RU_MAP))
+        return ex.topk(_T(q), k=10).select("doc_id", "score")
+
+    out["russian_light_topk"] = russian_light_topk
+
+    def finnish_light_topk(spark, sf_dir):
+        """FinnishLightStemmer (CLEF-2003): BM25 top-10 for 'tabl' (the
+        norm1 stem of 'table'); the SQL twin unrolls the kin/ko
+        recursion and threads the chr(1) fold-skip sentinel."""
+        ex = _light_stem_executor(spark, sf_dir, "finnish_light")
+        return ex.topk(_T("tabl"), k=10).select("doc_id", "score")
+
+    out["finnish_light_topk"] = finnish_light_topk
+
+    def norwegian_light_topk(spark, sf_dir):
+        """NorwegianLightStemmer (Bokmål flags, the NorwegianAnalyzer
+        default): BM25 top-10 for 'colum' (the stem of 'column');
+        exact SQL twin oracle."""
+        ex = _light_stem_executor(spark, sf_dir, "norwegian_light")
+        return ex.topk(_T("colum"), k=10).select("doc_id", "score")
+
+    out["norwegian_light_topk"] = norwegian_light_topk
+
     # --- search compositions (collector variants, SURVEY §2.3/§2.5) -----
     def sort_by_field_topk(spark, sf_dir):
         """TopFieldCollector role: matching docs ordered by a doc-values
@@ -2644,6 +2706,29 @@ def oracle_sql() -> dict[str, str]:
     out["portuguese_light_topk"] = (
         f"WITH {_ictes_lang(term_expr=_ls.PORTUGUESE_LIGHT_SQL)}"
         + _lang_topk.format(score=_SCORE, term="merg")
+    )
+    out["swedish_light_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_ls.SWEDISH_LIGHT_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="vect")
+    )
+    out["hungarian_light_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_ls.HUNGARIAN_LIGHT_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="dat")
+    )
+    out["russian_light_topk"] = (
+        f"WITH {_ictes_lang(text_col=_RUSSIAN_TEXT_SQL, token_regex='[a-z0-9аеиоу]+', term_expr=_ls.RUSSIAN_LIGHT_SQL)}"
+        + _lang_topk.format(
+            score=_SCORE,
+            term=_ls.russian_light_stem("merge".translate(_RU_MAP)),
+        )
+    )
+    out["finnish_light_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_ls.FINNISH_LIGHT_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="tabl")
+    )
+    out["norwegian_light_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_ls.NORWEGIAN_LIGHT_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="colum")
     )
 
     # index-time synonyms: postings from the stacked stream; doc length

@@ -18,16 +18,26 @@ members.unine.ch/jacques.savoy/clef/):
   and ``it/ItalianAnalyzer.java:48-54``'s Italian set;
 - ``spanish_light_stem`` — ``es/SpanishLightStemmer.java``;
 - ``italian_light_stem`` — ``it/ItalianLightStemmer.java``;
-- ``portuguese_light_stem`` — ``pt/PortugueseLightStemmer.java``.
+- ``portuguese_light_stem`` — ``pt/PortugueseLightStemmer.java``;
+- ``swedish_light_stem`` — ``sv/SwedishLightStemmer.java`` (CLEF-2003);
+- ``hungarian_light_stem`` — ``hu/HungarianLightStemmer.java``;
+- ``russian_light_stem`` — ``ru/RussianLightStemmer.java`` (Dolamic &
+  Savoy, *Indexing and Searching Strategies for the Russian Language*);
+- ``finnish_light_stem`` — ``fi/FinnishLightStemmer.java`` (CLEF-2003);
+- ``norwegian_light_stem`` — ``no/NorwegianLightStemmer.java``
+  (BOKMAAL/NYNORSK flag parity).
 
 Parity contract: ``tests/test_light_stemmers.py`` diffs every function
 against the reference's own published vocabulary expectations
 (``delight.txt`` 35,033 pairs, ``frlight.txt`` 20,403, ``eslight.txt``
-28,377, ``itlight.txt`` 35,494, ``ptlight.txt`` 32,016 — 151,323 total)
-plus the inline ``checkOneTerm`` goldens from the reference test
-classes, fuzzes ``german_normalize`` against the regex-chain
-decomposition used by the DuckDB oracle gate, and re-verifies every
-``*_SQL`` twin below against the same vocabularies in DuckDB itself.
+28,377, ``itlight.txt`` 35,494, ``ptlight.txt`` 32,016, ``svlight.txt``
+30,623, ``hulight.txt`` 30,000, ``rulight.txt`` 49,673, ``filight.txt``
+50,000 — 311,619 total — plus the hand-crafted ``nb_light.txt`` /
+``nn_light.txt`` Norwegian files) and the inline ``checkOneTerm``
+goldens from the reference test classes, fuzzes ``german_normalize``
+against the regex-chain decomposition used by the DuckDB oracle gate,
+and re-verifies every ``*_SQL`` twin below against the same
+vocabularies in DuckDB itself.
 
 All functions take and return ``str`` and are applied once per DISTINCT
 term via dictionary-encode in the batch tokenizer (the Porter pattern),
@@ -55,9 +65,18 @@ __all__ = [
     "SPANISH_STOP_WORDS",
     "italian_light_stem",
     "portuguese_light_stem",
+    "swedish_light_stem",
+    "hungarian_light_stem",
+    "russian_light_stem",
+    "finnish_light_stem",
+    "norwegian_light_stem",
     "ITALIAN_ARTICLES",
     "ITALIAN_STOP_WORDS",
     "PORTUGUESE_STOP_WORDS",
+    "RUSSIAN_STOP_WORDS",
+    "FINNISH_STOP_WORDS",
+    "SWEDISH_STOP_WORDS",
+    "HUNGARIAN_STOP_WORDS",
 ]
 
 # ---------------------------------------------------------------------------
@@ -494,6 +513,344 @@ def portuguese_light_stem(term: str) -> str:
     return s.translate(_PT_FOLD)
 
 
+# ---------------------------------------------------------------------------
+# Swedish — SwedishLightStemmer.java (Savoy CLEF-2003)
+# ---------------------------------------------------------------------------
+
+
+def swedish_light_stem(term: str) -> str:
+    """SwedishLightStemmer.stem (``sv/SwedishLightStemmer.java:64-100``):
+    optional plural 's' drop, then one ordered suffix cascade."""
+    s = term
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and (s.endswith("elser") or s.endswith("heten")):
+        return s[:-5]
+    if n > 6 and s[-4:] in ("arne", "erna", "ande", "else", "aste", "orna", "aren"):
+        return s[:-4]
+    if n > 5 and s[-3:] in ("are", "ast", "het"):
+        return s[:-3]
+    if n > 4 and s[-2:] in ("ar", "er", "or", "en", "at", "te", "et"):
+        return s[:-2]
+    if n > 3 and s[-1] in "taen":
+        return s[:-1]
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Hungarian — HungarianLightStemmer.java (UniNE SAC-2006 Hungarian light)
+# ---------------------------------------------------------------------------
+
+_HU_FOLD = str.maketrans("áëéíóőõöúűũûü", "aeeioooouuuuu")
+_HU_VOWELS = frozenset("aeiouy")
+
+
+def _hu_remove_case(s: str) -> str:
+    """removeCase (``hu/HungarianLightStemmer.java:96-147``)."""
+    n = len(s)
+    if n > 6 and s.endswith("kent"):
+        return s[:-4]
+    if n > 5:
+        if s[-3:] in (
+            "nak", "nek", "val", "vel", "ert", "rol", "ban", "ben",
+            "bol", "nal", "nel", "hoz", "hez", "tol",
+        ):
+            return s[:-3]
+        if s[-2:] in ("al", "el") and s[-3] not in _HU_VOWELS and s[-3] == s[-4]:
+            return s[:-3]
+    if n > 4:
+        if s[-2:] in ("at", "et", "ot", "va", "ve", "ra", "re", "ba", "be", "ul", "ig"):
+            return s[:-2]
+        if s[-2:] in ("on", "en") and s[-3] not in _HU_VOWELS:
+            return s[:-2]
+        if s[-1] in "tn":
+            return s[:-1]
+        if s[-1] in "ae" and s[-2] == s[-3] and s[-2] not in _HU_VOWELS:
+            return s[:-2]
+    return s
+
+
+def _hu_remove_possessive(s: str) -> str:
+    """removePossessive (``:149-201``)."""
+    n = len(s)
+    if n > 6:
+        if s[-5] not in _HU_VOWELS and s[-4:] in ("atok", "otok", "etek"):
+            return s[:-4]
+        if s[-4:] in ("itek", "itok"):
+            return s[:-4]
+    if n > 5:
+        if s[-4] not in _HU_VOWELS and s[-3:] in ("unk", "tok", "tek"):
+            return s[:-3]
+        if s[-4] in _HU_VOWELS and s[-3:] == "juk":
+            return s[:-3]
+        if s[-3:] == "ink":
+            return s[:-3]
+    if n > 4:
+        if s[-3] not in _HU_VOWELS and s[-2:] in (
+            "am", "em", "om", "ad", "ed", "od", "uk",
+        ):
+            return s[:-2]
+        if s[-3] in _HU_VOWELS and s[-2:] in ("nk", "ja", "je"):
+            return s[:-2]
+        if s[-2:] in ("im", "id", "ik"):
+            return s[:-2]
+    if n > 3:
+        if s[-1] in "ae" and s[-2] not in _HU_VOWELS:
+            return s[:-1]
+        if s[-1] in "md" and s[-2] in _HU_VOWELS:
+            return s[:-1]
+        if s[-1] == "i":
+            return s[:-1]
+    return s
+
+
+def hungarian_light_stem(term: str) -> str:
+    """HungarianLightStemmer.stem (``hu/HungarianLightStemmer.java:
+    62-94``): fold → removeCase → removePossessive → removePlural →
+    normalize."""
+    s = term.translate(_HU_FOLD)
+    s = _hu_remove_case(s)
+    s = _hu_remove_possessive(s)
+    # removePlural (:204-215): 'k' plural; the a/o/e fallthrough keeps
+    # len-1 when the len>4 guard fails
+    if len(s) > 3 and s[-1] == "k":
+        s = s[:-2] if (s[-2] in "aoe" and len(s) > 4) else s[:-1]
+    # normalize (:217-227)
+    if len(s) > 3 and s[-1] in "aeio":
+        s = s[:-1]
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Russian — RussianLightStemmer.java (Dolamic & Savoy, published)
+# ---------------------------------------------------------------------------
+
+_RU_3 = (
+    "иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его", "ему",
+    "ери", "ими", "ого", "ому", "ыми", "оев",
+)
+_RU_2 = (
+    "ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв", "ою",
+    "ую", "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев", "ий", "им",
+    "ое", "ой", "ом", "ов", "ые", "ый", "ым", "ми",
+)
+
+
+def russian_light_stem(term: str) -> str:
+    """RussianLightStemmer.stem (``ru/RussianLightStemmer.java:65-150``):
+    case-ending strip then soft-sign / double-н normalization."""
+    s = term
+    n = len(s)
+    if n > 6 and s[-4:] in ("иями", "оями"):
+        s = s[:-4]
+    elif n > 5 and s[-3:] in _RU_3:
+        s = s[:-3]
+    elif n > 4 and s[-2:] in _RU_2:
+        s = s[:-2]
+    elif n > 3 and s[-1] in "аеиоуйыяь":
+        s = s[:-1]
+    # normalize (:70-80)
+    if len(s) > 3:
+        if s[-1] in "ьи":
+            s = s[:-1]
+        elif s[-1] == "н" and s[-2] == "н":
+            s = s[:-1]
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Finnish — FinnishLightStemmer.java (Savoy CLEF-2003)
+# ---------------------------------------------------------------------------
+
+_FI_FOLD = str.maketrans("äåö", "aao")
+_FI_VOWELS = frozenset("aeiouy")
+
+
+def _fi_step1(s: str) -> str:
+    while len(s) > 8:
+        if s.endswith("kin"):
+            s = s[:-3]
+            continue
+        if s.endswith("ko"):
+            s = s[:-2]
+            continue
+        break
+    if len(s) > 11:
+        if s.endswith("dellinen"):
+            return s[:-8]
+        if s.endswith("dellisuus"):
+            return s[:-9]
+    return s
+
+
+def _fi_step2(s: str) -> str:
+    n = len(s)
+    if n > 5:
+        if s[-3:] in ("lla", "tse", "sti"):
+            return s[:-3]
+        if s.endswith("ni"):
+            return s[:-2]
+        if s.endswith("aa"):
+            return s[:-1]
+    return s
+
+
+def _fi_step3(s: str) -> str:
+    n = len(s)
+    if n > 8:
+        if s.endswith("nnen"):
+            return s[:-4] + "s"
+        if s.endswith("ntena"):
+            return s[:-5] + "s"
+        if s.endswith("tten"):
+            return s[:-4]
+        if s.endswith("eiden"):
+            return s[:-5]
+    if n > 6:
+        if s[-4:] in ("neen", "niin", "seen", "teen", "inen"):
+            return s[:-4]
+        if s[-3] == "h" and s[-2] in _FI_VOWELS and s[-1] == "n":
+            return s[:-3]
+        if s.endswith("den"):
+            return s[:-3] + "s"
+        if s.endswith("ksen"):
+            return s[:-4] + "s"
+        if s[-3:] in ("ssa", "sta", "lla", "lta", "tta", "ksi", "lle"):
+            return s[:-3]
+    if n > 5:
+        if s[-2:] in ("na", "ne"):
+            return s[:-2]
+        if s.endswith("nei"):
+            return s[:-3]
+    if n > 4:
+        if s[-2:] in ("ja", "ta"):
+            return s[:-2]
+        if s[-1] == "a":
+            return s[:-1]
+        if s[-1] == "n" and s[-2] in _FI_VOWELS:
+            return s[:-2]
+        if s[-1] == "n":
+            return s[:-1]
+    return s
+
+
+def _fi_norm1(s: str) -> str:
+    if len(s) > 5 and s.endswith("hde"):
+        s = s[:-3] + "ksi"  # mutation WITHOUT return — falls through
+    n = len(s)
+    if n > 4 and (s.endswith("ei") or s.endswith("at")):
+        return s[:-2]
+    if n > 3 and s[-1] in "tsjeai":
+        return s[:-1]
+    return s
+
+
+def _fi_norm2(s: str) -> str:
+    if len(s) > 8 and s[-1] in "eou":
+        s = s[:-1]
+    if len(s) > 4:
+        if s[-1] == "i":
+            s = s[:-1]
+        if len(s) > 4:
+            # collapse consecutive duplicate k/p/t anywhere (:210-215)
+            out = [s[0]]
+            for c in s[1:]:
+                if c == out[-1] and c in "kpt":
+                    continue
+                out.append(c)
+            s = "".join(out)
+    return s
+
+
+def finnish_light_stem(term: str) -> str:
+    """FinnishLightStemmer.stem (``fi/FinnishLightStemmer.java:64-220``):
+    fold ä/å/ö, then the five-step cascade; len<4 untouched (and
+    unfolded)."""
+    if len(term) < 4:
+        return term
+    s = term.translate(_FI_FOLD)
+    return _fi_norm2(_fi_norm1(_fi_step3(_fi_step2(_fi_step1(s)))))
+
+
+# ---------------------------------------------------------------------------
+# Norwegian — NorwegianLightStemmer.java (hand-crafted, flag-driven)
+# ---------------------------------------------------------------------------
+
+
+def norwegian_light_stem(term: str, *, bokmaal: bool = True, nynorsk: bool = False) -> str:
+    """NorwegianLightStemmer.stem (``no/NorwegianLightStemmer.java:
+    85-182``): possessive 's' drop + one ordered single-pass cascade;
+    rule subsets gate on the BOKMAAL/NYNORSK flags exactly like the
+    reference ctor (the NorwegianAnalyzer default is BOKMAAL)."""
+    bm, nn = bokmaal, nynorsk
+    s = term
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and (
+        (s.endswith(("heter", "heten")) and bm) or (s.endswith("heita") and nn)
+    ):
+        return s[:-5]
+    if n > 8 and nn and s.endswith(("heiter", "leiken", "leikar")):
+        return s[:-6]
+    if n > 5 and (s.endswith("dom") or (s.endswith("het") and bm)):
+        return s[:-3]
+    if n > 6 and nn and s.endswith(("heit", "semd", "leik")):
+        return s[:-4]
+    if n > 7 and s.endswith(("elser", "elsen")):
+        return s[:-5]
+    if n > 6 and (
+        (s.endswith("ende") and bm)
+        or (s.endswith("ande") and nn)
+        or s.endswith("else")
+        or (s.endswith("este") and bm)
+        or (s.endswith("aste") and nn)
+        or (s.endswith("eren") and bm)
+        or (s.endswith("aren") and nn)
+    ):
+        return s[:-4]
+    if n > 5 and (
+        (s.endswith("ere") and bm)
+        or (s.endswith("are") and nn)
+        or (s.endswith("est") and bm)
+        or (s.endswith("ast") and nn)
+        or s.endswith("ene")
+        or (s.endswith("ane") and nn)
+    ):
+        return s[:-3]
+    if n > 4 and (
+        s.endswith(("er", "en", "et", "te"))
+        or (s.endswith("ar") and nn)
+        or (s.endswith("st") and bm)
+    ):
+        return s[:-2]
+    if n > 3 and s[-1] in "aen":
+        return s[:-1]
+    return s
+
+
+def _nynorsk_light(term: str) -> str:
+    return norwegian_light_stem(term, bokmaal=False, nynorsk=True)
+
+
+NORWEGIAN_LIGHT_SQL = (
+    """CASE
+        WHEN length(term) > 4 AND right(term, 1) = 's' THEN left(term, length(term)-1)
+        ELSE term END""",
+    # the Bokmål-flag cascade (NorwegianLightStemmer.java:90-182)
+    """CASE
+        WHEN length(term) > 7 AND right(term, 5) IN ('heter','heten') THEN left(term, length(term)-5)
+        WHEN length(term) > 5 AND right(term, 3) IN ('dom','het') THEN left(term, length(term)-3)
+        WHEN length(term) > 7 AND right(term, 5) IN ('elser','elsen') THEN left(term, length(term)-5)
+        WHEN length(term) > 6 AND right(term, 4) IN ('ende','else','este','eren') THEN left(term, length(term)-4)
+        WHEN length(term) > 5 AND right(term, 3) IN ('ere','est','ene') THEN left(term, length(term)-3)
+        WHEN length(term) > 4 AND right(term, 2) IN ('er','en','et','st','te') THEN left(term, length(term)-2)
+        WHEN length(term) > 3 AND right(term, 1) IN ('a','e','n') THEN left(term, length(term)-1)
+        ELSE term END""",
+)
+
+
 #: name → per-distinct-term transform; "porter" stays special-cased in
 #: callers for backward compatibility but is registered here too
 STEMMERS: dict[str, object] = {
@@ -504,6 +861,12 @@ STEMMERS: dict[str, object] = {
     "german_normalize": german_normalize,
     "italian_light": italian_light_stem,
     "portuguese_light": portuguese_light_stem,
+    "swedish_light": swedish_light_stem,
+    "hungarian_light": hungarian_light_stem,
+    "russian_light": russian_light_stem,
+    "finnish_light": finnish_light_stem,
+    "norwegian_light": norwegian_light_stem,  # BOKMAAL (analyzer default)
+    "nynorsk_light": _nynorsk_light,
 }
 
 
@@ -616,6 +979,153 @@ PORTUGUESE_LIGHT_SQL = (
     f"""CASE
         WHEN {_PT_SKIP} THEN substr(term, 2)
         ELSE translate(term, 'àáâäãòóôöõèéêëùúûüìíîïç', 'aaaaaoooooeeeeuuuuiiiic') END""",
+)
+
+SWEDISH_LIGHT_SQL = (
+    """CASE
+        WHEN length(term) > 4 AND right(term, 1) = 's' THEN left(term, length(term)-1)
+        ELSE term END""",
+    """CASE
+        WHEN length(term) > 7 AND right(term, 5) IN ('elser','heten') THEN left(term, length(term)-5)
+        WHEN length(term) > 6 AND right(term, 4) IN ('arne','erna','ande','else','aste','orna','aren') THEN left(term, length(term)-4)
+        WHEN length(term) > 5 AND right(term, 3) IN ('are','ast','het') THEN left(term, length(term)-3)
+        WHEN length(term) > 4 AND right(term, 2) IN ('ar','er','or','en','at','te','et') THEN left(term, length(term)-2)
+        WHEN length(term) > 3 AND right(term, 1) IN ('t','a','e','n') THEN left(term, length(term)-1)
+        ELSE term END""",
+)
+
+_HU_V = "('a','e','i','o','u','y')"
+HUNGARIAN_LIGHT_SQL = (
+    "translate(term, 'áëéíóőõöúűũûü', 'aeeioooouuuuu')",
+    # removeCase (HungarianLightStemmer.java:96-147); s[-k] in Java is
+    # substr(term, length(term)-k+1, 1) here
+    f"""CASE
+        WHEN length(term) > 6 AND right(term, 4) = 'kent' THEN left(term, length(term)-4)
+        WHEN length(term) > 5 AND right(term, 3) IN ('nak','nek','val','vel','ert','rol','ban','ben','bol','nal','nel','hoz','hez','tol') THEN left(term, length(term)-3)
+        WHEN length(term) > 5 AND right(term, 2) IN ('al','el') AND substr(term, length(term)-2, 1) NOT IN {_HU_V} AND substr(term, length(term)-2, 1) = substr(term, length(term)-3, 1) THEN left(term, length(term)-3)
+        WHEN length(term) > 4 AND right(term, 2) IN ('at','et','ot','va','ve','ra','re','ba','be','ul','ig') THEN left(term, length(term)-2)
+        WHEN length(term) > 4 AND right(term, 2) IN ('on','en') AND substr(term, length(term)-2, 1) NOT IN {_HU_V} THEN left(term, length(term)-2)
+        WHEN length(term) > 4 AND right(term, 1) IN ('t','n') THEN left(term, length(term)-1)
+        WHEN length(term) > 4 AND right(term, 1) IN ('a','e') AND substr(term, length(term)-1, 1) = substr(term, length(term)-2, 1) AND substr(term, length(term)-1, 1) NOT IN {_HU_V} THEN left(term, length(term)-2)
+        ELSE term END""",
+    # removePossessive (:149-201)
+    f"""CASE
+        WHEN length(term) > 6 AND substr(term, length(term)-4, 1) NOT IN {_HU_V} AND right(term, 4) IN ('atok','otok','etek') THEN left(term, length(term)-4)
+        WHEN length(term) > 6 AND right(term, 4) IN ('itek','itok') THEN left(term, length(term)-4)
+        WHEN length(term) > 5 AND substr(term, length(term)-3, 1) NOT IN {_HU_V} AND right(term, 3) IN ('unk','tok','tek') THEN left(term, length(term)-3)
+        WHEN length(term) > 5 AND substr(term, length(term)-3, 1) IN {_HU_V} AND right(term, 3) = 'juk' THEN left(term, length(term)-3)
+        WHEN length(term) > 5 AND right(term, 3) = 'ink' THEN left(term, length(term)-3)
+        WHEN length(term) > 4 AND substr(term, length(term)-2, 1) NOT IN {_HU_V} AND right(term, 2) IN ('am','em','om','ad','ed','od','uk') THEN left(term, length(term)-2)
+        WHEN length(term) > 4 AND substr(term, length(term)-2, 1) IN {_HU_V} AND right(term, 2) IN ('nk','ja','je') THEN left(term, length(term)-2)
+        WHEN length(term) > 4 AND right(term, 2) IN ('im','id','ik') THEN left(term, length(term)-2)
+        WHEN length(term) > 3 AND right(term, 1) IN ('a','e') AND substr(term, length(term)-1, 1) NOT IN {_HU_V} THEN left(term, length(term)-1)
+        WHEN length(term) > 3 AND right(term, 1) IN ('m','d') AND substr(term, length(term)-1, 1) IN {_HU_V} THEN left(term, length(term)-1)
+        WHEN length(term) > 3 AND right(term, 1) = 'i' THEN left(term, length(term)-1)
+        ELSE term END""",
+    # removePlural (:204-215) incl. the a/o/e fallthrough to len-1
+    """CASE
+        WHEN length(term) > 4 AND right(term, 1) = 'k' AND substr(term, length(term)-1, 1) IN ('a','o','e') THEN left(term, length(term)-2)
+        WHEN length(term) > 3 AND right(term, 1) = 'k' THEN left(term, length(term)-1)
+        ELSE term END""",
+    # normalize (:217-227)
+    """CASE
+        WHEN length(term) > 3 AND right(term, 1) IN ('a','e','i','o') THEN left(term, length(term)-1)
+        ELSE term END""",
+)
+
+RUSSIAN_LIGHT_SQL = (
+    # removeCase (RussianLightStemmer.java:82-150)
+    """CASE
+        WHEN length(term) > 6 AND right(term, 4) IN ('иями','оями') THEN left(term, length(term)-4)
+        WHEN length(term) > 5 AND right(term, 3) IN ('иям','иях','оях','ями','оям','оьв','ами','его','ему','ери','ими','ого','ому','ыми','оев') THEN left(term, length(term)-3)
+        WHEN length(term) > 4 AND right(term, 2) IN ('ая','яя','ях','юю','ах','ею','их','ия','ию','ьв','ою','ую','ям','ых','ея','ам','ем','ей','ём','ев','ий','им','ое','ой','ом','ов','ые','ый','ым','ми') THEN left(term, length(term)-2)
+        WHEN length(term) > 3 AND right(term, 1) IN ('а','е','и','о','у','й','ы','я','ь') THEN left(term, length(term)-1)
+        ELSE term END""",
+    # normalize (:70-80)
+    """CASE
+        WHEN length(term) > 3 AND right(term, 1) IN ('ь','и') THEN left(term, length(term)-1)
+        WHEN length(term) > 3 AND right(term, 1) = 'н' AND substr(term, length(term)-1, 1) = 'н' THEN left(term, length(term)-1)
+        ELSE term END""",
+)
+
+# Finnish folds only terms of length >= 4 (FinnishLightStemmer.java:65)
+# — same fold-skip shape as Portuguese, same chr(1) sentinel. step1's
+# kin/ko recursion is unrolled 4× (each strip needs length > 8; the
+# reference's own 50,000-word vocabulary never needs more than 1 —
+# asserted in tests).
+_FI_SKIP = "left(term, 1) = chr(1)"
+_FI_V = "('a','e','i','o','u','y')"
+_FI_STEP1_KINKO = f"""CASE
+        WHEN {_FI_SKIP} THEN term
+        WHEN length(term) > 8 AND right(term, 3) = 'kin' THEN left(term, length(term)-3)
+        WHEN length(term) > 8 AND right(term, 2) = 'ko' THEN left(term, length(term)-2)
+        ELSE term END"""
+FINNISH_LIGHT_SQL = (
+    "CASE WHEN length(term) < 4 THEN chr(1) || term ELSE term END",
+    f"CASE WHEN {_FI_SKIP} THEN term ELSE translate(term, 'äåö', 'aao') END",
+    _FI_STEP1_KINKO,
+    _FI_STEP1_KINKO,
+    _FI_STEP1_KINKO,
+    _FI_STEP1_KINKO,
+    f"""CASE
+        WHEN {_FI_SKIP} THEN term
+        WHEN length(term) > 11 AND right(term, 8) = 'dellinen' THEN left(term, length(term)-8)
+        WHEN length(term) > 11 AND right(term, 9) = 'dellisuus' THEN left(term, length(term)-9)
+        ELSE term END""",
+    # step2 (:99-110)
+    f"""CASE
+        WHEN {_FI_SKIP} THEN term
+        WHEN length(term) > 5 AND right(term, 3) IN ('lla','tse','sti') THEN left(term, length(term)-3)
+        WHEN length(term) > 5 AND right(term, 2) = 'ni' THEN left(term, length(term)-2)
+        WHEN length(term) > 5 AND right(term, 2) = 'aa' THEN left(term, length(term)-1)
+        ELSE term END""",
+    # step3 (:112-174)
+    f"""CASE
+        WHEN {_FI_SKIP} THEN term
+        WHEN length(term) > 8 AND right(term, 4) = 'nnen' THEN left(term, length(term)-4) || 's'
+        WHEN length(term) > 8 AND right(term, 5) = 'ntena' THEN left(term, length(term)-5) || 's'
+        WHEN length(term) > 8 AND right(term, 4) = 'tten' THEN left(term, length(term)-4)
+        WHEN length(term) > 8 AND right(term, 5) = 'eiden' THEN left(term, length(term)-5)
+        WHEN length(term) > 6 AND right(term, 4) IN ('neen','niin','seen','teen','inen') THEN left(term, length(term)-4)
+        WHEN length(term) > 6 AND substr(term, length(term)-2, 1) = 'h' AND substr(term, length(term)-1, 1) IN {_FI_V} AND right(term, 1) = 'n' THEN left(term, length(term)-3)
+        WHEN length(term) > 6 AND right(term, 3) = 'den' THEN left(term, length(term)-3) || 's'
+        WHEN length(term) > 6 AND right(term, 4) = 'ksen' THEN left(term, length(term)-4) || 's'
+        WHEN length(term) > 6 AND right(term, 3) IN ('ssa','sta','lla','lta','tta','ksi','lle') THEN left(term, length(term)-3)
+        WHEN length(term) > 5 AND right(term, 2) IN ('na','ne') THEN left(term, length(term)-2)
+        WHEN length(term) > 5 AND right(term, 3) = 'nei' THEN left(term, length(term)-3)
+        WHEN length(term) > 4 AND right(term, 2) IN ('ja','ta') THEN left(term, length(term)-2)
+        WHEN length(term) > 4 AND right(term, 1) = 'a' THEN left(term, length(term)-1)
+        WHEN length(term) > 4 AND right(term, 1) = 'n' AND substr(term, length(term)-1, 1) IN {_FI_V} THEN left(term, length(term)-2)
+        WHEN length(term) > 4 AND right(term, 1) = 'n' THEN left(term, length(term)-1)
+        ELSE term END""",
+    # norm1 'hde'→'ksi' mutation falls through (:177-181)
+    f"""CASE
+        WHEN {_FI_SKIP} THEN term
+        WHEN length(term) > 5 AND right(term, 3) = 'hde' THEN left(term, length(term)-3) || 'ksi'
+        ELSE term END""",
+    # norm1 tail (:183-196)
+    f"""CASE
+        WHEN {_FI_SKIP} THEN term
+        WHEN length(term) > 4 AND right(term, 2) IN ('ei','at') THEN left(term, length(term)-2)
+        WHEN length(term) > 3 AND right(term, 1) IN ('t','s','j','e','a','i') THEN left(term, length(term)-1)
+        ELSE term END""",
+    # norm2 e/o/u drop (:201-203)
+    f"""CASE
+        WHEN {_FI_SKIP} THEN term
+        WHEN length(term) > 8 AND right(term, 1) IN ('e','o','u') THEN left(term, length(term)-1)
+        ELSE term END""",
+    # norm2 i drop (:205-206)
+    f"""CASE
+        WHEN {_FI_SKIP} THEN term
+        WHEN length(term) > 4 AND right(term, 1) = 'i' THEN left(term, length(term)-1)
+        ELSE term END""",
+    # norm2 consecutive k/p/t collapse — ONE layer (the len>4 guard is
+    # evaluated once in the reference, before any deletion) (:208-215)
+    f"""CASE
+        WHEN {_FI_SKIP} THEN term
+        WHEN length(term) > 4 THEN regexp_replace(regexp_replace(regexp_replace(term, 'kk+', 'k', 'g'), 'pp+', 'p', 'g'), 'tt+', 't', 'g')
+        ELSE term END""",
+    f"CASE WHEN {_FI_SKIP} THEN substr(term, 2) ELSE term END",
 )
 
 _ES_F = "translate(term, 'àáâäòóôöèéêëùúûüìíîï', 'aaaaooooeeeeuuuuiiii')"
@@ -786,6 +1296,91 @@ PORTUGUESE_STOP_WORDS = frozenset(
     "tivera tiveram tiverem tivermos tivesse tivessem tivéramos "
     "tivéssemos tu tua tuas tém tínhamos um uma você vocês vos à às "
     "éramos "
+).split()
+)
+
+RUSSIAN_STOP_WORDS = frozenset(
+(
+    "а без более больше будет будто бы был была были было быть в вам "
+    "вас вдруг ведь во вот впрочем все всегда всего всех всю вы где "
+    "говорил да даже два для до другой его ее ей ему если есть еще ж "
+    "же жизнь за зачем здесь и из или им иногда их к кажется как "
+    "какая какой когда конечно кто куда ли лучше между меня мне "
+    "много может можно мой моя мы на над надо наконец нас не него "
+    "нее ней нельзя нет ни нибудь никогда ним них ничего но ну о об "
+    "один он она они опять от перед по под после потом потому почти "
+    "при про раз разве с сам свою себе себя сегодня сейчас сказал "
+    "сказала сказать со совсем так такой там тебя тем теперь то "
+    "тогда того тоже только том тот три тут ты у уж уже хорошо хоть "
+    "чего человек чем через что чтоб чтобы чуть эти этого этой этом "
+    "этот эту я "
+).split()
+)
+
+FINNISH_STOP_WORDS = frozenset(
+(
+    "ei eivät emme en et ette että he heidän heidät heihin heille "
+    "heillä heiltä heissä heistä heitä hän häneen hänelle hänellä "
+    "häneltä hänen hänessä hänestä hänet häntä itse ja johon joiden "
+    "joihin joiksi joilla joille joilta joina joissa joista joita "
+    "joka joksi jolla jolle jolta jona jonka jos jossa josta jota "
+    "jotka kanssa keiden keihin keiksi keille keillä keiltä keinä "
+    "keissä keistä keitä keneen keneksi kenelle kenellä keneltä "
+    "kenen kenenä kenessä kenestä kenet ketkä ketä koska kuin kuka "
+    "kun me meidän meidät meihin meille meillä meiltä meissä meistä "
+    "meitä mihin miksi mikä mille millä miltä minkä minua minulla "
+    "minulle minulta minun minussa minusta minut minuun minä missä "
+    "mistä mitkä mitä mukaan mutta ne niiden niihin niiksi niille "
+    "niillä niiltä niin niinä niissä niistä niitä noiden noihin "
+    "noiksi noilla noille noilta noin noina noissa noista noita nuo "
+    "nyt näiden näihin näiksi näille näillä näiltä näinä näissä "
+    "näistä näitä nämä ole olemme olen olet olette oli olimme olin "
+    "olisi olisimme olisin olisit olisitte olisivat olit olitte "
+    "olivat olla olleet ollut on ovat poikki se sekä sen siihen "
+    "siinä siitä siksi sille sillä siltä sinua sinulla sinulle "
+    "sinulta sinun sinussa sinusta sinut sinuun sinä sitä tai te "
+    "teidän teidät teihin teille teillä teiltä teissä teistä teitä "
+    "tuo tuohon tuoksi tuolla tuolle tuolta tuon tuona tuossa tuosta "
+    "tuota tähän täksi tälle tällä tältä tämä tämän tänä tässä tästä "
+    "tätä vaan vai vaikka yli "
+).split()
+)
+
+SWEDISH_STOP_WORDS = frozenset(
+(
+    "alla allt att av blev bli blir blivit de dem den denna deras "
+    "dess dessa det detta dig din dina ditt du där då efter ej eller "
+    "en er era ert ett från för ha hade han hans har henne hennes "
+    "hon honom hur här i icke ingen inom inte jag ju kan kunde man "
+    "med mellan men mig min mina mitt mot mycket ni nu när någon "
+    "något några och om oss på samma sedan sig sin sina sitta själv "
+    "skulle som så sådan sådana sådant till under upp ut utan vad "
+    "var vara varför varit varje vars vart vem vi vid vilka vilkas "
+    "vilken vilket vår våra vårt än är åt över "
+).split()
+)
+
+HUNGARIAN_STOP_WORDS = frozenset(
+(
+    "a abban ahhoz ahogy ahol aki akik akkor alatt amely amelyek "
+    "amelyekben amelyeket amelyet amelynek ami amikor amit amolyan "
+    "amíg annak arra arról az azok azon azonban azt aztán azután "
+    "azzal azért be belül benne bár cikk cikkek cikkeket csak de e "
+    "ebben eddig egy egyes egyetlen egyik egyre egyéb egész ehhez "
+    "ekkor el ellen első elég elő először előtt emilyen ennek erre "
+    "ez ezek ezen ezt ezzel ezért fel felé hanem hiszen hogy hogyan "
+    "igen ill ill. illetve ilyen ilyenkor ismét ison itt jobban jó "
+    "jól kell kellett keressünk keresztül ki kívül között közül "
+    "legalább legyen lehet lehetett lenne lenni lesz lett maga magát "
+    "majd meg mellett mely melyek mert mi mikor milyen minden "
+    "mindenki mindent mindig mint mintha mit mivel miért most már "
+    "más másik még míg nagy nagyobb nagyon ne nekem neki nem nincs "
+    "néha néhány nélkül olyan ott pedig persze rá s saját sem semmi "
+    "sok sokat sokkal szemben szerint szinte számára talán tehát "
+    "teljes tovább továbbá több ugyanis utolsó után utána vagy "
+    "vagyis vagyok valaki valami valamint való van vannak vele "
+    "vissza viszont volna volt voltak voltam voltunk által általában "
+    "át én éppen és így össze úgy új újabb újra ő ők őket "
 ).split()
 )
 

@@ -17,22 +17,32 @@ import zipfile
 import pytest
 
 from lucene_solr_spark.oracle.light_stemmers import (
+    FINNISH_LIGHT_SQL,
     FRENCH_ARTICLES,
     FRENCH_STOP_WORDS,
     GERMAN_LIGHT_SQL,
     GERMAN_NORMALIZE_SQL,
+    HUNGARIAN_LIGHT_SQL,
     ITALIAN_LIGHT_SQL,
+    NORWEGIAN_LIGHT_SQL,
     PORTUGUESE_LIGHT_SQL,
+    RUSSIAN_LIGHT_SQL,
     SPANISH_LIGHT_SQL,
+    SWEDISH_LIGHT_SQL,
+    finnish_light_stem,
     french_elide,
     french_light_stem,
     german_light_stem,
     german_normalize,
     german_normalize_regex,
+    hungarian_light_stem,
     italian_light_stem,
+    norwegian_light_stem,
     portuguese_light_stem,
     resolve,
+    russian_light_stem,
     spanish_light_stem,
+    swedish_light_stem,
 )
 from lucene_solr_spark.oracle.tokenizer import analyze
 
@@ -58,8 +68,15 @@ def _golden_pairs(rel: str):
         ("es/eslighttestdata.zip", spanish_light_stem, 28377),
         ("it/itlighttestdata.zip", italian_light_stem, 35494),
         ("pt/ptlighttestdata.zip", portuguese_light_stem, 32016),
+        ("sv/svlighttestdata.zip", swedish_light_stem, 30623),
+        ("hu/hulighttestdata.zip", hungarian_light_stem, 30000),
+        ("ru/rulighttestdata.zip", russian_light_stem, 49673),
+        ("fi/filighttestdata.zip", finnish_light_stem, 50000),
     ],
-    ids=["german", "french", "spanish", "italian", "portuguese"],
+    ids=[
+        "german", "french", "spanish", "italian", "portuguese",
+        "swedish", "hungarian", "russian", "finnish",
+    ],
 )
 def test_full_vocabulary_parity(zip_rel, fn, expected_n):
     """Every pair of the reference's own expectation file, bit-exact."""
@@ -194,13 +211,21 @@ _SQL_TWINS = [
     ("es/eslighttestdata.zip", SPANISH_LIGHT_SQL, spanish_light_stem),
     ("it/itlighttestdata.zip", ITALIAN_LIGHT_SQL, italian_light_stem),
     ("pt/ptlighttestdata.zip", PORTUGUESE_LIGHT_SQL, portuguese_light_stem),
+    ("sv/svlighttestdata.zip", SWEDISH_LIGHT_SQL, swedish_light_stem),
+    ("hu/hulighttestdata.zip", HUNGARIAN_LIGHT_SQL, hungarian_light_stem),
+    ("ru/rulighttestdata.zip", RUSSIAN_LIGHT_SQL, russian_light_stem),
+    ("fi/filighttestdata.zip", FINNISH_LIGHT_SQL, finnish_light_stem),
+    ("sv/svlighttestdata.zip", NORWEGIAN_LIGHT_SQL, norwegian_light_stem),
 ]
 
 
 @pytest.mark.parametrize(
     "zip_rel, exprs, fn",
     _SQL_TWINS,
-    ids=["german", "spanish", "italian", "portuguese"],
+    ids=[
+        "german", "spanish", "italian", "portuguese", "swedish",
+        "hungarian", "russian", "finnish", "norwegian",
+    ],
 )
 def test_sql_twin_parity(zip_rel, exprs, fn):
     """The DuckDB oracle's SQL stemmer ≡ the Python stemmer over the
@@ -244,6 +269,25 @@ def test_german_normalize_sql_twin():
         if g != german_normalize(w)
     ]
     assert not bad, bad[:10]
+
+
+def test_norwegian_goldens():
+    """The reference's own hand-crafted expectation files, BOTH flag
+    variants (nb_light.txt = BOKMAAL, nn_light.txt = NYNORSK — the
+    NorwegianLightStemmer ctor flags)."""
+    for fname, kw in [
+        ("nb_light.txt", {}),
+        ("nn_light.txt", {"bokmaal": False, "nynorsk": True}),
+    ]:
+        n = 0
+        for line in open(f"{_REF}/no/{fname}", encoding="utf-8"):
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            w, s = line.split("\t")
+            assert norwegian_light_stem(w, **kw) == s, (fname, w)
+            n += 1
+        assert n > 90
 
 
 def test_resolver_contract():
