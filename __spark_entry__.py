@@ -1852,6 +1852,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["norwegian_light_topk"] = norwegian_light_topk
 
+    def stem_exclusion_topk(spark, sf_dir):
+        """SetKeywordMarkerFilter (miscellaneous/SetKeywordMarkerFilter
+        .java + GermanLightStemFilter.java:45's keyword guard): the
+        exclusion set {'customer'} keeps that term unstemmed while every
+        other term takes the German light cascade — querying 'customer'
+        finds only the protected postings (zero without the marker,
+        since 'customer' stems to 'custom')."""
+        key = f"dex_ix::{sf_dir}"
+        if key not in _CACHE:
+            from lucene_solr_spark.operators.index_build import build_index
+            from lucene_solr_spark.plans.df_executor import DFExecutor
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            ix = build_index(
+                docs,
+                text_col="text",
+                doc_id_col="doc_id",
+                stemmer="german_light",
+                stem_exclusions=frozenset({"customer"}),
+            ).persist()
+            _CACHE[key] = DFExecutor(ix, mode="double")
+        ex = _CACHE[key]
+        return ex.topk(_T("customer"), k=10).select("doc_id", "score")
+
+    out["stem_exclusion_topk"] = stem_exclusion_topk
+
     # --- search compositions (collector variants, SURVEY §2.3/§2.5) -----
     def sort_by_field_topk(spark, sf_dir):
         """TopFieldCollector role: matching docs ordered by a doc-values
@@ -2729,6 +2755,10 @@ def oracle_sql() -> dict[str, str]:
     out["norwegian_light_topk"] = (
         f"WITH {_ictes_lang(term_expr=_ls.NORWEGIAN_LIGHT_SQL)}"
         + _lang_topk.format(score=_SCORE, term="colum")
+    )
+    out["stem_exclusion_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_ls.sql_with_exclusions(_ls.GERMAN_LIGHT_SQL, frozenset({'customer'})))}"
+        + _lang_topk.format(score=_SCORE, term="customer")
     )
 
     # index-time synonyms: postings from the stacked stream; doc length

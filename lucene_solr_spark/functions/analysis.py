@@ -45,6 +45,7 @@ def make_tokenize_udf(
     strip_possessive: bool = False,
     stemmer: str | None = None,
     elide: frozenset[str] | None = None,
+    stem_exclusions: frozenset[str] | None = None,
 ):
     """Build a tokenizer pandas UDF with a fixed analyzer config.
 
@@ -66,6 +67,7 @@ def make_tokenize_udf(
                     strip_possessive=strip_possessive,
                     stemmer=stemmer,
                     elide=elide,
+                    stem_exclusions=stem_exclusions,
                 )
             ]
         )
@@ -97,6 +99,7 @@ def tokens_frame(
     fold_ascii: bool = False,
     stemmer: str | None = None,
     elide: frozenset[str] | None = None,
+    stem_exclusions: frozenset[str] | None = None,
 ):
     """corpus → flat (doc_id, term, pos) token rows via ONE ``mapInPandas``
     pass over the VECTORIZED batch tokenizer (functions.fast_tokenizer):
@@ -130,6 +133,7 @@ def tokens_frame(
                 fold_ascii=fold_ascii,
                 stemmer=stemmer,
                 elide=elide,
+                stem_exclusions=stem_exclusions,
             )
             yield pd.DataFrame(
                 {
@@ -244,6 +248,7 @@ def postings_frame(
     fold_ascii: bool = False,
     stemmer: str | None = None,
     elide: frozenset[str] | None = None,
+    stem_exclusions: frozenset[str] | None = None,
     with_positions: bool = True,
     with_offsets: bool = False,
     shingles: tuple[int, int] | None = None,
@@ -315,6 +320,7 @@ def postings_frame(
                 fold_ascii=fold_ascii,
                 stemmer=stemmer,
                 elide=elide,
+                stem_exclusions=stem_exclusions,
                 with_offsets=with_offsets,
             )
             if with_offsets:

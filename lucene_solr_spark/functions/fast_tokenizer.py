@@ -166,6 +166,7 @@ def batch_tokenize(
     fold_ascii: bool = False,
     stemmer: str | None = None,
     elide: frozenset[str] | None = None,
+    stem_exclusions: frozenset[str] | None = None,
     with_offsets: bool = False,
 ):
     """Tokenize a batch of documents.
@@ -195,9 +196,13 @@ def batch_tokenize(
     vocabulary is tiny next to the token stream), so neither filter adds
     per-token Python to the hot path.
     """
-    from lucene_solr_spark.oracle.light_stemmers import resolve as _resolve
+    from lucene_solr_spark.oracle.light_stemmers import (
+        resolve_with_exclusions as _resolve,
+    )
 
-    stem_fn = _resolve(stemmer)  # validate the name before any work
+    # validate the name before any work; SetKeywordMarkerFilter semantics
+    # (stem_exclusions) live inside the resolved callable
+    stem_fn = _resolve(stemmer, stem_exclusions)
     n_docs = len(texts)
     norm_texts = ["" if t is None else t for t in texts]
 
@@ -372,6 +377,7 @@ def batch_tokenize(
                 fold_ascii=fold_ascii,
                 stemmer=stemmer,
                 elide=elide,
+                stem_exclusions=stem_exclusions,
             )
             if not otoks:
                 continue
@@ -396,6 +402,7 @@ def batch_tokenize(
             fold_ascii=fold_ascii,
             stemmer=stemmer,
             elide=elide,
+            stem_exclusions=stem_exclusions,
         )
         if not toks:
             continue

@@ -101,6 +101,7 @@ def analyze_with_offsets(
     fold_ascii: bool = False,
     stemmer: str | None = None,
     elide: frozenset | None = None,
+    stem_exclusions: frozenset | None = None,
 ) -> list[tuple[str, int, int, int]]:
     """Analyzer chain WITH character offsets → [(term, pos, start, end)].
 
@@ -111,10 +112,12 @@ def analyze_with_offsets(
     Elision/stemming rewrite the term but keep the ORIGINAL span, like
     Lucene's token filters."""
     from lucene_solr_spark.oracle.light_stemmers import french_elide
-    from lucene_solr_spark.oracle.light_stemmers import resolve as _resolve
+    from lucene_solr_spark.oracle.light_stemmers import (
+        resolve_with_exclusions as _resolve,
+    )
     from lucene_solr_spark.oracle.porter import strip_possessive as _sp
 
-    stem_fn = _resolve(stemmer)
+    stem_fn = _resolve(stemmer, stem_exclusions)
 
     raw: list[tuple[str, int, int]] = []  # (raw_term, start, end)
     for m in _TOKEN_RE.finditer(text):

@@ -254,6 +254,7 @@ def build_index(
     fold_ascii: bool = False,
     stemmer: str | None = None,
     elide: frozenset[str] | None = None,
+    stem_exclusions: frozenset[str] | None = None,
     with_positions: bool = True,
     index_options: str = "positions",  # "positions" | "freqs" | "docs"
     shingles: tuple[int, int] | None = None,
@@ -311,6 +312,7 @@ def build_index(
         fold_ascii=fold_ascii,
         stemmer=stemmer,
         elide=elide,
+        stem_exclusions=stem_exclusions,
         with_positions=with_positions,
         with_offsets=with_offsets,
         shingles=shingles,

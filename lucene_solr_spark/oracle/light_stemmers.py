@@ -1140,6 +1140,50 @@ SPANISH_LIGHT_SQL = (
 )
 
 
+def resolve_with_exclusions(name: str | None, exclusions: frozenset[str] | None):
+    """``resolve`` plus SetKeywordMarkerFilter semantics
+    (``miscellaneous/SetKeywordMarkerFilter.java`` + the stem filters'
+    ``if (!keywordAttr.isKeyword())`` guards): terms in ``exclusions``
+    skip STEMMING but NOT normalization — GermanNormalizationFilter has
+    no keyword check (``de/GermanNormalizationFilter.java``), so the
+    composed "german" chain still normalizes an excluded term. The
+    marker matches the term BEFORE any stem-stage rewriting, exactly
+    like the filter's position in the reference chains."""
+    fn = resolve(name)
+    if fn is None or not exclusions:
+        return fn
+    if name == "german":
+
+        def wrapped(t: str) -> str:
+            return german_normalize(t) if t in exclusions else fn(t)
+
+    else:
+
+        def wrapped(t: str) -> str:
+            return t if t in exclusions else fn(t)
+
+    return wrapped
+
+
+def sql_with_exclusions(sql_layers, exclusions: frozenset[str]):
+    """SQL-twin form of :func:`resolve_with_exclusions`: mark excluded
+    terms with a chr(1) sentinel BEFORE the stem layers (the marker sees
+    the pre-fold term), skip every layer for marked terms, unmark last.
+    Valid for stemmer chains that don't use the sentinel internally
+    (i.e. not Portuguese/Finnish)."""
+    for e in sql_layers:
+        if "chr(1)" in e:
+            raise ValueError("chain already uses the sentinel internally")
+    lits = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(exclusions))
+    skip = "left(term, 1) = chr(1)"
+    out = [f"CASE WHEN term IN ({lits}) THEN chr(1) || term ELSE term END"]
+    out.extend(
+        f"CASE WHEN {skip} THEN term ELSE ({e}) END" for e in sql_layers
+    )
+    out.append(f"CASE WHEN {skip} THEN substr(term, 2) ELSE term END")
+    return tuple(out)
+
+
 def elision_regex(articles: frozenset[str]) -> str:
     """Longest-first anchored alternation for an article set — the
     vectorized (RE2-compatible) form of :func:`french_elide`, shared by

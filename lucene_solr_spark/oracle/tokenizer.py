@@ -175,6 +175,7 @@ def analyze(
     fold_ascii: bool = False,
     stemmer: str | None = None,
     elide: frozenset[str] | None = None,
+    stem_exclusions: frozenset[str] | None = None,
 ) -> list[Token]:
     """Full analyzer chain. Default = Lucene StandardAnalyzer (lowercase,
     NO stopwords). The EnglishAnalyzer chain
@@ -189,10 +190,12 @@ def analyze(
     since both are case-insensitive and lowercasing preserves
     apostrophes. Positions keep gaps across dropped tokens."""
     from lucene_solr_spark.oracle.light_stemmers import french_elide
-    from lucene_solr_spark.oracle.light_stemmers import resolve as _resolve
+    from lucene_solr_spark.oracle.light_stemmers import (
+        resolve_with_exclusions as _resolve,
+    )
     from lucene_solr_spark.oracle.porter import strip_possessive as _sp
 
-    stem = _resolve(stemmer)
+    stem = _resolve(stemmer, stem_exclusions)
     out: list[Token] = []
     for term, pos in tokenize(text, max_token_length):
         if lowercase:

@@ -303,6 +303,66 @@ def test_resolver_contract():
         resolve("klingon")
 
 
+def test_stem_exclusions():
+    """SetKeywordMarkerFilter semantics: excluded terms skip STEMMING
+    but not NORMALIZATION (GermanNormalizationFilter has no keyword
+    guard; GermanLightStemFilter.java:45 / PorterStemFilter.java:64 do).
+    The SQL wrapper mirrors this with a chr(1) sentinel."""
+    import duckdb
+
+    from lucene_solr_spark.functions.fast_tokenizer import batch_tokenize
+    from lucene_solr_spark.oracle.light_stemmers import (
+        GERMAN_LIGHT_SQL,
+        resolve_with_exclusions,
+        sql_with_exclusions,
+    )
+
+    ex = frozenset({"customers", "häuser"})
+    f = resolve_with_exclusions("german_light", ex)
+    assert f("customers") == "customers"  # protected
+    assert f("filter") == "filt"  # not protected
+    g = resolve_with_exclusions("german", ex)
+    assert g("häuser") == "hauser"  # normalized but NOT stemmed
+    assert g("bären") == "bar"  # full chain
+    assert resolve_with_exclusions("porter", frozenset({"running"}))("running") == "running"
+    assert resolve_with_exclusions(None, ex) is None
+
+    # batch kernel ≡ scalar chain with exclusions
+    td, terms, _ = batch_tokenize(
+        ["customers filter Häuser"],
+        stemmer="german_light",
+        stem_exclusions=ex,
+    )
+    # 'häuser' is in the exclusion set: with ONLY the light-stem filter
+    # in the chain it stays fully untouched (no normalizer present)
+    assert terms.to_pylist() == ["customers", "filt", "häuser"]
+    want = [
+        t.term
+        for t in analyze(
+            "customers filter Häuser",
+            stemmer="german_light",
+            stem_exclusions=ex,
+        )
+    ]
+    assert terms.to_pylist() == want
+
+    # SQL wrapper ≡ python over a mixed vocabulary
+    con = duckdb.connect()
+    words = ["customers", "filter", "häuser", "tables", "x"]
+    con.execute("CREATE TABLE w AS SELECT unnest(?) AS term", [words])
+    body = "SELECT term FROM w"
+    for e in sql_with_exclusions(GERMAN_LIGHT_SQL, ex):
+        body = f"SELECT {e} AS term FROM ({body})"
+    got = [r[0] for r in con.execute(body).fetchall()]
+    assert got == [f(w) for w in words]
+
+    # chains that use the sentinel internally are rejected
+    from lucene_solr_spark.oracle.light_stemmers import PORTUGUESE_LIGHT_SQL
+
+    with pytest.raises(ValueError):
+        sql_with_exclusions(PORTUGUESE_LIGHT_SQL, ex)
+
+
 def test_batch_kernel_matches_scalar_chain():
     """fast path ≡ scalar oracle on mixed multilingual text, for every
     registered stemmer and the elision filter."""
