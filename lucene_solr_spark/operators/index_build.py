@@ -247,6 +247,7 @@ def build_index(
     doc_id_col: str | None = None,
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
     keep_cols: tuple[str, ...] = (),
+    analyzer: str | None = None,
     lowercase: bool = True,
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = 255,
@@ -274,6 +275,27 @@ def build_index(
     length (``BM25Similarity.java:138-147``)."""
     if index_options not in ("offsets", "positions", "freqs", "docs"):
         raise ValueError(f"bad index_options {index_options!r}")
+    if analyzer is not None:
+        # named analyzer (the reference's per-language Analyzer classes):
+        # expand to chain kwargs; explicit chain kwargs must not conflict
+        from lucene_solr_spark.oracle.light_stemmers import analyzer_config
+
+        cfg = analyzer_config(analyzer)
+        explicit = dict(
+            stopwords=stopwords,
+            strip_possessive=strip_possessive,
+            stemmer=stemmer,
+            elide=elide,
+        )
+        for k, v in cfg.items():
+            if explicit.get(k) not in (None, frozenset(), False):
+                raise ValueError(
+                    f"analyzer={analyzer!r} sets {k}; drop the explicit arg"
+                )
+        stopwords = cfg.get("stopwords", stopwords)
+        strip_possessive = cfg.get("strip_possessive", strip_possessive)
+        stemmer = cfg.get("stemmer", stemmer)
+        elide = cfg.get("elide", elide)
     with_offsets = index_options == "offsets"
     if index_options in ("freqs", "docs"):
         with_positions = False

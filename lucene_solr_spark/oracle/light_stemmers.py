@@ -870,6 +870,59 @@ STEMMERS: dict[str, object] = {
 }
 
 
+def analyzer_config(name: str) -> dict:
+    """Named analyzer → tokenizer-chain kwargs, mirroring the reference
+    analyzer classes' default chains 1:1 where the default stem filter
+    IS the light stemmer (GermanAnalyzer, FrenchAnalyzer,
+    SpanishAnalyzer, ItalianAnalyzer, PortugueseAnalyzer — each builds
+    StandardTokenizer → [Elision] → LowerCase → Stop → *LightStemFilter).
+    The ``*_light`` names are the light-filter ALTERNATIVES for
+    analyzers whose reference default is the Snowball stemmer
+    (sv/no/fi/ru/hu) — same stop sets, light stem stage."""
+    from lucene_solr_spark.oracle.tokenizer import ENGLISH_STOP_WORDS
+
+    configs: dict[str, dict] = {
+        "standard": {},
+        "english": dict(
+            stopwords=ENGLISH_STOP_WORDS, strip_possessive=True, stemmer="porter"
+        ),
+        "german": dict(stopwords=GERMAN_STOP_WORDS, stemmer="german"),
+        "french": dict(
+            elide=FRENCH_ARTICLES,
+            stopwords=FRENCH_STOP_WORDS,
+            stemmer="french_light",
+        ),
+        "spanish": dict(stopwords=SPANISH_STOP_WORDS, stemmer="spanish_light"),
+        "italian": dict(
+            elide=ITALIAN_ARTICLES,
+            stopwords=ITALIAN_STOP_WORDS,
+            stemmer="italian_light",
+        ),
+        "portuguese": dict(
+            stopwords=PORTUGUESE_STOP_WORDS, stemmer="portuguese_light"
+        ),
+        "swedish_light": dict(
+            stopwords=SWEDISH_STOP_WORDS, stemmer="swedish_light"
+        ),
+        "norwegian_light": dict(
+            stopwords=NORWEGIAN_STOP_WORDS, stemmer="norwegian_light"
+        ),
+        "finnish_light": dict(
+            stopwords=FINNISH_STOP_WORDS, stemmer="finnish_light"
+        ),
+        "russian_light": dict(
+            stopwords=RUSSIAN_STOP_WORDS, stemmer="russian_light"
+        ),
+        "hungarian_light": dict(
+            stopwords=HUNGARIAN_STOP_WORDS, stemmer="hungarian_light"
+        ),
+    }
+    got = configs.get(name)
+    if got is None:
+        raise ValueError(f"unknown analyzer {name!r} (one of {sorted(configs)})")
+    return dict(got)
+
+
 def resolve(name: str | None):
     """``stemmer=`` seam resolver shared by the batch tokenizer, the
     scalar ``oracle.tokenizer.analyze`` chain, and the offsets chain:
@@ -1428,3 +1481,21 @@ HUNGARIAN_STOP_WORDS = frozenset(
 ).split()
 )
 
+NORWEGIAN_STOP_WORDS = frozenset(
+(
+    "alle at av bare begge ble blei bli blir blitt både båe da de "
+    "deg dei deim deira deires dem den denne der dere deres det "
+    "dette di din disse ditt du dykk dykkar då eg ein eit eitt eller "
+    "elles en enn er et ett etter for fordi fra før ha hadde han "
+    "hans har hennar henne hennes her hjå ho hoe honom hoss hossen "
+    "hun hva hvem hver hvilke hvilken hvis hvor hvordan hvorfor i "
+    "ikke ikkje ingen ingi inkje inn inni ja jeg kan kom korleis "
+    "korso kun kunne kva kvar kvarhelst kven kvi kvifor man mange me "
+    "med medan meg meget mellom men mi min mine mitt mot mykje ned "
+    "no noe noen noka noko nokon nokor nokre nå når og også om opp "
+    "oss over på samme seg selv si sia sidan siden sin sine sitt "
+    "sjøl skal skulle slik so som somme somt så sånn til um upp ut "
+    "uten var vart varte ved vere verte vi vil ville vore vors vort "
+    "vår være vært å "
+).split()
+)

@@ -363,6 +363,41 @@ def test_stem_exclusions():
         sql_with_exclusions(PORTUGUESE_LIGHT_SQL, ex)
 
 
+def test_named_analyzer_build(spark):
+    """build_index(analyzer="french") ≡ the explicit FrenchAnalyzer
+    chain kwargs, and conflicting explicit args are rejected."""
+    from lucene_solr_spark.operators.index_build import build_index
+
+    docs = spark.createDataFrame(
+        [(0, "l'avion des enfants"), (1, "les avions lancés qu'une fois")],
+        "doc_id long, text string",
+    )
+    named = build_index(docs, text_col="text", doc_id_col="doc_id", analyzer="french")
+    explicit = build_index(
+        docs,
+        text_col="text",
+        doc_id_col="doc_id",
+        elide=FRENCH_ARTICLES,
+        stopwords=FRENCH_STOP_WORDS,
+        stemmer="french_light",
+    )
+    a = sorted(named.postings.select("term", "doc_id", "tf").collect())
+    b = sorted(explicit.postings.select("term", "doc_id", "tf").collect())
+    assert a == b and a  # same postings, non-empty
+    assert not any(r.term.startswith("l'") for r in a)  # elision applied
+
+    with pytest.raises(ValueError, match="sets stemmer"):
+        build_index(
+            docs,
+            text_col="text",
+            doc_id_col="doc_id",
+            analyzer="french",
+            stemmer="porter",
+        )
+    with pytest.raises(ValueError, match="unknown analyzer"):
+        build_index(docs, text_col="text", doc_id_col="doc_id", analyzer="klingon")
+
+
 def test_batch_kernel_matches_scalar_chain():
     """fast path ≡ scalar oracle on mixed multilingual text, for every
     registered stemmer and the elision filter."""
