@@ -243,6 +243,28 @@ def main() -> int:
         result["mfield_encode_cpu"] = _cpu_shares(cpu0, _cpu_sample())
         shutil.rmtree(mf_scratch, ignore_errors=True)
 
+    if "stemmed" in phases:
+        # --- phase 5: STEMMED invert (round-5 analyzer-pack leg) --------
+        # Full EnglishAnalyzer chain (stop + possessive + PorterStem —
+        # the costliest per-distinct-term stemmer in the registry) on the
+        # same corpus: evidences that the dictionary-encode design (stem
+        # once per DISTINCT term, not per token) holds the invert N→4N
+        # line when a language chain is active. Warm leg (same JVM).
+        st_scratch = f"/tmp/scaling_stemmed_{n_docs}_{cores}"
+        shutil.rmtree(st_scratch, ignore_errors=True)
+        cpu0 = _cpu_sample()
+        t0 = time.perf_counter()
+        sx = build_index(corpus, analyzer="english", scratch=st_scratch)
+        sx.docs.count()
+        sx.term_stats.count()
+        stemmed_sec = time.perf_counter() - t0
+        result["stemmed_invert_sec"] = round(stemmed_sec, 3)
+        result["stemmed_invert_cpu"] = _cpu_shares(cpu0, _cpu_sample())
+        result["stemmed_invert_gb_per_hour"] = round(
+            gb / (stemmed_sec / 3600.0), 3
+        )
+        shutil.rmtree(st_scratch, ignore_errors=True)
+
     print(json.dumps(result))
     spark.stop()
     return 0
