@@ -1852,6 +1852,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["norwegian_light_topk"] = norwegian_light_topk
 
+    def swedish_snowball_topk(spark, sf_dir):
+        """Swedish SNOWBALL stemmer (the SwedishAnalyzer DEFAULT —
+        org/tartarus/snowball/ext/SwedishStemmer.java): BM25 top-10 for
+        'vect' (the Swedish-only 'or'-suffix stem of 'vector'); exact
+        SQL twin with the R1-fit condition factored into string-local
+        predicates."""
+        ex = _light_stem_executor(spark, sf_dir, "swedish_snowball")
+        return ex.topk(_T("vect"), k=10).select("doc_id", "score")
+
+    out["swedish_snowball_topk"] = swedish_snowball_topk
+
+    def norwegian_snowball_topk(spark, sf_dir):
+        """Norwegian SNOWBALL stemmer (the NorwegianAnalyzer DEFAULT):
+        BM25 top-10 for 'ord' (stem of 'order'); exact SQL twin."""
+        ex = _light_stem_executor(spark, sf_dir, "norwegian_snowball")
+        return ex.topk(_T("ord"), k=10).select("doc_id", "score")
+
+    out["norwegian_snowball_topk"] = norwegian_snowball_topk
+
+    def danish_snowball_topk(spark, sf_dir):
+        """Danish SNOWBALL stemmer (the DanishAnalyzer DEFAULT — the
+        Danish analyzer has NO light variant, so this is the language's
+        only chain): BM25 top-10 for 'filt' (stem of 'filter'); the SQL
+        twin threads chr(2)/chr(3) markers for the other-suffix →
+        consonant-pair re-run."""
+        ex = _light_stem_executor(spark, sf_dir, "danish_snowball")
+        return ex.topk(_T("filt"), k=10).select("doc_id", "score")
+
+    out["danish_snowball_topk"] = danish_snowball_topk
+
     def stem_exclusion_topk(spark, sf_dir):
         """SetKeywordMarkerFilter (miscellaneous/SetKeywordMarkerFilter
         .java + GermanLightStemFilter.java:45's keyword guard): the
@@ -2759,6 +2789,20 @@ def oracle_sql() -> dict[str, str]:
     out["stem_exclusion_topk"] = (
         f"WITH {_ictes_lang(term_expr=_ls.sql_with_exclusions(_ls.GERMAN_LIGHT_SQL, frozenset({'customer'})))}"
         + _lang_topk.format(score=_SCORE, term="customer")
+    )
+    from lucene_solr_spark.oracle import snowball as _sb
+
+    out["swedish_snowball_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_sb.SWEDISH_SNOWBALL_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="vect")
+    )
+    out["norwegian_snowball_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_sb.NORWEGIAN_SNOWBALL_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="ord")
+    )
+    out["danish_snowball_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_sb.DANISH_SNOWBALL_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="filt")
     )
 
     # index-time synonyms: postings from the stacked stream; doc length

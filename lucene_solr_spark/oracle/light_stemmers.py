@@ -865,9 +865,27 @@ STEMMERS: dict[str, object] = {
     "hungarian_light": hungarian_light_stem,
     "russian_light": russian_light_stem,
     "finnish_light": finnish_light_stem,
-    "norwegian_light": norwegian_light_stem,  # BOKMAAL (analyzer default)
+    "norwegian_light": norwegian_light_stem,  # BOKMAAL flags
     "nynorsk_light": _nynorsk_light,
 }
+
+
+def _register_snowball() -> None:
+    """Snowball family (oracle.snowball) — the DEFAULT stemmers of the
+    Danish/Norwegian/Swedish analyzers; registered lazily at import so
+    the two modules stay acyclic."""
+    from lucene_solr_spark.oracle import snowball as _sb
+
+    STEMMERS.update(
+        {
+            "swedish_snowball": _sb.swedish_snowball_stem,
+            "norwegian_snowball": _sb.norwegian_snowball_stem,
+            "danish_snowball": _sb.danish_snowball_stem,
+        }
+    )
+
+
+_register_snowball()
 
 
 def analyzer_config(name: str) -> dict:
@@ -901,6 +919,16 @@ def analyzer_config(name: str) -> dict:
         "portuguese": dict(
             stopwords=PORTUGUESE_STOP_WORDS, stemmer="portuguese_light"
         ),
+        # sv/no/da reference defaults ARE the Snowball stemmers
+        # (SwedishAnalyzer/NorwegianAnalyzer/DanishAnalyzer: Standard →
+        # LowerCase → Stop → SnowballFilter)
+        "swedish": dict(
+            stopwords=SWEDISH_STOP_WORDS, stemmer="swedish_snowball"
+        ),
+        "norwegian": dict(
+            stopwords=NORWEGIAN_STOP_WORDS, stemmer="norwegian_snowball"
+        ),
+        "danish": dict(stopwords=DANISH_STOP_WORDS, stemmer="danish_snowball"),
         "swedish_light": dict(
             stopwords=SWEDISH_STOP_WORDS, stemmer="swedish_light"
         ),
@@ -1497,5 +1525,16 @@ NORWEGIAN_STOP_WORDS = frozenset(
     "sjøl skal skulle slik so som somme somt så sånn til um upp ut "
     "uten var vart varte ved vere verte vi vil ville vore vors vort "
     "vår være vært å "
+).split()
+)
+DANISH_STOP_WORDS = frozenset(
+(
+    "ad af alle alt anden at blev blive bliver da de dem den denne "
+    "der deres det dette dig din disse dog du efter eller en end er "
+    "et for fra ham han hans har havde have hende hendes her hos hun "
+    "hvad hvis hvor i ikke ind jeg jer jo kunne man mange med meget "
+    "men mig min mine mit mod ned noget nogle nu når og også om op "
+    "os over på selv sig sin sine sit skal skulle som sådan thi til "
+    "ud under var vi vil ville vor være været "
 ).split()
 )

@@ -1,0 +1,341 @@
+"""Scandinavian Snowball stemmers (pure Python).
+
+Re-expresses the published Snowball algorithms (snowballstem.org —
+Danish, Norwegian, Swedish; the reference runs the generated form at
+``org/tartarus/snowball/ext/{Danish,Norwegian,Swedish}Stemmer.java``).
+These are the DEFAULT stem filters of the reference's DanishAnalyzer,
+NorwegianAnalyzer, and SwedishAnalyzer (each builds StandardTokenizer →
+LowerCase → Stop → SnowballFilter), completing those analyzers' true
+default chains; the ``*_light`` stemmers in ``light_stemmers`` remain
+the in-box alternatives.
+
+Shared machinery (the Snowball runtime's semantics, re-expressed):
+
+- ``R1`` = the region after the first non-vowel following a vowel,
+  adjusted so at least 3 characters precede it; words shorter than 3
+  have R1 = the whole-word end (no region).
+- a suffix rule applies only if the suffix lies ENTIRELY inside R1
+  (match start >= p1) — ``find_among_b`` with ``limit_backward = p1``;
+- among tables take the LONGEST suffix that both matches and fits
+  (a longer match that crosses p1 falls back to a shorter one);
+- p1 is a fixed POSITION computed once on the input; later deletions
+  shorten the string but never move p1 (all stages compare against it).
+
+Parity contract: ``tests/test_snowball.py`` diffs each stemmer against
+the reference's own full Snowball vocabulary files
+(``analysis/snowball/{danish,norwegian,swedish}.zip`` voc.txt →
+output.txt), bit-exact, and re-verifies the SQL twins in DuckDB.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "swedish_snowball_stem",
+    "norwegian_snowball_stem",
+    "danish_snowball_stem",
+    "SWEDISH_SNOWBALL_SQL",
+    "NORWEGIAN_SNOWBALL_SQL",
+    "DANISH_SNOWBALL_SQL",
+]
+
+_SV_VOWELS = frozenset("aeiouyäåö")
+_NO_VOWELS = frozenset("aeiouyåæø")
+_DA_VOWELS = frozenset("aeiouyåæø")
+
+
+def _p1(s: str, vowels: frozenset[str]) -> int:
+    """Snowball mark_regions: position after the first non-vowel that
+    follows a vowel, floored at 3; len(s) if absent or len(s) < 3."""
+    n = len(s)
+    if n < 3:
+        return n
+    p1 = n
+    for i in range(n - 1):
+        if s[i] in vowels and s[i + 1] not in vowels:
+            p1 = i + 2
+            break
+    return max(p1, 3)
+
+
+def _longest_fit(s: str, p1: int, suffixes) -> str | None:
+    """Longest suffix (from an iterable pre-sorted longest-first) that
+    matches AND lies entirely in R1."""
+    for suf in suffixes:
+        if s.endswith(suf) and len(s) - len(suf) >= p1:
+            return suf
+    return None
+
+
+def _by_len(*sufs: str) -> tuple[str, ...]:
+    return tuple(sorted(sufs, key=len, reverse=True))
+
+
+# ---------------------------------------------------------------------------
+# Swedish (SwedishStemmer.java among tables a_0/a_1/a_2)
+# ---------------------------------------------------------------------------
+
+_SV_MAIN = _by_len(
+    "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+    "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+    "er", "heter", "or", "s", "as", "arnas", "ernas", "ornas", "es",
+    "ades", "andes", "ens", "arens", "hetens", "erns", "at", "andet",
+    "het", "ast",
+)
+_SV_S_END = frozenset("bcdfghjklmnoprtvy")
+_SV_PAIRS = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+_SV_OTHER = _by_len("ig", "lig", "els", "fullt", "löst")
+
+
+def swedish_snowball_stem(term: str) -> str:
+    s = term
+    p1 = _p1(s, _SV_VOWELS)
+    # main suffix
+    suf = _longest_fit(s, p1, _SV_MAIN)
+    if suf == "s":
+        if len(s) >= 2 and s[-2] in _SV_S_END:
+            s = s[:-1]
+    elif suf:
+        s = s[: -len(suf)]
+    # consonant pair: listed pair entirely in R1 → drop last letter
+    if len(s) >= 2 and s[-2:] in _SV_PAIRS and len(s) - 2 >= p1:
+        s = s[:-1]
+    # other suffix
+    suf = _longest_fit(s, p1, _SV_OTHER)
+    if suf == "löst":
+        s = s[:-1]  # löst → lös
+    elif suf == "fullt":
+        s = s[:-1]  # fullt → full
+    elif suf:
+        s = s[: -len(suf)]
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Norwegian (NorwegianStemmer.java among tables)
+# ---------------------------------------------------------------------------
+
+_NO_MAIN = _by_len(
+    "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "erte",
+    "en", "heten", "ar", "er", "heter", "s", "as", "es", "edes",
+    "endes", "enes", "hetenes", "ens", "hetens", "ers", "ets", "et",
+    "het", "ert", "ast",
+)
+_NO_S_END = frozenset("bcdfghjlmnoprtvyz")  # k handled by the vowel rule
+_NO_PAIRS = ("dt", "vt")
+_NO_OTHER = _by_len(
+    "leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+    "slov", "hetslov",
+)
+
+
+def norwegian_snowball_stem(term: str) -> str:
+    s = term
+    p1 = _p1(s, _NO_VOWELS)
+    suf = _longest_fit(s, p1, _NO_MAIN)
+    if suf == "s":
+        # s-ending, or 'k' itself preceded by a non-vowel (a char must
+        # exist — word-initial 'k' does not qualify)
+        prev = s[-2] if len(s) >= 2 else ""
+        if prev in _NO_S_END or (
+            prev == "k" and len(s) >= 3 and s[-3] not in _NO_VOWELS
+        ):
+            s = s[:-1]
+    elif suf in ("erte", "ert"):
+        s = s[: -len(suf)] + "er"
+    elif suf:
+        s = s[: -len(suf)]
+    if len(s) >= 2 and s[-2:] in _NO_PAIRS and len(s) - 2 >= p1:
+        s = s[:-1]
+    suf = _longest_fit(s, p1, _NO_OTHER)
+    if suf:
+        s = s[: -len(suf)]
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Danish (DanishStemmer.java among tables)
+# ---------------------------------------------------------------------------
+
+_DA_MAIN = _by_len(
+    "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+    "erne", "ere", "en", "heden", "eren", "er", "heder", "erer", "s",
+    "heds", "es", "endes", "erendes", "enes", "ernes", "eres", "ens",
+    "hedens", "erens", "ers", "ets", "erets", "et", "eret",
+)
+_DA_S_END = frozenset("abcdfghjklmnoprtvyzå")
+_DA_PAIRS = ("gd", "dt", "gt", "kt")
+_DA_OTHER = _by_len("ig", "lig", "elig", "els", "løst")
+_DA_CONS = frozenset("bcdfghjklmnpqrstvwxz")
+
+
+def _da_consonant_pair(s: str, p1: int) -> str:
+    if len(s) >= 2 and s[-2:] in _DA_PAIRS and len(s) - 2 >= p1:
+        return s[:-1]
+    return s
+
+
+# ---------------------------------------------------------------------------
+# SQL twins — generated from the same suffix tables. The R1 fit check
+# ``start >= p1`` factors into two string-local conditions (start >= 3,
+# and the prefix of length ``start`` contains a vowel followed by a
+# non-vowel), so no position arithmetic is needed; deletions only ever
+# shorten the tail, so prefixes — and therefore fit — are stable across
+# layers.
+# ---------------------------------------------------------------------------
+
+
+def _fit_sql(k: int, vcls: str) -> str:
+    return (
+        f"length(term)-{k} >= 3 AND "
+        f"regexp_matches(left(term, length(term)-{k}), '[{vcls}][^{vcls}]')"
+    )
+
+
+def _lits(chars) -> str:
+    return ", ".join(f"'{c}'" for c in sorted(chars))
+
+
+def _main_case_sql(sufs, vcls: str, s_cond: str) -> str:
+    """Longest-first delete CASE; the 's' entry carries the s-ending
+    predicate ``s_cond`` (a SQL boolean over ``term``). A longer match
+    that fails fit falls through to a shorter one — exactly
+    find_among_b's longest-that-fits walk."""
+    rows = []
+    for suf in sorted(sufs, key=len, reverse=True):
+        k = len(suf)
+        cond = f"right(term, {k}) = '{suf}' AND {_fit_sql(k, vcls)}"
+        if suf == "s":
+            cond += f" AND ({s_cond})"
+        rows.append(f"WHEN {cond} THEN left(term, length(term)-{k})")
+    body = "\n        ".join(rows)
+    return f"CASE\n        {body}\n        ELSE term END"
+
+
+def _pair_case_sql(pairs, vcls: str) -> str:
+    plist = ", ".join(f"'{p}'" for p in pairs)
+    return (
+        f"CASE WHEN right(term, 2) IN ({plist}) AND {_fit_sql(2, vcls)} "
+        f"THEN left(term, length(term)-1) ELSE term END"
+    )
+
+
+_SV_V = "aeiouyäåö"
+_NO_V = "aeiouyåæø"
+_DA_V = "aeiouyåæø"
+
+SWEDISH_SNOWBALL_SQL = (
+    _main_case_sql(
+        _SV_MAIN,
+        _SV_V,
+        f"substr(term, length(term)-1, 1) IN ({_lits(_SV_S_END)})",
+    ),
+    _pair_case_sql(_SV_PAIRS, _SV_V),
+    # other suffix: fullt→full / löst→lös are drop-one-letter rewrites
+    f"""CASE
+        WHEN right(term, 5) = 'fullt' AND {_fit_sql(5, _SV_V)} THEN left(term, length(term)-1)
+        WHEN right(term, 4) = 'löst' AND {_fit_sql(4, _SV_V)} THEN left(term, length(term)-1)
+        WHEN right(term, 3) = 'lig' AND {_fit_sql(3, _SV_V)} THEN left(term, length(term)-3)
+        WHEN right(term, 3) = 'els' AND {_fit_sql(3, _SV_V)} THEN left(term, length(term)-3)
+        WHEN right(term, 2) = 'ig' AND {_fit_sql(2, _SV_V)} THEN left(term, length(term)-2)
+        ELSE term END""",
+)
+
+_NO_S_COND = (
+    f"substr(term, length(term)-1, 1) IN ({_lits(_NO_S_END)}) OR "
+    f"(substr(term, length(term)-1, 1) = 'k' AND length(term) >= 3 AND "
+    f"substr(term, length(term)-2, 1) NOT IN ({_lits(_NO_VOWELS)}))"
+)
+
+
+def _no_main_sql() -> str:
+    rows = []
+    for suf in sorted(_NO_MAIN, key=len, reverse=True):
+        k = len(suf)
+        cond = f"right(term, {k}) = '{suf}' AND {_fit_sql(k, _NO_V)}"
+        if suf == "s":
+            cond += f" AND ({_NO_S_COND})"
+        if suf in ("erte", "ert"):
+            then = f"left(term, length(term)-{k}) || 'er'"
+        else:
+            then = f"left(term, length(term)-{k})"
+        rows.append(f"WHEN {cond} THEN {then}")
+    body = "\n        ".join(rows)
+    return f"CASE\n        {body}\n        ELSE term END"
+
+
+NORWEGIAN_SNOWBALL_SQL = (
+    _no_main_sql(),
+    _pair_case_sql(_NO_PAIRS, _NO_V),
+    _main_case_sql(_NO_OTHER, _NO_V, "FALSE"),
+)
+
+# Danish: the other-suffix deletions (ig/lig/elig/els) re-run the
+# consonant-pair rule — a chr(2)/chr(3) marker pair routes ONLY those
+# through the second pair layer (the reference calls r_consonant_pair
+# from case 1 only).
+_DA_PAIR = _pair_case_sql(_DA_PAIRS, _DA_V)
+DANISH_SNOWBALL_SQL = (
+    _main_case_sql(
+        _DA_MAIN,
+        _DA_V,
+        f"substr(term, length(term)-1, 1) IN ({_lits(_DA_S_END)})",
+    ),
+    _DA_PAIR,
+    # igst → drop 'st': unconditional, no R1 check (DanishStemmer
+    # r_other_suffix's leading block)
+    "CASE WHEN right(term, 4) = 'igst' THEN left(term, length(term)-2) ELSE term END",
+    # other suffix: mark ig/lig/elig/els deletions with chr(2)
+    f"""CASE
+        WHEN right(term, 4) = 'løst' AND {_fit_sql(4, _DA_V)} THEN left(term, length(term)-1)
+        WHEN right(term, 4) = 'elig' AND {_fit_sql(4, _DA_V)} THEN chr(2) || left(term, length(term)-4)
+        WHEN right(term, 3) = 'lig' AND {_fit_sql(3, _DA_V)} THEN chr(2) || left(term, length(term)-3)
+        WHEN right(term, 3) = 'els' AND {_fit_sql(3, _DA_V)} THEN chr(2) || left(term, length(term)-3)
+        WHEN right(term, 2) = 'ig' AND {_fit_sql(2, _DA_V)} THEN chr(2) || left(term, length(term)-2)
+        ELSE term END""",
+    # swap markers: deleted → bare (runs the pair layer), untouched →
+    # chr(3) (skips it)
+    "CASE WHEN left(term, 1) = chr(2) THEN substr(term, 2) ELSE chr(3) || term END",
+    f"""CASE
+        WHEN left(term, 1) = chr(3) THEN term
+        WHEN right(term, 2) IN ('gd', 'dt', 'gt', 'kt') AND {_fit_sql(2, _DA_V)} THEN left(term, length(term)-1)
+        ELSE term END""",
+    "CASE WHEN left(term, 1) = chr(3) THEN substr(term, 2) ELSE term END",
+    # undouble: final double consonant whose second char sits in R1
+    f"""CASE
+        WHEN right(term, 1) IN ({_lits(_DA_CONS)})
+         AND substr(term, length(term)-1, 1) = right(term, 1)
+         AND {_fit_sql(1, _DA_V)}
+        THEN left(term, length(term)-1)
+        ELSE term END""",
+)
+
+
+def danish_snowball_stem(term: str) -> str:
+    s = term
+    p1 = _p1(s, _DA_VOWELS)
+    suf = _longest_fit(s, p1, _DA_MAIN)
+    if suf == "s":
+        if len(s) >= 2 and s[-2] in _DA_S_END:
+            s = s[:-1]
+    elif suf:
+        s = s[: -len(suf)]
+    s = _da_consonant_pair(s, p1)
+    # other_suffix: the 'igst' → drop 'st' strip is UNCONDITIONAL (no R1
+    # check — DanishStemmer.r_other_suffix's leading eq_s_b block)
+    if s.endswith("igst"):
+        s = s[:-2]
+    suf = _longest_fit(s, p1, _DA_OTHER)
+    if suf == "løst":
+        s = s[:-1]  # løst → løs
+    elif suf:
+        s = s[: -len(suf)]
+        s = _da_consonant_pair(s, p1)  # re-run pair after the deletion
+    # undouble: final double consonant whose SECOND char sits in R1
+    if (
+        len(s) >= 2
+        and s[-1] in _DA_CONS
+        and s[-2] == s[-1]
+        and len(s) - 1 >= p1
+    ):
+        s = s[:-1]
+    return s

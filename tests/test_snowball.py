@@ -1,0 +1,109 @@
+"""Scandinavian Snowball stemmer parity.
+
+The reference ships the Snowball project's own full test vocabularies
+(``analysis/snowball/{danish,norwegian,swedish}.zip``: voc.txt →
+output.txt, 2,000 words each) — every word is diffed bit-exact, and the
+DuckDB SQL twins are re-verified over the same vocabularies plus R1
+edge cases (short words, suffix-crosses-region, double-consonant
+undoubling, the Norwegian k-not-after-vowel s-ending).
+"""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+
+from lucene_solr_spark.oracle.snowball import (
+    DANISH_SNOWBALL_SQL,
+    NORWEGIAN_SNOWBALL_SQL,
+    SWEDISH_SNOWBALL_SQL,
+    danish_snowball_stem,
+    norwegian_snowball_stem,
+    swedish_snowball_stem,
+)
+
+_REF = (
+    "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/"
+    "analysis/snowball"
+)
+
+_LANGS = [
+    ("swedish", swedish_snowball_stem, SWEDISH_SNOWBALL_SQL),
+    ("norwegian", norwegian_snowball_stem, NORWEGIAN_SNOWBALL_SQL),
+    ("danish", danish_snowball_stem, DANISH_SNOWBALL_SQL),
+]
+
+_EDGES = [
+    "", "a", "ab", "abc", "bilens", "hallon", "ks", "fullt", "løst",
+    "trygghetslov", "huggst", "bakkens", "ei", "hyggeligst", "løsst",
+    "bakkekk", "aas", "kraas",
+]
+
+
+def _vocab(lang: str):
+    with zipfile.ZipFile(f"{_REF}/{lang}.zip") as z:
+        voc = z.read("voc.txt").decode("utf-8").split()
+        out = z.read("output.txt").decode("utf-8").split()
+    assert len(voc) == len(out) and len(voc) >= 2000
+    return list(zip(voc, out))
+
+
+@pytest.mark.parametrize("lang, fn, _sql", _LANGS, ids=[l[0] for l in _LANGS])
+def test_full_vocabulary_parity(lang, fn, _sql):
+    bad = [(w, fn(w), o) for w, o in _vocab(lang) if fn(w) != o]
+    assert not bad, bad[:10]
+
+
+@pytest.mark.parametrize("lang, fn, sql", _LANGS, ids=[l[0] for l in _LANGS])
+def test_sql_twin_parity(lang, fn, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    words = [w for w, _ in _vocab(lang)] + _EDGES
+    con.execute("CREATE TABLE w AS SELECT unnest(?) AS term", [words])
+    body = "SELECT term FROM w"
+    for e in sql:
+        body = f"SELECT {e} AS term FROM ({body})"
+    got = [r[0] for r in con.execute(body).fetchall()]
+    bad = [(w, g, fn(w)) for w, g in zip(words, got) if g != fn(w)]
+    assert not bad, bad[:10]
+
+
+def test_semantics_pins():
+    # R1 floor: at least 3 chars precede the region, so a suffix that
+    # matches at position < 3 never fires
+    assert swedish_snowball_stem("as") == "as"
+    assert swedish_snowball_stem("inas") == "inas"  # 'as' starts at 2 < 3
+    # Norwegian s after k requires a NON-vowel before the k
+    assert norwegian_snowball_stem("verks") == "verk"  # r-k-s: drops
+    assert norwegian_snowball_stem("vaaks") == "vaaks"  # vowel-k-s: keeps
+    # Norwegian erte/ert → er
+    assert norwegian_snowball_stem("lignende") == "lign"
+    # Danish igst strip (unconditional) → 'elig' drop in R1 → undouble
+    assert danish_snowball_stem("hyggeligst") == "hyg"
+    # Danish undouble: final double consonant in R1
+    assert danish_snowball_stem("bakk") == "bak"
+    # fit falls back: a long suffix crossing R1 yields the shorter one
+    assert swedish_snowball_stem("heten") == "het"  # 'heten' needs 3 before
+
+
+def test_registry_and_chain():
+    from lucene_solr_spark.functions.fast_tokenizer import batch_tokenize
+    from lucene_solr_spark.oracle.light_stemmers import (
+        analyzer_config,
+        resolve,
+    )
+    from lucene_solr_spark.oracle.tokenizer import analyze
+
+    assert resolve("danish_snowball")("hedens") == "hed"
+    for name in ("danish", "swedish", "norwegian"):
+        cfg = analyzer_config(name)
+        assert cfg["stemmer"] == f"{name}_snowball"
+        assert cfg["stopwords"]
+    text = "indtagelsens heder bilens"
+    td, terms, _ = batch_tokenize([text], stemmer="danish_snowball")
+    assert terms.to_pylist() == ["indtag", "hed", "bil"]
+    assert [t.term for t in analyze(text, stemmer="danish_snowball")] == [
+        "indtag", "hed", "bil",
+    ]
