@@ -1871,6 +1871,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["norwegian_snowball_topk"] = norwegian_snowball_topk
 
+    def russian_snowball_topk(spark, sf_dir):
+        """Russian SNOWBALL stemmer (the RussianAnalyzer DEFAULT —
+        RV/R2 regions, gerund|reflexive;adjectival|verb|noun step
+        chain) over the pseudo-Cyrillic corpus; query = the Snowball
+        stem of the mapped 'merge'; exact SQL twin (marker-layered
+        step-1 OR-chain)."""
+        ex = _light_stem_executor(
+            spark, sf_dir, "russian_snowball", text_sql=_RUSSIAN_TEXT_SQL
+        )
+        from lucene_solr_spark.oracle.snowball import russian_snowball_stem
+
+        q = russian_snowball_stem("merge".translate(_RU_MAP))
+        return ex.topk(_T(q), k=10).select("doc_id", "score")
+
+    out["russian_snowball_topk"] = russian_snowball_topk
+
     def danish_snowball_topk(spark, sf_dir):
         """Danish SNOWBALL stemmer (the DanishAnalyzer DEFAULT — the
         Danish analyzer has NO light variant, so this is the language's
@@ -2803,6 +2819,13 @@ def oracle_sql() -> dict[str, str]:
     out["danish_snowball_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.DANISH_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="filt")
+    )
+    out["russian_snowball_topk"] = (
+        f"WITH {_ictes_lang(text_col=_RUSSIAN_TEXT_SQL, token_regex='[a-z0-9аеиоу]+', term_expr=_sb.RUSSIAN_SNOWBALL_SQL)}"
+        + _lang_topk.format(
+            score=_SCORE,
+            term=_sb.russian_snowball_stem("merge".translate(_RU_MAP)),
+        )
     )
 
     # index-time synonyms: postings from the stacked stream; doc length

@@ -881,6 +881,7 @@ def _register_snowball() -> None:
             "swedish_snowball": _sb.swedish_snowball_stem,
             "norwegian_snowball": _sb.norwegian_snowball_stem,
             "danish_snowball": _sb.danish_snowball_stem,
+            "russian_snowball": _sb.russian_snowball_stem,
         }
     )
 
@@ -929,6 +930,9 @@ def analyzer_config(name: str) -> dict:
             stopwords=NORWEGIAN_STOP_WORDS, stemmer="norwegian_snowball"
         ),
         "danish": dict(stopwords=DANISH_STOP_WORDS, stemmer="danish_snowball"),
+        "russian": dict(
+            stopwords=RUSSIAN_STOP_WORDS, stemmer="russian_snowball"
+        ),
         "swedish_light": dict(
             stopwords=SWEDISH_STOP_WORDS, stemmer="swedish_light"
         ),

@@ -33,9 +33,11 @@ __all__ = [
     "swedish_snowball_stem",
     "norwegian_snowball_stem",
     "danish_snowball_stem",
+    "russian_snowball_stem",
     "SWEDISH_SNOWBALL_SQL",
     "NORWEGIAN_SNOWBALL_SQL",
     "DANISH_SNOWBALL_SQL",
+    "RUSSIAN_SNOWBALL_SQL",
 ]
 
 _SV_VOWELS = frozenset("aeiouyäåö")
@@ -339,3 +341,305 @@ def danish_snowball_stem(term: str) -> str:
     ):
         s = s[:-1]
     return s
+
+
+# ---------------------------------------------------------------------------
+# Russian (snowballstem.org Russian; generated form at
+# org/tartarus/snowball/ext/RussianStemmer.java). Structure: ё→е
+# pre-map; RV = after the first vowel, R2 = after the second
+# vowel→non-vowel transition; step 1 = perfective gerund OR
+# [reflexive; adjectival|verb|noun]; step 2 = drop final 'и'; step 3 =
+# derivational ост/ость in R2; step 4 = tidy-up (superlative ейш(е) +
+# undouble нн, soft sign).
+#
+# Semantics notes carried from the generated code:
+# - every suffix must lie entirely in RV (limit_backward = pV);
+# - group-1 entries (в/вши/вшись, participles ем/нн/вш/щ/ющ, verb
+#   endings л/н/на/…) require a PRECEDING а or я, itself inside RV;
+#   when the longest match's precondition fails the whole rule fails —
+#   no retry with a shorter entry (find_among_b semantics);
+# - tidy-up case 1 deletes ейше/ейш IMMEDIATELY, then conditionally
+#   undoubles a following нн (slice_del happens before the check, so
+#   the superlative strip persists even when the нн check fails).
+# ---------------------------------------------------------------------------
+
+_RU_SB_V = frozenset("аеиоуыэюя")
+
+#: (suffix, needs_preceding_a_ya) — perfective gerund (a_0)
+_RU_GERUND = [
+    ("ывшись", False), ("ившись", False), ("вшись", True),
+    ("ывши", False), ("ивши", False), ("вши", True),
+    ("ыв", False), ("ив", False), ("в", True),
+]
+#: adjective endings (a_1), plain delete
+_RU_ADJ = sorted(
+    "ее ие ое ые ими ыми ей ий ой ый ем им ом ым его ого ему ому их ых "
+    "ею ою ую юю ая яя".split(),
+    key=len,
+    reverse=True,
+)
+#: participle (a_2): (suffix, needs_preceding_a_ya)
+_RU_PART = [
+    ("ующ", False), ("ивш", False), ("ывш", False),
+    ("ющ", True), ("вш", True), ("ем", True), ("нн", True), ("щ", True),
+]
+_RU_REFLEX = ["сь", "ся"]
+#: verb endings (a_4): (suffix, case) where case 1 needs preceding а/я
+_RU_VERB = [
+    ("ла", 1), ("ила", 2), ("ыла", 2), ("на", 1), ("ена", 2),
+    ("ете", 1), ("ите", 2), ("йте", 1), ("ейте", 2), ("уйте", 2),
+    ("ли", 1), ("или", 2), ("ыли", 2), ("й", 1), ("ей", 2), ("уй", 2),
+    ("л", 1), ("ил", 2), ("ыл", 2), ("ем", 1), ("им", 2), ("ым", 2),
+    ("н", 1), ("ен", 2), ("ло", 1), ("ило", 2), ("ыло", 2), ("но", 1),
+    ("ено", 2), ("нно", 1), ("ет", 1), ("ует", 2), ("ит", 2), ("ыт", 2),
+    ("ют", 1), ("уют", 2), ("ят", 2), ("ны", 1), ("ены", 2), ("ть", 1),
+    ("ить", 2), ("ыть", 2), ("ешь", 1), ("ишь", 2), ("ю", 2), ("ую", 2),
+]
+_RU_VERB.sort(key=lambda e: len(e[0]), reverse=True)
+#: noun endings (a_5), plain delete
+_RU_NOUN = sorted(
+    "а ев ов е ие ье и еи ии ами ями иями й ей ией ий ой ам ем ием ом "
+    "ям иям о у ах ях иях ы ь ю ию ью я ия ья".split(),
+    key=len,
+    reverse=True,
+)
+_RU_DERIV = ["ость", "ост"]
+
+
+def _ru_regions(s: str) -> tuple[int, int]:
+    n = len(s)
+
+    def scan(i: int, want_vowel: bool) -> int | None:
+        while i < n:
+            if (s[i] in _RU_SB_V) == want_vowel:
+                return i + 1
+            i += 1
+        return None
+
+    pV = scan(0, True)
+    if pV is None:
+        return n, n
+    a = scan(pV, False)
+    b = scan(a, True) if a is not None else None
+    c = scan(b, False) if b is not None else None
+    return pV, (c if c is not None else n)
+
+
+def _ru_longest(s: str, pV: int, entries):
+    """Longest suffix in RV; entries are (suffix, case) pairs or plain
+    suffix strings (case None). Returns (suffix, case) or (None, None).
+    Mirrors find_among_b: the longest FITTING match is selected before
+    any precondition runs."""
+    for e in entries:
+        suf, case = e if isinstance(e, tuple) else (e, None)
+        if s.endswith(suf) and len(s) - len(suf) >= pV:
+            return suf, case
+    return None, None
+
+
+def _ru_prec_aya(s: str, start: int, pV: int) -> bool:
+    """Preceding а/я, itself inside RV (eq_s_b under limit_backward=pV)."""
+    return start - 1 >= pV and s[start - 1] in "ая"
+
+
+def russian_snowball_stem(term: str) -> str:
+    s = term.replace("ё", "е")
+    pV, p2 = _ru_regions(s)
+
+    # --- step 1 ---------------------------------------------------------
+    suf, needs = _ru_longest(s, pV, _RU_GERUND)
+    done = False
+    if suf is not None and (
+        not needs or _ru_prec_aya(s, len(s) - len(suf), pV)
+    ):
+        s = s[: -len(suf)]
+        done = True
+    if not done:
+        suf, _ = _ru_longest(s, pV, _RU_REFLEX)
+        if suf:
+            s = s[: -len(suf)]
+        suf, _ = _ru_longest(s, pV, _RU_ADJ)
+        if suf:  # adjectival: adjective + optional participle
+            s = s[: -len(suf)]
+            psuf, _ = _ru_longest(s, pV, _RU_PART)
+            if psuf is not None:
+                needs = dict(_RU_PART)[psuf]
+                if not needs or _ru_prec_aya(s, len(s) - len(psuf), pV):
+                    s = s[: -len(psuf)]
+        else:
+            vsuf, vcase = _ru_longest(s, pV, _RU_VERB)
+            ok = False
+            if vsuf is not None and (
+                vcase == 2 or _ru_prec_aya(s, len(s) - len(vsuf), pV)
+            ):
+                s = s[: -len(vsuf)]
+                ok = True
+            if not ok:
+                nsuf, _ = _ru_longest(s, pV, _RU_NOUN)
+                if nsuf:
+                    s = s[: -len(nsuf)]
+
+    # --- step 2: final 'и' in RV ----------------------------------------
+    if s.endswith("и") and len(s) - 1 >= pV:
+        s = s[:-1]
+
+    # --- step 3: derivational, must sit in R2 ---------------------------
+    suf, _ = _ru_longest(s, pV, _RU_DERIV)
+    if suf and len(s) - len(suf) >= p2:
+        s = s[: -len(suf)]
+
+    # --- step 4: tidy up -------------------------------------------------
+    suf, _ = _ru_longest(s, pV, ["ейше", "ейш"])
+    if suf:
+        s = s[: -len(suf)]  # persists even if the нн check below fails
+        if s.endswith("нн") and len(s) - 2 >= pV:
+            s = s[:-1]
+    elif s.endswith("н") and len(s) - 1 >= pV:
+        if s.endswith("нн") and len(s) - 2 >= pV:
+            s = s[:-1]
+    elif s.endswith("ь") and len(s) - 1 >= pV:
+        s = s[:-1]
+    return s
+
+
+# --- Russian SQL twin -------------------------------------------------------
+# RV fit: suffix start >= pV ⟺ the prefix before the suffix contains a
+# vowel. R2 fit: the prefix contains the subsequence vowel, non-vowel,
+# vowel, non-vowel (the first-occurrence chain is minimal, so ANY such
+# subsequence ⟺ start >= p2). Step-1's OR-chain (gerund ELSE
+# [reflexive; adjectival|verb|noun]) threads a chr(2) done-marker and a
+# chr(3) adjective-pending-participle marker; CASE fall-through on a
+# failed а/я precondition is outcome-identical to find_among_b's
+# fail-the-rule semantics for every colliding suffix pair in these
+# tables (verified over the full vocabulary in tests).
+
+_RU_VC = "аеиоуыэюя"
+
+
+def _ru_rv(k: int, t: str = "term") -> str:
+    return f"regexp_matches(left({t}, length({t})-{k}), '[{_RU_VC}]')"
+
+
+def _ru_prec_sql(k: int, t: str = "term") -> str:
+    return (
+        f"substr({t}, length({t})-{k}, 1) IN ('а', 'я') AND "
+        f"regexp_matches(left({t}, length({t})-{k}-1), '[{_RU_VC}]')"
+    )
+
+
+def _ru_del_rows(entries, t: str = "term", then_prefix: str = "") -> list[str]:
+    """CASE rows for a (suffix, needs_prec|case) table over column
+    expression ``t``; deletion result optionally prefixed (marker)."""
+    rows = []
+    norm = []
+    for e in entries:
+        if isinstance(e, tuple):
+            suf, c = e
+            needs = (c is True) or (c == 1)
+        else:
+            suf, needs = e, False
+        norm.append((suf, needs))
+    for suf, needs in sorted(norm, key=lambda x: len(x[0]), reverse=True):
+        k = len(suf)
+        cond = f"right({t}, {k}) = '{suf}' AND {_ru_rv(k, t)}"
+        if needs:
+            cond += f" AND {_ru_prec_sql(k, t)}"
+        then = f"left({t}, length({t})-{k})"
+        if then_prefix:
+            then = f"{then_prefix} || {then}"
+        rows.append(f"WHEN {cond} THEN {then}")
+    return rows
+
+
+def _ru_sql() -> tuple[str, ...]:
+    done = "left(term, 1) = chr(2)"
+    adjm = "left(term, 1) = chr(3)"
+    sub = "substr(term, 2)"
+    nl = "\n        "
+
+    gerund = (
+        "CASE\n        "
+        + nl.join(_ru_del_rows(_RU_GERUND, then_prefix="chr(2)"))
+        + "\n        ELSE term END"
+    )
+    reflexive = (
+        f"CASE\n        WHEN {done} THEN term\n        "
+        + nl.join(_ru_del_rows(_RU_REFLEX))
+        + "\n        ELSE term END"
+    )
+    adjective = (
+        f"CASE\n        WHEN {done} THEN term\n        "
+        + nl.join(_ru_del_rows(_RU_ADJ, then_prefix="chr(3)"))
+        + "\n        ELSE term END"
+    )
+    # participle: only chr(3) rows; result always re-marked done
+    part_rows = _ru_del_rows(_RU_PART, t=sub, then_prefix="chr(2)")
+    participle = (
+        "CASE\n"
+        f"        WHEN NOT ({adjm}) THEN term\n        "
+        + nl.join(f"WHEN {adjm} AND {r[5:]}" for r in part_rows)
+        + f"\n        WHEN {adjm} THEN chr(2) || {sub}\n        ELSE term END"
+    )
+    verb = (
+        f"CASE\n        WHEN {done} THEN term\n        "
+        + nl.join(_ru_del_rows(_RU_VERB, then_prefix="chr(2)"))
+        + "\n        ELSE term END"
+    )
+    noun = (
+        f"CASE\n        WHEN {done} THEN term\n        "
+        + nl.join(_ru_del_rows(_RU_NOUN))
+        + "\n        ELSE term END"
+    )
+    unmark = f"CASE WHEN {done} THEN {sub} ELSE term END"
+    step2 = (
+        f"CASE WHEN right(term, 1) = 'и' AND {_ru_rv(1)} "
+        "THEN left(term, length(term)-1) ELSE term END"
+    )
+    r2 = (
+        "regexp_matches(left(term, length(term)-{k}), "
+        f"'[{_RU_VC}].*[^{_RU_VC}].*[{_RU_VC}].*[^{_RU_VC}]')"
+    )
+    deriv = (
+        "CASE\n"
+        f"        WHEN right(term, 4) = 'ость' AND {_ru_rv(4)} AND {r2.format(k=4)} THEN left(term, length(term)-4)\n"
+        f"        WHEN right(term, 3) = 'ост' AND {_ru_rv(3)} AND {r2.format(k=3)} THEN left(term, length(term)-3)\n"
+        "        ELSE term END"
+    )
+    tidy_rows = []
+    for suf in ("ейше", "ейш"):
+        k = len(suf)
+        tidy_rows.append(
+            f"WHEN right(term, {k}) = '{suf}' AND {_ru_rv(k)} AND "
+            f"substr(term, length(term)-{k + 1}, 2) = 'нн' AND {_ru_rv(k + 2)} "
+            f"THEN left(term, length(term)-{k + 1})"
+        )
+        tidy_rows.append(
+            f"WHEN right(term, {k}) = '{suf}' AND {_ru_rv(k)} "
+            f"THEN left(term, length(term)-{k})"
+        )
+    tidy_rows.append(
+        f"WHEN right(term, 2) = 'нн' AND {_ru_rv(1)} AND {_ru_rv(2)} "
+        "THEN left(term, length(term)-1)"
+    )
+    tidy_rows.append(
+        f"WHEN right(term, 1) = 'ь' AND {_ru_rv(1)} "
+        "THEN left(term, length(term)-1)"
+    )
+    tidy = "CASE\n        " + nl.join(tidy_rows) + "\n        ELSE term END"
+
+    return (
+        "replace(term, 'ё', 'е')",
+        gerund,
+        reflexive,
+        adjective,
+        participle,
+        verb,
+        noun,
+        unmark,
+        step2,
+        deriv,
+        tidy,
+    )
+
+
+RUSSIAN_SNOWBALL_SQL = _ru_sql()

@@ -17,9 +17,11 @@ import pytest
 from lucene_solr_spark.oracle.snowball import (
     DANISH_SNOWBALL_SQL,
     NORWEGIAN_SNOWBALL_SQL,
+    RUSSIAN_SNOWBALL_SQL,
     SWEDISH_SNOWBALL_SQL,
     danish_snowball_stem,
     norwegian_snowball_stem,
+    russian_snowball_stem,
     swedish_snowball_stem,
 )
 
@@ -32,12 +34,17 @@ _LANGS = [
     ("swedish", swedish_snowball_stem, SWEDISH_SNOWBALL_SQL),
     ("norwegian", norwegian_snowball_stem, NORWEGIAN_SNOWBALL_SQL),
     ("danish", danish_snowball_stem, DANISH_SNOWBALL_SQL),
+    ("russian", russian_snowball_stem, RUSSIAN_SNOWBALL_SQL),
 ]
 
 _EDGES = [
     "", "a", "ab", "abc", "bilens", "hallon", "ks", "fullt", "løst",
     "trygghetslov", "huggst", "bakkens", "ei", "hyggeligst", "løsst",
     "bakkekk", "aas", "kraas",
+    # Russian: ё-fold, tidy-up ейш(е)+нн persistence, bare soft sign,
+    # verb-precondition collisions (нно/но, ает/ет)
+    "тёплый", "нно", "ейшенн", "воейше", "ь", "нн", "и", "бегает",
+    "сильнейшенный",
 ]
 
 
@@ -68,6 +75,20 @@ def test_sql_twin_parity(lang, fn, sql):
     got = [r[0] for r in con.execute(body).fetchall()]
     bad = [(w, g, fn(w)) for w, g in zip(words, got) if g != fn(w)]
     assert not bad, bad[:10]
+
+
+def test_russian_semantics_pins():
+    # RV gate: suffix must start at/after the first-vowel+1 position
+    assert russian_snowball_stem("ь") == "ь"  # no vowel → RV empty
+    # ё folds to е BEFORE region marking
+    assert russian_snowball_stem("тёплый") == "тепл"
+    # perfective gerund в needs preceding а/я
+    assert russian_snowball_stem("сделав") == "сдела"
+    # superlative ейш deletion persists even without a trailing нн
+    assert russian_snowball_stem("сильнейш") == "сильн"
+    # derivational ость requires R2
+    assert russian_snowball_stem("тупость") == "тупост"  # ость before R2
+    assert russian_snowball_stem("туманность") == "туман"  # in R2 + нн tidy
 
 
 def test_semantics_pins():
