@@ -1871,6 +1871,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["norwegian_snowball_topk"] = norwegian_snowball_topk
 
+    def porter2_topk(spark, sf_dir):
+        """English Porter2 (the Snowball 'english' stemmer —
+        SnowballPorterFilterFactory's English path; the analyzer default
+        stays the original Porter): BM25 top-10 for 'relat' (the
+        Porter2 stem of 'relational'); exact SQL twin — prelude y→Y,
+        prefix-overridden R1/R2, the full step chain. Unlike the
+        original Porter (rows-only gate), Porter2's English chain gates
+        VALUE-exact. Query 'custom' = the Porter2 stem of 'customer'."""
+        ex = _light_stem_executor(spark, sf_dir, "porter2")
+        return ex.topk(_T("custom"), k=10).select("doc_id", "score")
+
+    out["porter2_topk"] = porter2_topk
+
     def russian_snowball_topk(spark, sf_dir):
         """Russian SNOWBALL stemmer (the RussianAnalyzer DEFAULT —
         RV/R2 regions, gerund|reflexive;adjectival|verb|noun step
@@ -2819,6 +2832,10 @@ def oracle_sql() -> dict[str, str]:
     out["danish_snowball_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.DANISH_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="filt")
+    )
+    out["porter2_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_sb.PORTER2_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="custom")
     )
     out["russian_snowball_topk"] = (
         f"WITH {_ictes_lang(text_col=_RUSSIAN_TEXT_SQL, token_regex='[a-z0-9аеиоу]+', term_expr=_sb.RUSSIAN_SNOWBALL_SQL)}"

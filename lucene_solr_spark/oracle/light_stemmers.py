@@ -882,6 +882,7 @@ def _register_snowball() -> None:
             "norwegian_snowball": _sb.norwegian_snowball_stem,
             "danish_snowball": _sb.danish_snowball_stem,
             "russian_snowball": _sb.russian_snowball_stem,
+            "porter2": _sb.porter2_stem,
         }
     )
 

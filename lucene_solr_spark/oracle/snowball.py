@@ -34,10 +34,12 @@ __all__ = [
     "norwegian_snowball_stem",
     "danish_snowball_stem",
     "russian_snowball_stem",
+    "porter2_stem",
     "SWEDISH_SNOWBALL_SQL",
     "NORWEGIAN_SNOWBALL_SQL",
     "DANISH_SNOWBALL_SQL",
     "RUSSIAN_SNOWBALL_SQL",
+    "PORTER2_SQL",
 ]
 
 _SV_VOWELS = frozenset("aeiouyäåö")
@@ -643,3 +645,442 @@ def _ru_sql() -> tuple[str, ...]:
 
 
 RUSSIAN_SNOWBALL_SQL = _ru_sql()
+
+
+# ---------------------------------------------------------------------------
+# English "Porter2" (snowballstem.org english; generated form at
+# org/tartarus/snowball/ext/EnglishStemmer.java). The SnowballFilter
+# path of the reference's English analysis (EnglishAnalyzer's default
+# stays the original Porter in oracle/porter.py; Porter2 is the
+# SnowballPorterFilterFactory(language=English) surface).
+#
+# Semantics notes carried from the generated code:
+# - exception1 runs on the WHOLE word before anything else; words
+#   shorter than 3 are returned untouched;
+# - prelude: strip one leading apostrophe, then mark y at position 0
+#   and every y after a vowel as consonant 'Y';
+# - R1 starts after gener/commun/arsen when the word begins with one,
+#   else after the first vowel→non-vowel; R2 continues from R1;
+# - step 4 tests R2 on the LONGEST match only — 'ement' failing R2
+#   does NOT fall back to 'ment' (find_among_b then-fail semantics);
+# - step 1b's post-deletion among includes the EMPTY string: 'at/bl/iz'
+#   append e, doubled consonants undouble, and a stem ending exactly at
+#   R1 with a short-vowel shape appends e.
+# ---------------------------------------------------------------------------
+
+_EN_V = frozenset("aeiouy")
+_EN_V_WXY = frozenset("aeiouywxY")
+_EN_VALID_LI = frozenset("cdeghkmnrt")
+_EN_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_EN_EXC1 = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_EN_EXC2 = frozenset(
+    ["inning", "outing", "canning", "herring", "earring", "proceed",
+     "exceed", "succeed"]
+)
+_EN_STEP2 = [
+    ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+    ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+    ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+    ("ation", "ate"), ("alism", "al"), ("aliti", "al"), ("ousli", "ous"),
+    ("iviti", "ive"), ("fulli", "ful"), ("enci", "ence"), ("anci", "ance"),
+    ("abli", "able"), ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+    ("bli", "ble"), ("ogi", None), ("li", None),
+]
+_EN_STEP3 = [
+    ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+    ("icate", "ic"), ("iciti", "ic"), ("ative", ""), ("ical", "ic"),
+    ("ness", ""), ("ful", ""),
+]
+_EN_STEP4 = sorted(
+    ["al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+     "ment", "ent", "ism", "ate", "iti", "ous", "ive", "ize", "ion"],
+    key=len,
+    reverse=True,
+)
+
+
+def _en_regions(s: str) -> tuple[int, int]:
+    n = len(s)
+    p1 = n
+    for pre in ("gener", "commun", "arsen"):
+        if s.startswith(pre):
+            p1 = len(pre)
+            break
+    else:
+        for i in range(n - 1):
+            if s[i] in _EN_V and s[i + 1] not in _EN_V:
+                p1 = i + 2
+                break
+    p2 = n
+    for i in range(p1, n - 1):
+        if s[i] in _EN_V and s[i + 1] not in _EN_V:
+            p2 = i + 2
+            break
+    return p1, p2
+
+
+def _en_shortv(s: str) -> bool:
+    """short-vowel shape at the END of s: non-vowel-WXY, vowel,
+    non-vowel — or vowel, non-vowel at the very start ('ox')."""
+    n = len(s)
+    if (
+        n >= 3
+        and s[-1] not in _EN_V_WXY
+        and s[-2] in _EN_V
+        and s[-3] not in _EN_V
+    ):
+        return True
+    return n == 2 and s[-1] not in _EN_V and s[-2] in _EN_V
+
+
+def porter2_stem(term: str) -> str:  # noqa: C901 — mirrors the step list
+    if term in _EN_EXC1:
+        return _EN_EXC1[term]
+    if len(term) < 3:
+        return term
+    s = term
+    y_found = False
+    # prelude
+    if s.startswith("'"):
+        s = s[1:]
+    chars = list(s)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+        y_found = True
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _EN_V:
+            chars[i] = "Y"
+            y_found = True
+    s = "".join(chars)
+    p1, p2 = _en_regions(s)
+
+    # step 0: longest of ' / 's / 's'
+    for suf in ("'s'", "'s", "'"):
+        if s.endswith(suf):
+            s = s[: -len(suf)]
+            break
+
+    # step 1a — longest of a_2
+    if s.endswith("sses"):
+        s = s[:-2]
+    elif s.endswith(("ied", "ies")):
+        s = s[:-3] + ("i" if len(s) - 3 >= 2 else "ie")
+    elif s.endswith(("ss", "us")):
+        pass
+    elif s.endswith("s"):
+        if any(c in _EN_V for c in s[: len(s) - 2]):
+            s = s[:-1]
+
+    if s in _EN_EXC2:
+        return s
+
+    # step 1b — longest of a_4
+    suf = next(
+        (
+            x
+            for x in ("eedly", "ingly", "edly", "eed", "ing", "ed")
+            if s.endswith(x)
+        ),
+        None,
+    )
+    if suf in ("eed", "eedly"):
+        if len(s) - len(suf) >= p1:
+            s = s[: -len(suf)] + "ee"
+    elif suf is not None:
+        start = len(s) - len(suf)
+        if any(c in _EN_V for c in s[:start]):
+            s = s[:start]
+            if s.endswith(("at", "bl", "iz")):
+                s += "e"
+            elif s.endswith(_EN_DOUBLES):
+                s = s[:-1]
+            elif len(s) == p1 and _en_shortv(s):
+                s += "e"
+
+    # step 1c: final y/Y after a non-vowel that is not the first char
+    if (
+        len(s) >= 3
+        and s[-1] in "yY"
+        and s[-2] not in _EN_V
+    ):
+        s = s[:-1] + "i"
+
+    # step 2 (longest in the table; then R1 gate on THAT match)
+    for suf, rep in _EN_STEP2:
+        if s.endswith(suf):
+            if len(s) - len(suf) >= p1:
+                if suf == "ogi":
+                    if s.endswith("logi"):
+                        s = s[:-1]  # ogi → og after l
+                elif suf == "li":
+                    if len(s) >= 3 and s[-3] in _EN_VALID_LI:
+                        s = s[:-2]
+                else:
+                    s = s[: -len(suf)] + rep
+            break
+
+    # step 3
+    for suf, rep in _EN_STEP3:
+        if s.endswith(suf):
+            if len(s) - len(suf) >= p1:
+                if suf == "ative":
+                    if len(s) - 5 >= p2:
+                        s = s[:-5]
+                else:
+                    s = s[: -len(suf)] + rep
+            break
+
+    # step 4 (R2 gate on the longest match only)
+    for suf in _EN_STEP4:
+        if s.endswith(suf):
+            if len(s) - len(suf) >= p2:
+                if suf == "ion":
+                    if len(s) >= 4 and s[-4] in "st":
+                        s = s[:-3]
+                else:
+                    s = s[: -len(suf)]
+            break
+
+    # step 5
+    if s.endswith("e"):
+        if len(s) - 1 >= p2 or (
+            len(s) - 1 >= p1 and not _en_shortv(s[:-1])
+        ):
+            s = s[:-1]
+    elif s.endswith("l") and len(s) - 1 >= p2 and len(s) >= 2 and s[-2] == "l":
+        s = s[:-1]
+
+    if y_found:
+        s = s.replace("Y", "y")
+    return s
+
+
+# --- Porter2 SQL twin -------------------------------------------------------
+# The y→Y prelude is one global regex (post-vowel y); R1/R2 fits factor
+# into vowel / vowel-nonvowel-subsequence regexes with the
+# gener/commun/arsen prefix override; len==p1 (the step-1b short-word
+# test) is fit(0) AND NOT fit(1). Words shorter than 3 and exception-1
+# words short-circuit via a chr(1)/chr(2) marker pair; exception-2
+# words mark done after step 1a.
+
+_EN_VC = "aeiouy"
+
+
+def _en_fit1(k) -> str:
+    """start = length(term)-k >= p1, prefix-override aware."""
+    pfx = " OR ".join(
+        f"(left(term, {len(p)}) = '{p}' AND length(term)-({k}) >= {len(p)})"
+        for p in ("gener", "commun", "arsen")
+    )
+    std = (
+        f"(NOT (left(term, 5) = 'gener' OR left(term, 6) = 'commun' OR left(term, 5) = 'arsen') AND "
+        f"regexp_matches(left(term, length(term)-({k})), '[{_EN_VC}][^{_EN_VC}]'))"
+    )
+    return f"({pfx} OR {std})"
+
+
+def _en_fit2(k) -> str:
+    """start >= p2: past the special prefix (or the first v→nv), the
+    remaining prefix contains another v→nv subsequence."""
+    rows = []
+    for p in ("gener", "commun", "arsen"):
+        rows.append(
+            f"(left(term, {len(p)}) = '{p}' AND regexp_matches("
+            f"substr(left(term, length(term)-({k})), {len(p) + 1}), "
+            f"'[{_EN_VC}].*[^{_EN_VC}]'))"
+        )
+    rows.append(
+        f"(NOT (left(term, 5) = 'gener' OR left(term, 6) = 'commun' OR left(term, 5) = 'arsen') AND "
+        f"regexp_matches(left(term, length(term)-({k})), "
+        f"'[{_EN_VC}].*[^{_EN_VC}].*[{_EN_VC}].*[^{_EN_VC}]'))"
+    )
+    return "(" + " OR ".join(rows) + ")"
+
+
+def _en_shortv_sql(t: str) -> str:
+    return (
+        f"(regexp_matches({t}, '[^{_EN_VC}][{_EN_VC}][^aeiouywxY]$') OR "
+        f"regexp_matches({t}, '^[{_EN_VC}][^{_EN_VC}]$'))"
+    )
+
+
+def _porter2_sql() -> tuple[str, ...]:
+    skip = "left(term, 1) = chr(1)"
+    done = "left(term, 1) = chr(2)"
+    guard = f"({skip} OR {done})"
+    nl = "\n        "
+
+    exc1_rows = nl.join(
+        f"WHEN term = '{w}' THEN chr(2) || '{r}'"
+        for w, r in sorted(_EN_EXC1.items())
+    )
+    layer0 = (
+        "CASE\n        "
+        + exc1_rows
+        + "\n        WHEN length(term) < 3 THEN chr(1) || term"
+        + "\n        ELSE term END"
+    )
+    prelude = (
+        f"CASE WHEN {guard} THEN term ELSE "
+        "regexp_replace("
+        f"regexp_replace(CASE WHEN left(term, 1) = '''' THEN substr(term, 2) ELSE term END, '^y', 'Y'), "
+        f"'([{_EN_VC}])y', '\\1Y', 'g') END"
+    )
+    step0 = (
+        f"""CASE
+        WHEN {guard} THEN term
+        WHEN right(term, 3) = '''s''' THEN left(term, length(term)-3)
+        WHEN right(term, 2) = '''s' THEN left(term, length(term)-2)
+        WHEN right(term, 1) = '''' THEN left(term, length(term)-1)
+        ELSE term END"""
+    )
+    step1a = (
+        f"""CASE
+        WHEN {guard} THEN term
+        WHEN right(term, 4) = 'sses' THEN left(term, length(term)-2)
+        WHEN right(term, 3) IN ('ied', 'ies') AND length(term) >= 5 THEN left(term, length(term)-3) || 'i'
+        WHEN right(term, 3) IN ('ied', 'ies') THEN left(term, length(term)-3) || 'ie'
+        WHEN right(term, 2) IN ('ss', 'us') THEN term
+        WHEN right(term, 1) = 's' AND regexp_matches(left(term, length(term)-2), '[{_EN_VC}]') THEN left(term, length(term)-1)
+        ELSE term END"""
+    )
+    exc2_rows = ", ".join(f"'{w}'" for w in sorted(_EN_EXC2))
+    exc2 = (
+        f"CASE WHEN NOT {guard} AND term IN ({exc2_rows}) "
+        "THEN chr(2) || term ELSE term END"
+    )
+    # step 1b: enumerate (suffix, post-action) rows; r = the deleted form
+    rows_1b = []
+    for suf in ("eedly", "eed"):
+        k = len(suf)
+        rows_1b.append(
+            f"WHEN right(term, {k}) = '{suf}' AND {_en_fit1(k)} "
+            f"THEN left(term, length(term)-{k}) || 'ee'"
+        )
+        rows_1b.append(f"WHEN right(term, {k}) = '{suf}' THEN term")
+    for suf in ("ingly", "edly", "ing", "ed"):
+        k = len(suf)
+        r = f"left(term, length(term)-{k})"
+        has_v = f"regexp_matches({r}, '[{_EN_VC}]')"
+        dbl = ", ".join(f"'{d}'" for d in _EN_DOUBLES)
+        # len(r)==p1 ⟺ fit(k) AND NOT fit(k+1)
+        at_p1 = f"({_en_fit1(k)} AND NOT {_en_fit1(k + 1)})"
+        rows_1b.append(
+            f"WHEN right(term, {k}) = '{suf}' AND {has_v} AND "
+            f"right({r}, 2) IN ('at', 'bl', 'iz') THEN {r} || 'e'"
+        )
+        rows_1b.append(
+            f"WHEN right(term, {k}) = '{suf}' AND {has_v} AND "
+            f"right({r}, 2) IN ({dbl}) THEN left(term, length(term)-{k + 1})"
+        )
+        rows_1b.append(
+            f"WHEN right(term, {k}) = '{suf}' AND {has_v} AND {at_p1} AND "
+            f"{_en_shortv_sql(r)} THEN {r} || 'e'"
+        )
+        rows_1b.append(
+            f"WHEN right(term, {k}) = '{suf}' AND {has_v} THEN {r}"
+        )
+        rows_1b.append(f"WHEN right(term, {k}) = '{suf}' THEN term")
+    step1b = (
+        f"CASE\n        WHEN {guard} THEN term\n        "
+        + nl.join(rows_1b)
+        + "\n        ELSE term END"
+    )
+    step1c = (
+        f"""CASE
+        WHEN {guard} THEN term
+        WHEN length(term) >= 3 AND right(term, 1) IN ('y', 'Y')
+         AND substr(term, length(term)-1, 1) NOT IN ('a','e','i','o','u','y')
+        THEN left(term, length(term)-1) || 'i'
+        ELSE term END"""
+    )
+    rows_2 = []
+    for suf, rep in _EN_STEP2:
+        k = len(suf)
+        if suf == "ogi":
+            rows_2.append(
+                f"WHEN right(term, 3) = 'ogi' AND {_en_fit1(3)} AND "
+                "substr(term, length(term)-3, 1) = 'l' "
+                "THEN left(term, length(term)-1)"
+            )
+        elif suf == "li":
+            lits = ", ".join(f"'{c}'" for c in sorted(_EN_VALID_LI))
+            rows_2.append(
+                f"WHEN right(term, 2) = 'li' AND {_en_fit1(2)} AND "
+                f"substr(term, length(term)-2, 1) IN ({lits}) "
+                "THEN left(term, length(term)-2)"
+            )
+        else:
+            rows_2.append(
+                f"WHEN right(term, {k}) = '{suf}' AND {_en_fit1(k)} "
+                f"THEN left(term, length(term)-{k}) || '{rep}'"
+            )
+        rows_2.append(f"WHEN right(term, {k}) = '{suf}' THEN term")
+    step2 = (
+        f"CASE\n        WHEN {guard} THEN term\n        "
+        + nl.join(rows_2)
+        + "\n        ELSE term END"
+    )
+    rows_3 = []
+    for suf, rep in _EN_STEP3:
+        k = len(suf)
+        if suf == "ative":
+            rows_3.append(
+                f"WHEN right(term, 5) = 'ative' AND {_en_fit1(5)} AND "
+                f"{_en_fit2(5)} THEN left(term, length(term)-5)"
+            )
+        else:
+            rows_3.append(
+                f"WHEN right(term, {k}) = '{suf}' AND {_en_fit1(k)} "
+                f"THEN left(term, length(term)-{k}) || '{rep}'"
+            )
+        rows_3.append(f"WHEN right(term, {k}) = '{suf}' THEN term")
+    step3 = (
+        f"CASE\n        WHEN {guard} THEN term\n        "
+        + nl.join(rows_3)
+        + "\n        ELSE term END"
+    )
+    rows_4 = []
+    for suf in _EN_STEP4:
+        k = len(suf)
+        if suf == "ion":
+            rows_4.append(
+                f"WHEN right(term, 3) = 'ion' AND {_en_fit2(3)} AND "
+                "substr(term, length(term)-3, 1) IN ('s', 't') "
+                "THEN left(term, length(term)-3)"
+            )
+        else:
+            rows_4.append(
+                f"WHEN right(term, {k}) = '{suf}' AND {_en_fit2(k)} "
+                f"THEN left(term, length(term)-{k})"
+            )
+        rows_4.append(f"WHEN right(term, {k}) = '{suf}' THEN term")
+    step4 = (
+        f"CASE\n        WHEN {guard} THEN term\n        "
+        + nl.join(rows_4)
+        + "\n        ELSE term END"
+    )
+    step5 = (
+        f"""CASE
+        WHEN {guard} THEN term
+        WHEN right(term, 1) = 'e' AND ({_en_fit2(1)} OR ({_en_fit1(1)} AND NOT {_en_shortv_sql("left(term, length(term)-1)")})) THEN left(term, length(term)-1)
+        WHEN right(term, 1) = 'l' AND {_en_fit2(1)} AND substr(term, length(term)-1, 1) = 'l' THEN left(term, length(term)-1)
+        ELSE term END"""
+    )
+    postlude = (
+        f"CASE WHEN {skip} OR {done} THEN substr(term, 2) "
+        "ELSE replace(term, 'Y', 'y') END"
+    )
+    return (
+        layer0, prelude, step0, step1a, exc2, step1b, step1c,
+        step2, step3, step4, step5, postlude,
+    )
+
+
+PORTER2_SQL = _porter2_sql()

@@ -1,11 +1,13 @@
-"""Scandinavian Snowball stemmer parity.
+"""Snowball stemmer parity (Danish, Norwegian, Swedish, Russian,
+English Porter2).
 
 The reference ships the Snowball project's own full test vocabularies
-(``analysis/snowball/{danish,norwegian,swedish}.zip``: voc.txt →
-output.txt, 2,000 words each) — every word is diffed bit-exact, and the
-DuckDB SQL twins are re-verified over the same vocabularies plus R1
-edge cases (short words, suffix-crosses-region, double-consonant
-undoubling, the Norwegian k-not-after-vowel s-ending).
+(``analysis/snowball/*.zip``: voc.txt → output.txt, 2,000 words each) —
+every word is diffed bit-exact, and the DuckDB SQL twins are
+re-verified over the same vocabularies plus edge cases (short words,
+suffix-crosses-region, undoubling, the Norwegian k-not-after-vowel
+s-ending, Russian ё-fold + step-1 OR-chain markers, Porter2 exceptions
++ prefix-overridden regions + short-word e-restore).
 """
 
 from __future__ import annotations
@@ -17,10 +19,12 @@ import pytest
 from lucene_solr_spark.oracle.snowball import (
     DANISH_SNOWBALL_SQL,
     NORWEGIAN_SNOWBALL_SQL,
+    PORTER2_SQL,
     RUSSIAN_SNOWBALL_SQL,
     SWEDISH_SNOWBALL_SQL,
     danish_snowball_stem,
     norwegian_snowball_stem,
+    porter2_stem,
     russian_snowball_stem,
     swedish_snowball_stem,
 )
@@ -35,6 +39,7 @@ _LANGS = [
     ("norwegian", norwegian_snowball_stem, NORWEGIAN_SNOWBALL_SQL),
     ("danish", danish_snowball_stem, DANISH_SNOWBALL_SQL),
     ("russian", russian_snowball_stem, RUSSIAN_SNOWBALL_SQL),
+    ("english", porter2_stem, PORTER2_SQL),
 ]
 
 _EDGES = [
@@ -45,6 +50,11 @@ _EDGES = [
     # verb-precondition collisions (нно/но, ает/ет)
     "тёплый", "нно", "ейшенн", "воейше", "ь", "нн", "и", "бегает",
     "сильнейшенный",
+    # Porter2: exceptions, prelude y/Y, prefix-overridden regions,
+    # short-word e-restore, apostrophes
+    "sky", "skies", "dying", "news", "ox", "'cos", "generous",
+    "communism", "arsenic", "toy", "oed", "eyes", "'s", "agreed",
+    "exceeding", "hopping", "hoping", "misdeed",
 ]
 
 
@@ -75,6 +85,26 @@ def test_sql_twin_parity(lang, fn, sql):
     got = [r[0] for r in con.execute(body).fetchall()]
     bad = [(w, g, fn(w)) for w, g in zip(words, got) if g != fn(w)]
     assert not bad, bad[:10]
+
+
+def test_porter2_semantics_pins():
+    # whole-word exceptions run before everything
+    assert porter2_stem("skies") == "sky"
+    assert porter2_stem("news") == "news"
+    # exception2 stops after step 1a
+    assert porter2_stem("inning") == "inning"
+    assert porter2_stem("exceeding") == "exceed"
+    # step 1b restore-e on short stems vs doubling
+    assert porter2_stem("hoping") == "hope"
+    assert porter2_stem("hopping") == "hop"
+    # y marking: y after vowel is a consonant
+    assert porter2_stem("enjoying") == "enjoy"
+    # step 4 tests R2 on the LONGEST match only (ement does not fall
+    # back to ment)
+    assert porter2_stem("cement") == "cement"
+    # gener- prefix override: R1 starts after the prefix
+    assert porter2_stem("generate") == "generat"
+    assert porter2_stem("general") == "general"
 
 
 def test_russian_semantics_pins():
