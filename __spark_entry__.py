@@ -1884,6 +1884,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["porter2_topk"] = porter2_topk
 
+    def german_snowball_topk(spark, sf_dir):
+        """German SNOWBALL stemmer (the GermanAnalyzer's Snowball
+        alternative; its default stays the light stemmer): BM25 top-10
+        for 'custom'; the SQL twin iterates the u/y-between-vowels
+        marking as sentinel regex passes."""
+        ex = _light_stem_executor(spark, sf_dir, "german_snowball")
+        return ex.topk(_T("custom"), k=10).select("doc_id", "score")
+
+    out["german_snowball_topk"] = german_snowball_topk
+
     def russian_snowball_topk(spark, sf_dir):
         """Russian SNOWBALL stemmer (the RussianAnalyzer DEFAULT —
         RV/R2 regions, gerund|reflexive;adjectival|verb|noun step
@@ -2835,6 +2845,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["porter2_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.PORTER2_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="custom")
+    )
+    out["german_snowball_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_sb.GERMAN_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="custom")
     )
     out["russian_snowball_topk"] = (

@@ -883,6 +883,7 @@ def _register_snowball() -> None:
             "danish_snowball": _sb.danish_snowball_stem,
             "russian_snowball": _sb.russian_snowball_stem,
             "porter2": _sb.porter2_stem,
+            "german_snowball": _sb.german_snowball_stem,
         }
     )
 

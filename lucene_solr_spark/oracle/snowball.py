@@ -35,11 +35,13 @@ __all__ = [
     "danish_snowball_stem",
     "russian_snowball_stem",
     "porter2_stem",
+    "german_snowball_stem",
     "SWEDISH_SNOWBALL_SQL",
     "NORWEGIAN_SNOWBALL_SQL",
     "DANISH_SNOWBALL_SQL",
     "RUSSIAN_SNOWBALL_SQL",
     "PORTER2_SQL",
+    "GERMAN_SNOWBALL_SQL",
 ]
 
 _SV_VOWELS = frozenset("aeiouyäåö")
@@ -1084,3 +1086,236 @@ def _porter2_sql() -> tuple[str, ...]:
 
 
 PORTER2_SQL = _porter2_sql()
+
+
+# ---------------------------------------------------------------------------
+# German (snowballstem.org german; generated form at
+# org/tartarus/snowball/ext/GermanStemmer.java) — the GermanAnalyzer's
+# Snowball ALTERNATIVE (its default is the light stemmer).
+#
+# Semantics notes:
+# - prelude: ß→ss everywhere, then ONE left-to-right scan marking u/y
+#   between vowels as consonant U/Y (a marked char cannot enable a
+#   later mark — the scan sees the mutated string);
+# - R1 = first vowel→non-vowel, floored at 3 (like Swedish); R2
+#   continues; vowels include ä/ö/ü;
+# - three INDEPENDENT passes: a_1 in R1 (with the -niss→-nis tail and
+#   the s-ending gate), a_2 in R1 (st needs an st-ending with ≥3 chars
+#   before it), a_4 in R2 (with the ig-not-after-e gates and the
+#   conditional second deletions);
+# - postlude: U→u, Y→y, fold ä/ö/ü.
+# ---------------------------------------------------------------------------
+
+_DE_SB_V = frozenset("aeiouyäöü")
+_DE_SB_S_END = frozenset("bdfghklmnrt")
+_DE_SB_ST_END = frozenset("bdfghklmnt")
+
+
+def _de_prelude(term: str) -> str:
+    s = list(term.replace("ß", "ss"))
+    i = 0
+    while i + 2 < len(s):
+        if (
+            s[i] in _DE_SB_V
+            and s[i + 1] in ("u", "y")
+            and s[i + 2] in _DE_SB_V
+        ):
+            s[i + 1] = s[i + 1].upper()
+        i += 1
+    return "".join(s)
+
+
+def _de_sb_regions(s: str) -> tuple[int, int]:
+    n = len(s)
+    p1 = p2 = n
+    for i in range(n - 1):
+        if s[i] in _DE_SB_V and s[i + 1] not in _DE_SB_V:
+            p1 = i + 2
+            break
+    if p1 < n:
+        for i in range(p1, n - 1):
+            if s[i] in _DE_SB_V and s[i + 1] not in _DE_SB_V:
+                p2 = i + 2
+                break
+    return max(p1, 3) if p1 < n or n >= 3 else n, p2
+
+
+_DE_POST = str.maketrans({"U": "u", "Y": "y", "ä": "a", "ö": "o", "ü": "u"})
+
+
+def german_snowball_stem(term: str) -> str:
+    s = _de_prelude(term)
+    n = len(s)
+    # mark_regions fails for words shorter than 3 → p1 = p2 = len
+    if n < 3:
+        p1 = p2 = n
+    else:
+        p1, p2 = _de_sb_regions(s)
+    # pass 1 (a_1, R1)
+    suf = _longest_fit(s, p1, ("ern", "em", "en", "er", "es", "e", "s"))
+    if suf == "s":
+        if len(s) >= 2 and s[-2] in _DE_SB_S_END:
+            s = s[:-1]
+    elif suf in ("e", "en", "es"):
+        s = s[: -len(suf)]
+        if s.endswith("niss"):
+            s = s[:-1]
+    elif suf:
+        s = s[: -len(suf)]
+    # pass 2 (a_2, R1)
+    suf = _longest_fit(s, p1, ("est", "en", "er", "st"))
+    if suf == "st":
+        if len(s) >= 3 and s[-3] in _DE_SB_ST_END and len(s) >= 6:
+            s = s[:-2]
+    elif suf:
+        s = s[: -len(suf)]
+    # pass 3 (a_4, R2)
+    suf = _longest_fit(s, p2, ("lich", "isch", "heit", "keit", "end", "ung", "ig", "ik"))
+    if suf in ("end", "ung"):
+        s = s[: -len(suf)]
+        if (
+            s.endswith("ig")
+            and not s.endswith("eig")
+            and len(s) - 2 >= p2
+        ):
+            s = s[:-2]
+    elif suf in ("ig", "isch", "ik"):
+        if not s.endswith("e" + suf):
+            s = s[: -len(suf)]
+    elif suf in ("lich", "heit"):
+        s = s[: -len(suf)]
+        t = _longest_fit(s, p1, ("er", "en"))
+        if t:
+            s = s[: -len(t)]
+    elif suf == "keit":
+        s = s[:-4]
+        t = _longest_fit(s, p2, ("lich", "ig"))
+        if t:
+            s = s[: -len(t)]
+    return s.translate(_DE_POST)
+
+
+# --- German SQL twin --------------------------------------------------------
+# The prelude's single left-to-right u/y-between-vowels scan is
+# reproduced by ITERATING a leftmost-nonoverlapping 3-char regex pass
+# (mark via a chr(4) sentinel, then case-flip): each pass marks every
+# other link of a shared-vowel chain (v u v u v), so K passes cover
+# chains of length 2^K — 3 passes are far beyond any real word, and the
+# fixpoint equals the scan (marking only ever DISABLES later marks).
+# R1 floors at 3 like Swedish; R2 is the second v→nv subsequence (the
+# floor does not shift R2's scan start).
+
+_DE_VC = "aeiouyäöü"
+
+_DE_MARK_PASS = (
+    "replace(replace(regexp_replace(term, "
+    f"'([{_DE_VC}])([uy])([{_DE_VC}])', '\\1\x04\\2\\3', 'g'), "
+    "'\x04u', 'U'), '\x04y', 'Y')"
+)
+
+
+def _de_fit2(k) -> str:
+    return (
+        f"regexp_matches(left(term, length(term)-({k})), "
+        f"'[{_DE_VC}].*[^{_DE_VC}].*[{_DE_VC}].*[^{_DE_VC}]')"
+    )
+
+
+def _german_sb_sql() -> tuple[str, ...]:
+    nl = "\n        "
+    f1 = lambda k: _fit_sql(k, _DE_VC)  # noqa: E731
+
+    rows1 = []
+    for suf in ("ern", "em", "en", "er", "es", "e", "s"):
+        k = len(suf)
+        if suf == "s":
+            rows1.append(
+                f"WHEN right(term, 1) = 's' AND {f1(1)} AND "
+                f"substr(term, length(term)-1, 1) IN ({_lits(_DE_SB_S_END)}) "
+                "THEN left(term, length(term)-1)"
+            )
+        elif suf in ("e", "en", "es"):
+            rows1.append(
+                f"WHEN right(term, {k}) = '{suf}' AND {f1(k)} AND "
+                f"right(left(term, length(term)-{k}), 4) = 'niss' "
+                f"THEN left(term, length(term)-{k + 1})"
+            )
+            rows1.append(
+                f"WHEN right(term, {k}) = '{suf}' AND {f1(k)} "
+                f"THEN left(term, length(term)-{k})"
+            )
+        else:
+            rows1.append(
+                f"WHEN right(term, {k}) = '{suf}' AND {f1(k)} "
+                f"THEN left(term, length(term)-{k})"
+            )
+    pass1 = "CASE\n        " + nl.join(rows1) + "\n        ELSE term END"
+
+    rows2 = [
+        f"WHEN right(term, 3) = 'est' AND {f1(3)} THEN left(term, length(term)-3)",
+        f"WHEN right(term, 2) IN ('en', 'er') AND {f1(2)} THEN left(term, length(term)-2)",
+        f"WHEN right(term, 2) = 'st' AND {f1(2)} AND "
+        f"substr(term, length(term)-2, 1) IN ({_lits(_DE_SB_ST_END)}) AND length(term) >= 6 "
+        "THEN left(term, length(term)-2)",
+    ]
+    pass2 = "CASE\n        " + nl.join(rows2) + "\n        ELSE term END"
+
+    rows3 = []
+    for suf in ("lich", "heit"):
+        r = f"left(term, length(term)-4)"
+        rows3.append(
+            f"WHEN right(term, 4) = '{suf}' AND {_de_fit2(4)} AND "
+            f"right({r}, 2) IN ('er', 'en') AND {f1(6)} "
+            "THEN left(term, length(term)-6)"
+        )
+        rows3.append(
+            f"WHEN right(term, 4) = '{suf}' AND {_de_fit2(4)} THEN {r}"
+        )
+    rows3.append(
+        f"WHEN right(term, 4) = 'keit' AND {_de_fit2(4)} AND "
+        f"right(left(term, length(term)-4), 4) = 'lich' AND {_de_fit2(8)} "
+        "THEN left(term, length(term)-8)"
+    )
+    rows3.append(
+        f"WHEN right(term, 4) = 'keit' AND {_de_fit2(4)} AND "
+        f"right(left(term, length(term)-4), 2) = 'ig' AND {_de_fit2(6)} "
+        "THEN left(term, length(term)-6)"
+    )
+    rows3.append(
+        f"WHEN right(term, 4) = 'keit' AND {_de_fit2(4)} THEN left(term, length(term)-4)"
+    )
+    rows3.append(
+        f"WHEN right(term, 4) = 'isch' AND {_de_fit2(4)} AND "
+        "substr(term, length(term)-4, 1) != 'e' THEN left(term, length(term)-4)"
+    )
+    for suf in ("end", "ung"):
+        rows3.append(
+            f"WHEN right(term, 3) = '{suf}' AND {_de_fit2(3)} AND "
+            f"right(left(term, length(term)-3), 2) = 'ig' AND "
+            f"right(left(term, length(term)-3), 3) != 'eig' AND {_de_fit2(5)} "
+            "THEN left(term, length(term)-5)"
+        )
+        rows3.append(
+            f"WHEN right(term, 3) = '{suf}' AND {_de_fit2(3)} "
+            "THEN left(term, length(term)-3)"
+        )
+    for suf in ("ig", "ik"):
+        rows3.append(
+            f"WHEN right(term, 2) = '{suf}' AND {_de_fit2(2)} AND "
+            f"substr(term, length(term)-2, 1) != 'e' THEN left(term, length(term)-2)"
+        )
+    pass3 = "CASE\n        " + nl.join(rows3) + "\n        ELSE term END"
+
+    return (
+        "replace(term, 'ß', 'ss')",
+        _DE_MARK_PASS,
+        _DE_MARK_PASS,
+        _DE_MARK_PASS,
+        pass1,
+        pass2,
+        pass3,
+        "translate(term, 'UYäöü', 'uyaou')",
+    )
+
+
+GERMAN_SNOWBALL_SQL = _german_sb_sql()

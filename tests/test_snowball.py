@@ -19,11 +19,13 @@ import pytest
 from lucene_solr_spark.oracle.snowball import (
     DANISH_SNOWBALL_SQL,
     NORWEGIAN_SNOWBALL_SQL,
+    GERMAN_SNOWBALL_SQL,
     PORTER2_SQL,
     RUSSIAN_SNOWBALL_SQL,
     SWEDISH_SNOWBALL_SQL,
     danish_snowball_stem,
     norwegian_snowball_stem,
+    german_snowball_stem,
     porter2_stem,
     russian_snowball_stem,
     swedish_snowball_stem,
@@ -40,6 +42,7 @@ _LANGS = [
     ("danish", danish_snowball_stem, DANISH_SNOWBALL_SQL),
     ("russian", russian_snowball_stem, RUSSIAN_SNOWBALL_SQL),
     ("english", porter2_stem, PORTER2_SQL),
+    ("german", german_snowball_stem, GERMAN_SNOWBALL_SQL),
 ]
 
 _EDGES = [
@@ -55,6 +58,10 @@ _EDGES = [
     "sky", "skies", "dying", "news", "ox", "'cos", "generous",
     "communism", "arsenic", "toy", "oed", "eyes", "'s", "agreed",
     "exceeding", "hopping", "hoping", "misdeed",
+    # German: ß expansion, u/y-between-vowels chains, -niss tail,
+    # ig-after-e gates, st big-word condition
+    "größte", "ergebnisse", "auaua", "bauyuau", "eisch", "steig",
+    "häuslich", "freundlichen", "wesentlichkeit",
 ]
 
 
@@ -85,6 +92,21 @@ def test_sql_twin_parity(lang, fn, sql):
     got = [r[0] for r in con.execute(body).fetchall()]
     bad = [(w, g, fn(w)) for w, g in zip(words, got) if g != fn(w)]
     assert not bad, bad[:10]
+
+
+def test_german_snowball_pins():
+    # ß→ss prelude, then 'e' drop in R1
+    assert german_snowball_stem("größe") == "gross"
+    # -nisse → -nis (the niss tail after the e/en/es deletion)
+    assert german_snowball_stem("ergebnisse") == "ergebnis"
+    # u between vowels is a consonant: 'bauen' keeps its u, R1 shifts
+    assert german_snowball_stem("bauen") == "bau"
+    # st needs an st-ending with three chars before it
+    assert german_snowball_stem("angst") == "angst"  # len < 6
+    assert german_snowball_stem("verstopfst") == "verstopf"
+    # ig in R2 drops; not after e
+    assert german_snowball_stem("ausfindig") == "ausfind"
+    assert german_snowball_stem("wenig") == "wenig"  # ig not yet in R2
 
 
 def test_porter2_semantics_pins():
