@@ -1894,6 +1894,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["german_snowball_topk"] = german_snowball_topk
 
+    def dutch_snowball_topk(spark, sf_dir):
+        """Dutch SNOWBALL stemmer (the DutchAnalyzer DEFAULT — Dutch has
+        no light variant, so this is the language's only chain): BM25
+        top-10 for 'tabl'; the SQL twin iterates leftmost-single i/y
+        mark steps and threads the e-found flag for the 'bar' rule."""
+        ex = _light_stem_executor(spark, sf_dir, "dutch_snowball")
+        return ex.topk(_T("tabl"), k=10).select("doc_id", "score")
+
+    out["dutch_snowball_topk"] = dutch_snowball_topk
+
     def russian_snowball_topk(spark, sf_dir):
         """Russian SNOWBALL stemmer (the RussianAnalyzer DEFAULT —
         RV/R2 regions, gerund|reflexive;adjectival|verb|noun step
@@ -2850,6 +2860,10 @@ def oracle_sql() -> dict[str, str]:
     out["german_snowball_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.GERMAN_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="custom")
+    )
+    out["dutch_snowball_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_sb.DUTCH_SNOWBALL_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="tabl")
     )
     out["russian_snowball_topk"] = (
         f"WITH {_ictes_lang(text_col=_RUSSIAN_TEXT_SQL, token_regex='[a-z0-9аеиоу]+', term_expr=_sb.RUSSIAN_SNOWBALL_SQL)}"

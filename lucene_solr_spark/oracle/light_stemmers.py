@@ -884,6 +884,7 @@ def _register_snowball() -> None:
             "russian_snowball": _sb.russian_snowball_stem,
             "porter2": _sb.porter2_stem,
             "german_snowball": _sb.german_snowball_stem,
+            "dutch_snowball": _sb.dutch_snowball_stem,
         }
     )
 
@@ -935,6 +936,7 @@ def analyzer_config(name: str) -> dict:
         "russian": dict(
             stopwords=RUSSIAN_STOP_WORDS, stemmer="russian_snowball"
         ),
+        "dutch": dict(stopwords=DUTCH_STOP_WORDS, stemmer="dutch_snowball"),
         "swedish_light": dict(
             stopwords=SWEDISH_STOP_WORDS, stemmer="swedish_light"
         ),
@@ -1542,5 +1544,17 @@ DANISH_STOP_WORDS = frozenset(
     "men mig min mine mit mod ned noget nogle nu når og også om op "
     "os over på selv sig sin sine sit skal skulle som sådan thi til "
     "ud under var vi vil ville vor være været "
+).split()
+)
+DUTCH_STOP_WORDS = frozenset(
+(
+    "aan al alles als altijd andere ben bij daar dan dat de der deze "
+    "die dit doch doen door dus een eens en er ge geen geweest haar "
+    "had heb hebben heeft hem het hier hij hoe hun iemand iets ik in "
+    "is ja je kan kon kunnen maar me meer men met mij mijn moet na "
+    "naar niet niets nog nu of om omdat onder ons ook op over reeds "
+    "te tegen toch toen tot u uit uw van veel voor want waren was "
+    "wat werd wezen wie wil worden wordt zal ze zelf zich zij zijn "
+    "zo zonder zou "
 ).split()
 )

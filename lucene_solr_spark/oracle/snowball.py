@@ -36,12 +36,14 @@ __all__ = [
     "russian_snowball_stem",
     "porter2_stem",
     "german_snowball_stem",
+    "dutch_snowball_stem",
     "SWEDISH_SNOWBALL_SQL",
     "NORWEGIAN_SNOWBALL_SQL",
     "DANISH_SNOWBALL_SQL",
     "RUSSIAN_SNOWBALL_SQL",
     "PORTER2_SQL",
     "GERMAN_SNOWBALL_SQL",
+    "DUTCH_SNOWBALL_SQL",
 ]
 
 _SV_VOWELS = frozenset("aeiouyäåö")
@@ -1319,3 +1321,356 @@ def _german_sb_sql() -> tuple[str, ...]:
 
 
 GERMAN_SNOWBALL_SQL = _german_sb_sql()
+
+
+# ---------------------------------------------------------------------------
+# Dutch (snowballstem.org dutch; generated form at
+# org/tartarus/snowball/ext/DutchStemmer.java) — the DutchAnalyzer's
+# DEFAULT stem filter (StandardTokenizer → LowerCase → Stop →
+# [StemmerOverride] → SnowballFilter).
+#
+# Semantics notes:
+# - prelude: fold á/ä→a é/ë→e í/ï→i ó/ö→o ú/ü→u; initial y→Y; one scan
+#   marking i-between-vowels as I and y-after-vowel as Y;
+# - R1 = first v→nv floored at 3; R2 continues (unfloored scan start);
+# - the among tables are searched WITHOUT a region limit — the R1/R2
+#   checks run on the LONGEST match and a failure ends the rule (no
+#   shorter-entry retry);
+# - e/en endings require a preceding non-vowel and trigger the
+#   dd/kk/tt undouble; 'en' additionally must not follow 'gem';
+# - 'bar' only strips when THIS word's e-ending rule fired (B_e_found);
+# - final step: collapse aa/ee/oo/uu between a non-vowel and a final
+#   non-vowel-non-I char.
+# ---------------------------------------------------------------------------
+
+_NL_V = frozenset("aeiouyè")
+_NL_V_J = _NL_V | {"j"}
+_NL_V_I = _NL_V | {"I"}
+_NL_FOLD = str.maketrans("áäéëíïóöúü", "aaeeiioouu")
+_NL_POST = str.maketrans("IY", "iy")
+
+
+def _nl_prelude(term: str) -> str:
+    s = list(term.translate(_NL_FOLD))
+    if s and s[0] == "y":
+        s[0] = "Y"
+    i = 0
+    while i < len(s):
+        if s[i] in _NL_V:
+            if i + 2 < len(s) and s[i + 1] == "i" and s[i + 2] in _NL_V:
+                s[i + 1] = "I"
+            elif i + 1 < len(s) and s[i + 1] == "y":
+                s[i + 1] = "Y"
+        i += 1
+    return "".join(s)
+
+
+def _nl_regions(s: str) -> tuple[int, int]:
+    n = len(s)
+    p1 = p2 = n
+    for i in range(n - 1):
+        if s[i] in _NL_V and s[i + 1] not in _NL_V:
+            p1 = i + 2
+            break
+    if p1 < n:
+        for i in range(p1, n - 1):
+            if s[i] in _NL_V and s[i + 1] not in _NL_V:
+                p2 = i + 2
+                break
+    return max(p1, 3), p2
+
+
+def _longest_match(s: str, suffixes):
+    for suf in sorted(suffixes, key=len, reverse=True):
+        if s.endswith(suf):
+            return suf
+    return None
+
+
+def _nl_undouble(s: str) -> str:
+    if s.endswith(("dd", "kk", "tt")):
+        return s[:-1]
+    return s
+
+
+def dutch_snowball_stem(term: str) -> str:
+    s = _nl_prelude(term)
+    p1, p2 = _nl_regions(s)
+    e_found = False
+
+    def en_ending(x: str, k: int) -> str | None:
+        """Delete a k-char en/ene suffix: R1, preceded by a non-vowel,
+        not by 'gem'; then undouble. None = rule fails (no change)."""
+        start = len(x) - k
+        if start < p1:
+            return None
+        if start == 0 or x[start - 1] in _NL_V:
+            return None
+        if x[:start].endswith("gem"):
+            return None
+        return _nl_undouble(x[:start])
+
+    # part A (a_3)
+    suf = _longest_match(s, ("heden", "ene", "en", "se", "s"))
+    if suf == "heden":
+        if len(s) - 5 >= p1:
+            s = s[:-5] + "heid"
+    elif suf in ("ene", "en"):
+        r = en_ending(s, len(suf))
+        if r is not None:
+            s = r
+    elif suf in ("se", "s"):
+        if len(s) - len(suf) >= p1 and (
+            len(s) > len(suf) and s[-len(suf) - 1] not in _NL_V_J
+        ):
+            s = s[: -len(suf)]
+
+    # part B: e-ending
+    if (
+        s.endswith("e")
+        and len(s) - 1 >= p1
+        and len(s) >= 2
+        and s[-2] not in _NL_V
+    ):
+        s = _nl_undouble(s[:-1])
+        e_found = True
+
+    # part C: heid (exact), R2, not after c; then an en-ending
+    if s.endswith("heid") and len(s) - 4 >= p2 and (
+        len(s) < 5 or s[-5] != "c"
+    ):
+        s = s[:-4]
+        if s.endswith("en"):
+            r = en_ending(s, 2)
+            if r is not None:
+                s = r
+
+    # part D (a_4)
+    suf = _longest_match(s, ("lijk", "baar", "end", "ing", "bar", "ig"))
+    if suf in ("end", "ing"):
+        if len(s) - len(suf) >= p2:
+            s = s[: -len(suf)]
+            if (
+                s.endswith("ig")
+                and len(s) - 2 >= p2
+                and not s.endswith("eig")
+            ):
+                s = s[:-2]
+            else:
+                s = _nl_undouble(s)
+    elif suf == "ig":
+        if len(s) - 2 >= p2 and not s.endswith("eig"):
+            s = s[:-2]
+    elif suf == "lijk":
+        if len(s) - 4 >= p2:
+            s = s[:-4]
+            if (
+                s.endswith("e")
+                and len(s) - 1 >= p1
+                and len(s) >= 2
+                and s[-2] not in _NL_V
+            ):
+                s = _nl_undouble(s[:-1])
+                e_found = True
+    elif suf == "baar":
+        if len(s) - 4 >= p2:
+            s = s[:-4]
+    elif suf == "bar":
+        if len(s) - 3 >= p2 and e_found:
+            s = s[:-3]
+
+    # part E: collapse VV between a non-vowel and a final non-vowel/I
+    if (
+        len(s) >= 4
+        and s[-1] not in _NL_V_I
+        and s[-3:-1] in ("aa", "ee", "oo", "uu")
+        and s[-4] not in _NL_V
+    ):
+        s = s[:-2] + s[-1]
+
+    return s.translate(_NL_POST)
+
+
+# --- Dutch SQL twin ---------------------------------------------------------
+# The prelude's combined i/y scan is reproduced by iterating a
+# LEFTMOST-SINGLE replacement (regexp_replace without 'g'): each layer
+# performs exactly the scan's next mark on the current string, so K
+# layers ≡ the scan's first K marks — 4 covers any real word (the
+# vocabulary needs at most 1). The e-found flag (consumed only by the
+# 'bar' rule) rides as a chr(2) prefix; every later layer is emitted
+# twice via a column-expression parameter, once for bare terms and once
+# looking through the marker.
+
+_NL_VC = "aeiouyè"
+
+_NL_MARK_STEP = (
+    "replace(replace(regexp_replace(term, "
+    f"'([{_NL_VC}])(i[{_NL_VC}]|y)', '\\1\x04\\2'), "
+    "'\x04i', 'I'), '\x04y', 'Y')"
+)
+
+
+def _nl_sql() -> tuple[str, ...]:
+    nl = "\n        "
+    marked = "left(term, 1) = chr(2)"
+    v = _lits(sorted(_NL_V))
+    vj = _lits(sorted(_NL_V_J))
+    vI = _lits(sorted(_NL_V_I))
+
+    def fit1(t: str, k) -> str:
+        return (
+            f"length({t})-({k}) >= 3 AND "
+            f"regexp_matches(left({t}, length({t})-({k})), '[{_NL_VC}][^{_NL_VC}]')"
+        )
+
+    def fit2(t: str, k) -> str:
+        return (
+            f"regexp_matches(left({t}, length({t})-({k})), "
+            f"'[{_NL_VC}].*[^{_NL_VC}].*[{_NL_VC}].*[^{_NL_VC}]')"
+        )
+
+    def cut(t: str, k: int) -> str:
+        return f"left({t}, length({t})-{k})"
+
+    def wrap(rows_fn, set_mark: bool = False) -> str:
+        """Emit a layer CASE twice: bare, and looking through chr(2).
+        ``rows_fn(t, mark)`` returns rows whose results are over ``t``;
+        ``mark`` is prepended to every result by the builder when the
+        input was marked (or when the row itself sets the flag)."""
+        bare = "CASE\n        " + nl.join(rows_fn("term", "")) + "\n        ELSE term END"
+        thru = (
+            "CASE\n        "
+            + nl.join(rows_fn("substr(term, 2)", "chr(2) || "))
+            + "\n        ELSE term END"
+        )
+        return f"CASE WHEN {marked} THEN ({thru}) ELSE ({bare}) END"
+
+    def en_rows(t, mark, k, suf):
+        r = cut(t, k)
+        base = (
+            f"right({t}, {k}) = '{suf}' AND {fit1(t, k)} AND "
+            f"substr({t}, length({t})-{k}, 1) NOT IN ({v}) AND "
+            f"right({r}, 3) != 'gem'"
+        )
+        return [
+            f"WHEN {base} AND right({r}, 2) IN ('dd', 'kk', 'tt') THEN {mark}{cut(t, k + 1)}",
+            f"WHEN {base} THEN {mark}{r}",
+        ]
+
+    def rows_a(t, mark):
+        rows = [
+            f"WHEN right({t}, 5) = 'heden' AND {fit1(t, 5)} THEN {mark}{cut(t, 5)} || 'heid'",
+            f"WHEN right({t}, 5) = 'heden' THEN {mark}{t}",
+            *en_rows(t, mark, 3, "ene"),
+            f"WHEN right({t}, 3) = 'ene' THEN {mark}{t}",
+            *en_rows(t, mark, 2, "en"),
+            f"WHEN right({t}, 2) = 'en' THEN {mark}{t}",
+        ]
+        for suf in ("se", "s"):
+            k = len(suf)
+            rows.append(
+                f"WHEN right({t}, {k}) = '{suf}' AND {fit1(t, k)} AND "
+                f"substr({t}, length({t})-{k}, 1) NOT IN ({vj}) THEN {mark}{cut(t, k)}"
+            )
+            rows.append(f"WHEN right({t}, {k}) = '{suf}' THEN {mark}{t}")
+        return rows
+
+    def rows_b(t, mark):
+        # success SETS the e-found marker regardless of input state
+        r = cut(t, 1)
+        base = (
+            f"right({t}, 1) = 'e' AND {fit1(t, 1)} AND "
+            f"substr({t}, length({t})-1, 1) NOT IN ({v})"
+        )
+        return [
+            f"WHEN {base} AND right({r}, 2) IN ('dd', 'kk', 'tt') THEN chr(2) || {cut(t, 2)}",
+            f"WHEN {base} THEN chr(2) || {r}",
+        ]
+
+    def rows_c(t, mark):
+        rc = cut(t, 4)
+        base = (
+            f"right({t}, 4) = 'heid' AND {fit2(t, 4)} AND "
+            f"substr({t}, length({t})-4, 1) != 'c'"
+        )
+        rc_en = cut(t, 6)
+        en_base = (
+            f"{base} AND right({rc}, 2) = 'en' AND {fit1(t, 6)} AND "
+            f"substr({t}, length({t})-6, 1) NOT IN ({v}) AND "
+            f"right({rc_en}, 3) != 'gem'"
+        )
+        return [
+            f"WHEN {en_base} AND right({rc_en}, 2) IN ('dd', 'kk', 'tt') THEN {mark}{cut(t, 7)}",
+            f"WHEN {en_base} THEN {mark}{rc_en}",
+            f"WHEN {base} THEN {mark}{rc}",
+        ]
+
+    def rows_d(t, mark):
+        rows = []
+        for suf in ("end", "ing"):
+            k = len(suf)
+            r = cut(t, k)
+            base = f"right({t}, {k}) = '{suf}' AND {fit2(t, k)}"
+            rows.append(
+                f"WHEN {base} AND right({r}, 2) = 'ig' AND {fit2(t, k + 2)} AND "
+                f"right({r}, 3) != 'eig' THEN {mark}{cut(t, k + 2)}"
+            )
+            rows.append(
+                f"WHEN {base} AND right({r}, 2) IN ('dd', 'kk', 'tt') THEN {mark}{cut(t, k + 1)}"
+            )
+            rows.append(f"WHEN {base} THEN {mark}{r}")
+            rows.append(f"WHEN right({t}, {k}) = '{suf}' THEN {mark}{t}")
+        rl = cut(t, 4)
+        l_base = f"right({t}, 4) = 'lijk' AND {fit2(t, 4)}"
+        l_e = (
+            f"{l_base} AND right({rl}, 1) = 'e' AND {fit1(t, 5)} AND "
+            f"substr({t}, length({t})-5, 1) NOT IN ({v})"
+        )
+        rle = cut(t, 5)
+        rows += [
+            # lijk + e-ending SETS the flag (harmless: bar can no longer
+            # match a word that just lost 'lijk'+e, but keep parity)
+            f"WHEN {l_e} AND right({rle}, 2) IN ('dd', 'kk', 'tt') THEN chr(2) || {cut(t, 6)}",
+            f"WHEN {l_e} THEN chr(2) || {rle}",
+            f"WHEN {l_base} THEN {mark}{rl}",
+            f"WHEN right({t}, 4) = 'lijk' THEN {mark}{t}",
+            f"WHEN right({t}, 4) = 'baar' AND {fit2(t, 4)} THEN {mark}{cut(t, 4)}",
+            f"WHEN right({t}, 4) = 'baar' THEN {mark}{t}",
+        ]
+        if mark:  # e-found path: bar strips
+            rows.append(
+                f"WHEN right({t}, 3) = 'bar' AND {fit2(t, 3)} THEN {mark}{cut(t, 3)}"
+            )
+        rows.append(f"WHEN right({t}, 3) = 'bar' THEN {mark}{t}")
+        rows.append(
+            f"WHEN right({t}, 2) = 'ig' AND {fit2(t, 2)} AND "
+            f"substr({t}, length({t})-2, 1) != 'e' THEN {mark}{cut(t, 2)}"
+        )
+        return rows
+
+    def rows_e(t, mark):
+        return [
+            f"""WHEN length({t}) >= 4 AND right({t}, 1) NOT IN ({vI})
+         AND substr({t}, length({t})-2, 2) IN ('aa', 'ee', 'oo', 'uu')
+         AND substr({t}, length({t})-3, 1) NOT IN ({v})
+        THEN {mark}{cut(t, 2)} || right({t}, 1)"""
+        ]
+
+    unmark = f"CASE WHEN {marked} THEN substr(term, 2) ELSE term END"
+    return (
+        "regexp_replace(translate(term, 'áäéëíïóöúü', 'aaeeiioouu'), '^y', 'Y')",
+        _NL_MARK_STEP,
+        _NL_MARK_STEP,
+        _NL_MARK_STEP,
+        _NL_MARK_STEP,
+        wrap(rows_a),
+        wrap(rows_b),
+        wrap(rows_c),
+        wrap(rows_d),
+        wrap(rows_e),
+        unmark,
+        "translate(term, 'IY', 'iy')",
+    )
+
+
+DUTCH_SNOWBALL_SQL = _nl_sql()

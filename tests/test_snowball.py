@@ -19,12 +19,14 @@ import pytest
 from lucene_solr_spark.oracle.snowball import (
     DANISH_SNOWBALL_SQL,
     NORWEGIAN_SNOWBALL_SQL,
+    DUTCH_SNOWBALL_SQL,
     GERMAN_SNOWBALL_SQL,
     PORTER2_SQL,
     RUSSIAN_SNOWBALL_SQL,
     SWEDISH_SNOWBALL_SQL,
     danish_snowball_stem,
     norwegian_snowball_stem,
+    dutch_snowball_stem,
     german_snowball_stem,
     porter2_stem,
     russian_snowball_stem,
@@ -43,6 +45,7 @@ _LANGS = [
     ("russian", russian_snowball_stem, RUSSIAN_SNOWBALL_SQL),
     ("english", porter2_stem, PORTER2_SQL),
     ("german", german_snowball_stem, GERMAN_SNOWBALL_SQL),
+    ("dutch", dutch_snowball_stem, DUTCH_SNOWBALL_SQL),
 ]
 
 _EDGES = [
@@ -62,6 +65,10 @@ _EDGES = [
     # ig-after-e gates, st big-word condition
     "größte", "ergebnisse", "auaua", "bauyuau", "eisch", "steig",
     "häuslich", "freundlichen", "wesentlichkeit",
+    # Dutch: i/y marking interleavings, gem-guard, heid chains, bar
+    # needing the e-found flag, VV collapse
+    "aiya", "ayia", "lichamelijke", "gemeente", "mogelijkheden",
+    "eetbaarheden", "groot", "vreselijkst", "eetbare", "eetbar",
 ]
 
 
@@ -92,6 +99,21 @@ def test_sql_twin_parity(lang, fn, sql):
     got = [r[0] for r in con.execute(body).fetchall()]
     bad = [(w, g, fn(w)) for w, g in zip(words, got) if g != fn(w)]
     assert not bad, bad[:10]
+
+
+def test_dutch_snowball_pins():
+    # en-ending needs a preceding non-vowel ('gemeen' keeps its en but
+    # the final VV collapse still fires)
+    assert dutch_snowball_stem("gemeen") == "gemen"
+    assert dutch_snowball_stem("groenen") == "groen"
+    # e-ending undoubles
+    assert dutch_snowball_stem("witte") == "wit"
+    # heden → heid, then heid-in-R2 strips
+    assert dutch_snowball_stem("mogelijkheden") == "mogelijk"
+    # VV collapse between consonants
+    assert dutch_snowball_stem("groot") == "grot"
+    # i between vowels is a consonant
+    assert dutch_snowball_stem("draaien") == "draai"
 
 
 def test_german_snowball_pins():
