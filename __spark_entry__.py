@@ -1904,6 +1904,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["dutch_snowball_topk"] = dutch_snowball_topk
 
+    def romanian_snowball_topk(spark, sf_dir):
+        """Romanian SNOWBALL stemmer (the RomanianAnalyzer DEFAULT):
+        BM25 top-10 for 'dat' (the RV vowel-suffix stem of 'data'); the
+        SQL twin unrolls the combo-suffix loop and factors the
+        Spanish-style RV into four prefix-shape regexes."""
+        ex = _light_stem_executor(spark, sf_dir, "romanian_snowball")
+        return ex.topk(_T("dat"), k=10).select("doc_id", "score")
+
+    out["romanian_snowball_topk"] = romanian_snowball_topk
+
     def russian_snowball_topk(spark, sf_dir):
         """Russian SNOWBALL stemmer (the RussianAnalyzer DEFAULT —
         RV/R2 regions, gerund|reflexive;adjectival|verb|noun step
@@ -2864,6 +2874,10 @@ def oracle_sql() -> dict[str, str]:
     out["dutch_snowball_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.DUTCH_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="tabl")
+    )
+    out["romanian_snowball_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_sb.ROMANIAN_SNOWBALL_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="dat")
     )
     out["russian_snowball_topk"] = (
         f"WITH {_ictes_lang(text_col=_RUSSIAN_TEXT_SQL, token_regex='[a-z0-9аеиоу]+', term_expr=_sb.RUSSIAN_SNOWBALL_SQL)}"

@@ -37,6 +37,7 @@ __all__ = [
     "porter2_stem",
     "german_snowball_stem",
     "dutch_snowball_stem",
+    "romanian_snowball_stem",
     "SWEDISH_SNOWBALL_SQL",
     "NORWEGIAN_SNOWBALL_SQL",
     "DANISH_SNOWBALL_SQL",
@@ -44,6 +45,7 @@ __all__ = [
     "PORTER2_SQL",
     "GERMAN_SNOWBALL_SQL",
     "DUTCH_SNOWBALL_SQL",
+    "ROMANIAN_SNOWBALL_SQL",
 ]
 
 _SV_VOWELS = frozenset("aeiouyäåö")
@@ -1674,3 +1676,381 @@ def _nl_sql() -> tuple[str, ...]:
 
 
 DUTCH_SNOWBALL_SQL = _nl_sql()
+
+
+# ---------------------------------------------------------------------------
+# Romanian (snowballstem.org romanian; generated form at
+# org/tartarus/snowball/ext/RomanianStemmer.java) — the
+# RomanianAnalyzer's DEFAULT stem filter.
+#
+# Semantics notes:
+# - prelude: one scan marking u/i between vowels as U/I;
+# - Spanish-style RV (consonant 2nd → after next vowel; two leading
+#   vowels → after next consonant; consonant+vowel → position 3),
+#   plain unfloored R1/R2;
+# - step 0 (plural/article, R1-checked on the longest match) uses
+#   REPLACEMENTS (ea→e, ii→i, atei→at, aţia→aţi, …; ile→i unless
+#   preceded by 'ab');
+# - combo suffixes (icala→abil-family, R1) LOOP until no match and set
+#   the standard-removed flag; the a_3 pass (R2) then deletes/rewrites
+#   (ţiune→t, ist-family→ist);
+# - verb suffixes run ONLY when no standard suffix was removed, inside
+#   RV (fit-limited among), with the preceded-by-consonant-or-u gate on
+#   group 1;
+# - final vowel (a/e/ie/i/ă) drops in RV; postlude unmarks I/U.
+# ---------------------------------------------------------------------------
+
+_RO_V = frozenset("aeiouâîă")
+
+_RO_STEP0 = [
+    ("iilor", "i"), ("aţia", "aţi"), ("aţie", "aţi"), ("iile", "i"),
+    ("atei", "at"), ("ului", ""), ("elor", "e"), ("ilor", "i"),
+    ("aua", "a"), ("iua", "i"), ("ele", "e"), ("ile", "i"),
+    ("iei", "i"), ("ea", "e"), ("ii", "i"), ("ul", ""),
+]
+_RO_COMBO = [
+    ("abilitate", "abil"), ("abilitati", "abil"), ("abilităi", "abil"),
+    ("abilităţi", "abil"), ("ibilitate", "ibil"), ("ivitate", "iv"),
+    ("ivitati", "iv"), ("ivităi", "iv"), ("ivităţi", "iv"),
+    ("icitate", "ic"), ("icitati", "ic"), ("icităi", "ic"),
+    ("icităţi", "ic"), ("icatori", "ic"), ("icator", "ic"),
+    ("icala", "ic"), ("icale", "ic"), ("icali", "ic"), ("ical", "ic"),
+    ("icală", "ic"), ("iciva", "ic"), ("icive", "ic"), ("icivi", "ic"),
+    ("iciv", "ic"), ("icivă", "ic"),
+    ("ativa", "at"), ("ative", "at"), ("ativi", "at"), ("ativ", "at"),
+    ("ativă", "at"), ("aţiune", "at"), ("atoare", "at"), ("atori", "at"),
+    ("ator", "at"), ("ătoare", "at"), ("ători", "at"), ("ător", "at"),
+    ("itiva", "it"), ("itive", "it"), ("itivi", "it"), ("itiv", "it"),
+    ("itivă", "it"), ("iţiune", "it"), ("itoare", "it"), ("itori", "it"),
+    ("itor", "it"),
+]
+_RO_COMBO.sort(key=lambda e: len(e[0]), reverse=True)
+_RO_A3_DEL = [
+    "itate", "itati", "ităţi", "abila", "abile", "abili", "abilă",
+    "ibila", "ibile", "ibili", "ibilă", "atori", "ităi", "oasa",
+    "oasă", "oase", "anta", "ante", "anti", "antă", "ator", "abil",
+    "ibil", "ica", "ice", "ici", "ică", "ata", "ată", "ati", "ate",
+    "uta", "ută", "uti", "ute", "ita", "ită", "iti", "ite", "iva",
+    "ive", "ivi", "ivă", "osi", "oşi", "ant", "at", "it", "ut", "iv",
+    "ic", "os",
+]
+_RO_A3_IST = ["ista", "iste", "isti", "istă", "işti", "ist", "isme", "ism"]
+_RO_A3_IUNE = ["iune", "iuni"]
+_RO_A3 = (
+    [(s, "del") for s in _RO_A3_DEL]
+    + [(s, "ist") for s in _RO_A3_IST]
+    + [(s, "iune") for s in _RO_A3_IUNE]
+)
+_RO_A3.sort(key=lambda e: len(e[0]), reverse=True)
+#: verb suffixes (a_4): (suffix, case) — case 1 needs a preceding
+#: consonant or 'u' (inside RV)
+_RO_VERB = [
+    ("aserăţi", 1), ("seserăţi", 2), ("iserăţi", 1), ("userăţi", 1),
+    ("âserăţi", 1), ("serăţi", 2), ("arăţi", 1), ("irăţi", 1),
+    ("urăţi", 1), ("ârăţi", 1), ("aserăm", 1), ("seserăm", 2),
+    ("iserăm", 1), ("userăm", 1), ("âserăm", 1),
+    ("serăm", 2), ("arăm", 1), ("irăm", 1), ("urăm", 1), ("ârăm", 1),
+    ("aseşi", 1), ("seseşi", 2), ("iseşi", 1), ("useşi", 1),
+    ("âseşi", 1), ("seşi", 2), ("asem", 1), ("sesem", 2), ("isem", 1),
+    ("usem", 1), ("âsem", 1), ("ească", 1), ("aseră", 1),
+    ("seseră", 2), ("iseră", 1), ("useră", 1), ("âseră", 1),
+    ("seră", 2), ("ară", 1), ("iră", 1), ("ură", 1), ("âră", 1),
+    ("eaţi", 1), ("iaţi", 1), ("sese", 2), ("ase", 1), ("ise", 1),
+    ("use", 1), ("âse", 1), ("eşte", 1), ("ăşte", 1), ("eşti", 1),
+    ("ăşti", 1), ("ează", 1), ("eze", 1),
+    ("ezi", 1), ("esc", 1), ("ăsc", 1), ("ind", 1), ("ând", 1),
+    ("indu", 1), ("ându", 1), ("are", 1), ("ere", 1), ("ire", 1),
+    ("âre", 1), ("aşi", 1), ("işi", 1), ("uşi", 1), ("âşi", 1),
+    ("aţi", 2), ("eţi", 2), ("iţi", 2), ("âţi", 2), ("eai", 1),
+    ("iai", 1), ("sei", 2), ("eam", 1), ("iam", 1), ("eau", 1),
+    ("iau", 1), ("ea", 1), ("ia", 1), ("ai", 1), ("ui", 1), ("âi", 1),
+    ("ez", 1), ("am", 1), ("em", 2), ("im", 2), ("âm", 2), ("ăm", 2),
+    ("au", 1), ("se", 2),
+]
+_RO_VERB.sort(key=lambda e: len(e[0]), reverse=True)
+
+
+def _ro_prelude(term: str) -> str:
+    s = list(term)
+    i = 0
+    while i < len(s):
+        if s[i] in _RO_V and i + 2 < len(s) and s[i + 1] in ("u", "i") and s[i + 2] in _RO_V:
+            s[i + 1] = s[i + 1].upper()
+        i += 1
+    return "".join(s)
+
+
+def _ro_regions(s: str) -> tuple[int, int, int]:
+    n = len(s)
+    pV = p1 = p2 = n
+
+    def nx(i, want_vowel):
+        while i < n:
+            if (s[i] in _RO_V) == want_vowel:
+                return i + 1
+            i += 1
+        return None
+
+    if n >= 1:
+        if s[0] in _RO_V:
+            if n >= 2 and s[1] not in _RO_V:
+                r = nx(2, True)
+                if r is not None:
+                    pV = r
+            elif n >= 2 and s[1] in _RO_V:
+                r = nx(2, False)
+                if r is not None:
+                    pV = r
+        else:
+            if n >= 2 and s[1] not in _RO_V:
+                r = nx(2, True)
+                if r is not None:
+                    pV = r
+            elif n >= 2 and s[1] in _RO_V:
+                if n >= 3:
+                    pV = 3
+    a = nx(0, True)
+    b = nx(a, False) if a is not None else None
+    if b is not None:
+        p1 = b
+        c = nx(b, True)
+        d = nx(c, False) if c is not None else None
+        if d is not None:
+            p2 = d
+    return pV, p1, p2
+
+
+def romanian_snowball_stem(term: str) -> str:
+    s = _ro_prelude(term)
+    pV, p1, p2 = _ro_regions(s)
+
+    # step 0 (a_1, R1 on the longest match)
+    for suf, rep in _RO_STEP0:
+        if s.endswith(suf):
+            if len(s) - len(suf) >= p1:
+                if suf == "ile" and s[: -3].endswith("ab"):
+                    break
+                s = s[: -len(suf)] + rep
+            break
+
+    # standard suffix: loop combo, then a_3
+    removed = False
+    while True:
+        hit = False
+        for suf, rep in _RO_COMBO:
+            if s.endswith(suf):
+                if len(s) - len(suf) >= p1:
+                    s = s[: -len(suf)] + rep
+                    removed = True
+                    hit = True
+                break
+        if not hit:
+            break
+    for suf, action in _RO_A3:
+        if s.endswith(suf):
+            if len(s) - len(suf) >= p2:
+                if action == "del":
+                    s = s[: -len(suf)]
+                    removed = True
+                elif action == "ist":
+                    s = s[: -len(suf)] + "ist"
+                    removed = True
+                else:  # iune/iuni: must follow ţ; ţ+suffix → t
+                    k = len(suf)
+                    if len(s) > k and s[-k - 1] == "ţ":
+                        s = s[: -k - 1] + "t"
+                        removed = True
+            break
+
+    # verb suffix (only when nothing standard was removed), inside RV
+    if not removed:
+        for suf, case in _RO_VERB:
+            if s.endswith(suf) and len(s) - len(suf) >= pV:
+                start = len(s) - len(suf)
+                if case == 2:
+                    s = s[:start]
+                else:
+                    if start - 1 >= pV and (
+                        s[start - 1] not in _RO_V or s[start - 1] == "u"
+                    ):
+                        s = s[:start]
+                break
+
+    # vowel suffix in RV
+    for suf in ("ie", "a", "e", "i", "ă"):
+        if s.endswith(suf):
+            if len(s) - len(suf) >= pV:
+                s = s[: -len(suf)]
+            break
+
+    return s.replace("I", "i").replace("U", "u")
+
+
+# --- Romanian SQL twin ------------------------------------------------------
+# RV factors into four prefix-shape regexes (the Spanish-style
+# definition); R1/R2 are the usual subsequence conditions. The combo
+# loop is unrolled 4× (the vocabulary needs at most 2). Blocker rows
+# pin the no-fallback among semantics for precondition failures (e.g.
+# 'ase' failing its consonant-or-u gate must NOT fall through to 'se').
+
+_RO_VC = "aeiouâîă"
+
+
+def _ro_rv_sql(k) -> str:
+    """start = length(term)-k >= pV."""
+    p = f"left(term, length(term)-({k}))"
+    return (
+        f"(regexp_matches({p}, '^[{_RO_VC}][^{_RO_VC}].*[{_RO_VC}]') OR "
+        f"regexp_matches({p}, '^[{_RO_VC}][{_RO_VC}].*[^{_RO_VC}]') OR "
+        f"regexp_matches({p}, '^[^{_RO_VC}][^{_RO_VC}].*[{_RO_VC}]') OR "
+        f"(regexp_matches(term, '^[^{_RO_VC}][{_RO_VC}]') AND length(term)-({k}) >= 3))"
+    )
+
+
+def _ro_r1_sql(k) -> str:
+    return (
+        f"regexp_matches(left(term, length(term)-({k})), "
+        f"'[{_RO_VC}][^{_RO_VC}]')"
+    )
+
+
+def _ro_r2_sql(k) -> str:
+    return (
+        f"regexp_matches(left(term, length(term)-({k})), "
+        f"'[{_RO_VC}].*[^{_RO_VC}].*[{_RO_VC}].*[^{_RO_VC}]')"
+    )
+
+
+_RO_MARK_STEP = (
+    "replace(replace(regexp_replace(term, "
+    f"'([{_RO_VC}])(u[{_RO_VC}]|i[{_RO_VC}])', '\\1\x04\\2'), "
+    "'\x04u', 'U'), '\x04i', 'I')"
+)
+
+
+def _ro_sql() -> tuple[str, ...]:
+    nl = "\n        "
+    # the standard-suffix-removed flag rides as chr(2); verb layer only
+    # fires on unmarked terms
+    done = "left(term, 1) = chr(2)"
+
+    rows0 = []
+    for suf, rep in _RO_STEP0:
+        k = len(suf)
+        cond = f"right(term, {k}) = '{suf}' AND {_ro_r1_sql(k)}"
+        if suf == "ile":
+            cond += " AND right(term, 5) != 'abile'"
+        rows0.append(
+            f"WHEN {cond} THEN left(term, length(term)-{k}) || '{rep}'"
+        )
+        rows0.append(f"WHEN right(term, {k}) = '{suf}' THEN term")
+    step0 = "CASE\n        " + nl.join(rows0) + "\n        ELSE term END"
+
+    combo_rows = []
+    for suf, rep in _RO_COMBO:
+        k = len(suf)
+        combo_rows.append(
+            f"WHEN right(term, {k}) = '{suf}' AND {_ro_r1_sql(k)} "
+            f"THEN chr(2) || left(term, length(term)-{k}) || '{rep}'"
+        )
+        combo_rows.append(f"WHEN right(term, {k}) = '{suf}' THEN term")
+    combo_bare = "CASE\n        " + nl.join(combo_rows) + "\n        ELSE term END"
+    combo_marked_rows = [
+        r.replace("term", "__t__").replace("__t__", "substr(term, 2)")
+        for r in combo_rows
+    ]
+    combo = (
+        f"CASE WHEN {done} THEN (CASE\n        "
+        + nl.join(combo_marked_rows).replace(
+            "THEN substr(term, 2)", "THEN chr(2) || substr(term, 2)"
+        )
+        + "\n        ELSE term END) ELSE ("
+        + combo_bare
+        + ") END"
+    )
+
+    a3_rows = []
+    for suf, action in _RO_A3:
+        k = len(suf)
+        if action == "iune":
+            a3_rows.append(
+                f"WHEN right(term, {k}) = '{suf}' AND {_ro_r2_sql(k)} AND "
+                f"substr(term, length(term)-{k}, 1) = 'ţ' "
+                f"THEN chr(2) || left(term, length(term)-{k + 1}) || 't'"
+            )
+        elif action == "ist":
+            a3_rows.append(
+                f"WHEN right(term, {k}) = '{suf}' AND {_ro_r2_sql(k)} "
+                f"THEN chr(2) || left(term, length(term)-{k}) || 'ist'"
+            )
+        else:
+            a3_rows.append(
+                f"WHEN right(term, {k}) = '{suf}' AND {_ro_r2_sql(k)} "
+                f"THEN chr(2) || left(term, length(term)-{k})"
+            )
+        a3_rows.append(f"WHEN right(term, {k}) = '{suf}' THEN term")
+    a3_bare = "CASE\n        " + nl.join(a3_rows) + "\n        ELSE term END"
+    a3_marked_rows = [
+        r.replace("term", "__t__").replace("__t__", "substr(term, 2)")
+        for r in a3_rows
+    ]
+    a3 = (
+        f"CASE WHEN {done} THEN (CASE\n        "
+        + nl.join(a3_marked_rows).replace(
+            "THEN substr(term, 2)", "THEN chr(2) || substr(term, 2)"
+        )
+        + "\n        ELSE term END) ELSE ("
+        + a3_bare
+        + ") END"
+    )
+
+    verb_rows = []
+    for suf, case in _RO_VERB:
+        k = len(suf)
+        base = f"right(term, {k}) = '{suf}' AND {_ro_rv_sql(k)}"
+        if case == 2:
+            verb_rows.append(f"WHEN {base} THEN left(term, length(term)-{k})")
+        else:
+            verb_rows.append(
+                f"WHEN {base} AND {_ro_rv_sql(k + 1)} AND "
+                f"(substr(term, length(term)-{k}, 1) NOT IN "
+                f"({_lits(sorted(_RO_V))}) OR substr(term, length(term)-{k}, 1) = 'u') "
+                f"THEN left(term, length(term)-{k})"
+            )
+            verb_rows.append(f"WHEN {base} THEN term")
+    verb = (
+        f"CASE WHEN {done} THEN term\n        "
+        + nl.join(verb_rows)
+        + "\n        ELSE term END"
+    )
+    unmark = f"CASE WHEN {done} THEN substr(term, 2) ELSE term END"
+
+    vowel_rows = []
+    for suf in ("ie", "a", "e", "i", "ă"):
+        k = len(suf)
+        vowel_rows.append(
+            f"WHEN right(term, {k}) = '{suf}' AND {_ro_rv_sql(k)} "
+            f"THEN left(term, length(term)-{k})"
+        )
+        vowel_rows.append(f"WHEN right(term, {k}) = '{suf}' THEN term")
+    vowel = "CASE\n        " + nl.join(vowel_rows) + "\n        ELSE term END"
+
+    return (
+        _RO_MARK_STEP,
+        _RO_MARK_STEP,
+        _RO_MARK_STEP,
+        _RO_MARK_STEP,
+        step0,
+        combo,
+        combo,
+        combo,
+        combo,
+        a3,
+        verb,
+        unmark,
+        vowel,
+        "replace(replace(term, 'I', 'i'), 'U', 'u')",
+    )
+
+
+ROMANIAN_SNOWBALL_SQL = _ro_sql()

@@ -1,5 +1,5 @@
 """Snowball stemmer parity (Danish, Norwegian, Swedish, Russian,
-English Porter2).
+English Porter2, German, Dutch, Romanian).
 
 The reference ships the Snowball project's own full test vocabularies
 (``analysis/snowball/*.zip``: voc.txt → output.txt, 2,000 words each) —
@@ -22,6 +22,7 @@ from lucene_solr_spark.oracle.snowball import (
     DUTCH_SNOWBALL_SQL,
     GERMAN_SNOWBALL_SQL,
     PORTER2_SQL,
+    ROMANIAN_SNOWBALL_SQL,
     RUSSIAN_SNOWBALL_SQL,
     SWEDISH_SNOWBALL_SQL,
     danish_snowball_stem,
@@ -29,6 +30,7 @@ from lucene_solr_spark.oracle.snowball import (
     dutch_snowball_stem,
     german_snowball_stem,
     porter2_stem,
+    romanian_snowball_stem,
     russian_snowball_stem,
     swedish_snowball_stem,
 )
@@ -46,6 +48,7 @@ _LANGS = [
     ("english", porter2_stem, PORTER2_SQL),
     ("german", german_snowball_stem, GERMAN_SNOWBALL_SQL),
     ("dutch", dutch_snowball_stem, DUTCH_SNOWBALL_SQL),
+    ("romanian", romanian_snowball_stem, ROMANIAN_SNOWBALL_SQL),
 ]
 
 _EDGES = [
@@ -69,6 +72,9 @@ _EDGES = [
     # needing the e-found flag, VV collapse
     "aiya", "ayia", "lichamelijke", "gemeente", "mogelijkheden",
     "eetbaarheden", "groot", "vreselijkst", "eetbare", "eetbar",
+    # Romanian: step-0 replacements, combo chains, ţiune, verb gates
+    "aua", "abile", "masei", "sei", "ase", "casase", "icativitate",
+    "reprezentantului", "aţia",
 ]
 
 
@@ -99,6 +105,16 @@ def test_sql_twin_parity(lang, fn, sql):
     got = [r[0] for r in con.execute(body).fetchall()]
     bad = [(w, g, fn(w)) for w, g in zip(words, got) if g != fn(w)]
     assert not bad, bad[:10]
+
+
+def test_romanian_snowball_pins():
+    # step-0 replacement family (R1-gated)
+    assert romanian_snowball_stem("reprezentantului") == "reprezent"
+    # combo loop: two rewrites chain (ivitate → iv, then icativ → ic...)
+    assert romanian_snowball_stem("icativitate") == "icat"
+    # verb 'ase' needs a preceding consonant-or-u and must NOT fall
+    # back to the unconditional 'se'
+    assert romanian_snowball_stem("casase") == "casas"
 
 
 def test_dutch_snowball_pins():
