@@ -1914,6 +1914,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["romanian_snowball_topk"] = romanian_snowball_topk
 
+    def irish_snowball_topk(spark, sf_dir):
+        """Irish SNOWBALL stemmer (the IrishAnalyzer's stem stage): the
+        initial-mutation prefix strip turns 'the' into 'te' (th→t
+        lenition reversal) — BM25 top-10 for 'te'; exact SQL twin.
+        The analyzer's Irish-specific case folding (IrishLowerCaseFilter)
+        is not modeled — stemmer-only parity, disclosed in COVERAGE."""
+        ex = _light_stem_executor(spark, sf_dir, "irish_snowball")
+        return ex.topk(_T("te"), k=10).select("doc_id", "score")
+
+    out["irish_snowball_topk"] = irish_snowball_topk
+
     def russian_snowball_topk(spark, sf_dir):
         """Russian SNOWBALL stemmer (the RussianAnalyzer DEFAULT —
         RV/R2 regions, gerund|reflexive;adjectival|verb|noun step
@@ -2878,6 +2889,10 @@ def oracle_sql() -> dict[str, str]:
     out["romanian_snowball_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.ROMANIAN_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="dat")
+    )
+    out["irish_snowball_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_sb.IRISH_SNOWBALL_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="te")
     )
     out["russian_snowball_topk"] = (
         f"WITH {_ictes_lang(text_col=_RUSSIAN_TEXT_SQL, token_regex='[a-z0-9аеиоу]+', term_expr=_sb.RUSSIAN_SNOWBALL_SQL)}"

@@ -886,6 +886,7 @@ def _register_snowball() -> None:
             "german_snowball": _sb.german_snowball_stem,
             "dutch_snowball": _sb.dutch_snowball_stem,
             "romanian_snowball": _sb.romanian_snowball_stem,
+            "irish_snowball": _sb.irish_snowball_stem,
         }
     )
 

@@ -38,6 +38,7 @@ __all__ = [
     "german_snowball_stem",
     "dutch_snowball_stem",
     "romanian_snowball_stem",
+    "irish_snowball_stem",
     "SWEDISH_SNOWBALL_SQL",
     "NORWEGIAN_SNOWBALL_SQL",
     "DANISH_SNOWBALL_SQL",
@@ -46,6 +47,7 @@ __all__ = [
     "GERMAN_SNOWBALL_SQL",
     "DUTCH_SNOWBALL_SQL",
     "ROMANIAN_SNOWBALL_SQL",
+    "IRISH_SNOWBALL_SQL",
 ]
 
 _SV_VOWELS = frozenset("aeiouyäåö")
@@ -2054,3 +2056,158 @@ def _ro_sql() -> tuple[str, ...]:
 
 
 ROMANIAN_SNOWBALL_SQL = _ro_sql()
+
+
+# ---------------------------------------------------------------------------
+# Irish (snowballstem.org irish; generated form at
+# org/tartarus/snowball/ext/IrishStemmer.java) — the IrishAnalyzer's
+# DEFAULT stem filter. Structure: initial-mutation PREFIX strip
+# (eclipsis/lenition: bhf→f, gc→c, mb→b, …, longest prefix wins),
+# RV = after the first vowel (no floor), standard R1/R2, then noun
+# (R1/R2), derivational (R2, with stem rewrites), and verb (RV/R1)
+# suffix passes — each checked on the longest match, no fallback.
+# ---------------------------------------------------------------------------
+
+_GA_V = frozenset("aeiouáéíóú")
+#: initial mutations, longest-first: prefix → replacement
+_GA_PREFIX = [
+    ("d'fh", "f"), ("bhf", "f"), ("b'", ""), ("bh", "b"), ("bp", "p"),
+    ("ch", "c"), ("d'", ""), ("dh", "d"), ("dt", "t"), ("fh", "f"),
+    ("gc", "c"), ("gh", "g"), ("h-", ""), ("m'", ""), ("mb", "b"),
+    ("mh", "m"), ("n-", ""), ("nd", "d"), ("ng", "g"), ("ph", "p"),
+    ("sh", "s"), ("t-", ""), ("th", "t"), ("ts", "s"),
+]
+_GA_PREFIX.sort(key=lambda e: len(e[0]), reverse=True)
+#: noun suffixes: (suffix, region) — region 1 = R1, 2 = R2
+_GA_NOUN = [
+    ("aíochta", 1), ("íochta", 1), ("aíocht", 1), ("íocht", 1),
+    ("eabh", 1), ("eamh", 1), ("aibh", 1), ("aimh", 1), ("airí", 2),
+    ("aire", 2), ("abh", 1), ("amh", 1), ("ibh", 1), ("imh", 1),
+    ("irí", 2), ("ire", 2),
+]
+_GA_NOUN.sort(key=lambda e: len(e[0]), reverse=True)
+#: derivational: (suffix, replacement or None=R2-delete)
+_GA_DERIV = [
+    ("grafaíochtaí", "graf"), ("grafaíochta", "graf"),
+    ("grafaíocht", "graf"), ("grafaíoch", "graf"),
+    ("arcachtaí", "arc"), ("arcachta", "arc"), ("arcacht", "arc"),
+    ("óideacha", "óid"), ("óideach", "óid"), ("óidigh", "óid"),
+    ("patacha", "paite"), ("pataigh", "paite"), ("patach", "paite"),
+    ("paite", "paite"), ("gineach", "gin"), ("gineas", "gin"),
+    ("ginis", "gin"), ("eachtúil", None), ("achtúil", None),
+    ("eachta", None), ("achta", None), ("eacht", None), ("acht", None),
+    ("each", None), ("ach", None),
+]
+_GA_DERIV.sort(key=lambda e: len(e[0]), reverse=True)
+#: verb: (suffix, region) — region 0 = RV, 1 = R1
+_GA_VERB = [
+    ("aimid", 0), ("aímid", 0), ("imid", 0), ("ímid", 0),
+    ("faidh", 0), ("eadh", 1), ("fidh", 0), ("tear", 1), ("adh", 1),
+    ("áil", 1), ("ain", 1), ("tar", 1),
+]
+_GA_VERB.sort(key=lambda e: len(e[0]), reverse=True)
+
+
+def _ga_regions(s: str) -> tuple[int, int, int]:
+    n = len(s)
+    pV = p1 = p2 = n
+    for i in range(n):
+        if s[i] in _GA_V:
+            pV = i + 1
+            break
+    for i in range(n - 1):
+        if s[i] in _GA_V and s[i + 1] not in _GA_V:
+            p1 = i + 2
+            break
+    if p1 < n:
+        for i in range(p1, n - 1):
+            if s[i] in _GA_V and s[i + 1] not in _GA_V:
+                p2 = i + 2
+                break
+    return pV, p1, p2
+
+
+def irish_snowball_stem(term: str) -> str:
+    s = term
+    for pre, rep in _GA_PREFIX:
+        if s.startswith(pre):
+            s = rep + s[len(pre) :]
+            break
+    pV, p1, p2 = _ga_regions(s)
+    for suf, reg in _GA_NOUN:
+        if s.endswith(suf):
+            if len(s) - len(suf) >= (p1 if reg == 1 else p2):
+                s = s[: -len(suf)]
+            break
+    for suf, rep in _GA_DERIV:
+        if s.endswith(suf):
+            if rep is None:
+                if len(s) - len(suf) >= p2:
+                    s = s[: -len(suf)]
+            else:
+                s = s[: -len(suf)] + rep
+            break
+    for suf, reg in _GA_VERB:
+        if s.endswith(suf):
+            if len(s) - len(suf) >= (pV if reg == 0 else p1):
+                s = s[: -len(suf)]
+            break
+    return s
+
+
+# --- Irish SQL twin ---------------------------------------------------------
+
+_GA_VC = "aeiouáéíóú"
+
+
+def _ga_sql() -> tuple[str, ...]:
+    nl = "\n        "
+    rows_p = [
+        f"WHEN left(term, {len(pre)}) = '{pre.replace(chr(39), chr(39) * 2)}' "
+        f"THEN '{rep}' || substr(term, {len(pre) + 1})"
+        for pre, rep in _GA_PREFIX
+    ]
+    prefix = "CASE\n        " + nl.join(rows_p) + "\n        ELSE term END"
+
+    def rv(k):
+        return f"regexp_matches(left(term, length(term)-({k})), '[{_GA_VC}]')"
+
+    def r1(k):
+        return (
+            f"regexp_matches(left(term, length(term)-({k})), "
+            f"'[{_GA_VC}][^{_GA_VC}]')"
+        )
+
+    def r2(k):
+        return (
+            f"regexp_matches(left(term, length(term)-({k})), "
+            f"'[{_GA_VC}].*[^{_GA_VC}].*[{_GA_VC}].*[^{_GA_VC}]')"
+        )
+
+    def pass_case(entries) -> str:
+        rows = []
+        for suf, action in entries:
+            k = len(suf)
+            if action is None or isinstance(action, int):
+                fit = {None: r2, 0: rv, 1: r1, 2: r2}[action](k)
+                rows.append(
+                    f"WHEN right(term, {k}) = '{suf}' AND {fit} "
+                    f"THEN left(term, length(term)-{k})"
+                )
+            else:
+                rows.append(
+                    f"WHEN right(term, {k}) = '{suf}' "
+                    f"THEN left(term, length(term)-{k}) || '{action}'"
+                )
+            rows.append(f"WHEN right(term, {k}) = '{suf}' THEN term")
+        return "CASE\n        " + nl.join(rows) + "\n        ELSE term END"
+
+    return (
+        prefix,
+        pass_case(_GA_NOUN),
+        pass_case(_GA_DERIV),
+        pass_case(_GA_VERB),
+    )
+
+
+IRISH_SNOWBALL_SQL = _ga_sql()

@@ -21,6 +21,7 @@ from lucene_solr_spark.oracle.snowball import (
     NORWEGIAN_SNOWBALL_SQL,
     DUTCH_SNOWBALL_SQL,
     GERMAN_SNOWBALL_SQL,
+    IRISH_SNOWBALL_SQL,
     PORTER2_SQL,
     ROMANIAN_SNOWBALL_SQL,
     RUSSIAN_SNOWBALL_SQL,
@@ -29,6 +30,7 @@ from lucene_solr_spark.oracle.snowball import (
     norwegian_snowball_stem,
     dutch_snowball_stem,
     german_snowball_stem,
+    irish_snowball_stem,
     porter2_stem,
     romanian_snowball_stem,
     russian_snowball_stem,
@@ -49,6 +51,7 @@ _LANGS = [
     ("german", german_snowball_stem, GERMAN_SNOWBALL_SQL),
     ("dutch", dutch_snowball_stem, DUTCH_SNOWBALL_SQL),
     ("romanian", romanian_snowball_stem, ROMANIAN_SNOWBALL_SQL),
+    ("irish", irish_snowball_stem, IRISH_SNOWBALL_SQL),
 ]
 
 _EDGES = [
@@ -75,6 +78,8 @@ _EDGES = [
     # Romanian: step-0 replacements, combo chains, ţiune, verb gates
     "aua", "abile", "masei", "sei", "ase", "casase", "icativitate",
     "reprezentantului", "aţia",
+    # Irish: initial mutations (eclipsis/lenition), region-gated passes
+    "bhfuil", "d'fhear", "h-uile", "tsagart", "the", "beannachta",
 ]
 
 
@@ -105,6 +110,16 @@ def test_sql_twin_parity(lang, fn, sql):
     got = [r[0] for r in con.execute(body).fetchall()]
     bad = [(w, g, fn(w)) for w, g in zip(words, got) if g != fn(w)]
     assert not bad, bad[:10]
+
+
+def test_irish_snowball_pins():
+    # eclipsis/lenition prefix reversal
+    assert irish_snowball_stem("bhfuil") == "fuil"
+    assert irish_snowball_stem("d'fhear") == "fear"
+    assert irish_snowball_stem("tsagart") == "sagart"
+    # derivational eacht in R2
+    assert irish_snowball_stem("seabhcóireacht") == "seabhcóir"
+    assert irish_snowball_stem("beannachta") == "beannachta"  # before R2
 
 
 def test_romanian_snowball_pins():
