@@ -1925,6 +1925,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["irish_snowball_topk"] = irish_snowball_topk
 
+    def hungarian_snowball_topk(spark, sf_dir):
+        """Hungarian SNOWBALL stemmer (the HungarianAnalyzer DEFAULT):
+        BM25 top-10 for 'tabl'; the SQL twin factors the digraph-aware
+        R1 (cs/gy/sz/… extend the region start) into prefix-shape
+        regexes and expresses the doubled-consonant undouble gates
+        string-locally."""
+        ex = _light_stem_executor(spark, sf_dir, "hungarian_snowball")
+        return ex.topk(_T("tabl"), k=10).select("doc_id", "score")
+
+    out["hungarian_snowball_topk"] = hungarian_snowball_topk
+
     def russian_snowball_topk(spark, sf_dir):
         """Russian SNOWBALL stemmer (the RussianAnalyzer DEFAULT —
         RV/R2 regions, gerund|reflexive;adjectival|verb|noun step
@@ -2893,6 +2904,10 @@ def oracle_sql() -> dict[str, str]:
     out["irish_snowball_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.IRISH_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="te")
+    )
+    out["hungarian_snowball_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_sb.HUNGARIAN_SNOWBALL_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="tabl")
     )
     out["russian_snowball_topk"] = (
         f"WITH {_ictes_lang(text_col=_RUSSIAN_TEXT_SQL, token_regex='[a-z0-9аеиоу]+', term_expr=_sb.RUSSIAN_SNOWBALL_SQL)}"

@@ -887,6 +887,7 @@ def _register_snowball() -> None:
             "dutch_snowball": _sb.dutch_snowball_stem,
             "romanian_snowball": _sb.romanian_snowball_stem,
             "irish_snowball": _sb.irish_snowball_stem,
+            "hungarian_snowball": _sb.hungarian_snowball_stem,
         }
     )
 
@@ -941,6 +942,9 @@ def analyzer_config(name: str) -> dict:
         "dutch": dict(stopwords=DUTCH_STOP_WORDS, stemmer="dutch_snowball"),
         "romanian": dict(
             stopwords=ROMANIAN_STOP_WORDS, stemmer="romanian_snowball"
+        ),
+        "hungarian": dict(
+            stopwords=HUNGARIAN_STOP_WORDS, stemmer="hungarian_snowball"
         ),
         "swedish_light": dict(
             stopwords=SWEDISH_STOP_WORDS, stemmer="swedish_light"

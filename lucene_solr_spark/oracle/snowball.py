@@ -39,6 +39,7 @@ __all__ = [
     "dutch_snowball_stem",
     "romanian_snowball_stem",
     "irish_snowball_stem",
+    "hungarian_snowball_stem",
     "SWEDISH_SNOWBALL_SQL",
     "NORWEGIAN_SNOWBALL_SQL",
     "DANISH_SNOWBALL_SQL",
@@ -48,6 +49,7 @@ __all__ = [
     "DUTCH_SNOWBALL_SQL",
     "ROMANIAN_SNOWBALL_SQL",
     "IRISH_SNOWBALL_SQL",
+    "HUNGARIAN_SNOWBALL_SQL",
 ]
 
 _SV_VOWELS = frozenset("aeiouyäåö")
@@ -2211,3 +2213,252 @@ def _ga_sql() -> tuple[str, ...]:
 
 
 IRISH_SNOWBALL_SQL = _ga_sql()
+
+
+# ---------------------------------------------------------------------------
+# Hungarian (snowballstem.org hungarian; generated form at
+# org/tartarus/snowball/ext/HungarianStemmer.java) — the
+# HungarianAnalyzer's DEFAULT stem filter.
+#
+# Semantics notes:
+# - R1: for vowel-initial words, after the first non-vowel EXTENDED
+#   through a digraph (cs/dzs/gy/ly/ny/sz/ty/zs) when one starts there;
+#   for consonant-initial words, after the first vowel;
+# - nine sequential passes (instrumental, case+v-ending, special cases,
+#   -stul family, factive, owned, singular/plural owner, plural), each
+#   R1-checked on the longest match with no fallback;
+# - instrumental (al/el) and factive (á/é) require the preceding stem
+#   to end in a DOUBLED consonant (incl. ccs/ggy/lly/nny/ssz/tty/zzs)
+#   and undouble it after the deletion;
+# - the case pass rewrites a trailing á/é of the remaining stem to a/e.
+# ---------------------------------------------------------------------------
+
+_HU_SB_V = frozenset("aeiouáéíóöúüőű")
+_HU_DIGRAPHS = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES2 = (
+    "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn", "pp",
+    "rr", "ss", "tt", "vv", "zz",
+)
+_HU_DOUBLES3 = ("ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs")
+_HU_CASE = sorted(
+    [
+        "ba", "ra", "be", "re", "ig", "nak", "nek", "val", "vel", "ul",
+        "nál", "nél", "ból", "ról", "tól", "ül", "ből", "ről", "től",
+        "n", "an", "ban", "en", "ben", "képpen", "on", "ön", "képp",
+        "kor", "t", "at", "et", "ként", "anként", "enként", "onként",
+        "ot", "ért", "öt", "hez", "hoz", "höz", "vá", "vé",
+    ],
+    key=len,
+    reverse=True,
+)
+_HU_OWNED = [
+    ("áéi", "a"), ("ééi", "e"), ("éi", ""), ("aké", ""), ("eké", ""),
+    ("oké", ""), ("áké", "a"), ("éké", "e"), ("öké", ""), ("ké", ""),
+    ("éé", "e"), ("é", ""),
+]
+_HU_OWNED.sort(key=lambda e: len(e[0]), reverse=True)
+_HU_SING = [
+    ("ja", ""), ("je", ""), ("ád", "a"), ("éd", "e"), ("ad", ""),
+    ("ed", ""), ("od", ""), ("öd", ""), ("unk", ""), ("ánk", "a"),
+    ("énk", "e"), ("ünk", ""), ("nk", ""), ("ájuk", "a"), ("juk", ""),
+    ("uk", ""), ("éjük", "e"), ("jük", ""), ("ük", ""), ("am", ""),
+    ("em", ""), ("om", ""), ("ám", "a"), ("ém", "e"), ("m", ""),
+    ("a", ""), ("e", ""), ("o", ""), ("á", "a"), ("é", "e"), ("d", ""),
+]
+_HU_SING.sort(key=lambda e: len(e[0]), reverse=True)
+_HU_PLUR = [
+    ("jaid", ""), ("jeid", ""), ("aid", ""), ("eid", ""), ("áid", "a"),
+    ("éid", "e"), ("id", ""), ("jai", ""), ("jei", ""), ("ai", ""),
+    ("ei", ""), ("ái", "a"), ("éi", "e"), ("i", ""), ("jeitek", ""),
+    ("eitek", ""), ("éitek", "e"), ("itek", ""), ("jaik", ""),
+    ("jeik", ""), ("aik", ""), ("eik", ""), ("áik", "a"), ("éik", "e"),
+    ("ik", ""), ("jaink", ""), ("jeink", ""), ("aink", ""),
+    ("eink", ""), ("áink", "a"), ("éink", "e"), ("ink", ""),
+    ("jaitok", ""), ("áitok", "a"), ("aitok", ""), ("jaim", ""),
+    ("jeim", ""), ("aim", ""), ("eim", ""), ("áim", "a"), ("éim", "e"),
+    ("im", ""),
+]
+_HU_PLUR.sort(key=lambda e: len(e[0]), reverse=True)
+_HU_PLURAL = [
+    ("ák", "a"), ("ék", "e"), ("ak", ""), ("ek", ""), ("ok", ""),
+    ("ök", ""), ("k", ""),
+]
+_HU_PLURAL.sort(key=lambda e: len(e[0]), reverse=True)
+
+
+def _hu_p1(s: str) -> int:
+    n = len(s)
+    if n == 0:
+        return 0
+    if s[0] in _HU_SB_V:
+        j = None
+        for i in range(n):
+            if s[i] not in _HU_SB_V:
+                j = i
+                break
+        if j is None:
+            return n
+        for d in _HU_DIGRAPHS:
+            if s.startswith(d, j):
+                return j + len(d)
+        return j + 1
+    for i in range(n):
+        if s[i] in _HU_SB_V:
+            return i + 1
+    return n
+
+
+def _hu_ends_double(s: str) -> bool:
+    return s.endswith(_HU_DOUBLES3) or s.endswith(_HU_DOUBLES2)
+
+
+def _hu_undouble(s: str) -> str:
+    return s[:-2] + s[-1]
+
+
+def hungarian_snowball_stem(term: str) -> str:
+    s = term
+    p1 = _hu_p1(s)
+
+    def in_r1(k: int) -> bool:
+        return len(s) - k >= p1
+
+    # instrumental: al/el in R1 after a doubled consonant
+    if s.endswith(("al", "el")) and in_r1(2) and _hu_ends_double(s[:-2]):
+        s = _hu_undouble(s[:-2])
+    # case endings, then a trailing á/é rewrites
+    for suf in _HU_CASE:
+        if s.endswith(suf):
+            if in_r1(len(suf)):
+                s = s[: -len(suf)]
+                if s.endswith("á") and len(s) - 1 >= p1:
+                    s = s[:-1] + "a"
+                elif s.endswith("é") and len(s) - 1 >= p1:
+                    s = s[:-1] + "e"
+            break
+    # case_special: án/ánként → a, én → e
+    for suf, rep in (("ánként", "a"), ("án", "a"), ("én", "e")):
+        if s.endswith(suf):
+            if in_r1(len(suf)):
+                s = s[: -len(suf)] + rep
+            break
+    # case_other: stul family
+    for suf, rep in (
+        ("ástul", "a"), ("éstül", "e"), ("astul", ""), ("estül", ""),
+        ("stul", ""), ("stül", ""),
+    ):
+        if s.endswith(suf):
+            if in_r1(len(suf)):
+                s = s[: -len(suf)] + rep
+            break
+    # factive: á/é in R1 after a doubled consonant
+    if s.endswith(("á", "é")) and in_r1(1) and _hu_ends_double(s[:-1]):
+        s = _hu_undouble(s[:-1])
+    # owned / sing_owner / plur_owner / plural
+    for table in (_HU_OWNED, _HU_SING, _HU_PLUR, _HU_PLURAL):
+        for suf, rep in table:
+            if s.endswith(suf):
+                if in_r1(len(suf)):
+                    s = s[: -len(suf)] + rep
+                break
+    return s
+
+
+# --- Hungarian SQL twin -----------------------------------------------------
+# R1 factors into three prefix shapes: consonant-initial (prefix
+# contains a vowel), vowel-initial with a digraph at the first
+# non-vowel (the prefix must extend through the digraph), vowel-initial
+# plain. Doubled-consonant gates and the undouble are string-local.
+
+_HU_VC = "aeiouáéíóöúüőű"
+_HU_DIG_ALT = "|".join(_HU_DIGRAPHS)
+
+
+def _hu_fit_sql(k) -> str:
+    p = f"left(term, length(term)-({k}))"
+    dig = f"regexp_matches(term, '^[{_HU_VC}]+({_HU_DIG_ALT})')"
+    return (
+        f"((regexp_matches(term, '^[^{_HU_VC}]') AND regexp_matches({p}, '[{_HU_VC}]')) OR "
+        f"(regexp_matches(term, '^[{_HU_VC}]') AND {dig} AND regexp_matches({p}, '^[{_HU_VC}]+({_HU_DIG_ALT})')) OR "
+        f"(regexp_matches(term, '^[{_HU_VC}]') AND NOT {dig} AND regexp_matches({p}, '^[{_HU_VC}]+[^{_HU_VC}]')))"
+    )
+
+
+def _hu_sql() -> tuple[str, ...]:
+    nl = "\n        "
+    d2 = ", ".join(f"'{p}'" for p in _HU_DOUBLES2)
+    d3 = ", ".join(f"'{p}'" for p in _HU_DOUBLES3)
+
+    def dbl(r: str) -> str:
+        return f"(right({r}, 3) IN ({d3}) OR right({r}, 2) IN ({d2}))"
+
+    def undbl(k: int) -> str:
+        """delete + undouble: drop suffix of len k, then the char at
+        position len-k-2."""
+        return (
+            f"left(term, length(term)-{k + 2}) || "
+            f"substr(term, length(term)-{k}, 1)"
+        )
+
+    def table_case(entries) -> str:
+        rows = []
+        for suf, rep in entries:
+            k = len(suf)
+            then = f"left(term, length(term)-{k})"
+            if rep:
+                then += f" || '{rep}'"
+            rows.append(
+                f"WHEN right(term, {k}) = '{suf}' AND {_hu_fit_sql(k)} THEN {then}"
+            )
+            rows.append(f"WHEN right(term, {k}) = '{suf}' THEN term")
+        return "CASE\n        " + nl.join(rows) + "\n        ELSE term END"
+
+    instrum = (
+        f"""CASE
+        WHEN right(term, 2) IN ('al', 'el') AND {_hu_fit_sql(2)}
+         AND {dbl("left(term, length(term)-2)")}
+        THEN {undbl(2)}
+        ELSE term END"""
+    )
+    rows_case = []
+    for suf in _HU_CASE:
+        k = len(suf)
+        r = f"left(term, length(term)-{k})"
+        base = f"right(term, {k}) = '{suf}' AND {_hu_fit_sql(k)}"
+        rows_case.append(
+            f"WHEN {base} AND right({r}, 1) = 'á' AND {_hu_fit_sql(k + 1)} "
+            f"THEN left(term, length(term)-{k + 1}) || 'a'"
+        )
+        rows_case.append(
+            f"WHEN {base} AND right({r}, 1) = 'é' AND {_hu_fit_sql(k + 1)} "
+            f"THEN left(term, length(term)-{k + 1}) || 'e'"
+        )
+        rows_case.append(f"WHEN {base} THEN {r}")
+        rows_case.append(f"WHEN right(term, {k}) = '{suf}' THEN term")
+    case_ = "CASE\n        " + nl.join(rows_case) + "\n        ELSE term END"
+    case_special = table_case([("ánként", "a"), ("án", "a"), ("én", "e")])
+    case_other = table_case(
+        [("ástul", "a"), ("éstül", "e"), ("astul", ""), ("estül", ""),
+         ("stul", ""), ("stül", "")]
+    )
+    factive = (
+        f"""CASE
+        WHEN right(term, 1) IN ('á', 'é') AND {_hu_fit_sql(1)}
+         AND {dbl("left(term, length(term)-1)")}
+        THEN {undbl(1)}
+        ELSE term END"""
+    )
+    return (
+        instrum,
+        case_,
+        case_special,
+        case_other,
+        factive,
+        table_case(_HU_OWNED),
+        table_case(_HU_SING),
+        table_case(_HU_PLUR),
+        table_case(_HU_PLURAL),
+    )
+
+
+HUNGARIAN_SNOWBALL_SQL = _hu_sql()

@@ -21,6 +21,7 @@ from lucene_solr_spark.oracle.snowball import (
     NORWEGIAN_SNOWBALL_SQL,
     DUTCH_SNOWBALL_SQL,
     GERMAN_SNOWBALL_SQL,
+    HUNGARIAN_SNOWBALL_SQL,
     IRISH_SNOWBALL_SQL,
     PORTER2_SQL,
     ROMANIAN_SNOWBALL_SQL,
@@ -30,6 +31,7 @@ from lucene_solr_spark.oracle.snowball import (
     norwegian_snowball_stem,
     dutch_snowball_stem,
     german_snowball_stem,
+    hungarian_snowball_stem,
     irish_snowball_stem,
     porter2_stem,
     romanian_snowball_stem,
@@ -52,6 +54,7 @@ _LANGS = [
     ("dutch", dutch_snowball_stem, DUTCH_SNOWBALL_SQL),
     ("romanian", romanian_snowball_stem, ROMANIAN_SNOWBALL_SQL),
     ("irish", irish_snowball_stem, IRISH_SNOWBALL_SQL),
+    ("hungarian", hungarian_snowball_stem, HUNGARIAN_SNOWBALL_SQL),
 ]
 
 _EDGES = [
@@ -80,6 +83,8 @@ _EDGES = [
     "reprezentantului", "aţia",
     # Irish: initial mutations (eclipsis/lenition), region-gated passes
     "bhfuil", "d'fhear", "h-uile", "tsagart", "the", "beannachta",
+    # Hungarian: digraph-aware R1, doubled-consonant undouble gates
+    "asszonnyal", "fákká", "aszok", "házakkal", "üveggé", "almát",
 ]
 
 
@@ -110,6 +115,18 @@ def test_sql_twin_parity(lang, fn, sql):
     got = [r[0] for r in con.execute(body).fetchall()]
     bad = [(w, g, fn(w)) for w, g in zip(words, got) if g != fn(w)]
     assert not bad, bad[:10]
+
+
+def test_hungarian_snowball_pins():
+    # instrumental -val assimilates: asszonnyal = asszonny + al →
+    # doubled ny undoubles
+    assert hungarian_snowball_stem("asszonnyal") == "asszony"
+    # factive -vá assimilates: fákká → doubled k undoubles, á→?
+    assert hungarian_snowball_stem("fákká") == "fák"
+    # digraph-aware R1: 'aszok' has R1 after the SZ digraph
+    assert hungarian_snowball_stem("aszok") == "asz"
+    # case ending, trailing á→a rewrite, then sing-owner 'a' drops
+    assert hungarian_snowball_stem("almát") == "alm"
 
 
 def test_irish_snowball_pins():
