@@ -1936,6 +1936,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["hungarian_snowball_topk"] = hungarian_snowball_topk
 
+    def finnish_snowball_topk(spark, sf_dir):
+        """Finnish SNOWBALL stemmer (the FinnishAnalyzer DEFAULT,
+        distinct from the UniNE finnish_light): BM25 top-10 for 'tabl';
+        the SQL twin exploits that every Finnish among IS fit-limited
+        (fall-through ≡ find_among_b), threads the ending-removed flag
+        for the i/t-plural split, and enumerates the consonant alphabet
+        for the final undouble (RE2 has no backreferences)."""
+        ex = _light_stem_executor(spark, sf_dir, "finnish_snowball")
+        return ex.topk(_T("tabl"), k=10).select("doc_id", "score")
+
+    out["finnish_snowball_topk"] = finnish_snowball_topk
+
     def russian_snowball_topk(spark, sf_dir):
         """Russian SNOWBALL stemmer (the RussianAnalyzer DEFAULT —
         RV/R2 regions, gerund|reflexive;adjectival|verb|noun step
@@ -2907,6 +2919,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["hungarian_snowball_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.HUNGARIAN_SNOWBALL_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="tabl")
+    )
+    out["finnish_snowball_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_sb.FINNISH_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="tabl")
     )
     out["russian_snowball_topk"] = (

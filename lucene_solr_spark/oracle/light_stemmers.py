@@ -888,6 +888,7 @@ def _register_snowball() -> None:
             "romanian_snowball": _sb.romanian_snowball_stem,
             "irish_snowball": _sb.irish_snowball_stem,
             "hungarian_snowball": _sb.hungarian_snowball_stem,
+            "finnish_snowball": _sb.finnish_snowball_stem,
         }
     )
 
@@ -945,6 +946,9 @@ def analyzer_config(name: str) -> dict:
         ),
         "hungarian": dict(
             stopwords=HUNGARIAN_STOP_WORDS, stemmer="hungarian_snowball"
+        ),
+        "finnish": dict(
+            stopwords=FINNISH_STOP_WORDS, stemmer="finnish_snowball"
         ),
         "swedish_light": dict(
             stopwords=SWEDISH_STOP_WORDS, stemmer="swedish_light"

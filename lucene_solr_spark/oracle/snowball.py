@@ -40,6 +40,7 @@ __all__ = [
     "romanian_snowball_stem",
     "irish_snowball_stem",
     "hungarian_snowball_stem",
+    "finnish_snowball_stem",
     "SWEDISH_SNOWBALL_SQL",
     "NORWEGIAN_SNOWBALL_SQL",
     "DANISH_SNOWBALL_SQL",
@@ -50,6 +51,7 @@ __all__ = [
     "ROMANIAN_SNOWBALL_SQL",
     "IRISH_SNOWBALL_SQL",
     "HUNGARIAN_SNOWBALL_SQL",
+    "FINNISH_SNOWBALL_SQL",
 ]
 
 _SV_VOWELS = frozenset("aeiouyäåö")
@@ -2462,3 +2464,445 @@ def _hu_sql() -> tuple[str, ...]:
 
 
 HUNGARIAN_SNOWBALL_SQL = _hu_sql()
+
+
+# ---------------------------------------------------------------------------
+# Finnish (snowballstem.org finnish; generated form at
+# org/tartarus/snowball/ext/FinnishStemmer.java) — the FinnishAnalyzer's
+# DEFAULT stem filter (distinct from the UniNE finnish_light).
+#
+# Semantics notes:
+# - every among here IS fit-limited (limit_backward = p1/p2), unlike
+#   the German/Dutch ones — a longer match crossing the region falls
+#   back to a shorter entry;
+# - a_6 carries METHOD entries (den/tten/siin need i-after-restricted-
+#   vowel, seen needs a long vowel pair, both checked INSIDE the match
+#   and falling back to 'n' on failure), while ACTION conditions
+#   (han→a…, the V1+C gate on final a/ä) abort the rule with no
+#   fallback;
+# - case 7 ('n') extends the deletion one char left when a long pair or
+#   'ie' precedes; i-plural runs only if a case ending was removed,
+#   else t-plural (with its own mma-in-R2 tail);
+# - tidy: drop one of a trailing long pair (pair in R1), a/e/i/ä after
+#   a consonant, j after o/u, o after j — then undouble the LAST
+#   consonant of the word when only vowels follow it.
+# ---------------------------------------------------------------------------
+
+_FI2_V1 = frozenset("aeiouyäö")
+_FI2_V2 = frozenset("aeiouäö")
+_FI2_AEI = frozenset("aeiä")
+_FI2_C = frozenset("bcdfghjklmnpqrstvwxz")
+_FI2_PART_END = _FI2_V1 | {"n", "t"}
+_FI2_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI2_PARTICLE = sorted(
+    ["pa", "sti", "kaan", "han", "kin", "hän", "kään", "ko", "pä", "kö"],
+    key=len, reverse=True,
+)
+_FI2_AN_PREC = ("lla", "ssa", "lta", "sta", "na", "ta")
+_FI2_AEN_PREC = ("llä", "ssä", "ltä", "stä", "nä", "tä")
+_FI2_EN_PREC = ("lle", "ine")
+#: a_6: (suffix, kind) — kind: "del", ("eq", ch), "n", "aä", ("vi",),
+#: ("long",)
+_FI2_CASE = [
+    ("seen", "long"), ("tten", "vi"), ("siin", "vi"), ("den", "vi"),
+    ("han", ("eq", "a")), ("hen", ("eq", "e")), ("hin", ("eq", "i")),
+    ("hon", ("eq", "o")), ("hän", ("eq", "ä")), ("hön", ("eq", "ö")),
+    ("lla", "del"), ("ssa", "del"), ("lta", "del"), ("sta", "del"),
+    ("tta", ("eq", "e")), ("llä", "del"), ("ssä", "del"), ("ltä", "del"),
+    ("stä", "del"), ("ttä", ("eq", "e")), ("lle", "del"), ("ine", "del"),
+    ("ksi", "del"), ("na", "del"), ("ta", "del"), ("nä", "del"),
+    ("tä", "del"), ("n", "n"), ("a", "aä"), ("ä", "aä"),
+]
+_FI2_CASE.sort(key=lambda e: len(e[0]), reverse=True)
+_FI2_OTHER_PLAIN = ("imma", "impa", "immi", "impi", "immä", "impä", "eja", "ejä")
+_FI2_OTHER_PO = ("mma", "mpa", "mmi", "mpi", "mmä", "mpä")
+
+
+def _fi2_regions(s: str) -> tuple[int, int]:
+    n = len(s)
+    p1 = p2 = n
+    i = 0
+    while i < n and s[i] not in _FI2_V1:
+        i += 1
+    while i < n and s[i] in _FI2_V1:
+        i += 1
+    if i < n:
+        p1 = i + 1
+        i += 1
+        while i < n and s[i] not in _FI2_V1:
+            i += 1
+        while i < n and s[i] in _FI2_V1:
+            i += 1
+        if i < n:
+            p2 = i + 1
+    return p1, p2
+
+
+def finnish_snowball_stem(term: str) -> str:  # noqa: C901 — mirrors the steps
+    s = term
+    p1, p2 = _fi2_regions(s)
+    ending_removed = False
+
+    # --- particle etc (a_0, fit p1) --------------------------------------
+    for suf in _FI2_PARTICLE:
+        if s.endswith(suf) and len(s) - len(suf) >= p1:
+            start = len(s) - len(suf)
+            if suf == "sti":
+                if start >= p2:
+                    s = s[:start]
+            else:
+                if start >= 1 and s[start - 1] in _FI2_PART_END:
+                    s = s[:start]
+            break
+
+    # --- possessive (a_4, fit p1) -----------------------------------------
+    for suf in ("nsa", "nsä", "mme", "nne", "ni", "si", "an", "en", "än"):
+        if s.endswith(suf) and len(s) - len(suf) >= p1:
+            start = len(s) - len(suf)
+            if suf == "si":
+                if not (start >= 1 and s[start - 1] == "k"):
+                    s = s[:start]
+            elif suf == "ni":
+                s = s[:start]
+                if s.endswith("kse"):
+                    s = s[:-1] + "i"
+            elif suf in ("nsa", "nsä", "mme", "nne"):
+                s = s[:start]
+            elif suf == "an":
+                if s[:start].endswith(_FI2_AN_PREC):
+                    s = s[:start]
+            elif suf == "än":
+                if s[:start].endswith(_FI2_AEN_PREC):
+                    s = s[:start]
+            elif suf == "en":
+                if s[:start].endswith(_FI2_EN_PREC):
+                    s = s[:start]
+            break
+
+    # --- case ending (a_6, fit p1; method entries fall back) -------------
+    for suf, kind in _FI2_CASE:
+        if not (s.endswith(suf) and len(s) - len(suf) >= p1):
+            continue
+        start = len(s) - len(suf)
+        if kind == "vi":
+            # method: 'i' after a restricted vowel, both inside R1
+            # (eq_s_b('i') needs start-1 >= p1; in_grouping_b needs
+            # start-2 >= p1); failure falls back to shorter entries
+            if not (
+                start - 2 >= p1
+                and s[start - 1] == "i"
+                and s[start - 2] in _FI2_V2
+            ):
+                continue
+            s = s[:start]
+            ending_removed = True
+            break
+        if kind == "long":
+            if not (start - 2 >= p1 and s[start - 2 : start] in _FI2_LONG):
+                continue
+            s = s[:start]
+            ending_removed = True
+            break
+        # non-method entry selected: action conditions abort on failure
+        if isinstance(kind, tuple):  # ("eq", ch)
+            if start >= 1 and s[start - 1] == kind[1]:
+                s = s[:start]
+                ending_removed = True
+            break
+        if kind == "aä":
+            if start >= 2 and s[start - 1] in _FI2_V1 and s[start - 2] in _FI2_C:
+                s = s[:start]
+                ending_removed = True
+            break
+        if kind == "n":
+            if (
+                start >= 2
+                and (s[start - 2 : start] in _FI2_LONG or s[start - 2 : start] == "ie")
+                and start - 1 >= 1
+            ):
+                s = s[: start - 1]
+            else:
+                s = s[:start]
+            ending_removed = True
+            break
+        s = s[:start]  # plain delete
+        ending_removed = True
+        break
+
+    # --- other endings (a_7, fit p2) --------------------------------------
+    for suf in sorted(_FI2_OTHER_PLAIN + _FI2_OTHER_PO, key=len, reverse=True):
+        if s.endswith(suf) and len(s) - len(suf) >= p2:
+            start = len(s) - len(suf)
+            if suf in _FI2_OTHER_PO:
+                if not s[:start].endswith("po"):
+                    s = s[:start]
+            else:
+                s = s[:start]
+            break
+
+    # --- i_plural / t_plural ----------------------------------------------
+    if ending_removed:
+        if s.endswith(("i", "j")) and len(s) - 1 >= p1:
+            s = s[:-1]
+    else:
+        # t_plural: final 't' in R1, preceded by a V1 vowel that is
+        # ALSO inside R1 (the in_grouping_b runs under limit_backward =
+        # p1, so the vowel position len-2 must be >= p1); then the
+        # mma/imma tail in R2 with the po-guard
+        if (
+            s.endswith("t")
+            and len(s) - 1 >= p1
+            and len(s) - 2 >= p1
+            and s[-2] in _FI2_V1
+        ):
+            s = s[:-1]
+            for suf in ("imma", "mma"):
+                if s.endswith(suf) and len(s) - len(suf) >= p2:
+                    start = len(s) - len(suf)
+                    if suf == "mma":
+                        if not s[:start].endswith("po"):
+                            s = s[:start]
+                    else:
+                        s = s[:start]
+                    break
+
+    # --- tidy ---------------------------------------------------------------
+    if s.endswith(_FI2_LONG) and len(s) - 2 >= p1:
+        s = s[:-1]
+    if (
+        len(s) >= 2
+        and s[-1] in _FI2_AEI
+        and len(s) > p1
+        and s[-2] in _FI2_C
+        and len(s) - 1 > p1
+    ):
+        s = s[:-1]
+    if s.endswith(("oj", "uj")) and len(s) - 1 >= p1 and len(s) - 2 >= p1:
+        s = s[:-1]
+    if s.endswith("jo") and len(s) - 1 >= p1 and len(s) - 2 >= p1:
+        s = s[:-1]
+    # undouble the final consonant (only vowels may follow it)
+    i = len(s)
+    while i > 0 and s[i - 1] in _FI2_V1:
+        i -= 1
+    if i >= 2 and s[i - 1] in _FI2_C and s[i - 2] == s[i - 1]:
+        s = s[: i - 1] + s[i:]
+    return s
+
+
+# --- Finnish SQL twin -------------------------------------------------------
+# Every among is fit-limited, so CASE fall-through on a failed fit or
+# METHOD condition reproduces find_among_b exactly; only ACTION
+# conditions (han→a…, the V1+C gate, the po-guards) need blocker rows.
+# The ending-removed flag rides as chr(2) to split i-plural from
+# t-plural; the final undouble enumerates the consonant alphabet in
+# place of a backreference (RE2 has none).
+
+_FI2_VC = "aeiouyäö"
+
+
+def _fi2_fit1(k, t="term") -> str:
+    return (
+        f"regexp_matches(left({t}, length({t})-({k})), "
+        f"'[{_FI2_VC}].*[^{_FI2_VC}]')"
+    )
+
+
+def _fi2_fit2(k, t="term") -> str:
+    return (
+        f"regexp_matches(left({t}, length({t})-({k})), "
+        f"'[{_FI2_VC}].*[^{_FI2_VC}].*[{_FI2_VC}].*[^{_FI2_VC}]')"
+    )
+
+
+def _fi2_sql() -> tuple[str, ...]:
+    nl = "\n        "
+    marked = "left(term, 1) = chr(2)"
+    pe = _lits(sorted(_FI2_PART_END))
+    v1 = _lits(sorted(_FI2_V1))
+    v2 = _lits(sorted(_FI2_V2))
+    aei = _lits(sorted(_FI2_AEI))
+    cs = _lits(sorted(_FI2_C))
+    longs = ", ".join(f"'{p}'" for p in _FI2_LONG)
+
+    rows_p = []
+    for suf in _FI2_PARTICLE:
+        k = len(suf)
+        base = f"right(term, {k}) = '{suf}' AND {_fi2_fit1(k)}"
+        if suf == "sti":
+            rows_p.append(f"WHEN {base} AND {_fi2_fit2(k)} THEN left(term, length(term)-{k})")
+        else:
+            rows_p.append(
+                f"WHEN {base} AND length(term) > {k} AND "
+                f"substr(term, length(term)-{k}, 1) IN ({pe}) "
+                f"THEN left(term, length(term)-{k})"
+            )
+        rows_p.append(f"WHEN {base} THEN term")
+    particle = "CASE\n        " + nl.join(rows_p) + "\n        ELSE term END"
+
+    rows_po = []
+    for suf in ("nsa", "nsä", "mme", "nne", "ni", "si", "an", "en", "än"):
+        k = len(suf)
+        base = f"right(term, {k}) = '{suf}' AND {_fi2_fit1(k)}"
+        r = f"left(term, length(term)-{k})"
+        if suf == "si":
+            rows_po.append(
+                f"WHEN {base} AND substr(term, length(term)-{k}, 1) != 'k' THEN {r}"
+            )
+        elif suf == "ni":
+            rows_po.append(
+                f"WHEN {base} AND right({r}, 3) = 'kse' "
+                f"THEN left(term, length(term)-{k + 1}) || 'i'"
+            )
+            rows_po.append(f"WHEN {base} THEN {r}")
+        elif suf in ("nsa", "nsä", "mme", "nne"):
+            rows_po.append(f"WHEN {base} THEN {r}")
+        else:
+            prec = {"an": _FI2_AN_PREC, "än": _FI2_AEN_PREC, "en": _FI2_EN_PREC}[suf]
+            conds = " OR ".join(
+                f"right({r}, {len(p)}) = '{p}'" for p in prec
+            )
+            rows_po.append(f"WHEN {base} AND ({conds}) THEN {r}")
+        rows_po.append(f"WHEN {base} THEN term")
+    possessive = "CASE\n        " + nl.join(rows_po) + "\n        ELSE term END"
+
+    rows_c = []
+    for suf, kind in _FI2_CASE:
+        k = len(suf)
+        base = f"right(term, {k}) = '{suf}' AND {_fi2_fit1(k)}"
+        r = f"chr(2) || left(term, length(term)-{k})"
+        if kind == "vi":
+            rows_c.append(
+                f"WHEN {base} AND {_fi2_fit1(k + 2)} AND "
+                f"substr(term, length(term)-{k}, 1) = 'i' AND "
+                f"substr(term, length(term)-{k}-1, 1) IN ({v2}) THEN {r}"
+            )  # method fail → fall through, NO blocker
+        elif kind == "long":
+            rows_c.append(
+                f"WHEN {base} AND {_fi2_fit1(k + 2)} AND "
+                f"substr(term, length(term)-{k}-1, 2) IN ({longs}) THEN {r}"
+            )
+        elif isinstance(kind, tuple):
+            rows_c.append(
+                f"WHEN {base} AND substr(term, length(term)-{k}, 1) = '{kind[1]}' THEN {r}"
+            )
+            rows_c.append(f"WHEN {base} THEN term")
+        elif kind == "aä":
+            rows_c.append(
+                f"WHEN {base} AND length(term) > 2 AND "
+                f"substr(term, length(term)-1, 1) IN ({v1}) AND "
+                f"substr(term, length(term)-2, 1) IN ({cs}) THEN {r}"
+            )
+            rows_c.append(f"WHEN {base} THEN term")
+        elif kind == "n":
+            rows_c.append(
+                f"WHEN {base} AND length(term) >= 3 AND "
+                f"(substr(term, length(term)-2, 2) IN ({longs}) OR "
+                f"substr(term, length(term)-2, 2) = 'ie') "
+                f"THEN chr(2) || left(term, length(term)-2)"
+            )
+            rows_c.append(f"WHEN {base} THEN {r}")
+        else:
+            rows_c.append(f"WHEN {base} THEN {r}")
+    case_ = "CASE\n        " + nl.join(rows_c) + "\n        ELSE term END"
+
+    def thread(rows_fn) -> str:
+        bare = "CASE\n        " + nl.join(rows_fn("term", "")) + "\n        ELSE term END"
+        thru = (
+            "CASE\n        "
+            + nl.join(rows_fn("substr(term, 2)", "chr(2) || "))
+            + "\n        ELSE term END"
+        )
+        return f"CASE WHEN {marked} THEN ({thru}) ELSE ({bare}) END"
+
+    def rows_other(t, mark):
+        rows = []
+        for suf in sorted(
+            _FI2_OTHER_PLAIN + _FI2_OTHER_PO, key=len, reverse=True
+        ):
+            k = len(suf)
+            base = f"right({t}, {k}) = '{suf}' AND {_fi2_fit2(k, t)}"
+            r = f"{mark}left({t}, length({t})-{k})"
+            if suf in _FI2_OTHER_PO:
+                rows.append(
+                    f"WHEN {base} AND right(left({t}, length({t})-{k}), 2) != 'po' THEN {r}"
+                )
+            else:
+                rows.append(f"WHEN {base} THEN {r}")
+            rows.append(f"WHEN {base} THEN {mark}{t}")
+        return rows
+
+    other = thread(rows_other)
+
+    # i_plural (marked) / t_plural (unmarked, with mma tail)
+    sub = "substr(term, 2)"
+    iplural = (
+        f"""CASE
+        WHEN {marked} AND right({sub}, 1) IN ('i', 'j') AND {_fi2_fit1(1, sub)}
+        THEN chr(2) || left({sub}, length({sub})-1)
+        WHEN {marked} THEN term"""
+    )
+    rt = "left(term, length(term)-1)"
+    t_rows = []
+    for suf in ("imma", "mma"):
+        k = len(suf)
+        base = (
+            f"right(term, 1) = 't' AND {_fi2_fit1(1)} AND {_fi2_fit1(2)} AND "
+            f"substr(term, length(term)-1, 1) IN ({v1}) AND "
+            f"right({rt}, {k}) = '{suf}' AND {_fi2_fit2(k + 1)}"
+        )
+        r = f"left(term, length(term)-{k + 1})"
+        if suf == "mma":
+            t_rows.append(
+                f"WHEN {base} AND right(left(term, length(term)-{k + 1}), 2) != 'po' THEN {r}"
+            )
+        else:
+            t_rows.append(f"WHEN {base} THEN {r}")
+        t_rows.append(f"WHEN {base} THEN {rt}")
+    t_rows.append(
+        f"WHEN right(term, 1) = 't' AND {_fi2_fit1(1)} AND {_fi2_fit1(2)} AND "
+        f"substr(term, length(term)-1, 1) IN ({v1}) THEN {rt}"
+    )
+    plural = iplural + "\n        " + nl.join(t_rows) + "\n        ELSE term END"
+    unmark = f"CASE WHEN {marked} THEN substr(term, 2) ELSE term END"
+
+    tidy1 = (
+        f"CASE WHEN right(term, 2) IN ({longs}) AND {_fi2_fit1(2)} "
+        "THEN left(term, length(term)-1) ELSE term END"
+    )
+    tidy2 = (
+        f"CASE WHEN right(term, 1) IN ({aei}) AND {_fi2_fit1(1)} AND "
+        f"{_fi2_fit1(2)} AND substr(term, length(term)-1, 1) IN ({cs}) "
+        "THEN left(term, length(term)-1) ELSE term END"
+    )
+    tidy3 = (
+        f"CASE WHEN right(term, 2) IN ('oj', 'uj') AND {_fi2_fit1(2)} "
+        "THEN left(term, length(term)-1) ELSE term END"
+    )
+    tidy4 = (
+        f"CASE WHEN right(term, 2) = 'jo' AND {_fi2_fit1(2)} "
+        "THEN left(term, length(term)-1) ELSE term END"
+    )
+    und_rows = [
+        f"WHEN regexp_matches(term, '{c}{c}[{_FI2_VC}]*$') "
+        f"THEN regexp_replace(term, '{c}{c}([{_FI2_VC}]*)$', '{c}\\1')"
+        for c in sorted(_FI2_C)
+    ]
+    undouble = "CASE\n        " + nl.join(und_rows) + "\n        ELSE term END"
+
+    return (
+        particle,
+        possessive,
+        case_,
+        other,
+        plural,
+        unmark,
+        tidy1,
+        tidy2,
+        tidy3,
+        tidy4,
+        undouble,
+    )
+
+
+FINNISH_SNOWBALL_SQL = _fi2_sql()

@@ -21,6 +21,7 @@ from lucene_solr_spark.oracle.snowball import (
     NORWEGIAN_SNOWBALL_SQL,
     DUTCH_SNOWBALL_SQL,
     GERMAN_SNOWBALL_SQL,
+    FINNISH_SNOWBALL_SQL,
     HUNGARIAN_SNOWBALL_SQL,
     IRISH_SNOWBALL_SQL,
     PORTER2_SQL,
@@ -31,6 +32,7 @@ from lucene_solr_spark.oracle.snowball import (
     norwegian_snowball_stem,
     dutch_snowball_stem,
     german_snowball_stem,
+    finnish_snowball_stem,
     hungarian_snowball_stem,
     irish_snowball_stem,
     porter2_stem,
@@ -55,6 +57,7 @@ _LANGS = [
     ("romanian", romanian_snowball_stem, ROMANIAN_SNOWBALL_SQL),
     ("irish", irish_snowball_stem, IRISH_SNOWBALL_SQL),
     ("hungarian", hungarian_snowball_stem, HUNGARIAN_SNOWBALL_SQL),
+    ("finnish", finnish_snowball_stem, FINNISH_SNOWBALL_SQL),
 ]
 
 _EDGES = [
@@ -85,6 +88,10 @@ _EDGES = [
     "bhfuil", "d'fhear", "h-uile", "tsagart", "the", "beannachta",
     # Hungarian: digraph-aware R1, doubled-consonant undouble gates
     "asszonnyal", "fákká", "aszok", "házakkal", "üveggé", "almát",
+    # Finnish: tta needs 'e', case-7 long/ie extension, t-plural split,
+    # tidy undouble
+    "halpuutta", "tien", "kalaan", "takkaa", "poikineen", "taloineen",
+    "tyttö", "tytöt", "edeltäjiinsä",
 ]
 
 
@@ -115,6 +122,15 @@ def test_sql_twin_parity(lang, fn, sql):
     got = [r[0] for r in con.execute(body).fetchall()]
     bad = [(w, g, fn(w)) for w, g in zip(words, got) if g != fn(w)]
     assert not bad, bad[:10]
+
+
+def test_finnish_snowball_pins():
+    # tta deletes only after 'e' — otherwise tidy does the work
+    assert finnish_snowball_stem("halpuutta") == "halpuut"
+    # case 7: n preceded by a long pair extends the deletion one char
+    assert finnish_snowball_stem("kalaan") == "kala"
+    # tidy chain: long-pair trim, AEI-after-consonant trim, undouble
+    assert finnish_snowball_stem("takkaa") == "tak"
 
 
 def test_hungarian_snowball_pins():
