@@ -1948,6 +1948,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["finnish_snowball_topk"] = finnish_snowball_topk
 
+    def spanish_snowball_topk(spark, sf_dir):
+        """Spanish SNOWBALL stemmer (the SpanishAnalyzer's Snowball
+        alternative; its default stays the light stemmer): BM25 top-10
+        for 'tabl'; the SQL twin enumerates the attached-pronoun pass
+        as (pronoun × preceding-form) rows and threads the
+        standard|y-verb|verb OR-chain with a marker."""
+        ex = _light_stem_executor(spark, sf_dir, "spanish_snowball")
+        return ex.topk(_T("tabl"), k=10).select("doc_id", "score")
+
+    out["spanish_snowball_topk"] = spanish_snowball_topk
+
     def russian_snowball_topk(spark, sf_dir):
         """Russian SNOWBALL stemmer (the RussianAnalyzer DEFAULT —
         RV/R2 regions, gerund|reflexive;adjectival|verb|noun step
@@ -2923,6 +2934,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["finnish_snowball_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.FINNISH_SNOWBALL_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="tabl")
+    )
+    out["spanish_snowball_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_sb.SPANISH_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="tabl")
     )
     out["russian_snowball_topk"] = (

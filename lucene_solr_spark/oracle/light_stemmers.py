@@ -889,6 +889,7 @@ def _register_snowball() -> None:
             "irish_snowball": _sb.irish_snowball_stem,
             "hungarian_snowball": _sb.hungarian_snowball_stem,
             "finnish_snowball": _sb.finnish_snowball_stem,
+            "spanish_snowball": _sb.spanish_snowball_stem,
         }
     )
 

