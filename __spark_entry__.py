@@ -1959,6 +1959,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["spanish_snowball_topk"] = spanish_snowball_topk
 
+    def portuguese_snowball_topk(spark, sf_dir):
+        """Portuguese SNOWBALL stemmer (the PortugueseAnalyzer's
+        Snowball alternative): BM25 top-10 for 'tabl'; nasal vowels
+        ride as a~/o~ through the SQL twin exactly like the reference
+        prelude."""
+        ex = _light_stem_executor(spark, sf_dir, "portuguese_snowball")
+        return ex.topk(_T("tabl"), k=10).select("doc_id", "score")
+
+    out["portuguese_snowball_topk"] = portuguese_snowball_topk
+
     def russian_snowball_topk(spark, sf_dir):
         """Russian SNOWBALL stemmer (the RussianAnalyzer DEFAULT —
         RV/R2 regions, gerund|reflexive;adjectival|verb|noun step
@@ -2938,6 +2948,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["spanish_snowball_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.SPANISH_SNOWBALL_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="tabl")
+    )
+    out["portuguese_snowball_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_sb.PORTUGUESE_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="tabl")
     )
     out["russian_snowball_topk"] = (

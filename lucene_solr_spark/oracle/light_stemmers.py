@@ -890,6 +890,7 @@ def _register_snowball() -> None:
             "hungarian_snowball": _sb.hungarian_snowball_stem,
             "finnish_snowball": _sb.finnish_snowball_stem,
             "spanish_snowball": _sb.spanish_snowball_stem,
+            "portuguese_snowball": _sb.portuguese_snowball_stem,
         }
     )
 

@@ -42,6 +42,7 @@ __all__ = [
     "hungarian_snowball_stem",
     "finnish_snowball_stem",
     "spanish_snowball_stem",
+    "portuguese_snowball_stem",
     "SWEDISH_SNOWBALL_SQL",
     "NORWEGIAN_SNOWBALL_SQL",
     "DANISH_SNOWBALL_SQL",
@@ -54,6 +55,7 @@ __all__ = [
     "HUNGARIAN_SNOWBALL_SQL",
     "FINNISH_SNOWBALL_SQL",
     "SPANISH_SNOWBALL_SQL",
+    "PORTUGUESE_SNOWBALL_SQL",
 ]
 
 _SV_VOWELS = frozenset("aeiouyäåö")
@@ -3282,3 +3284,333 @@ def _es_sql() -> tuple[str, ...]:
 
 
 SPANISH_SNOWBALL_SQL = _es_sql()
+
+
+# ---------------------------------------------------------------------------
+# Portuguese (snowballstem.org portuguese; generated form at
+# org/tartarus/snowball/ext/PortugueseStemmer.java) — the
+# PortugueseAnalyzer's Snowball ALTERNATIVE (default is the light
+# stemmer). The prelude encodes the nasal vowels ã/õ as 'a~'/'o~'
+# (postlude reverses), so the suffix tables carry literal '~'.
+# ---------------------------------------------------------------------------
+
+_PT_SB_V = frozenset("aeiouáâéêíóôú")
+_PT_STD = [
+    ("amento", 1), ("imento", 1), ("amentos", 1), ("imentos", 1),
+    ("logias", 2), ("logia", 2), ("uça~o", 3), ("uço~es", 3),
+    ("ências", 4), ("ência", 4), ("amente", 5), ("mente", 6),
+    ("idades", 7), ("idade", 7), ("ivas", 8), ("ivos", 8), ("iva", 8),
+    ("ivo", 8), ("iras", 9), ("ira", 9), ("aça~o", 1), ("aço~es", 1),
+    ("adoras", 1), ("adores", 1), ("adora", 1), ("ador", 1),
+    ("ância", 1), ("antes", 1), ("ante", 1),
+    ("ismos", 1), ("ismo", 1), ("istas", 1), ("ista", 1), ("osas", 1),
+    ("osos", 1), ("osa", 1), ("oso", 1), ("icas", 1), ("icos", 1),
+    ("ica", 1), ("ico", 1), ("ezas", 1), ("eza", 1), ("ável", 1),
+    ("ível", 1),
+]
+_PT_STD.sort(key=lambda e: len(e[0]), reverse=True)
+_PT_VERB = sorted(
+    """ada ida ia aria eria iria ara era ira ava asse esse isse aste
+    este iste ei arei erei irei am iam ariam eriam iriam aram eram
+    iram avam em arem erem irem assem essem issem ado ido ando endo
+    indo ara~o era~o ira~o ar er ir as adas idas ias arias erias irias
+    aras eras iras avas es ardes erdes irdes ares eres ires asses
+    esses isses astes estes istes is ais eis areis ereis ireis áreis
+    éreis íreis ásseis ésseis ísseis áveis íeis aríeis eríeis iríeis
+    ados idos amos áramos éramos íramos ávamos íamos aríamos eríamos
+    iríamos emos aremos eremos iremos ássemos êssemos íssemos imos
+    armos ermos irmos ámos arás erás irás eu iu ou ará erá irá""".split(),
+    key=len, reverse=True,
+)
+_PT_RESID = sorted(["a", "i", "o", "os", "á", "í", "ó"], key=len, reverse=True)
+
+
+def _pt_sb_regions(s: str) -> tuple[int, int, int]:
+    n = len(s)
+    pV = p1 = p2 = n
+
+    def nx(i, want_vowel):
+        while i < n:
+            if (s[i] in _PT_SB_V) == want_vowel:
+                return i + 1
+            i += 1
+        return None
+
+    if n >= 2:
+        if s[0] in _PT_SB_V:
+            if s[1] not in _PT_SB_V:
+                r = nx(2, True)
+                if r is not None:
+                    pV = r
+            else:
+                r = nx(2, False)
+                if r is not None:
+                    pV = r
+        else:
+            if s[1] not in _PT_SB_V:
+                r = nx(2, True)
+                if r is not None:
+                    pV = r
+            else:
+                if n >= 3:
+                    pV = 3
+    a = nx(0, True)
+    b = nx(a, False) if a is not None else None
+    if b is not None:
+        p1 = b
+        c = nx(b, True)
+        d = nx(c, False) if c is not None else None
+        if d is not None:
+            p2 = d
+    return pV, p1, p2
+
+
+def portuguese_snowball_stem(term: str) -> str:  # noqa: C901
+    s = term.replace("ã", "a~").replace("õ", "o~")
+    pV, p1, p2 = _pt_sb_regions(s)
+
+    def std() -> bool:
+        nonlocal s
+        for suf, case in _PT_STD:
+            if s.endswith(suf):
+                start = len(s) - len(suf)
+                if case == 5:
+                    if start < p1:
+                        return False
+                    s = s[:start]
+                    for sub in ("iv", "os", "ic", "ad"):
+                        if s.endswith(sub) and len(s) - 2 >= p2:
+                            s = s[:-2]
+                            if sub == "iv" and s.endswith("at") and len(s) - 2 >= p2:
+                                s = s[:-2]
+                            break
+                    return True
+                if case == 9:
+                    if start < pV or not (start >= 1 and s[start - 1] == "e"):
+                        return False
+                    s = s[:start] + "ir"
+                    return True
+                if start < p2:
+                    return False
+                if case == 2:
+                    s = s[:start] + "log"
+                elif case == 3:
+                    s = s[:start] + "u"
+                elif case == 4:
+                    s = s[:start] + "ente"
+                elif case == 6:
+                    s = s[:start]
+                    for sub in ("ante", "avel", "ível"):
+                        if s.endswith(sub) and len(s) - 4 >= p2:
+                            s = s[:-4]
+                            break
+                elif case == 7:
+                    s = s[:start]
+                    for sub in ("abil", "ic", "iv"):
+                        if s.endswith(sub) and len(s) - len(sub) >= p2:
+                            s = s[: -len(sub)]
+                            break
+                elif case == 8:
+                    s = s[:start]
+                    if s.endswith("at") and len(s) - 2 >= p2:
+                        s = s[:-2]
+                else:
+                    s = s[:start]
+                return True
+        return False
+
+    def verb() -> bool:
+        nonlocal s
+        for suf in _PT_VERB:
+            if s.endswith(suf) and len(s) - len(suf) >= pV:
+                s = s[: -len(suf)]
+                return True
+        return False
+
+    if std() or verb():
+        # the c-i strip after a successful suffix removal
+        if s.endswith("ci") and len(s) - 1 >= pV:
+            s = s[:-1]
+    else:
+        for suf in _PT_RESID:
+            if s.endswith(suf):
+                if len(s) - len(suf) >= pV:
+                    s = s[: -len(suf)]
+                break
+
+    # residual form
+    for suf, case in (("e", 1), ("é", 1), ("ê", 1), ("ç", 2)):
+        if s.endswith(suf):
+            if case == 2:
+                s = s[:-1] + "c"
+            else:
+                if len(s) - 1 >= pV:
+                    s = s[:-1]
+                    if (
+                        (s.endswith("gu") or s.endswith("ci"))
+                        and len(s) - 1 >= pV
+                    ):
+                        s = s[:-1]
+            break
+
+    return s.replace("a~", "ã").replace("o~", "õ")
+
+
+# --- Portuguese SQL twin ----------------------------------------------------
+# Nasal vowels ride as 'a~'/'o~' exactly like the reference prelude;
+# the std|verb OR-chain and the ci-strip thread the chr(2) marker.
+
+_PT_VCC = "aeiouáâéêíóôú"
+
+
+def _pt_rv_sql(k) -> str:
+    p = f"left(term, length(term)-({k}))"
+    return (
+        f"(regexp_matches({p}, '^[{_PT_VCC}][^{_PT_VCC}].*[{_PT_VCC}]') OR "
+        f"regexp_matches({p}, '^[{_PT_VCC}][{_PT_VCC}].*[^{_PT_VCC}]') OR "
+        f"regexp_matches({p}, '^[^{_PT_VCC}][^{_PT_VCC}].*[{_PT_VCC}]') OR "
+        f"(regexp_matches(term, '^[^{_PT_VCC}][{_PT_VCC}]') AND length(term)-({k}) >= 3))"
+    )
+
+
+def _pt_r1_sql(k) -> str:
+    return (
+        f"regexp_matches(left(term, length(term)-({k})), "
+        f"'[{_PT_VCC}][^{_PT_VCC}]')"
+    )
+
+
+def _pt_r2_sql(k) -> str:
+    return (
+        f"regexp_matches(left(term, length(term)-({k})), "
+        f"'[{_PT_VCC}].*[^{_PT_VCC}].*[{_PT_VCC}].*[^{_PT_VCC}]')"
+    )
+
+
+def _pt_sql() -> tuple[str, ...]:
+    nl = "\n        "
+    done = "left(term, 1) = chr(2)"
+
+    rows_s = []
+    for suf, case in _PT_STD:
+        k = len(suf)
+        lit = suf.replace("'", "''")
+        r = f"left(term, length(term)-{k})"
+        mk = "chr(2) || "
+        if case == 5:
+            base = f"right(term, {k}) = '{lit}' AND {_pt_r1_sql(k)}"
+            rows_s.append(
+                f"WHEN {base} AND right({r}, 2) = 'iv' AND {_pt_r2_sql(k + 2)} "
+                f"AND right(left(term, length(term)-{k + 2}), 2) = 'at' AND {_pt_r2_sql(k + 4)} "
+                f"THEN {mk}left(term, length(term)-{k + 4})"
+            )
+            rows_s.append(
+                f"WHEN {base} AND right({r}, 2) IN ('iv', 'os', 'ic', 'ad') "
+                f"AND {_pt_r2_sql(k + 2)} THEN {mk}left(term, length(term)-{k + 2})"
+            )
+            rows_s.append(f"WHEN {base} THEN {mk}{r}")
+        elif case == 9:
+            base = (
+                f"right(term, {k}) = '{lit}' AND {_pt_rv_sql(k)} AND "
+                f"substr(term, length(term)-{k}, 1) = 'e'"
+            )
+            rows_s.append(f"WHEN {base} THEN {mk}{r} || 'ir'")
+        else:
+            base = f"right(term, {k}) = '{lit}' AND {_pt_r2_sql(k)}"
+            if case == 2:
+                rows_s.append(f"WHEN {base} THEN {mk}{r} || 'log'")
+            elif case == 3:
+                rows_s.append(f"WHEN {base} THEN {mk}{r} || 'u'")
+            elif case == 4:
+                rows_s.append(f"WHEN {base} THEN {mk}{r} || 'ente'")
+            elif case == 6:
+                rows_s.append(
+                    f"WHEN {base} AND right({r}, 4) IN ('ante', 'avel', 'ível') "
+                    f"AND {_pt_r2_sql(k + 4)} THEN {mk}left(term, length(term)-{k + 4})"
+                )
+                rows_s.append(f"WHEN {base} THEN {mk}{r}")
+            elif case == 7:
+                rows_s.append(
+                    f"WHEN {base} AND right({r}, 4) = 'abil' AND {_pt_r2_sql(k + 4)} "
+                    f"THEN {mk}left(term, length(term)-{k + 4})"
+                )
+                rows_s.append(
+                    f"WHEN {base} AND right({r}, 2) IN ('ic', 'iv') AND {_pt_r2_sql(k + 2)} "
+                    f"THEN {mk}left(term, length(term)-{k + 2})"
+                )
+                rows_s.append(f"WHEN {base} THEN {mk}{r}")
+            elif case == 8:
+                rows_s.append(
+                    f"WHEN {base} AND right({r}, 2) = 'at' AND {_pt_r2_sql(k + 2)} "
+                    f"THEN {mk}left(term, length(term)-{k + 2})"
+                )
+                rows_s.append(f"WHEN {base} THEN {mk}{r}")
+            else:
+                rows_s.append(f"WHEN {base} THEN {mk}{r}")
+        rows_s.append(f"WHEN right(term, {k}) = '{lit}' THEN term")
+    std = "CASE\n        " + nl.join(rows_s) + "\n        ELSE term END"
+
+    rows_v = [f"WHEN {done} THEN term"]
+    for suf in _PT_VERB:
+        k = len(suf)
+        rows_v.append(
+            f"WHEN right(term, {k}) = '{suf}' AND {_pt_rv_sql(k)} "
+            f"THEN chr(2) || left(term, length(term)-{k})"
+        )
+    verb = "CASE\n        " + nl.join(rows_v) + "\n        ELSE term END"
+
+    sub = "substr(term, 2)"
+    def _rv_over(t, k):
+        p = f"left({t}, length({t})-({k}))"
+        return (
+            f"(regexp_matches({p}, '^[{_PT_VCC}][^{_PT_VCC}].*[{_PT_VCC}]') OR "
+            f"regexp_matches({p}, '^[{_PT_VCC}][{_PT_VCC}].*[^{_PT_VCC}]') OR "
+            f"regexp_matches({p}, '^[^{_PT_VCC}][^{_PT_VCC}].*[{_PT_VCC}]') OR "
+            f"(regexp_matches({t}, '^[^{_PT_VCC}][{_PT_VCC}]') AND length({t})-({k}) >= 3))"
+        )
+
+    ci = (
+        f"""CASE
+        WHEN {done} AND right({sub}, 2) = 'ci' AND {_rv_over(sub, 1)}
+        THEN chr(2) || left({sub}, length({sub})-1)
+        ELSE term END"""
+    )
+    rows_r = [f"WHEN {done} THEN term"]
+    for suf in _PT_RESID:
+        k = len(suf)
+        rows_r.append(
+            f"WHEN right(term, {k}) = '{suf}' AND {_pt_rv_sql(k)} "
+            f"THEN left(term, length(term)-{k})"
+        )
+        rows_r.append(f"WHEN right(term, {k}) = '{suf}' THEN term")
+    resid = "CASE\n        " + nl.join(rows_r) + "\n        ELSE term END"
+    unmark = f"CASE WHEN {done} THEN substr(term, 2) ELSE term END"
+
+    rf = f"left(term, length(term)-1)"
+    form_rows = []
+    for suf in ("e", "é", "ê"):
+        base = f"right(term, 1) = '{suf}' AND {_pt_rv_sql(1)}"
+        form_rows.append(
+            f"WHEN {base} AND (right({rf}, 2) = 'gu' OR right({rf}, 2) = 'ci') "
+            f"AND {_pt_rv_sql(2)} THEN left(term, length(term)-2)"
+        )
+        form_rows.append(f"WHEN {base} THEN {rf}")
+        form_rows.append(f"WHEN right(term, 1) = '{suf}' THEN term")
+    form_rows.append(
+        "WHEN right(term, 1) = 'ç' THEN left(term, length(term)-1) || 'c'"
+    )
+    form = "CASE\n        " + nl.join(form_rows) + "\n        ELSE term END"
+
+    return (
+        "replace(replace(term, 'ã', 'a~'), 'õ', 'o~')",
+        std,
+        verb,
+        ci,
+        resid,
+        unmark,
+        form,
+        "replace(replace(term, 'a~', 'ã'), 'o~', 'õ')",
+    )
+
+
+PORTUGUESE_SNOWBALL_SQL = _pt_sql()

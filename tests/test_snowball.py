@@ -25,6 +25,7 @@ from lucene_solr_spark.oracle.snowball import (
     HUNGARIAN_SNOWBALL_SQL,
     IRISH_SNOWBALL_SQL,
     PORTER2_SQL,
+    PORTUGUESE_SNOWBALL_SQL,
     ROMANIAN_SNOWBALL_SQL,
     RUSSIAN_SNOWBALL_SQL,
     SPANISH_SNOWBALL_SQL,
@@ -37,6 +38,7 @@ from lucene_solr_spark.oracle.snowball import (
     hungarian_snowball_stem,
     irish_snowball_stem,
     porter2_stem,
+    portuguese_snowball_stem,
     romanian_snowball_stem,
     russian_snowball_stem,
     spanish_snowball_stem,
@@ -61,6 +63,7 @@ _LANGS = [
     ("hungarian", hungarian_snowball_stem, HUNGARIAN_SNOWBALL_SQL),
     ("finnish", finnish_snowball_stem, FINNISH_SNOWBALL_SQL),
     ("spanish", spanish_snowball_stem, SPANISH_SNOWBALL_SQL),
+    ("portuguese", portuguese_snowball_stem, PORTUGUESE_SNOWBALL_SQL),
 ]
 
 _EDGES = [
@@ -99,6 +102,8 @@ _EDGES = [
     # residual e after gu
     "pegue", "mague", "dándoselas", "comiéndoselo", "guyendo",
     "lógicamente", "felicidad",
+    # Portuguese: nasal-vowel encoding, eira→eir, residual gu/ci tails
+    "coração", "corações", "seguem", "cação", "longe", "feliz",
 ]
 
 
@@ -129,6 +134,13 @@ def test_sql_twin_parity(lang, fn, sql):
     got = [r[0] for r in con.execute(body).fetchall()]
     bad = [(w, g, fn(w)) for w, g in zip(words, got) if g != fn(w)]
     assert not bad, bad[:10]
+
+
+def test_portuguese_snowball_pins():
+    # nasal vowels survive the a~/o~ internal encoding
+    assert portuguese_snowball_stem("corações") == "coraçõ"
+    # residual e then the gu tail
+    assert portuguese_snowball_stem("longe") == "long"
 
 
 def test_spanish_snowball_pins():
