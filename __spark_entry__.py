@@ -1969,6 +1969,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["portuguese_snowball_topk"] = portuguese_snowball_topk
 
+    def italian_snowball_topk(spark, sf_dir):
+        """Italian SNOWBALL stemmer (the ItalianAnalyzer's Snowball
+        alternative): BM25 top-10 for 'tabl'; the twin enumerates the
+        36-pronoun × 5-form attached-pronoun pass and carries the
+        qu→qU / u-i consonant marks through iterated leftmost-single
+        regex steps."""
+        ex = _light_stem_executor(spark, sf_dir, "italian_snowball")
+        return ex.topk(_T("tabl"), k=10).select("doc_id", "score")
+
+    out["italian_snowball_topk"] = italian_snowball_topk
+
     def russian_snowball_topk(spark, sf_dir):
         """Russian SNOWBALL stemmer (the RussianAnalyzer DEFAULT —
         RV/R2 regions, gerund|reflexive;adjectival|verb|noun step
@@ -2952,6 +2963,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["portuguese_snowball_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.PORTUGUESE_SNOWBALL_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="tabl")
+    )
+    out["italian_snowball_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_sb.ITALIAN_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="tabl")
     )
     out["russian_snowball_topk"] = (

@@ -891,6 +891,7 @@ def _register_snowball() -> None:
             "finnish_snowball": _sb.finnish_snowball_stem,
             "spanish_snowball": _sb.spanish_snowball_stem,
             "portuguese_snowball": _sb.portuguese_snowball_stem,
+            "italian_snowball": _sb.italian_snowball_stem,
         }
     )
 

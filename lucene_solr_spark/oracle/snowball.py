@@ -43,6 +43,7 @@ __all__ = [
     "finnish_snowball_stem",
     "spanish_snowball_stem",
     "portuguese_snowball_stem",
+    "italian_snowball_stem",
     "SWEDISH_SNOWBALL_SQL",
     "NORWEGIAN_SNOWBALL_SQL",
     "DANISH_SNOWBALL_SQL",
@@ -56,6 +57,7 @@ __all__ = [
     "FINNISH_SNOWBALL_SQL",
     "SPANISH_SNOWBALL_SQL",
     "PORTUGUESE_SNOWBALL_SQL",
+    "ITALIAN_SNOWBALL_SQL",
 ]
 
 _SV_VOWELS = frozenset("aeiouyäåö")
@@ -3614,3 +3616,335 @@ def _pt_sql() -> tuple[str, ...]:
 
 
 PORTUGUESE_SNOWBALL_SQL = _pt_sql()
+
+
+# ---------------------------------------------------------------------------
+# Italian (snowballstem.org italian; generated form at
+# org/tartarus/snowball/ext/ItalianStemmer.java) — the ItalianAnalyzer's
+# Snowball ALTERNATIVE (default is the light stemmer).
+# ---------------------------------------------------------------------------
+
+_IT_SB_V = frozenset("aeiouàèìòù")
+_IT_AEIO = frozenset("aeioàèìò")
+_IT_ACUTE = str.maketrans("áéíóú", "àèìòù")
+_IT_PRON = sorted(
+    """la cela gliela mela tela vela le cele gliele mele tele vele ne
+    cene gliene mene sene tene vene ci li celi glieli meli teli veli
+    gli mi si ti vi lo celo glielo melo telo velo""".split(),
+    key=len, reverse=True,
+)
+_IT_PRON_PRE = [("ando", 1), ("endo", 1), ("ar", 2), ("er", 2), ("ir", 2)]
+_IT_PRON_PRE.sort(key=lambda e: len(e[0]), reverse=True)
+_IT_STD = [
+    ("amente", 7), ("atrice", 1), ("atrici", 1), ("logia", 3),
+    ("logie", 3), ("usione", 4), ("usioni", 4), ("azione", 2),
+    ("azioni", 2), ("uzione", 4), ("uzioni", 4), ("amenti", 6),
+    ("imenti", 6), ("amento", 6), ("imento", 6), ("atore", 2),
+    ("atori", 2), ("abile", 1), ("ibile", 1), ("abili", 1),
+    ("ibili", 1), ("mente", 1), ("enza", 5), ("enze", 5), ("anza", 1),
+    ("anze", 1), ("ante", 1), ("anti", 1), ("iche", 1), ("ichi", 1), ("ismi", 1), ("ismo", 1),
+    ("ista", 1), ("iste", 1), ("isti", 1), ("istà", 1), ("istè", 1),
+    ("istì", 1), ("ica", 1), ("ice", 1), ("ici", 1), ("ico", 1),
+    ("osa", 1), ("ose", 1), ("osi", 1), ("oso", 1), ("iva", 9),
+    ("ive", 9), ("ivi", 9), ("ivo", 9), ("ità", 8),
+]
+_IT_STD.sort(key=lambda e: len(e[0]), reverse=True)
+_IT_VERB = sorted(
+    """isca enda ata ita uta ava eva iva erebbe irebbe isce ende are
+    ere ire asse ate avate evate ivate ete erete irete ite ereste
+    ireste ute erai irai isci endi erei irei assi ati iti eresti
+    iresti uti avi evi ivi isco ando endo Yamo iamo avamo evamo ivamo
+    eremo iremo assimo ammo emmo eremmo iremmo immo ano iscano avano
+    evano ivano eranno iranno ono iscono arono erono irono erebbero
+    irebbero assero essero issero ato ito uto avo evo ivo ar ir erà
+    irà erò irò""".split(),
+    key=len, reverse=True,
+)
+
+
+def _it_prelude(term: str) -> str:
+    s = term.translate(_IT_ACUTE).replace("qu", "qU")
+    chars = list(s)
+    for i in range(len(chars) - 2):
+        if (
+            chars[i] in _IT_SB_V
+            and chars[i + 1] in ("u", "i")
+            and chars[i + 2] in _IT_SB_V
+        ):
+            chars[i + 1] = chars[i + 1].upper()
+    return "".join(chars)
+
+
+def _it_regions(s: str) -> tuple[int, int, int]:
+    n = len(s)
+    pV = p1 = p2 = n
+
+    def nx(i, want_vowel):
+        while i < n:
+            if (s[i] in _IT_SB_V) == want_vowel:
+                return i + 1
+            i += 1
+        return None
+
+    if n >= 2:
+        if s[0] in _IT_SB_V:
+            if s[1] not in _IT_SB_V:
+                r = nx(2, True)
+                if r is not None:
+                    pV = r
+            else:
+                r = nx(2, False)
+                if r is not None:
+                    pV = r
+        else:
+            if s[1] not in _IT_SB_V:
+                r = nx(2, True)
+                if r is not None:
+                    pV = r
+            else:
+                if n >= 3:
+                    pV = 3
+    a = nx(0, True)
+    b = nx(a, False) if a is not None else None
+    if b is not None:
+        p1 = b
+        c = nx(b, True)
+        d = nx(c, False) if c is not None else None
+        if d is not None:
+            p2 = d
+    return pV, p1, p2
+
+
+def italian_snowball_stem(term: str) -> str:  # noqa: C901
+    s = _it_prelude(term)
+    pV, p1, p2 = _it_regions(s)
+
+    # attached pronoun: pronoun preceded by ando/endo (delete pronoun)
+    # or ar/er/ir (pronoun → e), gated on RV at the preceding form
+    for pron in _IT_PRON:
+        if s.endswith(pron):
+            base = s[: -len(pron)]
+            for pre, case in _IT_PRON_PRE:
+                if base.endswith(pre):
+                    if len(base) - len(pre) >= pV:
+                        if case == 1:
+                            s = base
+                        else:
+                            s = base + "e"
+                    break
+            break
+
+    done = False
+    for suf, case in _IT_STD:
+        if s.endswith(suf):
+            start = len(s) - len(suf)
+            reg = {6: pV, 7: p1}.get(case, p2)
+            if start >= reg:
+                if case == 3:
+                    s = s[:start] + "log"
+                elif case == 4:
+                    s = s[:start] + "u"
+                elif case == 5:
+                    s = s[:start] + "ente"
+                elif case == 7:  # amente (R1) + ic/abil/os/iv(+at)
+                    s = s[:start]
+                    for sub in ("abil", "iv", "os", "ic"):
+                        if s.endswith(sub) and len(s) - len(sub) >= p2:
+                            s = s[: -len(sub)]
+                            if sub == "iv" and s.endswith("at") and len(s) - 2 >= p2:
+                                s = s[:-2]
+                            break
+                elif case == 8:  # ità (R2) + ic/abil/iv
+                    s = s[:start]
+                    for sub in ("abil", "ic", "iv"):
+                        if s.endswith(sub) and len(s) - len(sub) >= p2:
+                            s = s[: -len(sub)]
+                            break
+                elif case == 9:  # iva… (R2) + at(+ic)
+                    s = s[:start]
+                    if s.endswith("at") and len(s) - 2 >= p2:
+                        s = s[:-2]
+                        if s.endswith("ic") and len(s) - 2 >= p2:
+                            s = s[:-2]
+                elif case == 2:  # azione… (R2) + ic
+                    s = s[:start]
+                    if s.endswith("ic") and len(s) - 2 >= p2:
+                        s = s[:-2]
+                else:
+                    s = s[:start]
+                done = True
+            break
+    if not done:
+        for suf in _IT_VERB:
+            if s.endswith(suf) and len(s) - len(suf) >= pV:
+                s = s[: -len(suf)]
+                break
+
+    # vowel suffix: final AEIO vowel in RV (then a remaining i in RV)
+    if s and s[-1] in _IT_AEIO and len(s) - 1 >= pV:
+        s = s[:-1]
+        if s.endswith("i") and len(s) - 1 >= pV:
+            s = s[:-1]
+    # final h after c/g — the RV gate sits at the c/g position
+    if s.endswith(("ch", "gh")) and len(s) - 2 >= pV:
+        s = s[:-1]
+
+    return s.replace("I", "i").replace("U", "u")
+
+
+# --- Italian SQL twin -------------------------------------------------------
+
+_IT_VCC = "aeiouàèìòù"
+
+_IT_MARK_STEP = (
+    "replace(replace(regexp_replace(term, "
+    f"'([{_IT_VCC}])(u[{_IT_VCC}]|i[{_IT_VCC}])', '\\1\x04\\2'), "
+    "'\x04u', 'U'), '\x04i', 'I')"
+)
+
+
+def _it_rv_sql(k) -> str:
+    p = f"left(term, length(term)-({k}))"
+    return (
+        f"(regexp_matches({p}, '^[{_IT_VCC}][^{_IT_VCC}].*[{_IT_VCC}]') OR "
+        f"regexp_matches({p}, '^[{_IT_VCC}][{_IT_VCC}].*[^{_IT_VCC}]') OR "
+        f"regexp_matches({p}, '^[^{_IT_VCC}][^{_IT_VCC}].*[{_IT_VCC}]') OR "
+        f"(regexp_matches(term, '^[^{_IT_VCC}][{_IT_VCC}]') AND length(term)-({k}) >= 3))"
+    )
+
+
+def _it_r1_sql(k) -> str:
+    return (
+        f"regexp_matches(left(term, length(term)-({k})), "
+        f"'[{_IT_VCC}][^{_IT_VCC}]')"
+    )
+
+
+def _it_r2_sql(k) -> str:
+    return (
+        f"regexp_matches(left(term, length(term)-({k})), "
+        f"'[{_IT_VCC}].*[^{_IT_VCC}].*[{_IT_VCC}].*[^{_IT_VCC}]')"
+    )
+
+
+def _it_sql() -> tuple[str, ...]:
+    nl = "\n        "
+    done = "left(term, 1) = chr(2)"
+
+    rows_pr = []
+    for pron in _IT_PRON:
+        kp = len(pron)
+        for pre, case in _IT_PRON_PRE:
+            k = kp + len(pre)
+            cond = f"right(term, {k}) = '{pre}{pron}' AND {_it_rv_sql(k)}"
+            if case == 1:
+                then = f"left(term, length(term)-{kp})"
+            else:
+                then = f"left(term, length(term)-{kp}) || 'e'"
+            rows_pr.append(f"WHEN {cond} THEN {then}")
+        rows_pr.append(f"WHEN right(term, {kp}) = '{pron}' THEN term")
+    pronoun = "CASE\n        " + nl.join(rows_pr) + "\n        ELSE term END"
+
+    rows_s = []
+    for suf, case in _IT_STD:
+        k = len(suf)
+        reg = {6: _it_rv_sql, 7: _it_r1_sql}.get(case, _it_r2_sql)(k)
+        base = f"right(term, {k}) = '{suf}' AND {reg}"
+        r = f"left(term, length(term)-{k})"
+        mk = "chr(2) || "
+        if case == 3:
+            rows_s.append(f"WHEN {base} THEN {mk}{r} || 'log'")
+        elif case == 4:
+            rows_s.append(f"WHEN {base} THEN {mk}{r} || 'u'")
+        elif case == 5:
+            rows_s.append(f"WHEN {base} THEN {mk}{r} || 'ente'")
+        elif case == 7:
+            rows_s.append(
+                f"WHEN {base} AND right({r}, 2) = 'iv' AND {_it_r2_sql(k + 2)} "
+                f"AND right(left(term, length(term)-{k + 2}), 2) = 'at' AND {_it_r2_sql(k + 4)} "
+                f"THEN {mk}left(term, length(term)-{k + 4})"
+            )
+            rows_s.append(
+                f"WHEN {base} AND right({r}, 4) = 'abil' AND {_it_r2_sql(k + 4)} "
+                f"THEN {mk}left(term, length(term)-{k + 4})"
+            )
+            rows_s.append(
+                f"WHEN {base} AND right({r}, 2) IN ('iv', 'os', 'ic') AND {_it_r2_sql(k + 2)} "
+                f"THEN {mk}left(term, length(term)-{k + 2})"
+            )
+            rows_s.append(f"WHEN {base} THEN {mk}{r}")
+        elif case == 8:
+            rows_s.append(
+                f"WHEN {base} AND right({r}, 4) = 'abil' AND {_it_r2_sql(k + 4)} "
+                f"THEN {mk}left(term, length(term)-{k + 4})"
+            )
+            rows_s.append(
+                f"WHEN {base} AND right({r}, 2) IN ('ic', 'iv') AND {_it_r2_sql(k + 2)} "
+                f"THEN {mk}left(term, length(term)-{k + 2})"
+            )
+            rows_s.append(f"WHEN {base} THEN {mk}{r}")
+        elif case == 9:
+            rows_s.append(
+                f"WHEN {base} AND right({r}, 2) = 'at' AND {_it_r2_sql(k + 2)} "
+                f"AND right(left(term, length(term)-{k + 2}), 2) = 'ic' AND {_it_r2_sql(k + 4)} "
+                f"THEN {mk}left(term, length(term)-{k + 4})"
+            )
+            rows_s.append(
+                f"WHEN {base} AND right({r}, 2) = 'at' AND {_it_r2_sql(k + 2)} "
+                f"THEN {mk}left(term, length(term)-{k + 2})"
+            )
+            rows_s.append(f"WHEN {base} THEN {mk}{r}")
+        elif case == 2:
+            rows_s.append(
+                f"WHEN {base} AND right({r}, 2) = 'ic' AND {_it_r2_sql(k + 2)} "
+                f"THEN {mk}left(term, length(term)-{k + 2})"
+            )
+            rows_s.append(f"WHEN {base} THEN {mk}{r}")
+        else:
+            rows_s.append(f"WHEN {base} THEN {mk}{r}")
+        rows_s.append(f"WHEN right(term, {k}) = '{suf}' THEN term")
+    std = "CASE\n        " + nl.join(rows_s) + "\n        ELSE term END"
+
+    rows_v = [f"WHEN {done} THEN term"]
+    for suf in _IT_VERB:
+        k = len(suf)
+        rows_v.append(
+            f"WHEN right(term, {k}) = '{suf}' AND {_it_rv_sql(k)} "
+            f"THEN left(term, length(term)-{k})"
+        )
+    verb = "CASE\n        " + nl.join(rows_v) + "\n        ELSE term END"
+    unmark = f"CASE WHEN {done} THEN substr(term, 2) ELSE term END"
+
+    aeio = _lits(sorted(_IT_AEIO))
+    vowel = (
+        f"""CASE
+        WHEN right(term, 1) IN ({aeio}) AND {_it_rv_sql(1)}
+         AND substr(term, length(term)-1, 1) = 'i' AND {_it_rv_sql(2)}
+        THEN left(term, length(term)-2)
+        WHEN right(term, 1) IN ({aeio}) AND {_it_rv_sql(1)}
+        THEN left(term, length(term)-1)
+        ELSE term END"""
+    )
+    hrule = (
+        f"""CASE
+        WHEN right(term, 2) IN ('ch', 'gh') AND {_it_rv_sql(2)}
+        THEN left(term, length(term)-1)
+        ELSE term END"""
+    )
+    return (
+        "replace(translate(term, 'áéíóú', 'àèìòù'), 'qu', 'qU')",
+        _IT_MARK_STEP,
+        _IT_MARK_STEP,
+        _IT_MARK_STEP,
+        _IT_MARK_STEP,
+        pronoun,
+        std,
+        verb,
+        unmark,
+        vowel,
+        hrule,
+        "replace(replace(term, 'I', 'i'), 'U', 'u')",
+    )
+
+
+ITALIAN_SNOWBALL_SQL = _it_sql()

@@ -24,6 +24,7 @@ from lucene_solr_spark.oracle.snowball import (
     FINNISH_SNOWBALL_SQL,
     HUNGARIAN_SNOWBALL_SQL,
     IRISH_SNOWBALL_SQL,
+    ITALIAN_SNOWBALL_SQL,
     PORTER2_SQL,
     PORTUGUESE_SNOWBALL_SQL,
     ROMANIAN_SNOWBALL_SQL,
@@ -37,6 +38,7 @@ from lucene_solr_spark.oracle.snowball import (
     finnish_snowball_stem,
     hungarian_snowball_stem,
     irish_snowball_stem,
+    italian_snowball_stem,
     porter2_stem,
     portuguese_snowball_stem,
     romanian_snowball_stem,
@@ -64,6 +66,7 @@ _LANGS = [
     ("finnish", finnish_snowball_stem, FINNISH_SNOWBALL_SQL),
     ("spanish", spanish_snowball_stem, SPANISH_SNOWBALL_SQL),
     ("portuguese", portuguese_snowball_stem, PORTUGUESE_SNOWBALL_SQL),
+    ("italian", italian_snowball_stem, ITALIAN_SNOWBALL_SQL),
 ]
 
 _EDGES = [
@@ -104,6 +107,8 @@ _EDGES = [
     "lógicamente", "felicidad",
     # Portuguese: nasal-vowel encoding, eira→eir, residual gu/ci tails
     "coração", "corações", "seguem", "cação", "longe", "feliz",
+    # Italian: attached pronouns (infinitive restore), qu marking, gh/ch
+    "fughe", "mandarlo", "quieto", "dandogliela", "piovano",
 ]
 
 
@@ -134,6 +139,14 @@ def test_sql_twin_parity(lang, fn, sql):
     got = [r[0] for r in con.execute(body).fetchall()]
     bad = [(w, g, fn(w)) for w, g in zip(words, got) if g != fn(w)]
     assert not bad, bad[:10]
+
+
+def test_italian_snowball_pins():
+    # attached pronoun restores the infinitive e, then the verb pass
+    # strips 'are'
+    assert italian_snowball_stem("mandarlo") == "mand"
+    # final h survives when the c/g sits before RV
+    assert italian_snowball_stem("fughe") == "fugh"
 
 
 def test_portuguese_snowball_pins():
