@@ -150,3 +150,37 @@ def test_stemmed_index_rank_identity(spark, term):
         (r["doc_id"], bits(r["score"])) for r in ex.topk(q, k=10).collect()
     ]
     assert got == expected
+
+
+def test_porter_vs_snowball_vocabulary():
+    """Full-vocabulary evidence for the Porter stemmer: the reference
+    ships the Snowball project's 2,000-word 'porter' vocabulary
+    (analysis/snowball/porter.zip). That vocabulary encodes the
+    1980-faithful algorithm, while Lucene's en/PorterStemmer.java (our
+    parity target) carries Martin Porter's documented DEPARTURES
+    (step3 bli→ble at PorterStemmer.java:307, logi→log at :375). The
+    oracle must match the vocabulary on every word EXCEPT those whose
+    stems the departures change — and each residual diff must be
+    explained by a departure rule firing."""
+    import zipfile
+
+    from lucene_solr_spark.oracle.porter import porter_stem
+
+    ref = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/snowball/porter.zip"
+    )
+    with zipfile.ZipFile(ref) as z:
+        voc = z.read("voc.txt").decode("utf-8").split()
+        out = z.read("output.txt").decode("utf-8").split()
+    assert len(voc) == len(out) == 2000
+    diffs = {w: (porter_stem(w), o) for w, o in zip(voc, out) if porter_stem(w) != o}
+    # the known divergence-affected words in this vocabulary: two from
+    # the departure rules, two from Lucene's length guard (stem() skips
+    # words of length <= 2 — PorterStemmer.java:544 `if (k > k0 + 1)`)
+    assert set(diffs) == {"visibly", "rs", "uy", "palynology"}, diffs
+    assert diffs["rs"] == ("rs", "r") and diffs["uy"] == ("uy", "ui")
+    # bli→ble then e-deletion: visibli → visible → visibl
+    assert diffs["visibly"] == ("visibl", "visibli")
+    # logi→log: palynologi → palynolog
+    assert diffs["palynology"] == ("palynolog", "palynologi")
