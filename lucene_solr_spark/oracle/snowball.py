@@ -1,13 +1,16 @@
-"""Scandinavian Snowball stemmers (pure Python).
-
-Re-expresses the published Snowball algorithms (snowballstem.org —
-Danish, Norwegian, Swedish; the reference runs the generated form at
-``org/tartarus/snowball/ext/{Danish,Norwegian,Swedish}Stemmer.java``).
-These are the DEFAULT stem filters of the reference's DanishAnalyzer,
-NorwegianAnalyzer, and SwedishAnalyzer (each builds StandardTokenizer →
-LowerCase → Stop → SnowballFilter), completing those analyzers' true
-default chains; the ``*_light`` stemmers in ``light_stemmers`` remain
-the in-box alternatives.
+"""Snowball stemmers (pure Python): Danish, Norwegian, Swedish,
+Russian, English Porter2, German, Dutch, Romanian, Irish, Hungarian,
+Finnish, Spanish, Portuguese, Italian — fourteen published algorithms
+(snowballstem.org; the reference runs the generated forms under
+``org/tartarus/snowball/ext/``). Every Snowball-DEFAULT analyzer except
+Turkish (da/nl/ro/ga/hu/fi/sv/no/ru) gets its true default chain here;
+the Romance + German + Porter2 ports are the in-box alternatives to
+the light stemmers. Each is bit-exact on the Snowball project's own
+~2,000-word vocabulary shipped in the reference test data — languages
+WITHOUT such a vocabulary (French, Catalan, Basque, Armenian,
+Lithuanian, Turkish's 2.3 kLoC machine) are deliberately NOT ported:
+the vocabulary diff caught subtle bugs in nearly every language here,
+so an unverifiable port would not meet the repo's evidence standard.
 
 Shared machinery (the Snowball runtime's semantics, re-expressed):
 

@@ -1,5 +1,6 @@
 """Snowball stemmer parity (Danish, Norwegian, Swedish, Russian,
-English Porter2, German, Dutch, Romanian).
+English Porter2, German, Dutch, Romanian, Irish, Hungarian, Finnish,
+Spanish, Portuguese, Italian).
 
 The reference ships the Snowball project's own full test vocabularies
 (``analysis/snowball/*.zip``: voc.txt → output.txt, 2,000 words each) —
