@@ -1980,6 +1980,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["italian_snowball_topk"] = italian_snowball_topk
 
+    def german2_snowball_topk(spark, sf_dir):
+        """Snowball 'german2' variant (German with ae/oe/ue folding and
+        qu protection in the prelude): BM25 top-10 for 'custom'."""
+        ex = _light_stem_executor(spark, sf_dir, "german2_snowball")
+        return ex.topk(_T("custom"), k=10).select("doc_id", "score")
+
+    out["german2_snowball_topk"] = german2_snowball_topk
+
     def russian_snowball_topk(spark, sf_dir):
         """Russian SNOWBALL stemmer (the RussianAnalyzer DEFAULT —
         RV/R2 regions, gerund|reflexive;adjectival|verb|noun step
@@ -2968,6 +2976,10 @@ def oracle_sql() -> dict[str, str]:
     out["italian_snowball_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.ITALIAN_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="tabl")
+    )
+    out["german2_snowball_topk"] = (
+        f"WITH {_ictes_lang(term_expr=_sb.GERMAN2_SNOWBALL_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="custom")
     )
     out["russian_snowball_topk"] = (
         f"WITH {_ictes_lang(text_col=_RUSSIAN_TEXT_SQL, token_regex='[a-z0-9аеиоу]+', term_expr=_sb.RUSSIAN_SNOWBALL_SQL)}"

@@ -892,6 +892,7 @@ def _register_snowball() -> None:
             "spanish_snowball": _sb.spanish_snowball_stem,
             "portuguese_snowball": _sb.portuguese_snowball_stem,
             "italian_snowball": _sb.italian_snowball_stem,
+            "german2_snowball": _sb.german2_snowball_stem,
         }
     )
 

@@ -1,6 +1,7 @@
 """Snowball stemmers (pure Python): Danish, Norwegian, Swedish,
 Russian, English Porter2, German, Dutch, Romanian, Irish, Hungarian,
-Finnish, Spanish, Portuguese, Italian — fourteen published algorithms
+Finnish, Spanish, Portuguese, Italian, german2 — fifteen published
+algorithm variants
 (snowballstem.org; the reference runs the generated forms under
 ``org/tartarus/snowball/ext/``). Every Snowball-DEFAULT analyzer except
 Turkish (da/nl/ro/ga/hu/fi/sv/no/ru) gets its true default chain here;
@@ -47,6 +48,7 @@ __all__ = [
     "spanish_snowball_stem",
     "portuguese_snowball_stem",
     "italian_snowball_stem",
+    "german2_snowball_stem",
     "SWEDISH_SNOWBALL_SQL",
     "NORWEGIAN_SNOWBALL_SQL",
     "DANISH_SNOWBALL_SQL",
@@ -61,6 +63,7 @@ __all__ = [
     "SPANISH_SNOWBALL_SQL",
     "PORTUGUESE_SNOWBALL_SQL",
     "ITALIAN_SNOWBALL_SQL",
+    "GERMAN2_SNOWBALL_SQL",
 ]
 
 _SV_VOWELS = frozenset("aeiouyäåö")
@@ -1162,8 +1165,10 @@ def _de_sb_regions(s: str) -> tuple[int, int]:
 _DE_POST = str.maketrans({"U": "u", "Y": "y", "ä": "a", "ö": "o", "ü": "u"})
 
 
-def german_snowball_stem(term: str) -> str:
-    s = _de_prelude(term)
+def _de_sb_core(s: str) -> str:
+    """The post-prelude German pipeline, shared with german2 (the two
+    generated stemmers differ only in the prelude — German2Stemmer.java
+    is GermanStemmer.java with shifted table indices)."""
     n = len(s)
     # mark_regions fails for words shorter than 3 → p1 = p2 = len
     if n < 3:
@@ -1212,6 +1217,53 @@ def german_snowball_stem(term: str) -> str:
         if t:
             s = s[: -len(t)]
     return s.translate(_DE_POST)
+
+
+def german_snowball_stem(term: str) -> str:
+    return _de_sb_core(_de_prelude(term))
+
+
+def german2_snowball_stem(term: str) -> str:
+    """Snowball 'german2' (German2Stemmer.java = GermanStemmer.java
+    with a different prelude): the u/y marking runs FIRST, then a fold
+    pass rewrites ß→ss and ae/oe/ue into umlauts while skipping past
+    'qu' — a marked U breaks 'ue' sequences, which is the variant's
+    point ('aue' must not become 'aü')."""
+    chars = list(term)
+    for i in range(1, len(chars) - 1):
+        if (
+            chars[i] in ("u", "y")
+            and chars[i - 1] in _DE_SB_V
+            and chars[i + 1] in _DE_SB_V
+        ):
+            chars[i] = chars[i].upper()
+    s = "".join(chars)
+    out = []
+    i = 0
+    n = len(s)
+    while i < n:
+        two = s[i : i + 2]
+        if s[i] == "ß":
+            out.append("ss")
+            i += 1
+        elif two == "ae":
+            out.append("ä")
+            i += 2
+        elif two == "oe":
+            out.append("ö")
+            i += 2
+        elif two == "ue":
+            out.append("ü")
+            i += 2
+        elif two == "qu":
+            out.append("qu")
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return _de_sb_core("".join(out))
+
+
 
 
 # --- German SQL twin --------------------------------------------------------
@@ -1338,6 +1390,18 @@ def _german_sb_sql() -> tuple[str, ...]:
 
 
 GERMAN_SNOWBALL_SQL = _german_sb_sql()
+
+#: german2 twin: u/y marking FIRST (same iterated passes), then the
+#: fold layer (qu protected via a sentinel so its u never folds),
+#: then German's suffix layers and postlude unchanged.
+GERMAN2_SNOWBALL_SQL = (
+    _DE_MARK_PASS,
+    _DE_MARK_PASS,
+    _DE_MARK_PASS,
+    "replace(replace(replace(replace(replace(replace("
+    "term, 'qu', '\x05'), 'ß', 'ss'), 'ae', 'ä'), 'oe', 'ö'), "
+    "'ue', 'ü'), '\x05', 'qu')",
+) + GERMAN_SNOWBALL_SQL[4:]
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ from lucene_solr_spark.oracle.snowball import (
     DANISH_SNOWBALL_SQL,
     NORWEGIAN_SNOWBALL_SQL,
     DUTCH_SNOWBALL_SQL,
+    GERMAN2_SNOWBALL_SQL,
     GERMAN_SNOWBALL_SQL,
     FINNISH_SNOWBALL_SQL,
     HUNGARIAN_SNOWBALL_SQL,
@@ -35,6 +36,7 @@ from lucene_solr_spark.oracle.snowball import (
     danish_snowball_stem,
     norwegian_snowball_stem,
     dutch_snowball_stem,
+    german2_snowball_stem,
     german_snowball_stem,
     finnish_snowball_stem,
     hungarian_snowball_stem,
@@ -68,6 +70,7 @@ _LANGS = [
     ("spanish", spanish_snowball_stem, SPANISH_SNOWBALL_SQL),
     ("portuguese", portuguese_snowball_stem, PORTUGUESE_SNOWBALL_SQL),
     ("italian", italian_snowball_stem, ITALIAN_SNOWBALL_SQL),
+    ("german2", german2_snowball_stem, GERMAN2_SNOWBALL_SQL),
 ]
 
 _EDGES = [
@@ -221,6 +224,14 @@ def test_dutch_snowball_pins():
     assert dutch_snowball_stem("groot") == "grot"
     # i between vowels is a consonant
     assert dutch_snowball_stem("draaien") == "draai"
+
+
+def test_german2_snowball_pins():
+    # ae/oe/ue fold into umlauts, but qu and a marked U are protected
+    assert german2_snowball_stem("groesse") == german_snowball_stem("größe")
+    assert german2_snowball_stem("quelle") == german_snowball_stem("quelle")
+    # 'aue': the marked U blocks the ue fold
+    assert "ü" not in german2_snowball_stem("baue")
 
 
 def test_german_snowball_pins():
