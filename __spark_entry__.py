@@ -1988,6 +1988,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["german2_snowball_topk"] = german2_snowball_topk
 
+    def nepali_snowball_topk(spark, sf_dir):
+        """Nepali SNOWBALL stemmer over a corpus whose words carry the
+        रत postposition (pure Devanagari letters — combining vowel
+        signs are not word characters, so suffixes like को would split
+        at tokenization): BM25 top-10 for 'merge' after the suffix
+        strips; exact SQL twin with the cat2+cat3 loop unrolled 6x."""
+        ex = _light_stem_executor(
+            spark, sf_dir, "nepali_snowball",
+            text_sql="replace(text, ' ', 'रत ')",
+        )
+        return ex.topk(_T("merge"), k=10).select("doc_id", "score")
+
+    out["nepali_snowball_topk"] = nepali_snowball_topk
+
     def russian_snowball_topk(spark, sf_dir):
         """Russian SNOWBALL stemmer (the RussianAnalyzer DEFAULT —
         RV/R2 regions, gerund|reflexive;adjectival|verb|noun step
@@ -2980,6 +2994,11 @@ def oracle_sql() -> dict[str, str]:
     out["german2_snowball_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.GERMAN2_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="custom")
+    )
+    _NE_TEXT = "replace(text, ' ', 'रत ')"
+    out["nepali_snowball_topk"] = (
+        f"WITH {_ictes_lang(text_col=_NE_TEXT, token_regex='[a-z0-9रत]+', term_expr=_sb.NEPALI_SNOWBALL_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="merge")
     )
     out["russian_snowball_topk"] = (
         f"WITH {_ictes_lang(text_col=_RUSSIAN_TEXT_SQL, token_regex='[a-z0-9аеиоу]+', term_expr=_sb.RUSSIAN_SNOWBALL_SQL)}"

@@ -893,6 +893,7 @@ def _register_snowball() -> None:
             "portuguese_snowball": _sb.portuguese_snowball_stem,
             "italian_snowball": _sb.italian_snowball_stem,
             "german2_snowball": _sb.german2_snowball_stem,
+            "nepali_snowball": _sb.nepali_snowball_stem,
         }
     )
 

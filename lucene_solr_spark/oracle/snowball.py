@@ -1,7 +1,7 @@
 """Snowball stemmers (pure Python): Danish, Norwegian, Swedish,
 Russian, English Porter2, German, Dutch, Romanian, Irish, Hungarian,
-Finnish, Spanish, Portuguese, Italian, german2 — fifteen published
-algorithm variants
+Finnish, Spanish, Portuguese, Italian, german2, Nepali — sixteen
+published algorithm variants
 (snowballstem.org; the reference runs the generated forms under
 ``org/tartarus/snowball/ext/``). Every Snowball-DEFAULT analyzer except
 Turkish (da/nl/ro/ga/hu/fi/sv/no/ru) gets its true default chain here;
@@ -49,6 +49,7 @@ __all__ = [
     "portuguese_snowball_stem",
     "italian_snowball_stem",
     "german2_snowball_stem",
+    "nepali_snowball_stem",
     "SWEDISH_SNOWBALL_SQL",
     "NORWEGIAN_SNOWBALL_SQL",
     "DANISH_SNOWBALL_SQL",
@@ -64,6 +65,7 @@ __all__ = [
     "PORTUGUESE_SNOWBALL_SQL",
     "ITALIAN_SNOWBALL_SQL",
     "GERMAN2_SNOWBALL_SQL",
+    "NEPALI_SNOWBALL_SQL",
 ]
 
 _SV_VOWELS = frozenset("aeiouyäåö")
@@ -4015,3 +4017,89 @@ def _it_sql() -> tuple[str, ...]:
 
 
 ITALIAN_SNOWBALL_SQL = _it_sql()
+
+
+# ---------------------------------------------------------------------------
+# Nepali (snowballstem.org nepali; generated form at
+# org/tartarus/snowball/ext/NepaliStemmer.java) — the reference exposes
+# it through SnowballPorterFilterFactory(language=Nepali). Three
+# Devanagari passes: postposition strip (का/कि/… kept after ए/े), then
+# a LOOP of optional ँ/ं-after-यौ/छौ/नौ/थे and ै-after-त्र deletions
+# followed by the 91-entry verb-suffix table until it stops matching.
+# Suffix tables are extracted from the generated source's escapes.
+# ---------------------------------------------------------------------------
+
+_NE_CAT1 = [('मार्फत', 1), ('द्वारा', 1), ('सँगै', 1), ('लाइ', 1), ('लाई', 1), ('सँग', 1), ('संग', 1), ('पछि', 1), ('रत', 1), ('का', 2), ('मा', 1), ('कि', 2), ('की', 2), ('ले', 1), ('कै', 2), ('मै', 1), ('को', 2)]
+_NE_CAT3 = ['हुनेछ', 'हुन्छ', 'नेछन्', 'थिइस्', 'नेछस्', 'इन्छ', 'िन्छ', 'इएका', 'िएका', 'नेका', 'देखि', 'माथि', 'इएकी', 'िएकी', 'देखी', 'नेछु', 'नेकै', 'इएको', 'िएको', 'नेको', 'थियो', 'दियो', 'थ्यो', 'नेछौ', 'थियौ', 'छ्यौ', 'थ्यौ', 'इछन्', 'एछन्', 'िछन्', 'ेछन्', 'लान्', 'छिन्', 'थिन्', 'इछस्', 'एछस्', 'िछस्', 'ेछस्', 'थिस्', 'छेस्', 'होस्', 'थिए', 'नेछ', 'एका', 'ेका', 'इदा', 'िदा', 'एकी', 'ेकी', 'एछु', 'ेछु', 'हरु', 'हरू', 'एकै', 'ेकै', 'इदै', 'िदै', 'एको', 'ेको', 'इदो', 'िदो', 'इयो', 'भयो', 'ियो', 'इछौ', 'एछौ', 'िछौ', 'ेछौ', 'छन्', 'पर्', 'इस्', 'छस्', 'िस्', 'इछ', 'एछ', 'िछ', 'ेछ', 'दा', 'थी', 'दी', 'छु', 'नु', 'छे', 'थे', 'ने', 'दै', 'दो', 'यो', 'छौ', 'यौ', 'छ']
+
+
+def nepali_snowball_stem(term: str) -> str:
+    s = term
+    for suf, case in _NE_CAT1:
+        if s.endswith(suf):
+            start = len(s) - len(suf)
+            if case == 2:
+                if not s[:start].endswith(("ए", "े")):
+                    s = s[:start]
+            else:
+                s = s[:start]
+            break
+    while True:
+        if s.endswith(("ँ", "ं")):
+            if s[:-1].endswith(("यौ", "छौ", "नौ", "थे")):
+                s = s[:-1]
+        elif s.endswith("ै"):
+            if s[:-1].endswith("त्र"):
+                s = s[:-1]
+        for suf in _NE_CAT3:
+            if s.endswith(suf):
+                s = s[: -len(suf)]
+                break
+        else:
+            break
+    return s
+
+
+# --- Nepali SQL twin --------------------------------------------------------
+# The cat2+cat3 loop unrolls 6× (the vocabulary needs at most 4); each
+# round is a cat2 conditional layer followed by a cat3 delete layer.
+
+
+def _ne_sql() -> tuple[str, ...]:
+    nl = "\n        "
+    rows1 = []
+    for suf, case in _NE_CAT1:
+        k = len(suf)
+        if case == 2:
+            rows1.append(
+                f"WHEN right(term, {k}) = '{suf}' AND "
+                f"substr(term, length(term)-{k}, 1) NOT IN ('ए', 'े') "
+                f"THEN left(term, length(term)-{k})"
+            )
+            rows1.append(f"WHEN right(term, {k}) = '{suf}' THEN term")
+        else:
+            rows1.append(
+                f"WHEN right(term, {k}) = '{suf}' THEN left(term, length(term)-{k})"
+            )
+    cat1 = "CASE\n        " + nl.join(rows1) + "\n        ELSE term END"
+
+    cat2 = (
+        """CASE
+        WHEN right(term, 1) IN ('ँ', 'ं')
+         AND substr(term, length(term)-2, 2) IN ('यौ', 'छौ', 'नौ', 'थे')
+        THEN left(term, length(term)-1)
+        WHEN right(term, 1) = 'ै' AND substr(term, length(term)-3, 3) = 'त्र'
+        THEN left(term, length(term)-1)
+        ELSE term END"""
+    )
+    rows3 = []
+    for suf in _NE_CAT3:
+        k = len(suf)
+        rows3.append(
+            f"WHEN right(term, {k}) = '{suf}' THEN left(term, length(term)-{k})"
+        )
+    cat3 = "CASE\n        " + nl.join(rows3) + "\n        ELSE term END"
+    return (cat1,) + (cat2, cat3) * 6
+
+
+NEPALI_SNOWBALL_SQL = _ne_sql()

@@ -22,6 +22,7 @@ from lucene_solr_spark.oracle.snowball import (
     NORWEGIAN_SNOWBALL_SQL,
     DUTCH_SNOWBALL_SQL,
     GERMAN2_SNOWBALL_SQL,
+    NEPALI_SNOWBALL_SQL,
     GERMAN_SNOWBALL_SQL,
     FINNISH_SNOWBALL_SQL,
     HUNGARIAN_SNOWBALL_SQL,
@@ -37,6 +38,7 @@ from lucene_solr_spark.oracle.snowball import (
     norwegian_snowball_stem,
     dutch_snowball_stem,
     german2_snowball_stem,
+    nepali_snowball_stem,
     german_snowball_stem,
     finnish_snowball_stem,
     hungarian_snowball_stem,
@@ -71,6 +73,7 @@ _LANGS = [
     ("portuguese", portuguese_snowball_stem, PORTUGUESE_SNOWBALL_SQL),
     ("italian", italian_snowball_stem, ITALIAN_SNOWBALL_SQL),
     ("german2", german2_snowball_stem, GERMAN2_SNOWBALL_SQL),
+    ("nepali", nepali_snowball_stem, NEPALI_SNOWBALL_SQL),
 ]
 
 _EDGES = [
@@ -224,6 +227,14 @@ def test_dutch_snowball_pins():
     assert dutch_snowball_stem("groot") == "grot"
     # i between vowels is a consonant
     assert dutch_snowball_stem("draaien") == "draai"
+
+
+def test_nepali_snowball_pins():
+    # the postposition strip keeps का-family after ए/े
+    assert nepali_snowball_stem("scanरत") == "scan"
+    # the verb loop runs to a fixpoint (multiple suffix rounds)
+    assert nepali_snowball_stem("बर्सेकाहरुलाई") == "बर्स"
+    assert nepali_snowball_stem("खाछ्यौ") == "खा"
 
 
 def test_german2_snowball_pins():
