@@ -2002,6 +2002,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["nepali_snowball_topk"] = nepali_snowball_topk
 
+    def turkish_snowball_topk(spark, sf_dir):
+        """Turkish SNOWBALL stemmer (the TurkishAnalyzer's stem stage —
+        the largest Snowball machine: 8-class vowel harmony, optional
+        buffer consonants, the recursive ki-suffix chain, vowel-
+        restoring post-processing). NO SQL oracle: the chain's slices
+        PERSIST when deeper links fail while only the cursor rolls
+        back — semantics the layered-CASE twin machinery cannot express
+        without exponential enumeration. Rows-only here; the stemmer is
+        pinned bit-exact on the Snowball project's 2,000-word Turkish
+        vocabulary in tests/test_snowball.py. Corpus words carry a
+        harmony-satisfying 'ler' plural so the rules do real work."""
+        ex = _light_stem_executor(
+            spark, sf_dir, "turkish_snowball",
+            text_sql="replace(text, 'e ', 'eler ')",
+        )
+        return ex.topk(_T("merge"), k=10).select("doc_id", "score")
+
+    out["turkish_snowball_topk"] = turkish_snowball_topk
+
     def russian_snowball_topk(spark, sf_dir):
         """Russian SNOWBALL stemmer (the RussianAnalyzer DEFAULT —
         RV/R2 regions, gerund|reflexive;adjectival|verb|noun step

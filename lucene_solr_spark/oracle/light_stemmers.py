@@ -894,6 +894,7 @@ def _register_snowball() -> None:
             "italian_snowball": _sb.italian_snowball_stem,
             "german2_snowball": _sb.german2_snowball_stem,
             "nepali_snowball": _sb.nepali_snowball_stem,
+            "turkish_snowball": _sb.turkish_snowball_stem,
         }
     )
 

@@ -1,15 +1,15 @@
 """Snowball stemmers (pure Python): Danish, Norwegian, Swedish,
 Russian, English Porter2, German, Dutch, Romanian, Irish, Hungarian,
-Finnish, Spanish, Portuguese, Italian, german2, Nepali — sixteen
-published algorithm variants
+Finnish, Spanish, Portuguese, Italian, german2, Nepali, Turkish —
+seventeen published algorithm variants
 (snowballstem.org; the reference runs the generated forms under
-``org/tartarus/snowball/ext/``). Every Snowball-DEFAULT analyzer except
-Turkish (da/nl/ro/ga/hu/fi/sv/no/ru) gets its true default chain here;
+``org/tartarus/snowball/ext/``). Every Snowball-DEFAULT analyzer
+(da/nl/ro/ga/hu/fi/sv/no/ru/tr) gets its true default stemmer here;
 the Romance + German + Porter2 ports are the in-box alternatives to
 the light stemmers. Each is bit-exact on the Snowball project's own
 ~2,000-word vocabulary shipped in the reference test data — languages
 WITHOUT such a vocabulary (French, Catalan, Basque, Armenian,
-Lithuanian, Turkish's 2.3 kLoC machine) are deliberately NOT ported:
+Lithuanian) are deliberately NOT ported:
 the vocabulary diff caught subtle bugs in nearly every language here,
 so an unverifiable port would not meet the repo's evidence standard.
 
@@ -50,6 +50,7 @@ __all__ = [
     "italian_snowball_stem",
     "german2_snowball_stem",
     "nepali_snowball_stem",
+    "turkish_snowball_stem",
     "SWEDISH_SNOWBALL_SQL",
     "NORWEGIAN_SNOWBALL_SQL",
     "DANISH_SNOWBALL_SQL",
@@ -4103,3 +4104,737 @@ def _ne_sql() -> tuple[str, ...]:
 
 
 NEPALI_SNOWBALL_SQL = _ne_sql()
+
+
+# ---------------------------------------------------------------------------
+# Turkish (snowballstem.org turkish; generated form at
+# org/tartarus/snowball/ext/TurkishStemmer.java) — the TurkishAnalyzer's
+# DEFAULT stem filter, and the largest Snowball machine in the
+# reference (8-class vowel harmony, optional buffer consonants, a
+# recursive ki-suffix chain, and vowel-restoring post-processing).
+#
+# The port runs on a tiny backward-cursor state: saves are END-relative
+# offsets (they survive slices, exactly like the generated v_n = limit
+# - cursor bookkeeping), slices are irreversible (cursor restores only
+# reposition), and each r_ rule translates 1:1 in structure.
+# ---------------------------------------------------------------------------
+
+_TR_V = frozenset("aeıioöuü")
+_TR_U = frozenset("ıiuü")
+_TR_HARMONY = {
+    "a": frozenset("aıou"),
+    "e": frozenset("eiöü"),
+    "ı": frozenset("aı"),
+    "i": frozenset("ei"),
+    "o": frozenset("ou"),
+    "ö": frozenset("öü"),
+    "u": frozenset("ou"),
+    "ü": frozenset("öü"),
+}
+
+
+class _TrState:
+    __slots__ = ("s", "c", "bra", "ket", "cont")
+
+    def __init__(self, s: str):
+        self.s = s
+        self.c = len(s)
+        self.bra = self.ket = len(s)
+        self.cont = True
+
+    # --- primitive ops (backward mode) -----------------------------------
+    def save(self) -> int:
+        return len(self.s) - self.c
+
+    def restore(self, v: int) -> None:
+        self.c = len(self.s) - v
+
+    def eq(self, t: str) -> bool:
+        n = len(t)
+        if self.c < n or self.s[self.c - n : self.c] != t:
+            return False
+        self.c -= n
+        return True
+
+    def grp(self, g) -> bool:
+        if self.c <= 0 or self.s[self.c - 1] not in g:
+            return False
+        self.c -= 1
+        return True
+
+    def outgrp(self, g) -> bool:
+        if self.c <= 0 or self.s[self.c - 1] in g:
+            return False
+        self.c -= 1
+        return True
+
+    def among(self, sufs) -> bool:
+        """longest-first suffix list; consumes on match."""
+        for t in sufs:
+            if self.eq(t):
+                return True
+        return False
+
+    def slice_del(self) -> None:
+        self.s = self.s[: self.bra] + self.s[self.ket :]
+
+    def slice_from(self, t: str) -> None:
+        self.s = self.s[: self.bra] + t + self.s[self.ket :]
+
+
+def _by_len_t(*sufs):
+    return tuple(sorted(sufs, key=len, reverse=True))
+
+
+_TR_A0 = _by_len_t("m", "n", "miz", "niz", "muz", "nuz", "müz", "nüz", "mız", "nız")
+_TR_A1 = _by_len_t("leri", "ları")
+_TR_A2 = _by_len_t("ni", "nu", "nü", "nı")
+_TR_A3 = _by_len_t("in", "un", "ün", "ın")
+_TR_A4 = _by_len_t("a", "e")
+_TR_A5 = _by_len_t("na", "ne")
+_TR_A6 = _by_len_t("da", "ta", "de", "te")
+_TR_A7 = _by_len_t("nda", "nde")
+_TR_A8 = _by_len_t("dan", "tan", "den", "ten")
+_TR_A9 = _by_len_t("ndan", "nden")
+_TR_A10 = _by_len_t("la", "le")
+_TR_A11 = _by_len_t("ca", "ce")
+_TR_A12 = _by_len_t("im", "um", "üm", "ım")
+_TR_A13 = _by_len_t("sin", "sun", "sün", "sın")
+_TR_A14 = _by_len_t("iz", "uz", "üz", "ız")
+_TR_A15 = _by_len_t("siniz", "sunuz", "sünüz", "sınız")
+_TR_A16 = _by_len_t("lar", "ler")
+_TR_A17 = _by_len_t("niz", "nuz", "nüz", "nız")
+_TR_A18 = _by_len_t("dir", "tir", "dur", "tur", "dür", "tür", "dır", "tır")
+_TR_A19 = _by_len_t("casına", "cesine")
+_TR_A20 = _by_len_t(
+    "di", "ti", "dik", "tik", "duk", "tuk", "dük", "tük", "dık", "tık",
+    "dim", "tim", "dum", "tum", "düm", "tüm", "dım", "tım", "din",
+    "tin", "dun", "tun", "dün", "tün", "dın", "tın", "du", "tu", "dü",
+    "tü", "dı", "tı",
+)
+_TR_A21 = _by_len_t("sa", "se", "sak", "sek", "sam", "sem", "san", "sen")
+_TR_A22 = _by_len_t("miş", "muş", "müş", "mış")
+
+
+def _tr_harmony(t: _TrState) -> bool:
+    """check_vowel_harmony: the last vowel must agree with SOME earlier
+    vowel of its harmony class (test-wrapped: cursor untouched)."""
+    s, c = t.s, t.c
+    lv = None
+    for i in range(c - 1, -1, -1):
+        if s[i] in _TR_V:
+            lv = i
+            break
+    if lv is None:
+        return False
+    cls = _TR_HARMONY[s[lv]]
+    return any(s[j] in cls for j in range(lv))
+
+
+def _tr_opt_cons(t: _TrState, ch: str) -> bool:
+    """mark_suffix_with_optional_{n,s,y}_consonant."""
+    v1 = t.save()
+    if t.eq(ch):
+        v2 = t.save()
+        if t.grp(_TR_V):
+            t.restore(v2)
+            return True
+        t.restore(v1)
+    else:
+        t.restore(v1)
+    # the non-consonant branch: next char must not be ch, and the char
+    # one further back must be a vowel (both peeked)
+    v3 = t.save()
+    if t.eq(ch):
+        t.restore(v3)
+        return False
+    t.restore(v3)
+    v5 = t.save()
+    if t.c <= 0:
+        return False
+    t.c -= 1
+    if not t.grp(_TR_V):
+        return False
+    t.restore(v5)
+    return True
+
+
+def _tr_opt_U(t: _TrState) -> bool:
+    """mark_suffix_with_optional_U_vowel."""
+    v1 = t.save()
+    if t.grp(_TR_U):
+        v2 = t.save()
+        if t.outgrp(_TR_V):
+            t.restore(v2)
+            return True
+        t.restore(v1)
+    else:
+        t.restore(v1)
+    v3 = t.save()
+    if t.grp(_TR_U):
+        t.restore(v3)
+        return False
+    t.restore(v3)
+    v5 = t.save()
+    if t.c <= 0:
+        return False
+    t.c -= 1
+    if not t.outgrp(_TR_V):
+        return False
+    t.restore(v5)
+    return True
+
+
+# --- Turkish mark rules ------------------------------------------------------
+
+
+def _tr_mark_possessives(t):
+    return t.among(_TR_A0) and _tr_opt_U(t)
+
+
+def _tr_mark_sU(t):
+    return _tr_harmony(t) and t.grp(_TR_U) and _tr_opt_cons(t, "s")
+
+
+def _tr_mark_lArI(t):
+    return t.among(_TR_A1)
+
+
+def _tr_mark_yU(t):
+    return _tr_harmony(t) and t.grp(_TR_U) and _tr_opt_cons(t, "y")
+
+
+def _tr_mark_nU(t):
+    return _tr_harmony(t) and t.among(_TR_A2)
+
+
+def _tr_mark_nUn(t):
+    return _tr_harmony(t) and t.among(_TR_A3) and _tr_opt_cons(t, "n")
+
+
+def _tr_mark_yA(t):
+    return _tr_harmony(t) and t.among(_TR_A4) and _tr_opt_cons(t, "y")
+
+
+def _tr_mark_nA(t):
+    return _tr_harmony(t) and t.among(_TR_A5)
+
+
+def _tr_mark_DA(t):
+    return _tr_harmony(t) and t.among(_TR_A6)
+
+
+def _tr_mark_ndA(t):
+    return _tr_harmony(t) and t.among(_TR_A7)
+
+
+def _tr_mark_DAn(t):
+    return _tr_harmony(t) and t.among(_TR_A8)
+
+
+def _tr_mark_ndAn(t):
+    return _tr_harmony(t) and t.among(_TR_A9)
+
+
+def _tr_mark_ylA(t):
+    return _tr_harmony(t) and t.among(_TR_A10) and _tr_opt_cons(t, "y")
+
+
+def _tr_mark_ki(t):
+    return t.eq("ki")
+
+
+def _tr_mark_ncA(t):
+    return _tr_harmony(t) and t.among(_TR_A11) and _tr_opt_cons(t, "n")
+
+
+def _tr_mark_yUm(t):
+    return _tr_harmony(t) and t.among(_TR_A12) and _tr_opt_cons(t, "y")
+
+
+def _tr_mark_sUn(t):
+    return _tr_harmony(t) and t.among(_TR_A13)
+
+
+def _tr_mark_yUz(t):
+    return _tr_harmony(t) and t.among(_TR_A14) and _tr_opt_cons(t, "y")
+
+
+def _tr_mark_sUnUz(t):
+    return t.among(_TR_A15)
+
+
+def _tr_mark_lAr(t):
+    return _tr_harmony(t) and t.among(_TR_A16)
+
+
+def _tr_mark_nUz(t):
+    return _tr_harmony(t) and t.among(_TR_A17)
+
+
+def _tr_mark_DUr(t):
+    return _tr_harmony(t) and t.among(_TR_A18)
+
+
+def _tr_mark_cAsInA(t):
+    return t.among(_TR_A19)
+
+
+def _tr_mark_yDU(t):
+    return _tr_harmony(t) and t.among(_TR_A20) and _tr_opt_cons(t, "y")
+
+
+def _tr_mark_ysA(t):
+    return t.among(_TR_A21) and _tr_opt_cons(t, "y")
+
+
+def _tr_mark_ymUs(t):
+    return _tr_harmony(t) and t.among(_TR_A22) and _tr_opt_cons(t, "y")
+
+
+def _tr_mark_yken(t):
+    return t.eq("ken") and _tr_opt_cons(t, "y")
+
+
+def _tr_try(t, fn) -> bool:
+    """Attempt fn; on failure restore the cursor (slices persist,
+    exactly like the generated code's v_n bookkeeping)."""
+    v = t.save()
+    if fn(t):
+        return True
+    t.restore(v)
+    return False
+
+
+def _tr_nominal_verb(t: _TrState) -> None:
+    t.ket = t.c
+    t.cont = True
+    v1 = t.save()
+    while True:  # emulate lab0 with single-pass branches
+        # A: ymUs | yDU | ysA | yken
+        if (
+            _tr_try(t, _tr_mark_ymUs)
+            or _tr_try(t, _tr_mark_yDU)
+            or _tr_try(t, _tr_mark_ysA)
+            or _tr_try(t, _tr_mark_yken)
+        ):
+            break
+        t.restore(v1)
+        # B: cAsInA + (sUnUz|lAr|yUm|sUn|yUz|ymUs)
+        if _tr_try(t, _tr_mark_cAsInA):
+            if (
+                _tr_try(t, _tr_mark_sUnUz)
+                or _tr_try(t, _tr_mark_lAr)
+                or _tr_try(t, _tr_mark_yUm)
+                or _tr_try(t, _tr_mark_sUn)
+                or _tr_try(t, _tr_mark_yUz)
+                or _tr_mark_ymUs(t)
+            ):
+                break
+        t.restore(v1)
+        # C: lAr (slice now) + optional (DUr|yDU|ysA|ymUs); cont = False
+        if _tr_try(t, _tr_mark_lAr):
+            t.bra = t.c
+            t.slice_del()
+            v4 = t.save()
+            t.ket = t.c
+            if not (
+                _tr_try(t, _tr_mark_DUr)
+                or _tr_try(t, _tr_mark_yDU)
+                or _tr_try(t, _tr_mark_ysA)
+                or _tr_try(t, _tr_mark_ymUs)
+            ):
+                t.restore(v4)
+                t.ket = t.c
+            t.cont = False
+            break
+        t.restore(v1)
+        # D: nUz + (yDU|ysA)
+        if _tr_try(t, _tr_mark_nUz):
+            if _tr_try(t, _tr_mark_yDU) or _tr_mark_ysA(t):
+                break
+        t.restore(v1)
+        # E: (sUnUz|yUz|sUn|yUm) slice now + optional ymUs
+        if (
+            _tr_try(t, _tr_mark_sUnUz)
+            or _tr_try(t, _tr_mark_yUz)
+            or _tr_try(t, _tr_mark_sUn)
+            or _tr_try(t, _tr_mark_yUm)
+        ):
+            t.bra = t.c
+            t.slice_del()
+            v8 = t.save()
+            t.ket = t.c
+            if not _tr_try(t, _tr_mark_ymUs):
+                t.restore(v8)
+                t.ket = t.c
+            break
+        t.restore(v1)
+        # F: DUr slice now + [optional one of (sUnUz|lAr|yUm|sUn|yUz)]
+        # then REQUIRED ymUs — 'bilmişlerdir' strips dir, then ler+miş
+        if _tr_mark_DUr(t):
+            t.bra = t.c
+            t.slice_del()
+            v9 = t.save()
+            t.ket = t.c
+            (
+                _tr_try(t, _tr_mark_sUnUz)
+                or _tr_try(t, _tr_mark_lAr)
+                or _tr_try(t, _tr_mark_yUm)
+                or _tr_try(t, _tr_mark_sUn)
+                or _tr_try(t, _tr_mark_yUz)
+            )
+            if not _tr_try(t, _tr_mark_ymUs):
+                t.restore(v9)
+                t.ket = t.c
+            break
+        return  # nothing matched
+    t.bra = t.c
+    t.slice_del()
+
+
+def _tr_ki_chain(t: _TrState) -> bool:
+    """stem_suffix_chain_before_ki (recursive; slices persist even when
+    a deeper link fails — only the cursor rolls back)."""
+    t.ket = t.c
+    if not _tr_mark_ki(t):
+        return False
+    v1 = t.save()
+    # DA + ki
+    if _tr_try(t, _tr_mark_DA):
+        t.bra = t.c
+        t.slice_del()
+        v2 = t.save()
+        t.ket = t.c
+        if _tr_try(t, _tr_mark_lAr):
+            t.bra = t.c
+            t.slice_del()
+            v4 = t.save()
+            if not _tr_ki_chain(t):
+                t.restore(v4)
+        elif _tr_try(t, _tr_mark_possessives):
+            t.bra = t.c
+            t.slice_del()
+            v5 = t.save()
+            t.ket = t.c
+            if _tr_try(t, _tr_mark_lAr):
+                t.bra = t.c
+                t.slice_del()
+                if not _tr_ki_chain(t):
+                    t.restore(v5)
+            else:
+                t.restore(v5)
+        else:
+            t.restore(v2)
+        return True
+    t.restore(v1)
+    # nUn + ki
+    if _tr_try(t, _tr_mark_nUn):
+        t.bra = t.c
+        t.slice_del()
+        v6 = t.save()
+        t.ket = t.c
+        if _tr_try(t, _tr_mark_lArI):
+            t.bra = t.c
+            t.slice_del()
+        else:
+            done = False
+            v7 = t.save()
+            t.ket = t.c
+            if _tr_try(t, _tr_mark_possessives) or _tr_try(t, _tr_mark_sU):
+                t.bra = t.c
+                t.slice_del()
+                v9 = t.save()
+                t.ket = t.c
+                if _tr_try(t, _tr_mark_lAr):
+                    t.bra = t.c
+                    t.slice_del()
+                    if not _tr_ki_chain(t):
+                        t.restore(v9)
+                else:
+                    t.restore(v9)
+                done = True
+            if not done:
+                t.restore(v7)
+                if not _tr_ki_chain(t):
+                    t.restore(v6)
+        return True
+    t.restore(v1)
+    # ndA + ki
+    if not _tr_mark_ndA(t):
+        return False
+    v10 = t.save()
+    if _tr_try(t, _tr_mark_lArI):
+        t.bra = t.c
+        t.slice_del()
+        return True
+    t.restore(v10)
+    if _tr_try(t, _tr_mark_sU):
+        t.bra = t.c
+        t.slice_del()
+        v11 = t.save()
+        t.ket = t.c
+        if _tr_try(t, _tr_mark_lAr):
+            t.bra = t.c
+            t.slice_del()
+            if not _tr_ki_chain(t):
+                t.restore(v11)
+        else:
+            t.restore(v11)
+        return True
+    t.restore(v10)
+    return _tr_ki_chain(t)
+
+
+def _tr_noun_suffixes(t: _TrState) -> None:  # noqa: C901 — mirrors the chain
+    v1 = t.save()
+
+    def opt_lar_ki(vk: int) -> None:
+        """the recurring [ket; lAr → slice; ki-chain REQUIRED else
+        cursor-restore] coda (slices persist)."""
+        t.ket = t.c
+        if _tr_try(t, _tr_mark_lAr):
+            t.bra = t.c
+            t.slice_del()
+            if not _tr_ki_chain(t):
+                t.restore(vk)
+        else:
+            t.restore(vk)
+
+    # 1: lAr + optional ki-chain
+    t.ket = t.c
+    if _tr_try(t, _tr_mark_lAr):
+        t.bra = t.c
+        t.slice_del()
+        v2 = t.save()
+        if not _tr_ki_chain(t):
+            t.restore(v2)
+        return
+    t.restore(v1)
+    # 2: ncA + optional continuations
+    t.ket = t.c
+    if _tr_try(t, _tr_mark_ncA):
+        t.bra = t.c
+        t.slice_del()
+        v3 = t.save()
+        t.ket = t.c
+        if _tr_try(t, _tr_mark_lArI):
+            t.bra = t.c
+            t.slice_del()
+        else:
+            t.restore(v3)
+            t.ket = t.c
+            if _tr_try(t, _tr_mark_possessives) or _tr_try(t, _tr_mark_sU):
+                t.bra = t.c
+                t.slice_del()
+                v6 = t.save()
+                opt_lar_ki(v6)
+            else:
+                t.restore(v3)
+                t.ket = t.c
+                if _tr_try(t, _tr_mark_lAr):
+                    t.bra = t.c
+                    t.slice_del()
+                    if not _tr_ki_chain(t):
+                        t.restore(v3)
+                else:
+                    t.restore(v3)
+        return
+    t.restore(v1)
+    # 3: (ndA|nA) + {lArI | sU [+lAr+ki] | ki-chain}
+    t.ket = t.c
+    if _tr_try(t, _tr_mark_ndA) or _tr_try(t, _tr_mark_nA):
+        v8 = t.save()
+        if _tr_try(t, _tr_mark_lArI):
+            t.bra = t.c
+            t.slice_del()
+            return
+        t.restore(v8)
+        if _tr_try(t, _tr_mark_sU):
+            t.bra = t.c
+            t.slice_del()
+            v9 = t.save()
+            opt_lar_ki(v9)
+            return
+        t.restore(v8)
+        if _tr_ki_chain(t):
+            return
+    t.restore(v1)
+    # 4: (ndAn|nU) + {sU [+lAr+ki] | lArI}
+    t.ket = t.c
+    if _tr_try(t, _tr_mark_ndAn) or _tr_try(t, _tr_mark_nU):
+        v11 = t.save()
+        if _tr_try(t, _tr_mark_sU):
+            t.bra = t.c
+            t.slice_del()
+            v12 = t.save()
+            opt_lar_ki(v12)
+            return
+        t.restore(v11)
+        if _tr_mark_lArI(t):
+            t.bra = t.c
+            t.slice_del()
+            return
+    t.restore(v1)
+    # 5: DAn (slice) + optional {possessives [+lAr+ki] | lAr [+ki] | ki}
+    t.ket = t.c
+    if _tr_try(t, _tr_mark_DAn):
+        t.bra = t.c
+        t.slice_del()
+        v13 = t.save()
+        t.ket = t.c
+        if _tr_try(t, _tr_mark_possessives):
+            t.bra = t.c
+            t.slice_del()
+            v15 = t.save()
+            opt_lar_ki(v15)
+        elif _tr_try(t, _tr_mark_lAr):
+            t.bra = t.c
+            t.slice_del()
+            v16 = t.save()
+            if not _tr_ki_chain(t):
+                t.restore(v16)
+        elif not _tr_ki_chain(t):
+            t.restore(v13)
+        return
+    t.restore(v1)
+    # 6: (nUn|ylA) slice + optional {lAr+ki | (poss|sU) [+lAr+ki] | ki}
+    t.ket = t.c
+    if _tr_try(t, _tr_mark_nUn) or _tr_try(t, _tr_mark_ylA):
+        t.bra = t.c
+        t.slice_del()
+        v18 = t.save()
+        done = False
+        v19 = t.save()
+        t.ket = t.c
+        if _tr_try(t, _tr_mark_lAr):
+            t.bra = t.c
+            t.slice_del()
+            if _tr_ki_chain(t):
+                done = True
+            else:
+                t.restore(v19)
+        if not done:
+            t.restore(v19)
+            t.ket = t.c
+            if _tr_try(t, _tr_mark_possessives) or _tr_try(t, _tr_mark_sU):
+                t.bra = t.c
+                t.slice_del()
+                v21 = t.save()
+                opt_lar_ki(v21)
+                done = True
+            if not done:
+                t.restore(v19)
+                if not _tr_ki_chain(t):
+                    t.restore(v18)
+        return
+    t.restore(v1)
+    # 7: lArI
+    t.ket = t.c
+    if _tr_try(t, _tr_mark_lArI):
+        t.bra = t.c
+        t.slice_del()
+        return
+    t.restore(v1)
+    # 8: bare ki-chain
+    if _tr_ki_chain(t):
+        return
+    t.restore(v1)
+    # 9: (DA|yU|yA) slice + optional {poss [+lAr] | lAr} + ki
+    t.ket = t.c
+    if (
+        _tr_try(t, _tr_mark_DA)
+        or _tr_try(t, _tr_mark_yU)
+        or _tr_try(t, _tr_mark_yA)
+    ):
+        t.bra = t.c
+        t.slice_del()
+        v23 = t.save()
+        t.ket = t.c
+        matched = False
+        if _tr_try(t, _tr_mark_possessives):
+            t.bra = t.c
+            t.slice_del()
+            v25 = t.save()
+            t.ket = t.c
+            if not _tr_try(t, _tr_mark_lAr):
+                t.restore(v25)
+            matched = True
+        elif _tr_try(t, _tr_mark_lAr):
+            matched = True
+        if matched:
+            t.bra = t.c
+            t.slice_del()
+            t.ket = t.c
+            if not _tr_ki_chain(t):
+                t.restore(v23)
+        else:
+            t.restore(v23)
+        return
+    t.restore(v1)
+    # 10: (possessives|sU) slice + optional lAr+ki
+    t.ket = t.c
+    if _tr_try(t, _tr_mark_possessives) or _tr_try(t, _tr_mark_sU):
+        t.bra = t.c
+        t.slice_del()
+        v27 = t.save()
+        opt_lar_ki(v27)
+
+
+def _tr_post_last_consonant(t: _TrState) -> None:
+    t.c = len(t.s)
+    t.ket = t.c
+    for suf, rep in (("b", "p"), ("c", "ç"), ("d", "t"), ("ğ", "k")):
+        v = t.save()
+        if t.eq(suf):
+            t.bra = t.c
+            t.slice_from(rep)
+            return
+        t.restore(v)
+
+
+def _tr_append_U(t: _TrState) -> None:
+    s = t.s
+    if not s.endswith(("d", "g")):
+        return
+    lv = None
+    for i in range(len(s) - 1, -1, -1):
+        if s[i] in _TR_V:
+            lv = s[i]
+            break
+    if lv in ("a", "ı"):
+        t.s = s + "ı"
+    elif lv in ("e", "i"):
+        t.s = s + "i"
+    elif lv in ("o", "u"):
+        t.s = s + "u"
+    elif lv in ("ö", "ü"):
+        t.s = s + "ü"
+    t.c = len(t.s)
+
+
+def turkish_snowball_stem(term: str) -> str:
+    # more_than_one_syllable_word: at least two vowels
+    if sum(1 for ch in term if ch in _TR_V) < 2:
+        return term
+    t = _TrState(term)
+    v1 = t.save()
+    _tr_nominal_verb(t)
+    t.restore(v1)
+    # a plural verb ending stops ALL further stemming — including the
+    # postlude — but the deletion itself stands (the filter takes the
+    # buffer regardless of stem()'s boolean)
+    if not t.cont:
+        return t.s
+    v2 = t.save()
+    _tr_noun_suffixes(t)
+    t.restore(v2)
+    # postlude: reserved words abort BEFORE the vowel/consonant fixes —
+    # SnowballFilter ignores stem()'s boolean, so the suffix-stripped
+    # form still wins (SnowballFilter.java:91-95 takes the buffer
+    # unconditionally)
+    if t.s in ("ad", "soyad"):
+        return t.s
+    _tr_append_U(t)
+    _tr_post_last_consonant(t)
+    return t.s

@@ -39,6 +39,7 @@ from lucene_solr_spark.oracle.snowball import (
     dutch_snowball_stem,
     german2_snowball_stem,
     nepali_snowball_stem,
+    turkish_snowball_stem,
     german_snowball_stem,
     finnish_snowball_stem,
     hungarian_snowball_stem,
@@ -75,6 +76,10 @@ _LANGS = [
     ("german2", german2_snowball_stem, GERMAN2_SNOWBALL_SQL),
     ("nepali", nepali_snowball_stem, NEPALI_SNOWBALL_SQL),
 ]
+
+#: Turkish has NO SQL twin (persistent-slice recursion) — vocabulary
+#: parity only
+_LANGS_NOSQL = [("turkish", turkish_snowball_stem)]
 
 _EDGES = [
     "", "a", "ab", "abc", "bilens", "hallon", "ks", "fullt", "løst",
@@ -127,8 +132,12 @@ def _vocab(lang: str):
     return list(zip(voc, out))
 
 
-@pytest.mark.parametrize("lang, fn, _sql", _LANGS, ids=[l[0] for l in _LANGS])
-def test_full_vocabulary_parity(lang, fn, _sql):
+@pytest.mark.parametrize(
+    "lang, fn",
+    [(l, f) for l, f, _ in _LANGS] + _LANGS_NOSQL,
+    ids=[l[0] for l in _LANGS] + [l[0] for l in _LANGS_NOSQL],
+)
+def test_full_vocabulary_parity(lang, fn):
     bad = [(w, fn(w), o) for w, o in _vocab(lang) if fn(w) != o]
     assert not bad, bad[:10]
 
@@ -227,6 +236,20 @@ def test_dutch_snowball_pins():
     assert dutch_snowball_stem("groot") == "grot"
     # i between vowels is a consonant
     assert dutch_snowball_stem("draaien") == "draai"
+
+
+def test_turkish_snowball_pins():
+    # vowel harmony gates the plural: 'ler' after front vowels only
+    assert turkish_snowball_stem("evlerinde") == "ev"
+    assert turkish_snowball_stem("geliyorlar") == "geliyor"
+    # plural verb endings stop stemming but keep their own deletion
+    assert turkish_snowball_stem("katlettiler") == "katlet"
+    # postlude: append the harmony vowel after d/g, devoice finals
+    assert turkish_snowball_stem("kanald") == "kanaldı"
+    # reserved words skip the postlude
+    assert turkish_snowball_stem("adınadır") == "ad"
+    # single-syllable words never stem
+    assert turkish_snowball_stem("ev") == "ev"
 
 
 def test_nepali_snowball_pins():
