@@ -895,6 +895,8 @@ def _register_snowball() -> None:
             "german2_snowball": _sb.german2_snowball_stem,
             "nepali_snowball": _sb.nepali_snowball_stem,
             "turkish_snowball": _sb.turkish_snowball_stem,
+            "lovins": _sb.lovins_stem,
+            "kraaij_pohlmann": _sb.kraaij_pohlmann_stem,
         }
     )
 

@@ -1,7 +1,7 @@
 """Snowball stemmers (pure Python): Danish, Norwegian, Swedish,
 Russian, English Porter2, German, Dutch, Romanian, Irish, Hungarian,
-Finnish, Spanish, Portuguese, Italian, german2, Nepali, Turkish —
-seventeen published algorithm variants
+Finnish, Spanish, Portuguese, Italian, german2, Nepali, Turkish,
+Lovins, Kraaij-Pohlmann — nineteen published algorithm variants
 (snowballstem.org; the reference runs the generated forms under
 ``org/tartarus/snowball/ext/``). Every Snowball-DEFAULT analyzer
 (da/nl/ro/ga/hu/fi/sv/no/ru/tr) gets its true default stemmer here;
@@ -51,6 +51,8 @@ __all__ = [
     "german2_snowball_stem",
     "nepali_snowball_stem",
     "turkish_snowball_stem",
+    "lovins_stem",
+    "kraaij_pohlmann_stem",
     "SWEDISH_SNOWBALL_SQL",
     "NORWEGIAN_SNOWBALL_SQL",
     "DANISH_SNOWBALL_SQL",
@@ -4838,3 +4840,631 @@ def turkish_snowball_stem(term: str) -> str:
     _tr_append_U(t)
     _tr_post_last_consonant(t)
     return t.s
+
+
+# ---------------------------------------------------------------------------
+# Lovins (snowballstem.org lovins; generated form at
+# org/tartarus/snowball/ext/LovinsStemmer.java) — the classic 1968
+# Lovins English stemmer, exposed via
+# SnowballPorterFilterFactory(language=Lovins). One longest-match pass
+# over 294 endings, each gated by one of 29 published context
+# conditions (a failed condition falls back to shorter endings — they
+# are METHOD conditions inside the among); then undouble and a 35-rule
+# respell pass whose conditions do NOT fall back.
+# ---------------------------------------------------------------------------
+
+_LOVINS_ENDINGS = [('alistically', 'r_B'), ('izationally', 'r_B'), ('arizability', 'r_A'), ('arisations', 'r_A'), ('arizations', 'r_A'), ('antialness', 'r_A'), ('entialness', 'r_A'), ('entialize', 'r_A'), ('izational', 'r_A'), ('entiation', 'r_A'), ('arisation', 'r_A'), ('arization', 'r_A'), ('entations', 'r_A'), ('eableness', 'r_E'), ('ativeness', 'r_A'), ('ionalness', 'r_A'), ('itousness', 'r_A'), ('antaneous', 'r_A'), ('allically', 'r_C'), ('istically', 'r_A'), ('ationally', 'r_B'), ('antiality', 'r_A'), ('entiality', 'r_A'), ('izability', 'r_A'), ('arizable', 'r_A'), ('ionalize', 'r_A'), ('ionalism', 'r_A'), ('entation', 'r_A'), ('izations', 'r_A'), ('ableness', 'r_A'), ('ibleness', 'r_A'), ('icalness', 'r_A'), ('lessness', 'r_A'), ('eousness', 'r_A'), ('iousness', 'r_A'), ('entially', 'r_A'), ('ionality', 'r_A'), ('alistic', 'r_B'), ('aristic', 'r_A'), ('ivistic', 'r_A'), ('elihood', 'r_E'), ('encible', 'r_A'), ('entiate', 'r_A'), ('icalize', 'r_A'), ('arizing', 'r_A'), ('istical', 'r_A'), ('ational', 'r_B'), ('icalism', 'r_A'), ('ativism', 'r_A'), ('ication', 'r_G'), ('ination', 'r_A'), ('isation', 'r_A'), ('ization', 'r_F'), ('alities', 'r_A'), ('ivities', 'r_A'), ('entials', 'r_A'), ('ateness', 'r_A'), ('iteness', 'r_A'), ('iveness', 'r_A'), ('ingness', 'r_A'), ('ishness', 'r_A'), ('ariness', 'r_E'), ('fulness', 'r_A'), ('ousness', 'r_A'), ('entness', 'r_A'), ('izement', 'r_A'), ('icalist', 'r_A'), ('atively', 'r_A'), ('atingly', 'r_A'), ('aically', 'r_A'), ('oidally', 'r_A'), ('ionally', 'r_A'), ('entally', 'r_A'), ('icianry', 'r_A'), ('icality', 'r_A'), ('ability', 'r_A'), ('ibility', 'r_A'), ('arized', 'r_A'), ('icance', 'r_A'), ('atable', 'r_A'), ('izable', 'r_E'), ('eature', 'r_Z'), ('ionate', 'r_D'), ('ialize', 'r_A'), ('ancing', 'r_B'), ('encing', 'r_A'), ('ioning', 'r_A'), ('enting', 'r_C'), ('ancial', 'r_A'), ('ential', 'r_A'), ('oidism', 'r_A'), ('action', 'r_G'), ('ariser', 'r_A'), ('arizer', 'r_A'), ('istics', 'r_A'), ('ancies', 'r_A'), ('encies', 'r_A'), ('nesses', 'r_A'), ('atives', 'r_A'), ('ionals', 'r_A'), ('icians', 'r_A'), ('ations', 'r_B'), ('alness', 'r_A'), ('icists', 'r_A'), ('aceous', 'r_A'), ('acious', 'r_B'), ('ialist', 'r_A'), ('ionist', 'r_A'), ('entist', 'r_A'), ('ically', 'r_A'), ('efully', 'r_A'), ('ifully', 'r_A'), ('lessly', 'r_A'), ('eously', 'r_A'), ('iously', 'r_A'), ('iality', 'r_A'), ('allic', 'r_BB'), ('antic', 'r_C'), ('istic', 'r_A'), ('anced', 'r_B'), ('enced', 'r_A'), ('ished', 'r_A'), ('ioned', 'r_A'), ('ented', 'r_C'), ('aroid', 'r_A'), ('ehood', 'r_A'), ('ihood', 'r_A'), ('icide', 'r_A'), ('otide', 'r_A'), ('idine', 'r_I'), ('ature', 'r_E'), ('inate', 'r_A'), ('ative', 'r_A'), ('alize', 'r_A'), ('arize', 'r_A'), ('aging', 'r_B'), ('ening', 'r_E'), ('ating', 'r_I'), ('izing', 'r_F'), ('aical', 'r_A'), ('oidal', 'r_A'), ('arial', 'r_A'), ('ional', 'r_A'), ('ental', 'r_A'), ('icism', 'r_A'), ('alism', 'r_B'), ('inism', 'r_J'), ('ician', 'r_A'), ('ation', 'r_B'), ('ances', 'r_B'), ('ences', 'r_A'), ('oides', 'r_A'), ('acies', 'r_A'), ('aries', 'r_A'), ('ities', 'r_A'), ('izers', 'r_F'), ('ators', 'r_A'), ('eless', 'r_A'), ('eness', 'r_E'), ('iness', 'r_A'), ('itous', 'r_A'), ('icant', 'r_A'), ('ement', 'r_A'), ('icist', 'r_A'), ('alist', 'r_A'), ('iedly', 'r_A'), ('ately', 'r_A'), ('ively', 'r_A'), ('ingly', 'r_B'), ('arily', 'r_A'), ('ially', 'r_A'), ('fully', 'r_A'), ('early', 'r_Y'), ('ously', 'r_A'), ('ently', 'r_A'), ('atory', 'r_A'), ('acity', 'r_A'), ('icity', 'r_A'), ('ality', 'r_A'), ('elity', 'r_A'), ('inity', 'r_CC'), ('arity', 'r_B'), ('ivity', 'r_A'), ('aric', 'r_A'), ('atic', 'r_B'), ('itic', 'r_H'), ('ened', 'r_E'), ('ated', 'r_I'), ('ized', 'r_F'), ('hood', 'r_A'), ('ward', 'r_A'), ('ance', 'r_B'), ('ence', 'r_A'), ('able', 'r_A'), ('ible', 'r_A'), ('wise', 'r_A'), ('ying', 'r_B'), ('yish', 'r_A'), ('ical', 'r_A'), ('eful', 'r_A'), ('iful', 'r_A'), ('ogen', 'r_A'), ('izer', 'r_F'), ('ator', 'r_A'), ('ides', 'r_L'), ('ages', 'r_B'), ('ines', 'r_M'), ('ates', 'r_A'), ('ings', 'r_N'), ('ials', 'r_A'), ('isms', 'r_B'), ('ians', 'r_A'), ('ions', 'r_B'), ('iers', 'r_A'), ('less', 'r_A'), ('ness', 'r_A'), ('ants', 'r_B'), ('ists', 'r_A'), ('eous', 'r_A'), ('ious', 'r_A'), ('ancy', 'r_B'), ('ency', 'r_A'), ('ealy', 'r_Y'), ('ably', 'r_A'), ('ibly', 'r_A'), ('edly', 'r_E'), ('lily', 'r_A'), ('ally', 'r_B'), ('enly', 'r_E'), ('arly', 'r_K'), ('eity', 'r_A'), ('ata', 'r_A'), ('aic', 'r_A'), ('ied', 'r_A'), ('oid', 'r_A'), ('ide', 'r_L'), ('age', 'r_B'), ('ene', 'r_E'), ('ine', 'r_M'), ('one', 'r_R'), ('ese', 'r_A'), ('ate', 'r_A'), ('ite', 'r_AA'), ('ive', 'r_A'), ('ize', 'r_F'), ('ing', 'r_N'), ('ish', 'r_C'), ('eal', 'r_Y'), ('ial', 'r_A'), ('ful', 'r_A'), ('ism', 'r_B'), ('ium', 'r_A'), ('ian', 'r_A'), ('ion', 'r_Q'), ('ear', 'r_Y'), ('ier', 'r_A'), ('ics', 'r_A'), ('ies', 'r_P'), ('als', 'r_BB'), ('ars', 'r_O'), ('ous', 'r_A'), ('ant', 'r_B'), ('ent', 'r_C'), ('ist', 'r_A'), ('acy', 'r_A'), ('ely', 'r_E'), ('ily', 'r_A'), ('ary', 'r_F'), ('ery', 'r_E'), ('ity', 'r_A'), ("s'", 'r_A'), ('ia', 'r_A'), ('ic', 'r_A'), ('ed', 'r_E'), ('ae', 'r_A'), ('al', 'r_BB'), ('yl', 'r_R'), ('um', 'r_U'), ('en', 'r_F'), ('on', 'r_S'), ('ar', 'r_X'), ('or', 'r_T'), ("'s", 'r_A'), ('as', 'r_B'), ('es', 'r_E'), ('is', 'r_A'), ('us', 'r_V'), ('ly', 'r_B'), ('a', 'r_A'), ('e', 'r_A'), ('i', 'r_A'), ('o', 'r_A'), ('s', 'r_W'), ('y', 'r_B')]
+
+
+def _lov_cond(cond: str, st: str) -> bool:  # noqa: C901 — the 29 conditions
+    p = len(st)
+    if cond == "r_A":
+        return p >= 2
+    if cond == "r_B":
+        return p >= 3
+    if cond == "r_C":
+        return p >= 4
+    if cond == "r_D":
+        return p >= 5
+    if cond == "r_E":
+        return p >= 2 and not st.endswith("e")
+    if cond == "r_F":
+        return p >= 3 and not st.endswith("e")
+    if cond == "r_G":
+        return p >= 3 and st.endswith("f")
+    if cond == "r_H":
+        return p >= 2 and (st.endswith("t") or st.endswith("ll"))
+    if cond == "r_I":
+        return p >= 2 and not st.endswith(("o", "e"))
+    if cond == "r_J":
+        return p >= 2 and not st.endswith(("a", "e"))
+    if cond == "r_K":
+        return p >= 3 and (
+            st.endswith(("l", "i"))
+            or (st.endswith("e") and p >= 3 and st[p - 3] == "u")
+        )
+    if cond == "r_L":
+        if p < 2 or st.endswith(("u", "x")):
+            return False
+        return not (st.endswith("s") and not st.endswith("os"))
+    if cond == "r_M":
+        return p >= 2 and not st.endswith(("a", "c", "e", "m"))
+    if cond == "r_N":
+        return p >= 3 and (st[p - 3] != "s" or p >= 4)
+    if cond == "r_O":
+        return p >= 2 and st.endswith(("l", "i"))
+    if cond == "r_P":
+        return p >= 2 and not st.endswith("c")
+    if cond == "r_Q":
+        return p >= 3 and not st.endswith(("l", "n"))
+    if cond == "r_R":
+        return p >= 2 and st.endswith(("n", "r"))
+    if cond == "r_S":
+        return p >= 2 and (
+            st.endswith("dr") or (st.endswith("t") and not st.endswith("tt"))
+        )
+    if cond == "r_T":
+        return p >= 2 and (
+            st.endswith("s") or (st.endswith("t") and not st.endswith("ot"))
+        )
+    if cond == "r_U":
+        return p >= 2 and st.endswith(("l", "m", "n", "r"))
+    if cond == "r_V":
+        return p >= 2 and st.endswith("c")
+    if cond == "r_W":
+        return p >= 2 and not st.endswith(("s", "u"))
+    if cond == "r_X":
+        return p >= 2 and (
+            st.endswith(("l", "i"))
+            or (st.endswith("e") and p >= 3 and st[p - 3] == "u")
+        )
+    if cond == "r_Y":
+        return p >= 2 and st.endswith("in")
+    if cond == "r_Z":
+        return p >= 2 and not st.endswith("f")
+    if cond == "r_AA":
+        return p >= 2 and st.endswith(
+            ("d", "f", "ph", "th", "l", "er", "or", "es", "t")
+        )
+    if cond == "r_BB":
+        return p >= 3 and not st.endswith(("met", "ryst"))
+    if cond == "r_CC":
+        return p >= 2 and st.endswith("l")
+    raise ValueError(cond)
+
+
+_LOVINS_RESPELL = [
+    ("iev", "ief", None), ("uct", "uc", None), ("umpt", "um", None),
+    ("rpt", "rb", None), ("urs", "ur", None), ("istr", "ister", None),
+    ("metr", "meter", None), ("olv", "olut", None),
+    ("ul", "l", ("a", "i", "o")), ("bex", "bic", None),
+    ("dex", "dic", None), ("pex", "pic", None), ("tex", "tic", None),
+    ("ax", "ac", None), ("ex", "ec", None), ("ix", "ic", None),
+    ("lux", "luc", None), ("uad", "uas", None), ("vad", "vas", None),
+    ("cid", "cis", None), ("lid", "lis", None), ("erid", "eris", None),
+    ("pand", "pans", None), ("end", "ens", ("s",)), ("ond", "ons", None),
+    ("lud", "lus", None), ("rud", "rus", None),
+    ("her", "hes", ("p", "t")), ("mit", "mis", None),
+    ("ent", "ens", ("m",)), ("ert", "ers", None), ("et", "es", ("n",)),
+    ("yt", "ys", None), ("yz", "ys", None),
+]
+_LOVINS_RESPELL.sort(key=lambda e: len(e[0]), reverse=True)
+
+
+def lovins_stem(term: str) -> str:
+    s = term
+    # endings: longest match whose condition passes (method fallback)
+    for suf, cond in _LOVINS_ENDINGS:
+        if s.endswith(suf) and _lov_cond(cond, s[: -len(suf)]):
+            s = s[: -len(suf)]
+            break
+    # undouble
+    if len(s) >= 2 and s[-1] == s[-2] and s[-1] in "bdglmnprst":
+        s = s[:-1]
+    # respell: longest match; a failed context does NOT fall back
+    for suf, rep, not_after in _LOVINS_RESPELL:
+        if s.endswith(suf):
+            st = s[: -len(suf)]
+            if not_after is None or not st.endswith(not_after):
+                s = st + rep
+            break
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Kraaij-Pohlmann (snowballstem.org kraaij_pohlmann; generated form at
+# org/tartarus/snowball/ext/KpStemmer.java) — the alternative Dutch
+# stemmer, exposed via SnowballPorterFilterFactory(language=Kp).
+#
+# Notable machinery: 'ij' counts as ONE vowel unit in the measure and
+# the V/C context tests; deleted endings can trigger vowel
+# RE-LENGTHENING (tak→taak) and consonant restoration (ene→ +en,
+# ieve→ief); the ge- prefix and -ge- infix are removed with a
+# re-measure; a final undoubling pass also devoices lone v→f / z→s.
+# ---------------------------------------------------------------------------
+
+_KP_V = frozenset("aeiouy")
+_KP_V_WX = frozenset("aeiouywx")
+_KP_AOU = frozenset("aou")
+_KP_AIOU = frozenset("aiou")
+
+
+def _kp_measure(s: str) -> tuple[int, int]:
+    n = len(s)
+    i = 0
+    p1 = p2 = n
+
+    def vowel_run(i):
+        cnt = 0
+        while i < n:
+            if s[i : i + 2] == "ij":
+                i += 2
+            elif s[i] in _KP_V:
+                i += 1
+            else:
+                break
+            cnt += 1
+        return i, cnt
+
+    while i < n and s[i] not in _KP_V:
+        i += 1
+    i, c1 = vowel_run(i)
+    if c1 >= 1 and i < n and s[i] not in _KP_V:
+        i += 1
+        p1 = i
+        while i < n and s[i] not in _KP_V:
+            i += 1
+        i, c2 = vowel_run(i)
+        if c2 >= 1 and i < n and s[i] not in _KP_V:
+            p2 = i + 1
+    return p1, p2
+
+
+def _kp_V(s, c):
+    return c >= 1 and (s[c - 1] in _KP_V or s[max(0, c - 2) : c] == "ij")
+
+
+def _kp_VX(s, c):
+    return c >= 2 and (s[c - 2] in _KP_V or s[max(0, c - 3) : c - 1] == "ij")
+
+
+def _kp_C(s, c):
+    return c >= 1 and s[max(0, c - 2) : c] != "ij" and s[c - 1] not in _KP_V
+
+
+def _kp_lengthen_V(s: str, c: int) -> str:
+    """Double a short a/o/u (or guarded e) before the final consonant
+    of the stem ending at position c (never fails; returns the new
+    string — the caller's cursor is end-relative and unaffected)."""
+    if c < 1 or s[c - 1] in _KP_V_WX:
+        return s
+    if c >= 2 and s[c - 2] in _KP_AOU:
+        if (c - 2 == 0) or (c >= 3 and s[c - 3] not in _KP_V):
+            return s[: c - 1] + s[c - 2] + s[c - 1 :]
+        return s
+    if c >= 2 and s[c - 2] == "e":
+        # the e must sit after a consonant (CONSUMED — the later guards
+        # shift one position left) or at the word start
+        if c - 2 > 0:
+            if s[c - 3] in _KP_V:
+                return s
+            if c >= 4 and s[c - 4] in _KP_AIOU:
+                return s
+            if c >= 6 and s[c - 5] in _KP_AIOU and s[c - 6] not in _KP_V:
+                return s
+        return s[: c - 1] + "e" + s[c - 1 :]
+    return s
+
+
+def kraaij_pohlmann_stem(term: str) -> str:  # noqa: C901 — mirrors the steps
+    # y marking: initial y and y-after-vowel become consonant Y
+    chars = list(term)
+    y_found = False
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+        y_found = True
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _KP_V:
+            chars[i] = "Y"
+            y_found = True
+    s = "".join(chars)
+    p = list(_kp_measure(s))  # [p1, p2], re-measured after ge-removal
+
+    def r1(pos):
+        return pos >= p[0]
+
+    def r2(pos):
+        return pos >= p[1]
+
+    stemmed = False
+    ge_removed = False
+
+    def step1() -> bool:
+        nonlocal s
+        for suf, case in (
+            ("nde", 7), ("ies", 3), ("aus", 5), ("'s", 1), ("en", 6),
+            ("es", 4), ("s", 2),
+        ):
+            if not s.endswith(suf):
+                continue
+            st = len(s) - len(suf)
+            if case == 1:
+                s = s[:st]
+                return True
+            if case == 2:
+                if not r1(st):
+                    return False
+                if s[:st].endswith("t") and r1(st - 1):
+                    return False
+                if not _kp_C(s, st):
+                    return False
+                s = s[:st]
+                return True
+            if case == 3:
+                if not r1(st):
+                    return False
+                s = s[:st] + "ie"
+                return True
+            if case == 4:
+                if s[:st].endswith("ar") and r1(st - 2) and _kp_C(s, st - 2):
+                    s = s[: st - 2]
+                    s = _kp_lengthen_V(s, len(s))
+                    return True
+                if s[:st].endswith("er") and r1(st - 2) and _kp_C(s, st - 2):
+                    s = s[: st - 2]
+                    return True
+                if not (r1(st) and _kp_C(s, st)):
+                    return False
+                s = s[:st] + "e"
+                return True
+            if case == 5:
+                if not (r1(st) and _kp_V(s, st)):
+                    return False
+                s = s[:st] + "au"
+                return True
+            if case == 6:
+                st2 = st
+                if s[:st2].endswith("hed") and r1(st2 - 3):
+                    s = s[: st2 - 3] + "heid"
+                    return True
+                if s[:st2].endswith("nd"):
+                    s = s[:st2]
+                    return True
+                if s[:st2].endswith("d") and r1(st2 - 1) and _kp_C(s, st2 - 1):
+                    s = s[: st2 - 1]
+                    return True
+                if s[:st2].endswith(("i", "j")) and _kp_V(s, st2 - 1):
+                    s = s[:st2]
+                    return True
+                if not (r1(st2) and _kp_C(s, st2)):
+                    return False
+                s = s[:st2]
+                s = _kp_lengthen_V(s, len(s))
+                return True
+            if case == 7:
+                s = s[:st] + "nd"
+                return True
+        return False
+
+    def step2() -> bool:
+        nonlocal s
+        for suf, case in (
+            ("ische", 4), ("lijke", 3), ("ieve", 11), ("ene", 10),
+            ("de", 5), ("ge", 2), ("je", 1), ("le", 9), ("re", 8),
+            ("se", 7), ("te", 6),
+        ):
+            if not s.endswith(suf):
+                continue
+            st = len(s) - len(suf)
+            if case == 1:
+                base = s[:st]
+                if base.endswith("'t"):
+                    s = base[:-2] + "e"[0:0] + s[st:][2:]  # placeholder
+                    s = base[:-2]
+                    return True
+                if base.endswith("et"):
+                    if r1(st - 2) and _kp_C(s, st - 2):
+                        s = base[:-2]
+                        return True
+                    # fall through to shorter alternatives below
+                if base.endswith("rnt"):
+                    s = base[:-3] + "rn"
+                    return True
+                if base.endswith("t") and r1(st - 1) and _kp_VX(s, st - 1):
+                    s = base[:-1]
+                    return True
+                if base.endswith("ink"):
+                    s = base[:-3] + "ing"
+                    return True
+                if base.endswith("mp"):
+                    s = base[:-2] + "m"
+                    return True
+                if base.endswith("'"):
+                    if r1(st - 1):
+                        s = base[:-1]
+                        return True
+                    return False
+                if not (r1(st) and _kp_C(s, st)):
+                    return False
+                s = base
+                return True
+            if case == 2:
+                if not r1(st):
+                    return False
+                s = s[:st] + "g"
+                return True
+            if case == 3:
+                if not r1(st):
+                    return False
+                s = s[:st] + "lijk"
+                return True
+            if case == 4:
+                if not r1(st):
+                    return False
+                s = s[:st] + "isch"
+                return True
+            if case == 5:
+                if not (r1(st) and _kp_C(s, st)):
+                    return False
+                s = s[:st]
+                return True
+            if case == 6:
+                if not r1(st):
+                    return False
+                s = s[:st] + "t"
+                return True
+            if case == 7:
+                if not r1(st):
+                    return False
+                s = s[:st] + "s"
+                return True
+            if case == 8:
+                if not r1(st):
+                    return False
+                s = s[:st] + "r"
+                return True
+            if case == 9:
+                if not r1(st):
+                    return False
+                s = s[:st] + "l"
+                s = _kp_lengthen_V(s, len(s))
+                return True
+            if case == 10:
+                if not (r1(st) and _kp_C(s, st)):
+                    return False
+                s = s[:st] + "en"
+                s = _kp_lengthen_V(s, len(s))
+                return True
+            if case == 11:
+                if not (r1(st) and _kp_C(s, st)):
+                    return False
+                s = s[:st] + "ief"
+                return True
+        return False
+
+    def step3() -> bool:
+        nonlocal s
+        for suf, case in (
+            ("iteit", 2), ("heid", 3), ("atie", 1), ("isme", 2),
+            ("arij", 5), ("erij", 2), ("rder", 4), ("ster", 3),
+            ("fie", 6), ("gie", 7), ("ing", 2), ("sel", 3), ("dst", 9),
+            ("tst", 8),
+        ):
+            if not s.endswith(suf):
+                continue
+            st = len(s) - len(suf)
+            if case == 1:
+                if not r1(st):
+                    return False
+                s = s[:st] + "eer"
+                return True
+            if case == 2:
+                if not r1(st):
+                    return False
+                s = s[:st]
+                s = _kp_lengthen_V(s, len(s))
+                return True
+            if case == 3:
+                if not r1(st):
+                    return False
+                s = s[:st]
+                return True
+            if case == 4:
+                s = s[:st] + "r"
+                return True
+            if case == 5:
+                if not (r1(st) and _kp_C(s, st)):
+                    return False
+                s = s[:st] + "aar"
+                return True
+            if case == 6:
+                if not r2(st):
+                    return False
+                s = s[:st] + "f"
+                s = _kp_lengthen_V(s, len(s))
+                return True
+            if case == 7:
+                if not r2(st):
+                    return False
+                s = s[:st] + "g"
+                s = _kp_lengthen_V(s, len(s))
+                return True
+            if case == 8:
+                if not (r1(st) and _kp_C(s, st)):
+                    return False
+                s = s[:st] + "t"
+                return True
+            if case == 9:
+                if not (r1(st) and _kp_C(s, st)):
+                    return False
+                s = s[:st] + "d"
+                return True
+        return False
+
+    def step4() -> bool:
+        nonlocal s
+        for suf, case in (
+            ("achtiger", 3), ("achtigst", 3), ("achtig", 3),
+            ("ioneel", 1), ("atief", 2), ("eriger", 9), ("erigst", 9),
+            ("lijker", 8), ("lijkst", 8), ("erig", 9), ("baar", 3),
+            ("laar", 5), ("naar", 4), ("raar", 6), ("tant", 7),
+            ("end", 9),
+        ):
+            if not s.endswith(suf):
+                continue
+            st = len(s) - len(suf)
+            if case == 1:
+                if not r1(st):
+                    break
+                s = s[:st] + "ie"
+                return True
+            if case == 2:
+                if not r1(st):
+                    break
+                s = s[:st] + "eer"
+                return True
+            if case == 3:
+                if not r1(st):
+                    break
+                s = s[:st]
+                return True
+            if case == 4:
+                if not (r1(st) and _kp_V(s, st)):
+                    break
+                s = s[:st] + "n"
+                return True
+            if case == 5:
+                if not (r1(st) and _kp_V(s, st)):
+                    break
+                s = s[:st] + "l"
+                return True
+            if case == 6:
+                if not (r1(st) and _kp_V(s, st)):
+                    break
+                s = s[:st] + "r"
+                return True
+            if case == 7:
+                if not r1(st):
+                    break
+                s = s[:st] + "teer"
+                return True
+            if case == 8:
+                if not r1(st):
+                    break
+                s = s[:st] + "lijk"
+                return True
+            if case == 9:
+                if not (r1(st) and _kp_C(s, st)):
+                    break
+                s = s[:st]
+                s = _kp_lengthen_V(s, len(s))
+                return True
+            break
+        # second chance: the ig family
+        for suf in ("iger", "igst", "ig"):
+            if s.endswith(suf):
+                st = len(s) - len(suf)
+                if not (r1(st) and _kp_C(s, st)):
+                    return False
+                s = s[:st]
+                s = _kp_lengthen_V(s, len(s))
+                return True
+        return False
+
+    def step7() -> bool:
+        nonlocal s
+        for suf, rep in (("kt", "k"), ("ft", "f"), ("pt", "p")):
+            if s.endswith(suf):
+                s = s[: -len(suf)] + rep
+                return True
+        return False
+
+    def step6() -> bool:
+        nonlocal s
+        for suf, rep in (
+            ("vv", "v"), ("zz", "z"), ("bb", "b"), ("cc", "c"),
+            ("dd", "d"), ("ff", "f"), ("gg", "g"), ("hh", "h"),
+            ("jj", "j"), ("kk", "k"), ("ll", "l"), ("mm", "m"),
+            ("nn", "n"), ("pp", "p"), ("qq", "q"), ("rr", "r"),
+            ("ss", "s"), ("tt", "t"), ("ww", "w"), ("xx", "x"),
+            ("v", "f"), ("z", "s"),
+        ):
+            if s.endswith(suf):
+                s = s[: -len(suf)] + rep
+                return True
+        return False
+
+    def step1c() -> bool:
+        nonlocal s
+        for suf, case in (("d", 1), ("t", 2)):
+            if not s.endswith(suf):
+                continue
+            st = len(s) - 1
+            if not (r1(st) and _kp_C(s, st)):
+                return False
+            if case == 1:
+                if s[:st].endswith("n") and r1(st - 1):
+                    return False
+            else:
+                if s[:st].endswith("h") and r1(st - 1):
+                    return False
+            s = s[:st]
+            return True
+        return False
+
+    def lose_prefix() -> bool:
+        nonlocal s, ge_removed
+        if not s.startswith("ge") or len(s) < 5:
+            return False
+        rest = s[2:]
+        vi = next((k for k, ch in enumerate(rest) if ch in _KP_V), None)
+        if vi is None:
+            return False
+        if not any(ch not in _KP_V for ch in rest[vi:]):
+            return False
+        ge_removed = True
+        s = rest
+        return True
+
+    def lose_infix() -> bool:
+        nonlocal s, ge_removed
+        gi = s.find("ge", 1)
+        if gi < 0:
+            return False
+        if len(s) - (gi + 2) < 3:
+            return False
+        rest = s[gi + 2 :]
+        vi = next((k for k, ch in enumerate(rest) if ch in _KP_V), None)
+        if vi is None:
+            return False
+        if not any(ch not in _KP_V for ch in rest[vi:]):
+            return False
+        ge_removed = True
+        s = s[:gi] + rest
+        return True
+
+    if step1():
+        stemmed = True
+    if step2():
+        stemmed = True
+    if step3():
+        stemmed = True
+    if step4():
+        stemmed = True
+    ge_removed = False
+    if lose_prefix():
+        p[:] = _kp_measure(s)
+    if ge_removed:
+        step1c()
+    ge_removed = False
+    if lose_infix():
+        p[:] = _kp_measure(s)
+    if ge_removed:
+        step1c()
+    if step7():
+        stemmed = True
+    if stemmed or ge_removed:
+        step6()
+    if y_found:
+        s = s.replace("Y", "y")
+    return s

@@ -40,6 +40,8 @@ from lucene_solr_spark.oracle.snowball import (
     german2_snowball_stem,
     nepali_snowball_stem,
     turkish_snowball_stem,
+    lovins_stem,
+    kraaij_pohlmann_stem,
     german_snowball_stem,
     finnish_snowball_stem,
     hungarian_snowball_stem,
@@ -79,7 +81,11 @@ _LANGS = [
 
 #: Turkish has NO SQL twin (persistent-slice recursion) — vocabulary
 #: parity only
-_LANGS_NOSQL = [("turkish", turkish_snowball_stem)]
+_LANGS_NOSQL = [
+    ("turkish", turkish_snowball_stem),
+    ("lovins", lovins_stem),
+    ("kp", kraaij_pohlmann_stem),
+]
 
 _EDGES = [
     "", "a", "ab", "abc", "bilens", "hallon", "ks", "fullt", "løst",
@@ -236,6 +242,26 @@ def test_dutch_snowball_pins():
     assert dutch_snowball_stem("groot") == "grot"
     # i between vowels is a consonant
     assert dutch_snowball_stem("draaien") == "draai"
+
+
+def test_kp_pins():
+    # deleted endings trigger vowel RE-LENGTHENING (tak → taak shapes)
+    assert kraaij_pohlmann_stem("taken") == "taak"
+    # insert() moves the cursor PAST the restored consonant, so the
+    # lengthening sees it as the final consonant (gie → +g → oo)
+    assert kraaij_pohlmann_stem("technologies") == "technoloog"
+    # but an AIOU syllable two back blocks the e-doubling
+    assert kraaij_pohlmann_stem("bunkeren") == "bunker"
+    # undouble + lone v/z devoicing
+    assert kraaij_pohlmann_stem("alles") == "al"
+
+
+def test_lovins_pins():
+    # longest ending wins when its condition passes ('ationally' B)
+    assert lovins_stem("nationally") == "nat"
+    assert lovins_stem("sensationally") == "sens"
+    # respell: uct → uc
+    assert lovins_stem("induction") == "induc"
 
 
 def test_turkish_snowball_pins():
