@@ -1604,3 +1604,69 @@ ROMANIAN_STOP_WORDS = frozenset(
     "întrucât întrucît îţi ăla ălea ăsta ăstea ăştia şi ţi ţie "
 ).split()
 )
+
+
+# ---------------------------------------------------------------------------
+# Minimal stemmers (Savoy, *Morphologie et recherche d'information*) —
+# the reference's *MinimalStemmer.java companions to the light family.
+# ---------------------------------------------------------------------------
+
+_DE_MIN_FOLD = str.maketrans("äöü", "aou")
+
+
+def german_minimal_stem(term: str) -> str:
+    """de/GermanMinimalStemmer.java: umlaut fold + plural n/e/s/r tiers."""
+    if len(term) < 5:
+        return term
+    s = term.translate(_DE_MIN_FOLD)
+    n = len(s)
+    if n > 6 and s.endswith("nen"):
+        return s[:-3]
+    if n > 5 and s[-2:] in ("en", "se", "es", "er"):
+        return s[:-2]
+    if s[-1] in "nesr":
+        return s[:-1]
+    return s
+
+
+def french_minimal_stem(term: str) -> str:
+    """fr/FrenchMinimalStemmer.java: x-plural rewrite then the
+    s/r/e/é/double-letter truncation chain."""
+    if len(term) < 6:
+        return term
+    s = term
+    if s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u":
+            s = s[:-3] + "al"  # aux → al (u→l then drop x)
+            return s
+        return s[:-1]
+    if s[-1] == "s":
+        s = s[:-1]
+    if s[-1] == "r":
+        s = s[:-1]
+    if s[-1] == "e":
+        s = s[:-1]
+    if s[-1] == "é":
+        s = s[:-1]
+    if len(s) >= 2 and s[-1] == s[-2] and s[-1].isalpha():
+        s = s[:-1]
+    return s
+
+
+def norwegian_minimal_stem(
+    term: str, *, bokmaal: bool = True, nynorsk: bool = False
+) -> str:
+    """no/NorwegianMinimalStemmer.java with the BOKMAAL/NYNORSK flags."""
+    s = term
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 5 and (s.endswith("ene") or (nynorsk and s.endswith("ane"))):
+        return s[:-3]
+    if n > 4 and (
+        s.endswith(("er", "en", "et")) or (nynorsk and s.endswith("ar"))
+    ):
+        return s[:-2]
+    if n > 3 and s[-1] in "ae":
+        return s[:-1]
+    return s

@@ -184,3 +184,24 @@ def test_porter_vs_snowball_vocabulary():
     assert diffs["visibly"] == ("visibl", "visibli")
     # logi→log: palynologi → palynolog
     assert diffs["palynology"] == ("palynolog", "palynologi")
+
+
+def test_porter_vs_lucene_vocabulary():
+    """THE definitive Porter parity evidence: the reference's own
+    23,531-word Porter test vocabulary (en/porterTestData.zip, used by
+    Lucene's TestPorterStemFilter.testVocabulary) — every word
+    bit-exact, departures and length guard included."""
+    import zipfile
+
+    from lucene_solr_spark.oracle.porter import porter_stem
+
+    ref = (
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/en/porterTestData.zip"
+    )
+    with zipfile.ZipFile(ref) as z:
+        voc = z.read("voc.txt").decode("utf-8").split()
+        out = z.read("output.txt").decode("utf-8").split()
+    assert len(voc) == len(out) == 23531
+    bad = [(w, porter_stem(w), o) for w, o in zip(voc, out) if porter_stem(w) != o]
+    assert not bad, bad[:10]
