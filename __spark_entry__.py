@@ -371,6 +371,39 @@ def _italian_executor(spark: SparkSession, sf_dir: str):
     return _CACHE[key]
 
 
+#: Irish-gate corpus: n-eclipsis on a-words ('agg' → 'nAgg'), d'-elision
+#: with an uppercase vowel on o-words ('order' → "d'Order"), and a bare
+#: 'n' hyphenation token before big-words (plus mixed-case 'bIg' for the
+#: plain-lowercase branch). No replacement contains its own pattern, so
+#: non-recursive replace semantics agree between Spark and DuckDB.
+_IRISH_TEXT_SQL = (
+    "replace(replace(replace(text, ' a', ' nA'), ' o', ' d''O'), "
+    "' big', ' n bIg')"
+)
+#: uppercase + apostrophe-joined tokens (MidNumLet)
+_IRISH_TOKEN_RX = "[a-zA-Z0-9]+(?:'[a-zA-Z0-9]+)*"
+
+
+def _irish_executor(spark: SparkSession, sf_dir: str):
+    """FULL IrishAnalyzer chain (ga/IrishAnalyzer.java:120-128:
+    StopFilter(HYPHENATIONS) → ElisionFilter(d/m/b) →
+    IrishLowerCaseFilter → Stop → Snowball Irish) via the named-analyzer
+    seam — every stage has an exact SQL twin."""
+    key = f"ga_ix::{sf_dir}"
+    if key not in _CACHE:
+        from lucene_solr_spark.operators.index_build import build_index
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.expr(_IRISH_TEXT_SQL).alias("text")
+        )
+        ix = build_index(
+            docs, text_col="text", doc_id_col="doc_id", analyzer="irish"
+        ).persist()
+        _CACHE[key] = DFExecutor(ix, mode="double")
+    return _CACHE[key]
+
+
 #: SQL expression for the synthetic second field (computed deterministically
 #: from the corpus — identical text in Spark and DuckDB): a short prefix of
 #: the body with per-doc varying length, so the title field has its OWN df
@@ -1918,12 +1951,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Irish SNOWBALL stemmer (the IrishAnalyzer's stem stage): the
         initial-mutation prefix strip turns 'the' into 'te' (th→t
         lenition reversal) — BM25 top-10 for 'te'; exact SQL twin.
-        The analyzer's Irish-specific case folding (IrishLowerCaseFilter)
-        is not modeled — stemmer-only parity, disclosed in COVERAGE."""
+        (The full chain incl. IrishLowerCaseFilter = irish_chain_topk.)"""
         ex = _light_stem_executor(spark, sf_dir, "irish_snowball")
         return ex.topk(_T("te"), k=10).select("doc_id", "score")
 
     out["irish_snowball_topk"] = irish_snowball_topk
+
+    def irish_chain_topk(spark, sf_dir):
+        """FULL IrishAnalyzer chain VALUE-exact end-to-end
+        (ga/IrishAnalyzer.java:120-128): position-preserving
+        StopFilter(HYPHENATIONS h/n/t, case-insensitive, pre-elision) →
+        ElisionFilter(d/m/b) → IrishLowerCaseFilter (t-prothesis /
+        n-eclipsis: 'nAgg' → 'n-agg') → Irish stop set → Snowball Irish
+        ('n-agg' → 'agg' via the initial-mutation strip). BM25 top-10
+        for 'agg'; every stage has an exact SQL twin."""
+        ex = _irish_executor(spark, sf_dir)
+        return ex.topk(_T("agg"), k=10).select("doc_id", "score")
+
+    out["irish_chain_topk"] = irish_chain_topk
 
     def hungarian_snowball_topk(spark, sf_dir):
         """Hungarian SNOWBALL stemmer (the HungarianAnalyzer DEFAULT):
@@ -2989,6 +3034,10 @@ def oracle_sql() -> dict[str, str]:
     out["irish_snowball_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.IRISH_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="te")
+    )
+    out["irish_chain_topk"] = (
+        f"WITH {_ictes_lang(text_col=_IRISH_TEXT_SQL, token_regex=_IRISH_TOKEN_RX, raw_stop=('h', 'n', 't'), elide_regex=_ls.elision_regex(_ls.IRISH_ARTICLES), pre_term_expr=_ls.IRISH_LOWER_SQL, stopwords=tuple(_ls.IRISH_STOP_WORDS), term_expr=_sb.IRISH_SNOWBALL_SQL)}"
+        + _lang_topk.format(score=_SCORE, term="agg")
     )
     out["hungarian_snowball_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.HUNGARIAN_SNOWBALL_SQL)}"

@@ -39,13 +39,14 @@ TOKEN_SCHEMA = T.ArrayType(
 
 def make_tokenize_udf(
     *,
-    lowercase: bool = True,
+    lowercase: bool | str = True,
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
     strip_possessive: bool = False,
     stemmer: str | None = None,
     elide: frozenset[str] | None = None,
     stem_exclusions: frozenset[str] | None = None,
+    pre_stop: frozenset[str] | None = None,
 ):
     """Build a tokenizer pandas UDF with a fixed analyzer config.
 
@@ -68,6 +69,7 @@ def make_tokenize_udf(
                     stemmer=stemmer,
                     elide=elide,
                     stem_exclusions=stem_exclusions,
+                    pre_stop=pre_stop,
                 )
             ]
         )
@@ -92,7 +94,7 @@ def tokens_frame(
     *,
     text_col: str,
     id_col: str = "doc_id",
-    lowercase: bool = True,
+    lowercase: bool | str = True,
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
     strip_possessive: bool = False,
@@ -100,6 +102,7 @@ def tokens_frame(
     stemmer: str | None = None,
     elide: frozenset[str] | None = None,
     stem_exclusions: frozenset[str] | None = None,
+    pre_stop: frozenset[str] | None = None,
 ):
     """corpus → flat (doc_id, term, pos) token rows via ONE ``mapInPandas``
     pass over the VECTORIZED batch tokenizer (functions.fast_tokenizer):
@@ -134,6 +137,7 @@ def tokens_frame(
                 stemmer=stemmer,
                 elide=elide,
                 stem_exclusions=stem_exclusions,
+                pre_stop=pre_stop,
             )
             yield pd.DataFrame(
                 {
@@ -241,7 +245,7 @@ def postings_frame(
     *,
     text_col: str,
     id_col: str = "doc_id",
-    lowercase: bool = True,
+    lowercase: bool | str = True,
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
     strip_possessive: bool = False,
@@ -249,6 +253,7 @@ def postings_frame(
     stemmer: str | None = None,
     elide: frozenset[str] | None = None,
     stem_exclusions: frozenset[str] | None = None,
+    pre_stop: frozenset[str] | None = None,
     with_positions: bool = True,
     with_offsets: bool = False,
     shingles: tuple[int, int] | None = None,
@@ -321,6 +326,7 @@ def postings_frame(
                 stemmer=stemmer,
                 elide=elide,
                 stem_exclusions=stem_exclusions,
+                pre_stop=pre_stop,
                 with_offsets=with_offsets,
             )
             if with_offsets:

@@ -39,6 +39,8 @@ def tokens_cte(
     token_regex: str = "[a-z0-9]+",
     elide_regex: str | None = None,
     term_expr=None,
+    raw_stop: tuple = (),
+    pre_term_expr: str | None = None,
 ) -> str:
     """Tokenize: documents text is [a-z0-9 ]-clean, so StandardAnalyzer
     tokens == regexp [a-z0-9]+ runs (verified by analyzer parity tests).
@@ -56,19 +58,34 @@ def tokens_cte(
     - ``term_expr``: a SQL expression over ``term`` — or a sequence of
       them, applied as successive layers (a multi-step stemmer stays
       readable instead of one exploded CASE) — applied AFTER the stop
-      filter (the stem filter's slot)."""
+      filter (the stem filter's slot);
+    - ``raw_stop``: a case-insensitive stop applied to RAW tokens BEFORE
+      elision — IrishAnalyzer's StopFilter(HYPHENATIONS) slot
+      (``ga/IrishAnalyzer.java:121``); positions were already assigned,
+      so gaps survive exactly like the engine's ``pre_stop``;
+    - ``pre_term_expr``: a SQL expression over ``term`` applied AFTER
+      elision but BEFORE the stop filter — the IrishLowerCaseFilter slot
+      (the fold must see original casing, the stop set the folded
+      term)."""
     stop_sql = ""
     if stopwords:
-        stops = ", ".join(f"'{w}'" for w in sorted(stopwords))
+        # quote-escape: stop sets may contain apostrophes (Irish b'/d'/m')
+        stops = ", ".join("'{}'".format(w.replace("'", "''")) for w in sorted(stopwords))
         stop_sql = f" WHERE term NOT IN ({stops})"
     rx = token_regex.replace("'", "''")
     body = f"""SELECT doc_id,
                unnest(regexp_extract_all({text_col}, '{rx}')) AS term,
                generate_subscripts(regexp_extract_all({text_col}, '{rx}'), 1) - 1 AS pos
         FROM {table}"""
+    if raw_stop:
+        rstops = ", ".join("'{}'".format(w.replace("'", "''")) for w in sorted(raw_stop))
+        body = f"""SELECT * FROM ({body}) WHERE lower(term) NOT IN ({rstops})"""
     if elide_regex:
         erx = elide_regex.replace("'", "''")
         body = f"""SELECT doc_id, regexp_replace(term, '{erx}', '') AS term, pos
+        FROM ({body})"""
+    if pre_term_expr:
+        body = f"""SELECT doc_id, {pre_term_expr} AS term, pos
         FROM ({body})"""
     body = f"SELECT * FROM (\n        {body}\n      ){stop_sql}"
     if not term_expr:
@@ -102,6 +119,8 @@ def index_ctes(
     token_regex: str = "[a-z0-9]+",
     elide_regex: str | None = None,
     term_expr=None,
+    raw_stop: tuple = (),
+    pre_term_expr: str | None = None,
 ) -> str:
     """The inverted-index tables as CTEs over ``table`` (default
     `documents`; pass a subquery to model an index whose deleted docs
@@ -156,7 +175,7 @@ def index_ctes(
             "GROUP BY doc_id"
         )
     lut = f"{norm_lut_sql()},\n    " if with_lut else ""
-    return f"""{lut}{tokens_cte(text_col=text_col, stopwords=stopwords, table=table, name=f"{p}tokens", token_regex=token_regex, elide_regex=elide_regex, term_expr=term_expr)}{shingle_cte},
+    return f"""{lut}{tokens_cte(text_col=text_col, stopwords=stopwords, table=table, name=f"{p}tokens", token_regex=token_regex, elide_regex=elide_regex, term_expr=term_expr, raw_stop=raw_stop, pre_term_expr=pre_term_expr)}{shingle_cte},
     {p}postings AS ({postings}),
     {p}doclen AS ({doclen}),
     {p}norms AS (

@@ -159,7 +159,7 @@ def _shift_next(a: np.ndarray) -> np.ndarray:
 def batch_tokenize(
     texts,
     *,
-    lowercase: bool = True,
+    lowercase: bool | str = True,
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
     strip_possessive: bool = False,
@@ -167,6 +167,7 @@ def batch_tokenize(
     stemmer: str | None = None,
     elide: frozenset[str] | None = None,
     stem_exclusions: frozenset[str] | None = None,
+    pre_stop: frozenset[str] | None = None,
     with_offsets: bool = False,
 ):
     """Tokenize a batch of documents.
@@ -229,7 +230,10 @@ def batch_tokenize(
         in_range = cp < FAST_LIMIT
         cpi = np.minimum(cp, FAST_LIMIT - 1)
         bad = ~in_range
-        if lowercase:
+        if lowercase is True:
+            # char-level lowering only; lowercase="irish" lowers per
+            # DISTINCT term in Python (always oracle-identical), so it
+            # needs no slow-doc routing
             bad = bad | _BAD_LOWER[cpi]
         seg_starts = doc_off[:-1].clip(max=len(cp) - 1)
         doc_bad = np.maximum.reduceat(bad.view(np.uint8), seg_starts).astype(bool)
@@ -278,7 +282,7 @@ def batch_tokenize(
             eoff = (soff + tlen).astype(np.int32)
 
         if starts.size:
-            data = _LOWER[cpi] if lowercase else cp
+            data = _LOWER[cpi] if lowercase is True else cp
             total = int(tlen.sum())
             # int32 index space: a batch is < 2^31 chars by construction
             # (Arrow batches), and halving the temp footprint halves the
@@ -309,6 +313,23 @@ def batch_tokenize(
                 len(tlen),
                 [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(tbytes)],
             )
+            if pre_stop:
+                # IrishAnalyzer's StopFilter(HYPHENATIONS) slot: a
+                # case-insensitive stop on RAW tokens BEFORE elision;
+                # positions were assigned pre-mask, so gaps survive
+                mps = pc.is_in(
+                    pc.utf8_lower(terms),
+                    value_set=pa.array(sorted(pre_stop), pa.utf8()),
+                )
+                keepp = np.invert(
+                    pc.fill_null(mps, False).to_numpy(zero_copy_only=False)
+                )
+                terms = terms.filter(pa.array(keepp))
+                tdoc = tdoc[keepp]
+                pos = pos[keepp]
+                if with_offsets:
+                    soff = soff[keepp]
+                    eoff = eoff[keepp]
             if strip_possessive:
                 terms = pc.replace_substring_regex(
                     terms, pattern="['’][sS]$", replacement=""
@@ -324,6 +345,19 @@ def batch_tokenize(
                     replacement="",
                     max_replacements=1,
                 )
+            if lowercase == "irish" and len(terms):
+                # IrishLowerCaseFilter AFTER elision (the fold reads the
+                # original casing); per-DISTINCT-term like the stemmers
+                from lucene_solr_spark.oracle.light_stemmers import (
+                    irish_lower,
+                )
+
+                dirr = pc.dictionary_encode(terms)
+                folded_ga = pa.array(
+                    [irish_lower(t) for t in dirr.dictionary.to_pylist()],
+                    pa.utf8(),
+                )
+                terms = folded_ga.take(dirr.indices)
             if fold_ascii and len(terms):
                 # per-DISTINCT-term fold via dictionary encode (the
                 # stemmer pattern): the batch vocabulary is tiny next to
@@ -378,6 +412,7 @@ def batch_tokenize(
                 stemmer=stemmer,
                 elide=elide,
                 stem_exclusions=stem_exclusions,
+                pre_stop=pre_stop,
             )
             if not otoks:
                 continue
@@ -403,6 +438,7 @@ def batch_tokenize(
             stemmer=stemmer,
             elide=elide,
             stem_exclusions=stem_exclusions,
+            pre_stop=pre_stop,
         )
         if not toks:
             continue

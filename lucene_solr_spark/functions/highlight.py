@@ -94,7 +94,7 @@ class Passage:
 def analyze_with_offsets(
     text: str,
     *,
-    lowercase: bool = True,
+    lowercase: bool | str = True,
     stopwords: frozenset = frozenset(),
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
     strip_possessive: bool = False,
@@ -102,6 +102,7 @@ def analyze_with_offsets(
     stemmer: str | None = None,
     elide: frozenset | None = None,
     stem_exclusions: frozenset | None = None,
+    pre_stop: frozenset | None = None,
 ) -> list[tuple[str, int, int, int]]:
     """Analyzer chain WITH character offsets → [(term, pos, start, end)].
 
@@ -137,12 +138,22 @@ def analyze_with_offsets(
     for pos, (term, s, e) in enumerate(raw):
         if len(term) > max_token_length:
             continue  # skipped but consumes a position (skippedPositions)
-        if lowercase:
-            term = term.lower()
-        if strip_possessive:
-            term = _sp(term)
-        if elide:
-            term = french_elide(term, elide)
+        if pre_stop is not None and term.lower() in pre_stop:
+            continue  # IrishAnalyzer HYPHENATIONS slot — gap preserved
+        if lowercase == "irish":
+            # ga/IrishAnalyzer.java:120-128: elide BEFORE the Irish fold
+            from lucene_solr_spark.oracle.light_stemmers import irish_lower
+
+            if elide:
+                term = french_elide(term, elide)
+            term = irish_lower(term)
+        else:
+            if lowercase:
+                term = term.lower()
+            if strip_possessive:
+                term = _sp(term)
+            if elide:
+                term = french_elide(term, elide)
         if fold_ascii:
             from lucene_solr_spark.oracle.tokenizer import fold_accents
 

@@ -248,7 +248,7 @@ def build_index(
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
     keep_cols: tuple[str, ...] = (),
     analyzer: str | None = None,
-    lowercase: bool = True,
+    lowercase: bool | str = True,
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = 255,
     strip_possessive: bool = False,
@@ -256,6 +256,7 @@ def build_index(
     stemmer: str | None = None,
     elide: frozenset[str] | None = None,
     stem_exclusions: frozenset[str] | None = None,
+    pre_stop: frozenset[str] | None = None,
     with_positions: bool = True,
     index_options: str = "positions",  # "positions" | "freqs" | "docs"
     shingles: tuple[int, int] | None = None,
@@ -286,6 +287,7 @@ def build_index(
             strip_possessive=strip_possessive,
             stemmer=stemmer,
             elide=elide,
+            pre_stop=pre_stop,
         )
         for k, v in cfg.items():
             if explicit.get(k) not in (None, frozenset(), False):
@@ -296,6 +298,8 @@ def build_index(
         strip_possessive = cfg.get("strip_possessive", strip_possessive)
         stemmer = cfg.get("stemmer", stemmer)
         elide = cfg.get("elide", elide)
+        lowercase = cfg.get("lowercase", lowercase)
+        pre_stop = cfg.get("pre_stop", pre_stop)
     with_offsets = index_options == "offsets"
     if index_options in ("freqs", "docs"):
         with_positions = False
@@ -335,6 +339,7 @@ def build_index(
         stemmer=stemmer,
         elide=elide,
         stem_exclusions=stem_exclusions,
+        pre_stop=pre_stop,
         with_positions=with_positions,
         with_offsets=with_offsets,
         shingles=shingles,

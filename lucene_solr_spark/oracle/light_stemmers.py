@@ -72,6 +72,11 @@ __all__ = [
     "norwegian_light_stem",
     "ITALIAN_ARTICLES",
     "ITALIAN_STOP_WORDS",
+    "IRISH_ARTICLES",
+    "IRISH_HYPHENATIONS",
+    "IRISH_STOP_WORDS",
+    "IRISH_LOWER_SQL",
+    "irish_lower",
     "PORTUGUESE_STOP_WORDS",
     "RUSSIAN_STOP_WORDS",
     "FINNISH_STOP_WORDS",
@@ -435,6 +440,44 @@ ITALIAN_ARTICLES = frozenset(
         "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s",
         "v", "d",
     ]
+)
+
+#: IrishAnalyzer.DEFAULT_ARTICLES (``ga/IrishAnalyzer.java:45-46``)
+IRISH_ARTICLES = frozenset(["d", "m", "b"])
+
+#: IrishAnalyzer.HYPHENATIONS (``ga/IrishAnalyzer.java:48-54``): a
+#: position-preserving StopFilter applied BEFORE elision/case-folding so
+#: that pre-hyphenated text ("n-athair" → tokens "n", "athair") keeps the
+#: same positions as unhyphenated "nAthair" (which IrishLowerCaseFilter
+#: rewrites to one "n-athair" token) — phrase queries then agree.
+IRISH_HYPHENATIONS = frozenset(["h", "n", "t"])
+
+_IRISH_UPPER_VOWELS = frozenset("AEIOUÁÉÍÓÚ")
+
+
+def irish_lower(term: str) -> str:
+    """IrishLowerCaseFilter (``ga/IrishLowerCaseFilter.java:37-62``):
+    a token starting with lowercase 'n'/'t' followed by an UPPERCASE
+    vowel (plain or fada) is t-prothesis / n-eclipsis — insert a hyphen
+    after the mutation consonant and lowercase the rest ("nAthair" →
+    "n-athair", "tUISCE" → "t-uisce"); anything else lowercases whole
+    ("hARD" → "hard" — 'h' never gains a hyphen)."""
+    if (
+        len(term) > 1
+        and (term[0] == "n" or term[0] == "t")
+        and term[1] in _IRISH_UPPER_VOWELS
+    ):
+        return term[0] + "-" + term[1:].lower()
+    return term.lower()
+
+
+#: exact SQL twin of :func:`irish_lower` over a column named ``term``
+IRISH_LOWER_SQL = (
+    "CASE WHEN length(term) > 1 AND substr(term, 1, 1) IN ('n', 't') "
+    "AND substr(term, 2, 1) IN "
+    "('A','E','I','O','U','Á','É','Í','Ó','Ú') "
+    "THEN substr(term, 1, 1) || '-' || lower(substr(term, 2)) "
+    "ELSE lower(term) END"
 )
 
 
@@ -951,6 +994,17 @@ def analyzer_config(name: str) -> dict:
         "dutch": dict(stopwords=DUTCH_STOP_WORDS, stemmer="dutch_snowball"),
         "romanian": dict(
             stopwords=ROMANIAN_STOP_WORDS, stemmer="romanian_snowball"
+        ),
+        # IrishAnalyzer.java:120-128: StopFilter(HYPHENATIONS) →
+        # ElisionFilter(d/m/b) → IrishLowerCaseFilter → Stop → Snowball.
+        # lowercase="irish" = the Irish fold runs AFTER elision (it needs
+        # the original casing to spot the mutated-uppercase-vowel shape).
+        "irish": dict(
+            pre_stop=IRISH_HYPHENATIONS,
+            elide=IRISH_ARTICLES,
+            lowercase="irish",
+            stopwords=IRISH_STOP_WORDS,
+            stemmer="irish_snowball",
         ),
         "hungarian": dict(
             stopwords=HUNGARIAN_STOP_WORDS, stemmer="hungarian_snowball"
@@ -1580,6 +1634,23 @@ DUTCH_STOP_WORDS = frozenset(
 ).split()
 )
 #: RomanianAnalyzer stopwords.txt (Savoy BSD list, #-comments)
+#: ``ga/stopwords.txt`` — the IrishAnalyzer default stop set (110 words;
+#: loaded by ``IrishAnalyzer.getDefaultStopSet``). Includes the bare
+#: elided-article forms ``b'``/``d'``/``m'``.
+IRISH_STOP_WORDS = frozenset(
+(
+    "a ach ag agus an aon ar arna as b' ba beirt bhúr caoga ceathair "
+    "ceathrar chomh chtó chuig chun cois céad cúig cúigear d' "
+    "daichead dar de deich deichniúr den dhá do don dtí dá dár dó "
+    "faoi faoin faoina faoinár fara fiche gach gan go gur haon hocht "
+    "i iad idir in ina ins inár is le leis lena lenár m' mar mo mé "
+    "na nach naoi naonúr ná ní níor nó nócha ocht ochtar os roimh sa "
+    "seacht seachtar seachtó seasca seisear siad sibh sinn sna sé sí "
+    "tar thar thú triúr trí trína trínár tríocha tú um ár é éis í ó "
+    "ón óna ónár "
+).split()
+)
+
 ROMANIAN_STOP_WORDS = frozenset(
 (
     "acea aceasta această aceea acei aceia acel acela acele acelea "

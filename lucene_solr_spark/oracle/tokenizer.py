@@ -168,7 +168,7 @@ def fold_accents(term: str) -> str:
 def analyze(
     text: str,
     *,
-    lowercase: bool = True,
+    lowercase: bool | str = True,
     stopwords: frozenset[str] = frozenset(),
     max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
     strip_possessive: bool = False,
@@ -176,6 +176,7 @@ def analyze(
     stemmer: str | None = None,
     elide: frozenset[str] | None = None,
     stem_exclusions: frozenset[str] | None = None,
+    pre_stop: frozenset[str] | None = None,
 ) -> list[Token]:
     """Full analyzer chain. Default = Lucene StandardAnalyzer (lowercase,
     NO stopwords). The EnglishAnalyzer chain
@@ -188,8 +189,19 @@ def analyze(
     BEFORE the stop filter (an elided article may expose a stopword).
     We lowercase before the possessive strip / elision — equivalent,
     since both are case-insensitive and lowercasing preserves
-    apostrophes. Positions keep gaps across dropped tokens."""
-    from lucene_solr_spark.oracle.light_stemmers import french_elide
+    apostrophes. Positions keep gaps across dropped tokens.
+
+    ``pre_stop``: a case-insensitive position-preserving stop set applied
+    to RAW tokens before any other filter — IrishAnalyzer's
+    StopFilter(HYPHENATIONS) slot (``ga/IrishAnalyzer.java:121``).
+    ``lowercase="irish"`` selects IrishLowerCaseFilter semantics: elision
+    runs FIRST (on original casing, like the reference chain order
+    ``ga/IrishAnalyzer.java:120-128``), then the Irish fold
+    (:func:`oracle.light_stemmers.irish_lower`)."""
+    from lucene_solr_spark.oracle.light_stemmers import (
+        french_elide,
+        irish_lower,
+    )
     from lucene_solr_spark.oracle.light_stemmers import (
         resolve_with_exclusions as _resolve,
     )
@@ -198,12 +210,19 @@ def analyze(
     stem = _resolve(stemmer, stem_exclusions)
     out: list[Token] = []
     for term, pos in tokenize(text, max_token_length):
-        if lowercase:
-            term = term.lower()
-        if strip_possessive:
-            term = _sp(term)
-        if elide:
-            term = french_elide(term, elide)
+        if pre_stop is not None and term.lower() in pre_stop:
+            continue  # consumed its position — gap preserved
+        if lowercase == "irish":
+            if elide:
+                term = french_elide(term, elide)
+            term = irish_lower(term)
+        else:
+            if lowercase:
+                term = term.lower()
+            if strip_possessive:
+                term = _sp(term)
+            if elide:
+                term = french_elide(term, elide)
         if fold_ascii:
             term = fold_accents(term)
         if term in stopwords:
