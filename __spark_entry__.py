@@ -404,6 +404,37 @@ def _irish_executor(spark: SparkSession, sf_dir: str):
     return _CACHE[key]
 
 
+#: Turkish-gate corpus: 'te-suffixed proper names behind apostrophes on
+#: n-final words ("join'te" — ApostropheFilter work), capital-I words
+#: ('Ihash' → dotless 'ıhash'), dotted-İ words ('İjoin' → 'ijoin'), and
+#: the stopword 've'. No replacement contains its own pattern.
+_TURKISH_TEXT_SQL = (
+    "replace(replace(replace(replace(text, 'n ', 'n''te '), ' h', ' Ih'), "
+    "' j', ' İj'), ' the', ' ve')"
+)
+#: uppercase + Turkish İ + apostrophe-joined tokens
+_TURKISH_TOKEN_RX = "[a-zA-Z0-9İ]+(?:'[a-zA-Z0-9İ]+)*"
+
+
+def _turkish_executor(spark: SparkSession, sf_dir: str):
+    """FULL TurkishAnalyzer chain (tr/TurkishAnalyzer.java:109-118:
+    ApostropheFilter → TurkishLowerCaseFilter → Stop →
+    SnowballFilter(TurkishStemmer)) via the named-analyzer seam."""
+    key = f"tr_ix::{sf_dir}"
+    if key not in _CACHE:
+        from lucene_solr_spark.operators.index_build import build_index
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.expr(_TURKISH_TEXT_SQL).alias("text")
+        )
+        ix = build_index(
+            docs, text_col="text", doc_id_col="doc_id", analyzer="turkish"
+        ).persist()
+        _CACHE[key] = DFExecutor(ix, mode="double")
+    return _CACHE[key]
+
+
 #: SQL expression for the synthetic second field (computed deterministically
 #: from the corpus — identical text in Spark and DuckDB): a short prefix of
 #: the body with per-doc varying length, so the title field has its OWN df
@@ -1970,6 +2001,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["irish_chain_topk"] = irish_chain_topk
 
+    def turkish_fold_counts(spark, sf_dir):
+        """ApostropheFilter + TurkishLowerCaseFilter + Turkish stop set
+        (tr/TurkishAnalyzer.java:109-118, stem stage excluded — the
+        Turkish Snowball machine has no SQL twin) over the Turkish
+        corpus: apostrophe-suffix strip ("join'te" → "join"), dotless-i
+        ('Ihash' → 'ıhash'), dotted-İ ('İjoin' → 'ijoin'), stopword 've'
+        dropped with positions preserved; per-term df/tf/sum_pos,
+        value-exact vs the SQL fold twin."""
+        from lucene_solr_spark.functions.analysis import tokens_frame
+        from lucene_solr_spark.oracle.light_stemmers import (
+            TURKISH_STOP_WORDS,
+        )
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.expr(_TURKISH_TEXT_SQL).alias("text")
+        )
+        toks = tokens_frame(
+            docs,
+            text_col="text",
+            apostrophe=True,
+            lowercase="turkish",
+            stopwords=TURKISH_STOP_WORDS,
+        )
+        return (
+            toks.groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count("*").alias("tf"),
+                F.sum("pos").alias("sum_pos"),
+            )
+            .orderBy(F.desc("df"), F.desc("tf"), F.asc("term"))
+            .limit(20)
+        )
+
+    out["turkish_fold_counts"] = turkish_fold_counts
+
+    def turkish_chain_topk(spark, sf_dir):
+        """FULL TurkishAnalyzer chain end-to-end via analyzer="turkish"
+        (ApostropheFilter → TurkishLowerCaseFilter → stop → Turkish
+        Snowball). Rows-only by design: the stem stage has no SQL twin
+        (see turkish_snowball_topk); the pre-stem stages are value-exact
+        in turkish_fold_counts and the stemmer is vocab-bit-exact in
+        tests/test_snowball.py. BM25 top-10 for the stem of 'ıhash'."""
+        ex = _turkish_executor(spark, sf_dir)
+        from lucene_solr_spark.oracle.snowball import turkish_snowball_stem
+
+        return ex.topk(
+            _T(turkish_snowball_stem("ıhash")), k=10
+        ).select("doc_id", "score")
+
+    out["turkish_chain_topk"] = turkish_chain_topk
+
     def hungarian_snowball_topk(spark, sf_dir):
         """Hungarian SNOWBALL stemmer (the HungarianAnalyzer DEFAULT):
         BM25 top-10 for 'tabl'; the SQL twin factors the digraph-aware
@@ -3039,6 +3122,20 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_ictes_lang(text_col=_IRISH_TEXT_SQL, token_regex=_IRISH_TOKEN_RX, raw_stop=('h', 'n', 't'), elide_regex=_ls.elision_regex(_ls.IRISH_ARTICLES), pre_term_expr=_ls.IRISH_LOWER_SQL, stopwords=tuple(_ls.IRISH_STOP_WORDS), term_expr=_sb.IRISH_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="agg")
     )
+    out["turkish_fold_counts"] = (
+        "WITH "
+        + _tokens_lang(
+            text_col=_TURKISH_TEXT_SQL,
+            token_regex=_TURKISH_TOKEN_RX,
+            pre_term_expr=_ls.TURKISH_FOLD_SQL,
+            stopwords=tuple(_ls.TURKISH_STOP_WORDS),
+        )
+        + _counts_tail
+    )
+    # turkish_chain_topk: intentionally NO oracle entry — the Turkish
+    # Snowball stem stage is not SQL-expressible (see
+    # turkish_snowball_topk); rows-only by documented design. The
+    # pre-stem stages ARE value-exact via turkish_fold_counts.
     out["hungarian_snowball_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.HUNGARIAN_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="tabl")

@@ -47,6 +47,7 @@ def make_tokenize_udf(
     elide: frozenset[str] | None = None,
     stem_exclusions: frozenset[str] | None = None,
     pre_stop: frozenset[str] | None = None,
+    apostrophe: bool = False,
 ):
     """Build a tokenizer pandas UDF with a fixed analyzer config.
 
@@ -70,6 +71,7 @@ def make_tokenize_udf(
                     elide=elide,
                     stem_exclusions=stem_exclusions,
                     pre_stop=pre_stop,
+                    apostrophe=apostrophe,
                 )
             ]
         )
@@ -103,6 +105,7 @@ def tokens_frame(
     elide: frozenset[str] | None = None,
     stem_exclusions: frozenset[str] | None = None,
     pre_stop: frozenset[str] | None = None,
+    apostrophe: bool = False,
 ):
     """corpus → flat (doc_id, term, pos) token rows via ONE ``mapInPandas``
     pass over the VECTORIZED batch tokenizer (functions.fast_tokenizer):
@@ -138,6 +141,7 @@ def tokens_frame(
                 elide=elide,
                 stem_exclusions=stem_exclusions,
                 pre_stop=pre_stop,
+                apostrophe=apostrophe,
             )
             yield pd.DataFrame(
                 {
@@ -254,6 +258,7 @@ def postings_frame(
     elide: frozenset[str] | None = None,
     stem_exclusions: frozenset[str] | None = None,
     pre_stop: frozenset[str] | None = None,
+    apostrophe: bool = False,
     with_positions: bool = True,
     with_offsets: bool = False,
     shingles: tuple[int, int] | None = None,
@@ -327,6 +332,7 @@ def postings_frame(
                 elide=elide,
                 stem_exclusions=stem_exclusions,
                 pre_stop=pre_stop,
+                apostrophe=apostrophe,
                 with_offsets=with_offsets,
             )
             if with_offsets:

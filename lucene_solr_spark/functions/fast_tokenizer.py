@@ -168,6 +168,7 @@ def batch_tokenize(
     elide: frozenset[str] | None = None,
     stem_exclusions: frozenset[str] | None = None,
     pre_stop: frozenset[str] | None = None,
+    apostrophe: bool = False,
     with_offsets: bool = False,
 ):
     """Tokenize a batch of documents.
@@ -330,6 +331,16 @@ def batch_tokenize(
                 if with_offsets:
                     soff = soff[keepp]
                     eoff = eoff[keepp]
+            if apostrophe:
+                # ApostropheFilter (tr/ApostropheFilter.java): truncate
+                # at the first apostrophe; tokens never contain newlines,
+                # so '.*' reaches the token end
+                terms = pc.replace_substring_regex(
+                    terms,
+                    pattern="['’].*",
+                    replacement="",
+                    max_replacements=1,
+                )
             if strip_possessive:
                 terms = pc.replace_substring_regex(
                     terms, pattern="['’][sS]$", replacement=""
@@ -345,16 +356,19 @@ def batch_tokenize(
                     replacement="",
                     max_replacements=1,
                 )
-            if lowercase == "irish" and len(terms):
+            if lowercase in ("irish", "turkish") and len(terms):
                 # IrishLowerCaseFilter AFTER elision (the fold reads the
-                # original casing); per-DISTINCT-term like the stemmers
+                # original casing) / TurkishLowerCaseFilter after the
+                # apostrophe strip; per-DISTINCT-term like the stemmers
                 from lucene_solr_spark.oracle.light_stemmers import (
                     irish_lower,
+                    turkish_lower,
                 )
 
+                fold_fn = irish_lower if lowercase == "irish" else turkish_lower
                 dirr = pc.dictionary_encode(terms)
                 folded_ga = pa.array(
-                    [irish_lower(t) for t in dirr.dictionary.to_pylist()],
+                    [fold_fn(t) for t in dirr.dictionary.to_pylist()],
                     pa.utf8(),
                 )
                 terms = folded_ga.take(dirr.indices)
@@ -413,6 +427,7 @@ def batch_tokenize(
                 elide=elide,
                 stem_exclusions=stem_exclusions,
                 pre_stop=pre_stop,
+                apostrophe=apostrophe,
             )
             if not otoks:
                 continue
@@ -439,6 +454,7 @@ def batch_tokenize(
             elide=elide,
             stem_exclusions=stem_exclusions,
             pre_stop=pre_stop,
+            apostrophe=apostrophe,
         )
         if not toks:
             continue

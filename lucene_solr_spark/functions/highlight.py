@@ -103,6 +103,7 @@ def analyze_with_offsets(
     elide: frozenset | None = None,
     stem_exclusions: frozenset | None = None,
     pre_stop: frozenset | None = None,
+    apostrophe: bool = False,
 ) -> list[tuple[str, int, int, int]]:
     """Analyzer chain WITH character offsets → [(term, pos, start, end)].
 
@@ -140,6 +141,12 @@ def analyze_with_offsets(
             continue  # skipped but consumes a position (skippedPositions)
         if pre_stop is not None and term.lower() in pre_stop:
             continue  # IrishAnalyzer HYPHENATIONS slot — gap preserved
+        if apostrophe:
+            from lucene_solr_spark.oracle.light_stemmers import (
+                apostrophe_strip,
+            )
+
+            term = apostrophe_strip(term)
         if lowercase == "irish":
             # ga/IrishAnalyzer.java:120-128: elide BEFORE the Irish fold
             from lucene_solr_spark.oracle.light_stemmers import irish_lower
@@ -147,6 +154,10 @@ def analyze_with_offsets(
             if elide:
                 term = french_elide(term, elide)
             term = irish_lower(term)
+        elif lowercase == "turkish":
+            from lucene_solr_spark.oracle.light_stemmers import turkish_lower
+
+            term = turkish_lower(term)
         else:
             if lowercase:
                 term = term.lower()

@@ -257,6 +257,7 @@ def build_index(
     elide: frozenset[str] | None = None,
     stem_exclusions: frozenset[str] | None = None,
     pre_stop: frozenset[str] | None = None,
+    apostrophe: bool = False,
     with_positions: bool = True,
     index_options: str = "positions",  # "positions" | "freqs" | "docs"
     shingles: tuple[int, int] | None = None,
@@ -288,6 +289,7 @@ def build_index(
             stemmer=stemmer,
             elide=elide,
             pre_stop=pre_stop,
+            apostrophe=apostrophe,
         )
         for k, v in cfg.items():
             if explicit.get(k) not in (None, frozenset(), False):
@@ -300,6 +302,7 @@ def build_index(
         elide = cfg.get("elide", elide)
         lowercase = cfg.get("lowercase", lowercase)
         pre_stop = cfg.get("pre_stop", pre_stop)
+        apostrophe = cfg.get("apostrophe", apostrophe)
     with_offsets = index_options == "offsets"
     if index_options in ("freqs", "docs"):
         with_positions = False
@@ -340,6 +343,7 @@ def build_index(
         elide=elide,
         stem_exclusions=stem_exclusions,
         pre_stop=pre_stop,
+        apostrophe=apostrophe,
         with_positions=with_positions,
         with_offsets=with_offsets,
         shingles=shingles,

@@ -77,6 +77,10 @@ __all__ = [
     "IRISH_STOP_WORDS",
     "IRISH_LOWER_SQL",
     "irish_lower",
+    "TURKISH_STOP_WORDS",
+    "TURKISH_FOLD_SQL",
+    "turkish_lower",
+    "apostrophe_strip",
     "PORTUGUESE_STOP_WORDS",
     "RUSSIAN_STOP_WORDS",
     "FINNISH_STOP_WORDS",
@@ -478,6 +482,83 @@ IRISH_LOWER_SQL = (
     "('A','E','I','O','U','Á','É','Í','Ó','Ú') "
     "THEN substr(term, 1, 1) || '-' || lower(substr(term, 2)) "
     "ELSE lower(term) END"
+)
+
+
+def apostrophe_strip(term: str) -> str:
+    """ApostropheFilter (``tr/ApostropheFilter.java:43-53``): truncate
+    the token at the FIRST apostrophe (``'`` or ``’``) — Turkish uses
+    apostrophes to attach suffixes to proper names ("Kıbrıs'ta" →
+    "Kıbrıs")."""
+    for i, ch in enumerate(term):
+        if ch == "'" or ch == "’":
+            return term[:i]
+    return term
+
+
+#: Java ``Character.toLowerCase`` is the SIMPLE per-codepoint map;
+#: Python ``str.lower()`` applies the FULL map for İ (U+0130 → "i"+U+0307,
+#: two codepoints) — pin the simple mapping Java uses.
+_JAVA_LOWER_SPECIAL = {"İ": "i"}
+
+
+def turkish_lower(term: str) -> str:  # noqa: C901 — mirrors the filter loop
+    """TurkishLowerCaseFilter (``tr/TurkishLowerCaseFilter.java:49-90``):
+    dotted/dotless-i casing. 'I' lowers to dotless 'ı' unless followed
+    (skipping other combining marks) by U+0307 COMBINING DOT ABOVE, in
+    which case it lowers to 'i' and the dot is DELETED (mimics composed
+    lowercase); a combining dot above in i-or-after state is deleted;
+    everything else takes the per-codepoint simple lowercase ('İ' → 'i',
+    the Java simple map)."""
+    import unicodedata
+
+    n = len(term)
+    out: list[str] = []
+    i_or_after = False
+    i = 0
+    while i < n:
+        ch = term[i]
+        i_or_after = ch == "I" or (
+            i_or_after and unicodedata.category(ch) == "Mn"
+        )
+        if i_or_after:
+            if ch == "\u0307":
+                i += 1  # delete the combining dot
+                continue
+            if ch == "I":
+                # lookahead over other combining marks for a dot above
+                j = i + 1
+                before_dot = False
+                while j < n:
+                    c2 = term[j]
+                    if unicodedata.category(c2) != "Mn":
+                        break
+                    if c2 == "\u0307":
+                        before_dot = True
+                        break
+                    j += 1
+                if before_dot:
+                    out.append("i")
+                else:
+                    out.append("ı")
+                    i_or_after = False  # the reference's optimization
+                i += 1
+                continue
+        lo = _JAVA_LOWER_SPECIAL.get(ch)
+        if lo is None:
+            lo = ch.lower()
+            if len(lo) != 1:
+                lo = ch  # no simple mapping beyond İ matters here
+        out.append(lo)
+        i += 1
+    return "".join(out)
+
+
+#: exact SQL twin of ApostropheFilter → TurkishLowerCaseFilter over a
+#: column named ``term``, valid on combining-mark-free text (the gate
+#: corpus is; the decomposed-form cases are pinned in pytest instead)
+TURKISH_FOLD_SQL = (
+    "lower(translate(regexp_replace(term, '[''’].*', ''), 'Iİ', 'ıi'))"
 )
 
 
@@ -1005,6 +1086,14 @@ def analyzer_config(name: str) -> dict:
             lowercase="irish",
             stopwords=IRISH_STOP_WORDS,
             stemmer="irish_snowball",
+        ),
+        # TurkishAnalyzer.java:109-118: ApostropheFilter →
+        # TurkishLowerCaseFilter → Stop → SnowballFilter(TurkishStemmer)
+        "turkish": dict(
+            apostrophe=True,
+            lowercase="turkish",
+            stopwords=TURKISH_STOP_WORDS,
+            stemmer="turkish_snowball",
         ),
         "hungarian": dict(
             stopwords=HUNGARIAN_STOP_WORDS, stemmer="hungarian_snowball"
@@ -1634,6 +1723,35 @@ DUTCH_STOP_WORDS = frozenset(
 ).split()
 )
 #: RomanianAnalyzer stopwords.txt (Savoy BSD list, #-comments)
+#: ``tr/stopwords.txt`` — the TurkishAnalyzer default stop set (209
+#: words; loaded by ``TurkishAnalyzer.getDefaultStopSet`` with '#'
+#: comments stripped).
+TURKISH_STOP_WORDS = frozenset(
+(
+    "acaba altmış altı ama ancak arada aslında ayrıca bana bazı belki "
+    "ben benden beni benim beri beş bile bin bir birçok biri birkaç "
+    "birkez birşey birşeyi biz bize bizden bizi bizim böyle böylece "
+    "bu buna bunda bundan bunlar bunları bunların bunu bunun burada "
+    "çok çünkü da daha dahi de defa değil diğer diye doksan dokuz "
+    "dolayı dolayısıyla dört edecek eden ederek edilecek ediliyor "
+    "edilmesi ediyor eğer elli en etmesi etti ettiği ettiğini gibi "
+    "göre halen hangi hatta hem henüz hep hepsi her herhangi herkesin "
+    "hiç hiçbir için iki ile ilgili ise işte itibaren itibariyle "
+    "kadar karşın katrilyon kendi kendilerine kendini kendisi "
+    "kendisine kendisini kez ki kim kimden kime kimi kimse kırk "
+    "milyar milyon mu mü mı nasıl ne neden nedenle nerde nerede "
+    "nereye niye niçin o olan olarak oldu olduğu olduğunu "
+    "olduklarını olmadı olmadığı olmak olması olmayan olmaz olsa "
+    "olsun olup olur olursa oluyor on ona ondan onlar onlardan onları "
+    "onların onu onun otuz oysa öyle pek rağmen sadece sanki sekiz "
+    "seksen sen senden seni senin siz sizden sizi sizin şey şeyden "
+    "şeyi şeyler şöyle şu şuna şunda şundan şunları şunu tarafından "
+    "trilyon tüm üç üzere var vardı ve veya ya yani yapacak yapılan "
+    "yapılması yapıyor yapmak yaptı yaptığı yaptığını yaptıkları "
+    "yedi yerine yetmiş yine yirmi yoksa yüz zaten "
+).split()
+)
+
 #: ``ga/stopwords.txt`` — the IrishAnalyzer default stop set (110 words;
 #: loaded by ``IrishAnalyzer.getDefaultStopSet``). Includes the bare
 #: elided-article forms ``b'``/``d'``/``m'``.

@@ -177,6 +177,7 @@ def analyze(
     elide: frozenset[str] | None = None,
     stem_exclusions: frozenset[str] | None = None,
     pre_stop: frozenset[str] | None = None,
+    apostrophe: bool = False,
 ) -> list[Token]:
     """Full analyzer chain. Default = Lucene StandardAnalyzer (lowercase,
     NO stopwords). The EnglishAnalyzer chain
@@ -197,10 +198,18 @@ def analyze(
     ``lowercase="irish"`` selects IrishLowerCaseFilter semantics: elision
     runs FIRST (on original casing, like the reference chain order
     ``ga/IrishAnalyzer.java:120-128``), then the Irish fold
-    (:func:`oracle.light_stemmers.irish_lower`)."""
+    (:func:`oracle.light_stemmers.irish_lower`).
+
+    ``apostrophe=True`` inserts ApostropheFilter
+    (``tr/ApostropheFilter.java``) before the case fold, and
+    ``lowercase="turkish"`` selects TurkishLowerCaseFilter's
+    dotted/dotless-i semantics — together the TurkishAnalyzer chain
+    (``tr/TurkishAnalyzer.java:109-118``)."""
     from lucene_solr_spark.oracle.light_stemmers import (
+        apostrophe_strip,
         french_elide,
         irish_lower,
+        turkish_lower,
     )
     from lucene_solr_spark.oracle.light_stemmers import (
         resolve_with_exclusions as _resolve,
@@ -212,10 +221,14 @@ def analyze(
     for term, pos in tokenize(text, max_token_length):
         if pre_stop is not None and term.lower() in pre_stop:
             continue  # consumed its position — gap preserved
+        if apostrophe:
+            term = apostrophe_strip(term)
         if lowercase == "irish":
             if elide:
                 term = french_elide(term, elide)
             term = irish_lower(term)
+        elif lowercase == "turkish":
+            term = turkish_lower(term)
         else:
             if lowercase:
                 term = term.lower()
