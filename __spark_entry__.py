@@ -415,6 +415,24 @@ _TURKISH_TEXT_SQL = (
 #: uppercase + Turkish İ + apostrophe-joined tokens
 _TURKISH_TOKEN_RX = "[a-zA-Z0-9İ]+(?:'[a-zA-Z0-9İ]+)*"
 
+#: CJK-gate corpus: deterministic CJK text from the documents table —
+#: a-z map onto a FOUR-script alphabet (Han, Hiragana, Katakana, Hangul
+#: mixed, so bigrams form ACROSS script boundaries like
+#: CJKBigramFilter's multi-script buffering), then every standalone あ
+#: word gains a leading English stopword 'the' to exercise the
+#: pass-through + StopFilter position-gap path. Identical expression in
+#: Spark SQL and DuckDB (translate/replace/lower/regexp_replace agree).
+_CJK_ALPHABET = "あ一二三い四五六う七가八九ナえ十口日月カお山水火木金"
+
+
+def _cjk_text_sql(g_flag: str) -> str:
+    # g_flag: "" for Spark (regexp_replace is global), ", 'g'" for DuckDB
+    return (
+        f"replace(translate(regexp_replace(lower(text), '[^a-z ]', ''{g_flag}), "
+        f"'abcdefghijklmnopqrstuvwxyz', '{_CJK_ALPHABET}'), "
+        "' あ ', ' the あ ')"
+    )
+
 
 def _turkish_executor(spark: SparkSession, sf_dir: str):
     """FULL TurkishAnalyzer chain (tr/TurkishAnalyzer.java:109-118:
@@ -2053,6 +2071,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["turkish_chain_topk"] = turkish_chain_topk
 
+    def cjk_chain_counts(spark, sf_dir):
+        """FULL CJKAnalyzer chain (cjk/CJKAnalyzer.java:95-103:
+        CJKWidthFilter → LowerCase → CJKBigramFilter → Stop) over a
+        four-script synthetic corpus (Han/Hiragana/Katakana/Hangul mixed
+        inside words, so bigrams buffer ACROSS scripts like
+        CJKBigramFilter's flag union), with injected standalone 'the'
+        tokens exercising the pass-through + StopFilter position-gap
+        path. Per-term df/tf/sum_pos, value-exact vs a DuckDB twin that
+        re-derives bigrams with substr/generate_series and positions
+        with a running emitted-count window."""
+        from lucene_solr_spark.functions.analysis import tokens_frame
+        from lucene_solr_spark.oracle.light_stemmers import analyzer_config
+
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", F.expr(_cjk_text_sql("")).alias("text")
+        )
+        toks = tokens_frame(docs, text_col="text", **analyzer_config("cjk"))
+        return (
+            toks.groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count("*").alias("tf"),
+                F.sum("pos").alias("sum_pos"),
+            )
+            .orderBy(F.desc("df"), F.desc("tf"), F.asc("term"))
+            .limit(20)
+        )
+
+    out["cjk_chain_counts"] = cjk_chain_counts
+
     def hungarian_snowball_topk(spark, sf_dir):
         """Hungarian SNOWBALL stemmer (the HungarianAnalyzer DEFAULT):
         BM25 top-10 for 'tabl'; the SQL twin factors the digraph-aware
@@ -3136,6 +3184,44 @@ def oracle_sql() -> dict[str, str]:
     # Snowball stem stage is not SQL-expressible (see
     # turkish_snowball_topk); rows-only by documented design. The
     # pre-stem stages ARE value-exact via turkish_fold_counts.
+
+    # cjk_chain_counts: the DuckDB twin re-derives CJKBigramFilter
+    # output from first principles — every space-separated run of L
+    # codepoints emits L-1 bigrams via substr (unigram if L == 1, the
+    # injected 'the' passes through then stops out), positions are the
+    # running emitted-count window, matching the renumber-then-stop
+    # semantics (cjk/CJKBigramFilter.java:150-231).
+    out["cjk_chain_counts"] = f"""WITH src AS (
+        SELECT doc_id, {_cjk_text_sql(", 'g'")} AS t
+        FROM documents),
+      runs AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(t, '[^ ]+')) AS run,
+               generate_subscripts(regexp_extract_all(t, '[^ ]+'), 1) AS ord
+        FROM src),
+      runs2 AS (
+        SELECT doc_id, run, ord,
+               CASE WHEN run = 'the' OR length(run) = 1 THEN 1
+                    ELSE length(run) - 1 END AS cnt
+        FROM runs),
+      based AS (
+        SELECT doc_id, run, ord, cnt,
+               COALESCE(SUM(cnt) OVER (PARTITION BY doc_id ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+        FROM runs2),
+      emits AS (
+        SELECT doc_id, run, base, unnest(range(1, cnt + 1)) AS i
+        FROM based),
+      tokens AS (
+        SELECT doc_id,
+               CASE WHEN run = 'the' OR length(run) = 1 THEN run
+                    ELSE substr(run, i::INT, 2) END AS term,
+               (base + i - 1)::INT AS pos
+        FROM emits)
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+             count(*)::BIGINT AS tf, sum(pos)::BIGINT AS sum_pos
+      FROM tokens WHERE term <> 'the'
+      GROUP BY term ORDER BY df DESC, tf DESC, term ASC LIMIT 20"""
     out["hungarian_snowball_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.HUNGARIAN_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="tabl")

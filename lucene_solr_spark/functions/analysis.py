@@ -48,6 +48,8 @@ def make_tokenize_udf(
     stem_exclusions: frozenset[str] | None = None,
     pre_stop: frozenset[str] | None = None,
     apostrophe: bool = False,
+    cjk_bigrams: bool = False,
+    cjk_unigrams: bool = False,
 ):
     """Build a tokenizer pandas UDF with a fixed analyzer config.
 
@@ -72,6 +74,8 @@ def make_tokenize_udf(
                     stem_exclusions=stem_exclusions,
                     pre_stop=pre_stop,
                     apostrophe=apostrophe,
+                    cjk_bigrams=cjk_bigrams,
+                    cjk_unigrams=cjk_unigrams,
                 )
             ]
         )
@@ -106,6 +110,8 @@ def tokens_frame(
     stem_exclusions: frozenset[str] | None = None,
     pre_stop: frozenset[str] | None = None,
     apostrophe: bool = False,
+    cjk_bigrams: bool = False,
+    cjk_unigrams: bool = False,
 ):
     """corpus → flat (doc_id, term, pos) token rows via ONE ``mapInPandas``
     pass over the VECTORIZED batch tokenizer (functions.fast_tokenizer):
@@ -142,6 +148,8 @@ def tokens_frame(
                 stem_exclusions=stem_exclusions,
                 pre_stop=pre_stop,
                 apostrophe=apostrophe,
+                cjk_bigrams=cjk_bigrams,
+                cjk_unigrams=cjk_unigrams,
             )
             yield pd.DataFrame(
                 {
@@ -259,6 +267,8 @@ def postings_frame(
     stem_exclusions: frozenset[str] | None = None,
     pre_stop: frozenset[str] | None = None,
     apostrophe: bool = False,
+    cjk_bigrams: bool = False,
+    cjk_unigrams: bool = False,
     with_positions: bool = True,
     with_offsets: bool = False,
     shingles: tuple[int, int] | None = None,
@@ -333,6 +343,8 @@ def postings_frame(
                 stem_exclusions=stem_exclusions,
                 pre_stop=pre_stop,
                 apostrophe=apostrophe,
+                cjk_bigrams=cjk_bigrams,
+                cjk_unigrams=cjk_unigrams,
                 with_offsets=with_offsets,
             )
             if with_offsets:

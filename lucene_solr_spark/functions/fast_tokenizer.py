@@ -85,7 +85,10 @@ def _build_luts():
     utf8len[0x800:] = 3
     utf8len[0x10000:] = 4
     run_char = word & ~ideo
-    single_char = ideo | (emoji & ~word)
+    # ideographs are singles only when they are \w — the oracle's
+    # _TOKEN_RE candidates are \w runs, so a non-word _IDEO char (the
+    # combining marks U+3099/U+309A) never becomes a token there
+    single_char = (ideo & word) | (emoji & ~word)
     return run_char, single_char, letter, digit, mid_l, mid_n, lower, bad_lower, utf8len
 
 
@@ -110,7 +113,7 @@ def _load_or_build_luts():
     import tempfile
 
     path = os.path.join(
-        tempfile.gettempdir(), f"lss_tokenizer_luts_v1_{FAST_LIMIT:x}.npz"
+        tempfile.gettempdir(), f"lss_tokenizer_luts_v2_{FAST_LIMIT:x}.npz"
     )
     if os.path.exists(path):
         try:
@@ -169,6 +172,8 @@ def batch_tokenize(
     stem_exclusions: frozenset[str] | None = None,
     pre_stop: frozenset[str] | None = None,
     apostrophe: bool = False,
+    cjk_bigrams: bool = False,
+    cjk_unigrams: bool = False,
     with_offsets: bool = False,
 ):
     """Tokenize a batch of documents.
@@ -201,6 +206,18 @@ def batch_tokenize(
     from lucene_solr_spark.oracle.light_stemmers import (
         resolve_with_exclusions as _resolve,
     )
+
+    if cjk_bigrams:
+        return _batch_cjk(
+            texts,
+            lowercase=lowercase,
+            stopwords=stopwords,
+            max_token_length=max_token_length,
+            stemmer=stemmer,
+            stem_exclusions=stem_exclusions,
+            output_unigrams=cjk_unigrams,
+            with_offsets=with_offsets,
+        )
 
     # validate the name before any work; SetKeywordMarkerFilter semantics
     # (stem_exclusions) live inside the resolved callable
@@ -476,4 +493,253 @@ def batch_tokenize(
     )
     if with_offsets:
         return res + (np.concatenate(out_soff), np.concatenate(out_eoff))
+    return res
+
+
+def _batch_cjk(
+    texts,
+    *,
+    lowercase: bool | str = True,
+    stopwords: frozenset[str] = frozenset(),
+    max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT,
+    stemmer: str | None = None,
+    stem_exclusions: frozenset[str] | None = None,
+    output_unigrams: bool = False,
+    with_offsets: bool = False,
+):
+    """Vectorized CJKAnalyzer chain (``cjk/CJKAnalyzer.java:95-103``):
+    width fold → tokenize+lowercase → CJK bigram merge → stop → [stem].
+
+    Batch twin of the scalar chain in ``oracle.tokenizer.analyze`` /
+    ``oracle.cjk.cjk_bigram_stream`` (pinned equal by
+    ``tests/test_cjk_chain.py``). The bigram stage exploits one
+    invariant: buffered tokens are CHARACTER-CONTIGUOUS, so a buffered
+    run is exactly a substring of the (folded) document — every bigram
+    is a 2-codepoint gather from the document text, no per-token Python:
+
+    - width fold (``cjk/CJKWidthFilter.java``) runs per-doc in Python
+      ONLY for docs that contain a fold-range codepoint (vectorized
+      detection; CJK corpora are overwhelmingly fold-free);
+    - the raw stream comes from the standard fast path with offsets;
+    - per-DISTINCT-term script flags (the batch vocabulary is tiny next
+      to the token stream) mark eligible tokens; offset-contiguous
+      eligible tokens group into runs via boolean shifts + cumsum;
+    - each run of L codepoints emits L-1 bigrams (unigram if L == 1;
+      with ``output_unigrams`` all L unigrams + L-1 stacked bigrams,
+      ``CJKBigramFilter.java:157-170,300``) — texts are ONE numpy
+      gather + utf-32→utf-8 re-encode, like the main fast path;
+    - positions renumber over the emitted stream (posInc 1 per
+      non-stacked token), then StopFilter drops terms keeping gaps.
+    """
+    from lucene_solr_spark.oracle.cjk import (
+        ALL_CJK,
+        _token_flag,
+        width_fold,
+    )
+    from lucene_solr_spark.oracle.light_stemmers import (
+        resolve_with_exclusions as _resolve,
+    )
+
+    stem_fn = _resolve(stemmer, stem_exclusions)
+    n_docs = len(texts)
+    norm = ["" if t is None else t for t in texts]
+
+    def _empty():
+        base = (
+            np.empty(0, np.int64),
+            pa.array([], pa.utf8()),
+            np.empty(0, np.int32),
+        )
+        if with_offsets:
+            return base + (np.empty(0, np.int32), np.empty(0, np.int32))
+        return base
+
+    if n_docs == 0:
+        return _empty()
+
+    # --- width fold: only docs containing a fold-range codepoint ------
+    joined0 = "\n".join(norm)
+    cp0 = np.frombuffer(
+        joined0.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+    )
+    if len(cp0):
+        need = ((cp0 >= 0xFF01) & (cp0 <= 0xFF5E)) | (
+            (cp0 >= 0xFF65) & (cp0 <= 0xFF9F)
+        )
+        if need.any():
+            lens0 = np.fromiter((len(t) for t in norm), np.int64, n_docs)
+            off0 = np.zeros(n_docs + 1, np.int64)
+            np.cumsum(lens0 + 1, out=off0[1:])
+            seg = off0[:-1].clip(max=len(cp0) - 1)
+            doc_need = np.maximum.reduceat(need.view(np.uint8), seg).astype(
+                bool
+            )
+            norm = [
+                width_fold(t) if dn else t for t, dn in zip(norm, doc_need)
+            ]
+
+    # --- raw stream: standard fast path over the FOLDED text ----------
+    tdoc, terms, _rawpos, soff, eoff = batch_tokenize(
+        norm,
+        lowercase=lowercase,
+        max_token_length=max_token_length,
+        with_offsets=True,
+    )
+    n_tok = len(tdoc)
+    if n_tok == 0:
+        return _empty()
+    # slow-path docs append out of stream order; restore (doc, start)
+    order = np.lexsort((soff, tdoc))
+    tdoc = tdoc[order]
+    soff = soff[order]
+    eoff = eoff[order]
+    terms = terms.take(pa.array(order))
+
+    # --- per-DISTINCT-term script eligibility --------------------------
+    denc = pc.dictionary_encode(terms)
+    dvals = denc.dictionary.to_pylist()
+    dflag = np.fromiter(
+        (_token_flag(v, ALL_CJK) for v in dvals), np.int64, len(dvals)
+    )
+    elig = dflag[denc.indices.to_numpy(zero_copy_only=False)] != 0
+
+    # --- group runs: offset-contiguous eligible tokens -----------------
+    cont = np.zeros(n_tok, np.bool_)
+    if n_tok > 1:
+        cont[1:] = (
+            elig[1:]
+            & elig[:-1]
+            & (tdoc[1:] == tdoc[:-1])
+            & (soff[1:] == eoff[:-1])
+        )
+    gfirst = np.nonzero(~cont)[0]  # first token index of each group
+    glast = np.r_[gfirst[1:] - 1, n_tok - 1]
+    g_elig = elig[gfirst]
+    g_doc = tdoc[gfirst]
+    g_s = soff[gfirst].astype(np.int64)
+    g_e = eoff[glast].astype(np.int64)
+    g_len = g_e - g_s  # codepoints buffered (contiguity invariant)
+
+    # --- emission plan per group ---------------------------------------
+    if output_unigrams:
+        cjk_cnt = np.where(g_len <= 1, 1, 2 * g_len - 1)
+    else:
+        cjk_cnt = np.where(g_len <= 1, 1, g_len - 1)
+    e_cnt = np.where(g_elig, cjk_cnt, 1)
+    total = int(e_cnt.sum())
+    e_grp = np.repeat(np.arange(len(gfirst), dtype=np.int64), e_cnt)
+    cum = np.zeros(len(e_cnt), np.int64)
+    np.cumsum(e_cnt[:-1], out=cum[1:])
+    e_k = np.arange(total, dtype=np.int64) - cum[e_grp]
+    e_elig = g_elig[e_grp]
+    e_doc = g_doc[e_grp]
+
+    if output_unigrams:
+        # A (AB) B (BC) C …: even k → unigram at char k//2, odd k →
+        # bigram at char (k-1)//2 stacked at the unigram's position
+        char_ix = np.where(e_k % 2 == 0, e_k // 2, (e_k - 1) // 2)
+        nchars = np.where(
+            (g_len[e_grp] >= 2) & (e_k % 2 == 1), np.int64(2), np.int64(1)
+        )
+        stacked = e_elig & (e_k % 2 == 1)
+    else:
+        char_ix = e_k
+        nchars = np.where(g_len[e_grp] >= 2, np.int64(2), np.int64(1))
+        stacked = np.zeros(total, np.bool_)
+    e_start = g_s[e_grp] + char_ix  # char span start within the doc
+
+    # --- gather CJK emission texts from the folded documents ----------
+    joined = "\n".join(norm)
+    cpf = np.frombuffer(
+        joined.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+    )
+    lens = np.fromiter((len(t) for t in norm), np.int64, n_docs)
+    doc_off = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(lens + 1, out=doc_off[1:])
+    cjk_rows = np.nonzero(e_elig)[0]
+    if cjk_rows.size:
+        c_start = doc_off[e_doc[cjk_rows]] + e_start[cjk_rows]
+        c_len = nchars[cjk_rows]
+        ctot = int(c_len.sum())
+        ccum = np.zeros(cjk_rows.size, np.int64)
+        np.cumsum(c_len[:-1], out=ccum[1:])
+        gather = (
+            np.arange(ctot, dtype=np.int64)
+            - np.repeat(ccum, c_len)
+            + np.repeat(c_start, c_len)
+        )
+        gcp = cpf[gather]  # CJK codepoints are caseless: no lowering
+        tbytes = (
+            gcp.astype(np.uint32)
+            .tobytes()
+            .decode("utf-32-le", "surrogatepass")
+            .encode("utf-8", "surrogatepass")
+        )
+        blen = _UTF8LEN[np.minimum(gcp, FAST_LIMIT - 1)]
+        tok_blen = np.add.reduceat(blen, ccum)
+        offs = np.zeros(cjk_rows.size + 1, np.int64)
+        np.cumsum(tok_blen, out=offs[1:])
+        cjk_texts = pa.Array.from_buffers(
+            pa.utf8(),
+            cjk_rows.size,
+            [
+                None,
+                pa.py_buffer(offs.astype(np.int32).tobytes()),
+                pa.py_buffer(tbytes),
+            ],
+        )
+    else:
+        cjk_texts = pa.array([], pa.utf8())
+
+    # --- interleave pass-through terms with CJK emissions -------------
+    perm = np.empty(total, np.int64)
+    perm[~e_elig] = gfirst[e_grp[~e_elig]]  # index into `terms`
+    perm[cjk_rows] = n_tok + np.arange(cjk_rows.size)
+    out_terms = pa.concat_arrays(
+        [terms.combine_chunks() if hasattr(terms, "combine_chunks") else terms,
+         cjk_texts]
+    ).take(pa.array(perm))
+
+    # --- positions: renumber over the emitted stream (gaps come later) -
+    inc = (~stacked).astype(np.int64)
+    c = np.cumsum(inc) - 1  # 0-based for non-stacked; stacked repeats prev
+    first = np.zeros(total, np.bool_)
+    first[0] = True
+    first[1:] = e_doc[1:] != e_doc[:-1]
+    base = c[first]
+    pos = (c - base[np.cumsum(first) - 1]).astype(np.int32)
+
+    out_soff = out_eoff = None
+    if with_offsets:
+        out_soff = np.where(
+            e_elig, e_start, soff[np.minimum(perm, n_tok - 1)]
+        ).astype(np.int32)
+        out_eoff = np.where(
+            e_elig,
+            e_start + nchars,
+            eoff[np.minimum(perm, n_tok - 1)],
+        ).astype(np.int32)
+
+    # --- StopFilter (position-preserving) + optional stem --------------
+    if stopwords:
+        m = pc.is_in(
+            out_terms, value_set=pa.array(sorted(stopwords), pa.utf8())
+        )
+        keep = np.invert(pc.fill_null(m, False).to_numpy(zero_copy_only=False))
+        out_terms = out_terms.filter(pa.array(keep))
+        e_doc = e_doc[keep]
+        pos = pos[keep]
+        if with_offsets:
+            out_soff = out_soff[keep]
+            out_eoff = out_eoff[keep]
+    if stem_fn is not None and len(out_terms):
+        denc2 = pc.dictionary_encode(out_terms)
+        stemmed = pa.array(
+            [stem_fn(t) for t in denc2.dictionary.to_pylist()], pa.utf8()
+        )
+        out_terms = stemmed.take(denc2.indices)
+
+    res = (e_doc, out_terms, pos)
+    if with_offsets:
+        return res + (out_soff, out_eoff)
     return res

@@ -104,6 +104,8 @@ def analyze_with_offsets(
     stem_exclusions: frozenset | None = None,
     pre_stop: frozenset | None = None,
     apostrophe: bool = False,
+    cjk_bigrams: bool = False,
+    cjk_unigrams: bool = False,
 ) -> list[tuple[str, int, int, int]]:
     """Analyzer chain WITH character offsets → [(term, pos, start, end)].
 
@@ -120,6 +122,31 @@ def analyze_with_offsets(
     from lucene_solr_spark.oracle.porter import strip_possessive as _sp
 
     stem_fn = _resolve(stemmer, stem_exclusions)
+
+    if cjk_bigrams:
+        # CJKAnalyzer chain (cjk/CJKAnalyzer.java:95-103): width fold is
+        # applied pre-tokenize, so spans index the FOLDED text (disclosed
+        # in oracle/cjk.py); bigram positions renumber, stop after
+        from lucene_solr_spark.oracle.cjk import cjk_bigram_stream, width_fold
+
+        raw0 = [
+            (t, s, e)
+            for t, _p, s, e in analyze_with_offsets(
+                width_fold(text),
+                lowercase=lowercase,
+                max_token_length=max_token_length,
+            )
+        ]
+        out_cjk: list[tuple[str, int, int, int]] = []
+        for term, pos, s, e in cjk_bigram_stream(
+            raw0, output_unigrams=cjk_unigrams
+        ):
+            if term in stopwords:
+                continue
+            if stem_fn is not None:
+                term = stem_fn(term)
+            out_cjk.append((term, pos, s, e))
+        return out_cjk
 
     raw: list[tuple[str, int, int]] = []  # (raw_term, start, end)
     for m in _TOKEN_RE.finditer(text):

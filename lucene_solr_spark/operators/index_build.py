@@ -258,6 +258,8 @@ def build_index(
     stem_exclusions: frozenset[str] | None = None,
     pre_stop: frozenset[str] | None = None,
     apostrophe: bool = False,
+    cjk_bigrams: bool = False,
+    cjk_unigrams: bool = False,
     with_positions: bool = True,
     index_options: str = "positions",  # "positions" | "freqs" | "docs"
     shingles: tuple[int, int] | None = None,
@@ -290,6 +292,7 @@ def build_index(
             elide=elide,
             pre_stop=pre_stop,
             apostrophe=apostrophe,
+            cjk_bigrams=cjk_bigrams,
         )
         for k, v in cfg.items():
             if explicit.get(k) not in (None, frozenset(), False):
@@ -303,6 +306,8 @@ def build_index(
         lowercase = cfg.get("lowercase", lowercase)
         pre_stop = cfg.get("pre_stop", pre_stop)
         apostrophe = cfg.get("apostrophe", apostrophe)
+        cjk_bigrams = cfg.get("cjk_bigrams", cjk_bigrams)
+        cjk_unigrams = cfg.get("cjk_unigrams", cjk_unigrams)
     with_offsets = index_options == "offsets"
     if index_options in ("freqs", "docs"):
         with_positions = False
@@ -344,6 +349,8 @@ def build_index(
         stem_exclusions=stem_exclusions,
         pre_stop=pre_stop,
         apostrophe=apostrophe,
+        cjk_bigrams=cjk_bigrams,
+        cjk_unigrams=cjk_unigrams,
         with_positions=with_positions,
         with_offsets=with_offsets,
         shingles=shingles,

@@ -1037,6 +1037,7 @@ def analyzer_config(name: str) -> dict:
     The ``*_light`` names are the light-filter ALTERNATIVES for
     analyzers whose reference default is the Snowball stemmer
     (sv/no/fi/ru/hu) — same stop sets, light stem stage."""
+    from lucene_solr_spark.oracle.cjk import CJK_STOP_WORDS
     from lucene_solr_spark.oracle.tokenizer import ENGLISH_STOP_WORDS
 
     configs: dict[str, dict] = {
@@ -1095,6 +1096,9 @@ def analyzer_config(name: str) -> dict:
             stopwords=TURKISH_STOP_WORDS,
             stemmer="turkish_snowball",
         ),
+        # CJKAnalyzer.java:95-103: CJKWidthFilter → LowerCase →
+        # CJKBigramFilter → Stop (oracle/cjk.py)
+        "cjk": dict(cjk_bigrams=True, stopwords=CJK_STOP_WORDS),
         "hungarian": dict(
             stopwords=HUNGARIAN_STOP_WORDS, stemmer="hungarian_snowball"
         ),

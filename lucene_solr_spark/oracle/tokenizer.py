@@ -178,6 +178,8 @@ def analyze(
     stem_exclusions: frozenset[str] | None = None,
     pre_stop: frozenset[str] | None = None,
     apostrophe: bool = False,
+    cjk_bigrams: bool = False,
+    cjk_unigrams: bool = False,
 ) -> list[Token]:
     """Full analyzer chain. Default = Lucene StandardAnalyzer (lowercase,
     NO stopwords). The EnglishAnalyzer chain
@@ -204,7 +206,13 @@ def analyze(
     (``tr/ApostropheFilter.java``) before the case fold, and
     ``lowercase="turkish"`` selects TurkishLowerCaseFilter's
     dotted/dotless-i semantics — together the TurkishAnalyzer chain
-    (``tr/TurkishAnalyzer.java:109-118``)."""
+    (``tr/TurkishAnalyzer.java:109-118``).
+
+    ``cjk_bigrams=True`` selects the CJKAnalyzer chain
+    (``cjk/CJKAnalyzer.java:95-103``): width fold → lowercase → CJK
+    bigrams (positions RENUMBER over the emitted stream) → stop;
+    ``cjk_unigrams=True`` adds the unigram+bigram combined mode
+    (bigrams stack at posInc 0). See ``oracle/cjk.py``."""
     from lucene_solr_spark.oracle.light_stemmers import (
         apostrophe_strip,
         french_elide,
@@ -217,6 +225,36 @@ def analyze(
     from lucene_solr_spark.oracle.porter import strip_possessive as _sp
 
     stem = _resolve(stemmer, stem_exclusions)
+    if cjk_bigrams:
+        # CJKAnalyzer chain: width fold pre-tokenize (see oracle/cjk.py
+        # docstring), lowercase raw tokens, bigram merge (positions
+        # renumber over the emitted stream), THEN stop (gaps preserved)
+        from lucene_solr_spark.functions.highlight import (
+            analyze_with_offsets,
+        )
+        from lucene_solr_spark.oracle.cjk import (
+            cjk_bigram_stream,
+            width_fold,
+        )
+
+        raw = [
+            (t, s, e)
+            for t, _p, s, e in analyze_with_offsets(
+                width_fold(text),
+                lowercase=lowercase,
+                max_token_length=max_token_length,
+            )
+        ]
+        out = []
+        for term, pos, _s, _e in cjk_bigram_stream(
+            raw, output_unigrams=cjk_unigrams
+        ):
+            if term in stopwords:
+                continue
+            if stem is not None:
+                term = stem(term)
+            out.append(Token(term, pos))
+        return out
     out: list[Token] = []
     for term, pos in tokenize(text, max_token_length):
         if pre_stop is not None and term.lower() in pre_stop:
