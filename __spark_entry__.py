@@ -282,10 +282,43 @@ def _light_stem_executor(
     return _CACHE[key]
 
 
+def _named_chain_executor(
+    spark: SparkSession, sf_dir: str, analyzer: str, text_sql: str | None = None
+):
+    """Executor over an index built with a NAMED full analyzer chain
+    (``build_index(analyzer=...)`` — stop set + stemmer + per-language
+    filters exactly as the reference analyzer class wires them).
+    ``text_sql``: optional corpus transform evaluated identically by
+    both engines (e.g. the pseudo-Cyrillic map for the Bulgarian gate)."""
+    key = f"chain_{analyzer}_ix::{sf_dir}"
+    if key not in _CACHE:
+        from lucene_solr_spark.operators.index_build import build_index
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if text_sql:
+            docs = docs.select("doc_id", F.expr(text_sql).alias("text"))
+        ix = build_index(
+            docs, text_col="text", doc_id_col="doc_id", analyzer=analyzer
+        ).persist()
+        _CACHE[key] = DFExecutor(ix, mode="double")
+    return _CACHE[key]
+
+
 #: Russian-gate corpus: vowels mapped to their Cyrillic homoglyph slots
 #: so the (Cyrillic-only) case/normalize rules fire on real tokens
 _RUSSIAN_TEXT_SQL = "translate(text, 'aeiou', 'аеиоу')"
 _RU_MAP = str.maketrans("aeiou", "аеиоу")
+
+#: Bulgarian-gate corpus: the FULL a-z alphabet mapped to Cyrillic (the
+#: BulgarianStemmer rules are Cyrillic-only AND its stop set must see
+#: all-Cyrillic tokens — mapped English stopword homographs like
+#: то(to)/за(za)/до(do) give the stop filter real position-gap work)
+_BG_ALPHABET = "абцдефгхийклмнопщрстувъжяз"
+_BULGARIAN_TEXT_SQL = (
+    f"translate(text, 'abcdefghijklmnopqrstuvwxyz', '{_BG_ALPHABET}')"
+)
+_BG_MAP = str.maketrans("abcdefghijklmnopqrstuvwxyz", _BG_ALPHABET)
 
 
 #: deterministic apostrophe corpus for the FrenchAnalyzer-chain gates:
@@ -2101,6 +2134,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["cjk_chain_counts"] = cjk_chain_counts
 
+    def czech_chain_topk(spark, sf_dir):
+        """FULL CzechAnalyzer chain (cz/CzechAnalyzer.java:112-118:
+        Standard → LowerCase → Stop(cz, 171 words — 'a'/'to'/'do'/'by'
+        fire on this corpus with position gaps) → CzechStemmer
+        (Dolamic & Savoy: removeCase → removePossessives → normalize
+        incl. the c→k palatalization fix-up)). BM25 top-10 for 'tabl';
+        every stage has an exact SQL twin (oracle.lang_pack.CZECH_SQL)."""
+        ex = _named_chain_executor(spark, sf_dir, "czech")
+        from lucene_solr_spark.oracle.lang_pack import czech_stem
+
+        return ex.topk(_T(czech_stem("table")), k=10).select("doc_id", "score")
+
+    out["czech_chain_topk"] = czech_chain_topk
+
+    def bulgarian_chain_topk(spark, sf_dir):
+        """FULL BulgarianAnalyzer chain (bg/BulgarianAnalyzer.java:
+        106-112: Standard → LowerCase → Stop(bg) → BulgarianStemmer
+        (Savoy BUIR: ища fast-exit → article → plural → vowel strips →
+        ен→н → ъ-deletion)) over the full-alphabet pseudo-Cyrillic
+        corpus (the rules and stop set are Cyrillic-only; mapped
+        homographs то/за/до exercise the stop gaps). BM25 top-10 for
+        the mapped stem of 'merge'; exact SQL twin
+        (oracle.lang_pack.BULGARIAN_SQL)."""
+        ex = _named_chain_executor(
+            spark, sf_dir, "bulgarian", text_sql=_BULGARIAN_TEXT_SQL
+        )
+        from lucene_solr_spark.oracle.lang_pack import bulgarian_stem
+
+        q = bulgarian_stem("merge".translate(_BG_MAP))
+        return ex.topk(_T(q), k=10).select("doc_id", "score")
+
+    out["bulgarian_chain_topk"] = bulgarian_chain_topk
+
     def hungarian_snowball_topk(spark, sf_dir):
         """Hungarian SNOWBALL stemmer (the HungarianAnalyzer DEFAULT):
         BM25 top-10 for 'tabl'; the SQL twin factors the digraph-aware
@@ -3222,6 +3288,23 @@ def oracle_sql() -> dict[str, str]:
              count(*)::BIGINT AS tf, sum(pos)::BIGINT AS sum_pos
       FROM tokens WHERE term <> 'the'
       GROUP BY term ORDER BY df DESC, tf DESC, term ASC LIMIT 20"""
+
+    # --- Czech / Bulgarian full chains (oracle.lang_pack SQL twins,
+    # fuzz + golden-verified vs the Python stemmers in
+    # tests/test_lang_pack.py)
+    from lucene_solr_spark.oracle import lang_pack as _lp
+
+    out["czech_chain_topk"] = (
+        f"WITH {_ictes_lang(stopwords=tuple(_lp.CZECH_STOP_WORDS), term_expr=_lp.CZECH_SQL)}"
+        + _lang_topk.format(score=_SCORE, term=_lp.czech_stem("table"))
+    )
+    out["bulgarian_chain_topk"] = (
+        f"WITH {_ictes_lang(text_col=_BULGARIAN_TEXT_SQL, token_regex='[0-9а-я]+', stopwords=tuple(_lp.BULGARIAN_STOP_WORDS), term_expr=_lp.BULGARIAN_SQL)}"
+        + _lang_topk.format(
+            score=_SCORE,
+            term=_lp.bulgarian_stem("merge".translate(_BG_MAP)),
+        )
+    )
     out["hungarian_snowball_topk"] = (
         f"WITH {_ictes_lang(term_expr=_sb.HUNGARIAN_SNOWBALL_SQL)}"
         + _lang_topk.format(score=_SCORE, term="tabl")

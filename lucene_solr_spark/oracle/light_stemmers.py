@@ -1028,6 +1028,22 @@ def _register_snowball() -> None:
 _register_snowball()
 
 
+def _register_lang_pack() -> None:
+    """Hand-written CLEF stemmer pack (oracle.lang_pack) — the DEFAULT
+    stemmers of the Czech/Bulgarian analyzers."""
+    from lucene_solr_spark.oracle import lang_pack as _lp
+
+    STEMMERS.update(
+        {
+            "czech": _lp.czech_stem,
+            "bulgarian": _lp.bulgarian_stem,
+        }
+    )
+
+
+_register_lang_pack()
+
+
 def analyzer_config(name: str) -> dict:
     """Named analyzer → tokenizer-chain kwargs, mirroring the reference
     analyzer classes' default chains 1:1 where the default stem filter
@@ -1121,6 +1137,17 @@ def analyzer_config(name: str) -> dict:
             stopwords=HUNGARIAN_STOP_WORDS, stemmer="hungarian_light"
         ),
     }
+    # CzechAnalyzer.java:112-118 / BulgarianAnalyzer.java:106-112:
+    # Standard → LowerCase → Stop → [keyword marker] → *StemFilter
+    from lucene_solr_spark.oracle.lang_pack import (
+        BULGARIAN_STOP_WORDS,
+        CZECH_STOP_WORDS,
+    )
+
+    configs["czech"] = dict(stopwords=CZECH_STOP_WORDS, stemmer="czech")
+    configs["bulgarian"] = dict(
+        stopwords=BULGARIAN_STOP_WORDS, stemmer="bulgarian"
+    )
     got = configs.get(name)
     if got is None:
         raise ValueError(f"unknown analyzer {name!r} (one of {sorted(configs)})")
