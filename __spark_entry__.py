@@ -320,6 +320,29 @@ _BULGARIAN_TEXT_SQL = (
 )
 _BG_MAP = str.maketrans("abcdefghijklmnopqrstuvwxyz", _BG_ALPHABET)
 
+#: Arabic-gate corpus: a-z → Arabic incl. normalizer-relevant
+#: codepoints (q→أ hamza-seated alef → ا, y→ى dotless yeh → ي, z→ة teh
+#: marbuta → ه), so 'al'/'wal'/'w'-initial words feed the prefix strips
+#: and -an/-at/-on/-in/-ha English endings feed the suffix sweep
+_AR_ALPHABET = "ابثدعفغهيجكلمنوطأرستضذخصىة"
+_ARABIC_TEXT_SQL = (
+    f"translate(text, 'abcdefghijklmnopqrstuvwxyz', '{_AR_ALPHABET}')"
+)
+_AR_GATE_MAP = str.maketrans("abcdefghijklmnopqrstuvwxyz", _AR_ALPHABET)
+_AR_TOKEN_RX = "[0-9ء-ي]+"
+
+#: Persian-gate corpus: every " s" word boundary becomes a ZWNJ join
+#: (the PersianCharFilter's work — without it the tokenizer-level
+#: Extend join would glue the pair), then a-z → Arabic/Persian incl.
+#: farsi yeh (y→ی→ي), keheh (k→ک→ك), heh goal (z→ہ→ه), heh+yeh (q→ۀ→ه)
+_FA_ALPHABET = "ابچدعفگهيجکلمنوپۀرستضژخصیہ"
+_PERSIAN_TEXT_SQL = (
+    "translate(replace(text, ' s', '‌s'), "
+    f"'abcdefghijklmnopqrstuvwxyz', '{_FA_ALPHABET}')"
+)
+_FA_GATE_MAP = str.maketrans("abcdefghijklmnopqrstuvwxyz", _FA_ALPHABET)
+_FA_TOKEN_RX = "[0-9ء-يپچژگکیۀہ]+"
+
 
 #: deterministic apostrophe corpus for the FrenchAnalyzer-chain gates:
 #: every word starting 's'/'b' gains an elidable article prefix, giving
@@ -2167,6 +2190,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bulgarian_chain_topk"] = bulgarian_chain_topk
 
+    def arabic_chain_topk(spark, sf_dir):
+        """FULL ArabicAnalyzer chain (ar/ArabicAnalyzer.java:123-134:
+        LowerCase → DecimalDigit → Stop on UNnormalized tokens →
+        ArabicNormalization → ArabicStemFilter) over the pseudo-Arabic
+        corpus (hamza-seated alef / dotless yeh / teh marbuta mapped in
+        so the normalizer does real work; 'al'/'w'-initial and
+        -an/-at/-in endings feed the affix strips). BM25 top-10 for the
+        chain image of 'batch' (باتثه → باتث via the -ه strip); exact SQL
+        twin (oracle.lang_pack ARABIC_NORMALIZE_SQL + ARABIC_STEM_SQL)."""
+        ex = _named_chain_executor(
+            spark, sf_dir, "arabic", text_sql=_ARABIC_TEXT_SQL
+        )
+        from lucene_solr_spark.oracle.lang_pack import (
+            arabic_normalize,
+            arabic_stem,
+        )
+
+        q = arabic_stem(arabic_normalize("batch".translate(_AR_GATE_MAP)))
+        return ex.topk(_T(q), k=10).select("doc_id", "score")
+
+    out["arabic_chain_topk"] = arabic_chain_topk
+
+    def persian_chain_topk(spark, sf_dir):
+        """FULL PersianAnalyzer chain (fa/PersianAnalyzer.java:106-118:
+        ZWNJ char filter → LowerCase → DecimalDigit → ArabicNorm →
+        PersianNorm → Stop; no stem stage) over the pseudo-Persian
+        corpus with ZWNJ-joined word pairs (the char filter must split
+        them — the tokenizer alone would emit the glued pair). BM25
+        top-10 for the fold image of 'merge'; exact SQL twin
+        (PERSIAN_FOLD_SQL as the pre-stop term stage)."""
+        ex = _named_chain_executor(
+            spark, sf_dir, "persian", text_sql=_PERSIAN_TEXT_SQL
+        )
+        from lucene_solr_spark.oracle.lang_pack import persian_fold
+
+        q = persian_fold("merge".translate(_FA_GATE_MAP))
+        return ex.topk(_T(q), k=10).select("doc_id", "score")
+
+    out["persian_chain_topk"] = persian_chain_topk
+
     def hungarian_snowball_topk(spark, sf_dir):
         """Hungarian SNOWBALL stemmer (the HungarianAnalyzer DEFAULT):
         BM25 top-10 for 'tabl'; the SQL twin factors the digraph-aware
@@ -3303,6 +3366,28 @@ def oracle_sql() -> dict[str, str]:
         + _lang_topk.format(
             score=_SCORE,
             term=_lp.bulgarian_stem("merge".translate(_BG_MAP)),
+        )
+    )
+    # Arabic: stop runs on UNnormalized tokens (the chain comment in
+    # ArabicAnalyzer.java:127), so stopwords= sits BEFORE the
+    # normalize+stem term_expr layers — exactly the reference order
+    out["arabic_chain_topk"] = (
+        f"WITH {_ictes_lang(text_col=_ARABIC_TEXT_SQL, token_regex=_AR_TOKEN_RX, stopwords=tuple(_lp.ARABIC_STOP_WORDS), term_expr=(_lp.ARABIC_NORMALIZE_SQL,) + _lp.ARABIC_STEM_SQL)}"
+        + _lang_topk.format(
+            score=_SCORE,
+            term=_lp.arabic_stem(
+                _lp.arabic_normalize("batch".translate(_AR_GATE_MAP))
+            ),
+        )
+    )
+    # Persian: normalization BEFORE stop (the fa stop list ships
+    # pre-normalized) → the fold rides pre_term_expr; the regex class
+    # excludes ZWNJ, modeling the char filter's split
+    out["persian_chain_topk"] = (
+        f"WITH {_ictes_lang(text_col=_PERSIAN_TEXT_SQL, token_regex=_FA_TOKEN_RX, pre_term_expr=_lp.PERSIAN_FOLD_SQL, stopwords=tuple(_lp.PERSIAN_STOP_WORDS))}"
+        + _lang_topk.format(
+            score=_SCORE,
+            term=_lp.persian_fold("merge".translate(_FA_GATE_MAP)),
         )
     )
     out["hungarian_snowball_topk"] = (

@@ -50,6 +50,7 @@ def make_tokenize_udf(
     apostrophe: bool = False,
     cjk_bigrams: bool = False,
     cjk_unigrams: bool = False,
+    zwnj_to_space: bool = False,
 ):
     """Build a tokenizer pandas UDF with a fixed analyzer config.
 
@@ -76,6 +77,7 @@ def make_tokenize_udf(
                     apostrophe=apostrophe,
                     cjk_bigrams=cjk_bigrams,
                     cjk_unigrams=cjk_unigrams,
+                    zwnj_to_space=zwnj_to_space,
                 )
             ]
         )
@@ -112,6 +114,7 @@ def tokens_frame(
     apostrophe: bool = False,
     cjk_bigrams: bool = False,
     cjk_unigrams: bool = False,
+    zwnj_to_space: bool = False,
 ):
     """corpus → flat (doc_id, term, pos) token rows via ONE ``mapInPandas``
     pass over the VECTORIZED batch tokenizer (functions.fast_tokenizer):
@@ -150,6 +153,7 @@ def tokens_frame(
                 apostrophe=apostrophe,
                 cjk_bigrams=cjk_bigrams,
                 cjk_unigrams=cjk_unigrams,
+                zwnj_to_space=zwnj_to_space,
             )
             yield pd.DataFrame(
                 {
@@ -269,6 +273,7 @@ def postings_frame(
     apostrophe: bool = False,
     cjk_bigrams: bool = False,
     cjk_unigrams: bool = False,
+    zwnj_to_space: bool = False,
     with_positions: bool = True,
     with_offsets: bool = False,
     shingles: tuple[int, int] | None = None,
@@ -345,6 +350,7 @@ def postings_frame(
                 apostrophe=apostrophe,
                 cjk_bigrams=cjk_bigrams,
                 cjk_unigrams=cjk_unigrams,
+                zwnj_to_space=zwnj_to_space,
                 with_offsets=with_offsets,
             )
             if with_offsets:

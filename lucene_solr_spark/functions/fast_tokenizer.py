@@ -174,6 +174,7 @@ def batch_tokenize(
     apostrophe: bool = False,
     cjk_bigrams: bool = False,
     cjk_unigrams: bool = False,
+    zwnj_to_space: bool = False,
     with_offsets: bool = False,
 ):
     """Tokenize a batch of documents.
@@ -224,6 +225,11 @@ def batch_tokenize(
     stem_fn = _resolve(stemmer, stem_exclusions)
     n_docs = len(texts)
     norm_texts = ["" if t is None else t for t in texts]
+    if zwnj_to_space:
+        # PersianCharFilter (fa/PersianCharFilter.java:24-41): ZWNJ →
+        # space pre-tokenize; str.replace is a no-op scan for the
+        # (overwhelmingly common) ZWNJ-free documents
+        norm_texts = [t.replace("‌", " ") for t in norm_texts]
 
     out_doc: list[np.ndarray] = []
     out_terms: list[pa.Array] = []
@@ -373,16 +379,17 @@ def batch_tokenize(
                     replacement="",
                     max_replacements=1,
                 )
-            if lowercase in ("irish", "turkish") and len(terms):
-                # IrishLowerCaseFilter AFTER elision (the fold reads the
-                # original casing) / TurkishLowerCaseFilter after the
-                # apostrophe strip; per-DISTINCT-term like the stemmers
+            if isinstance(lowercase, str) and len(terms):
+                # named fold (FOLDS registry): IrishLowerCaseFilter
+                # AFTER elision (the fold reads the original casing) /
+                # TurkishLowerCaseFilter after the apostrophe strip /
+                # the Arabic/Persian LowerCase+DecimalDigit+norm stacks;
+                # per-DISTINCT-term like the stemmers
                 from lucene_solr_spark.oracle.light_stemmers import (
-                    irish_lower,
-                    turkish_lower,
+                    resolve_fold,
                 )
 
-                fold_fn = irish_lower if lowercase == "irish" else turkish_lower
+                fold_fn = resolve_fold(lowercase)
                 dirr = pc.dictionary_encode(terms)
                 folded_ga = pa.array(
                     [fold_fn(t) for t in dirr.dictionary.to_pylist()],

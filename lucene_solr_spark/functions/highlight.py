@@ -106,6 +106,7 @@ def analyze_with_offsets(
     apostrophe: bool = False,
     cjk_bigrams: bool = False,
     cjk_unigrams: bool = False,
+    zwnj_to_space: bool = False,
 ) -> list[tuple[str, int, int, int]]:
     """Analyzer chain WITH character offsets → [(term, pos, start, end)].
 
@@ -122,6 +123,10 @@ def analyze_with_offsets(
     from lucene_solr_spark.oracle.porter import strip_possessive as _sp
 
     stem_fn = _resolve(stemmer, stem_exclusions)
+    if zwnj_to_space:
+        # PersianCharFilter: length-preserving, so spans stay valid
+        # against the ORIGINAL text (correct(off) == off)
+        text = text.replace("‌", " ")
 
     if cjk_bigrams:
         # CJKAnalyzer chain (cjk/CJKAnalyzer.java:95-103): width fold is
@@ -185,6 +190,10 @@ def analyze_with_offsets(
             from lucene_solr_spark.oracle.light_stemmers import turkish_lower
 
             term = turkish_lower(term)
+        elif isinstance(lowercase, str):
+            from lucene_solr_spark.oracle.light_stemmers import resolve_fold
+
+            term = resolve_fold(lowercase)(term)
         else:
             if lowercase:
                 term = term.lower()

@@ -260,6 +260,7 @@ def build_index(
     apostrophe: bool = False,
     cjk_bigrams: bool = False,
     cjk_unigrams: bool = False,
+    zwnj_to_space: bool = False,
     with_positions: bool = True,
     index_options: str = "positions",  # "positions" | "freqs" | "docs"
     shingles: tuple[int, int] | None = None,
@@ -308,6 +309,7 @@ def build_index(
         apostrophe = cfg.get("apostrophe", apostrophe)
         cjk_bigrams = cfg.get("cjk_bigrams", cjk_bigrams)
         cjk_unigrams = cfg.get("cjk_unigrams", cjk_unigrams)
+        zwnj_to_space = cfg.get("zwnj_to_space", zwnj_to_space)
     with_offsets = index_options == "offsets"
     if index_options in ("freqs", "docs"):
         with_positions = False
@@ -351,6 +353,7 @@ def build_index(
         apostrophe=apostrophe,
         cjk_bigrams=cjk_bigrams,
         cjk_unigrams=cjk_unigrams,
+        zwnj_to_space=zwnj_to_space,
         with_positions=with_positions,
         with_offsets=with_offsets,
         shingles=shingles,

@@ -23,10 +23,21 @@ from __future__ import annotations
 __all__ = [
     "czech_stem",
     "bulgarian_stem",
+    "arabic_normalize",
+    "arabic_stem",
+    "persian_normalize",
+    "decimal_digit_fold",
+    "arabic_fold",
+    "persian_fold",
     "CZECH_SQL",
     "BULGARIAN_SQL",
+    "ARABIC_STEM_SQL",
+    "ARABIC_NORMALIZE_SQL",
+    "PERSIAN_NORMALIZE_SQL",
     "CZECH_STOP_WORDS",
     "BULGARIAN_STOP_WORDS",
+    "ARABIC_STOP_WORDS",
+    "PERSIAN_STOP_WORDS",
 ]
 
 
@@ -284,4 +295,206 @@ BULGARIAN_STOP_WORDS = frozenset(
         "такъв там твой те тези ти тн то това тогава този той толкова "
         "точно трябва тук тъй тя тях у харесва ч че често чрез ще щом я"
     ).split()
+)
+
+
+# --------------------------------------------------------------- Arabic
+
+#: ArabicNormalizer.java:36-100 — hamza-seated alefs → bare alef,
+#: dotless yeh → yeh, teh marbuta → heh; tatweel + harakat DELETED.
+_AR_NORM_MAP = str.maketrans(
+    {
+        "\u0622": "\u0627",  # alef madda
+        "\u0623": "\u0627",  # alef hamza above
+        "\u0625": "\u0627",  # alef hamza below
+        "\u0649": "\u064A",  # dotless yeh -> yeh
+        "\u0629": "\u0647",  # teh marbuta -> heh
+        "\u0640": None,  # tatweel
+        "\u064B": None, "\u064C": None, "\u064D": None,  # -atan marks
+        "\u064E": None, "\u064F": None, "\u0650": None,  # fatha/damma/kasra
+        "\u0651": None, "\u0652": None,  # shadda/sukun
+    }
+)
+
+
+def arabic_normalize(term: str) -> str:
+    """``ar/ArabicNormalizer.java:66-98`` as one codepoint map."""
+    return term.translate(_AR_NORM_MAP)
+
+
+#: same map as SQL (translate deletes chars with no 'to' counterpart —
+#: identical semantics in DuckDB)
+ARABIC_NORMALIZE_SQL = (
+    "translate(term, '\u0622\u0623\u0625\u0649\u0629"
+    "\u0640\u064B\u064C\u064D\u064E\u064F\u0650\u0651\u0652', "
+    "'\u0627\u0627\u0627\u064A\u0647')"
+)
+
+#: ArabicStemmer.java:46-67 — attached article/conjunction/preposition
+#: prefixes (FIRST match strips, once) and the suffix list (EVERY match
+#: strips, scanned in list order with the length re-checked each time)
+_AR_PREFIXES = ("\u0627\u0644", "\u0648\u0627\u0644", "\u0628\u0627\u0644",
+                "\u0643\u0627\u0644", "\u0641\u0627\u0644", "\u0644\u0644",
+                "\u0648")
+_AR_SUFFIXES = ("\u0647\u0627", "\u0627\u0646", "\u0627\u062A",
+                "\u0648\u0646", "\u064A\u0646", "\u064A\u0647",
+                "\u064A\u0629", "\u0647", "\u0629", "\u064A")
+
+
+def arabic_stem(term: str) -> str:
+    """``ar/ArabicStemmer.java:76-107``: one prefix strip (wa- needs
+    len>=4, the rest len>=prefix+2), then the ordered suffix sweep
+    (each suffix needs 2 chars left after stemming)."""
+    s = term
+    for p in _AR_PREFIXES:
+        if len(p) == 1:
+            if len(s) >= 4 and s.startswith(p):
+                s = s[1:]
+                break
+        elif len(s) >= len(p) + 2 and s.startswith(p):
+            s = s[len(p):]
+            break
+    for x in _AR_SUFFIXES:
+        if len(s) >= len(x) + 2 and s.endswith(x):
+            s = s[: -len(x)]
+    return s
+
+
+def _ar_suffix_layer(x: str) -> str:
+    n = len(x)
+    return (
+        f"CASE WHEN length(term) >= {n + 2} AND right(term, {n}) = '{x}' "
+        f"THEN left(term, length(term)-{n}) ELSE term END"
+    )
+
+
+#: layered DuckDB twin of arabic_stem: one prefix CASE + one layer per
+#: suffix (the Java loop re-checks length after each strip — exactly a
+#: layer chain)
+ARABIC_STEM_SQL = (
+    """CASE
+        WHEN length(term) >= 5 AND left(term, 3) IN ('\u0648\u0627\u0644', '\u0628\u0627\u0644', '\u0643\u0627\u0644', '\u0641\u0627\u0644') THEN substr(term, 4)
+        WHEN length(term) >= 4 AND left(term, 2) IN ('\u0627\u0644', '\u0644\u0644') THEN substr(term, 3)
+        WHEN length(term) >= 4 AND left(term, 1) = '\u0648' THEN substr(term, 2)
+        ELSE term END""",
+) + tuple(_ar_suffix_layer(x) for x in _AR_SUFFIXES)
+
+
+def decimal_digit_fold(term: str) -> str:
+    """``core/DecimalDigitFilter.java``: every Unicode decimal digit
+    (Nd) folds to its 0-9 equivalent."""
+    if term.isascii():
+        return term
+    import unicodedata
+
+    out = []
+    for c in term:
+        d = unicodedata.decimal(c, None)
+        out.append(chr(0x30 + d) if d is not None and not "0" <= c <= "9" else c)
+    return "".join(out)
+
+
+def arabic_fold(term: str) -> str:
+    """The ArabicAnalyzer pre-stop stages (``ar/ArabicAnalyzer.java:
+    123-134``): LowerCaseFilter + DecimalDigitFilter. The stop list is
+    NOT normalized, so ArabicNormalization runs AFTER the stop filter —
+    it lives inside the "arabic" stemmer seam instead."""
+    return decimal_digit_fold(term.lower())
+
+
+def arabic_chain_stem(term: str) -> str:
+    """The post-stop ArabicAnalyzer stages: normalize → stem."""
+    return arabic_stem(arabic_normalize(term))
+
+
+# --------------------------------------------------------------- Persian
+
+#: PersianNormalizer.java:34-85 — farsi yeh / yeh barree → arabic yeh,
+#: keheh → kaf, heh+yeh / heh goal → heh, hamza-above DELETED
+_FA_NORM_MAP = str.maketrans(
+    {
+        "\u06CC": "\u064A",
+        "\u06D2": "\u064A",
+        "\u06A9": "\u0643",
+        "\u06C0": "\u0647",
+        "\u06C1": "\u0647",
+        "\u0654": None,
+    }
+)
+
+
+def persian_normalize(term: str) -> str:
+    return term.translate(_FA_NORM_MAP)
+
+
+PERSIAN_NORMALIZE_SQL = (
+    "translate(term, '\u06CC\u06D2\u06A9\u06C0\u06C1\u0654', "
+    "'\u064A\u064A\u0643\u0647\u0647')"
+)
+
+
+def persian_fold(term: str) -> str:
+    """The PersianAnalyzer chain minus the stop filter
+    (``fa/PersianAnalyzer.java:106-118``): LowerCase → DecimalDigit →
+    ArabicNormalization → PersianNormalization, all BEFORE the stop
+    filter (the fa stop list ships pre-normalized — the file header
+    says to use arabic yeh). There is no Persian stem stage."""
+    return persian_normalize(arabic_normalize(decimal_digit_fold(term.lower())))
+
+#: ar/stopwords.txt ("#"-comment wordlist, 119 entries; UNnormalized forms)
+ARABIC_STOP_WORDS = frozenset(
+    (
+        "أ ألا أما أن أنت أنه أنها أو أى أي أيضا إذا إلا إلى إلي إما "
+        "إن إنه إنها ا اذا الآن الا الان التى التي الذى الذي الذين "
+        "الى الي اما ان انت انه انها او اى اي ايضا ب بأن بان بعد بعض "
+        "به بها بين بينما تكون تلك ثم جميع حتى حيث خلال ذلك ضمن على "
+        "عليه عليها عن عند عندما غير ف فأن فان فما فهو فهى فهي في فيه "
+        "فيها قبل قد كان كانت كل كما لا لدى لك لكن لم لن له لها ما مع "
+        "من منذ منه منها نحو هذا هذه هناك هو هى هي و وأن وإن وان وفي "
+        "وكان وكانت وكل ولا ولم ولن وما ومن وهو وهى وهي يكون "
+    ).split()
+)
+
+#: fa/stopwords.txt ("#"-comment wordlist, 308 entries; ships pre-normalized)
+PERSIAN_STOP_WORDS = frozenset(
+    (
+        "اباد اثر اره اري از است استفاده اش اكنون البته ام اما امد "
+        "امده امروز امسال ان انان انجا اند انكه انها انچه او اورد "
+        "اورده اول اي ايا ايد ايشان ايم اين اينكه اگر با بار باره "
+        "باشد باشند باشيم بالا بالاي بايد بدون بر برابر براساس براي "
+        "برخوردار برخي برداري بروز بسيار بسياري بعد بعري بعضي بلكه "
+        "بله بلي بنابراين بندي به بهترين بود بودن بودند بوده بي بيرون "
+        "بيست بيش بيشتر بيشتري بين تا تازه تاكنون تان تحت تر ترين "
+        "تمام تمامي تنها تواند توانند توسط تول توي جا جاي جايي جدا "
+        "جديد جريان جز جلوي جلوگيري حتي حدود حق خارج خدمات خواست "
+        "خواهد خواهند خواهيم خود خويش خياه داد دادن دادند داده دارد "
+        "دارند داريم داشت داشتن داشتند داشته دانست دانند در درباره "
+        "دنبال ده دهد دهند دو دوم ديده ديروز ديگر ديگران ديگري را راه "
+        "رفت رفته روب روزهاي روي ريزي زياد زير زيرا سابق ساخته سازي "
+        "سراسر سري سعي سمت سوم سوي سپس شان شايد شد شدن شدند شده شش "
+        "شما شناسي شود شوند صورت ضد ضمن طبق طريق طور طي عقب علت عنوان "
+        "غير فقط فكر فوق قابل قبل قصد كجا كجاست كدام كرد كردم كردن "
+        "كردند كرده كس كسي كل كمتر كنار كند كنم كنند كنيد كنيم كه كي "
+        "لطفا ما مان مانند مثل مختلف مدتي مردم مرسي مقابل من مورد مي "
+        "ميليارد ميليون مگر ناشي نام نبايد نبود نخست نخستين نخواهد "
+        "ندارد ندارند نداشته نزد نزديك نشان نشده نظير نكرده نمايد نمي "
+        "نه نوعي نيز نيست ه ها هاي هايي هر هرگز هزار هست هستند هستيم "
+        "هفت هم همان همه همواره همين همچنان همچنين همچون هنوز هنگام "
+        "هنگامي هيچ و وسط وقتي وقتيكه ولي وي وگو يا يابد يك يكديگر "
+        "يكي پاعين پس پنج پيش چرا چطور چند چندين چنين چه چهار چون چيز "
+        "چيزي چيست چگونه گذاري گذاشته گردد گرفت گرفته گروهي گفت گفته "
+        "گويد گويند گيرد گيري "
+    ).split()
+)
+
+
+#: one-expression SQL twin of persian_fold minus lower/digits (identity
+#: on [a-z0-9]-derived gate corpora): ArabicNormalization then
+#: PersianNormalization as nested translates (deleting chars absent
+#: from the 'to' string, matching the Java delete cases)
+PERSIAN_FOLD_SQL = (
+    "translate(translate(term, "
+    "'\u0622\u0623\u0625\u0649\u0629\u0640\u064B\u064C\u064D\u064E\u064F\u0650\u0651\u0652', "
+    "'\u0627\u0627\u0627\u064A\u0647'), "
+    "'\u06CC\u06D2\u06A9\u06C0\u06C1\u0654', '\u064A\u064A\u0643\u0647\u0647')"
 )

@@ -993,6 +993,25 @@ STEMMERS: dict[str, object] = {
     "nynorsk_light": _nynorsk_light,
 }
 
+#: named case-fold variants for the ``lowercase=`` seam — per-term
+#: transforms that replace plain ``str.lower`` and run BEFORE the stop
+#: filter (the custom LowerCaseFilter slot in the reference chains:
+#: IrishLowerCaseFilter, TurkishLowerCaseFilter, the Arabic/Persian
+#: LowerCase+DecimalDigit+normalization stacks). Applied once per
+#: DISTINCT term by the batch kernel, like STEMMERS.
+FOLDS: dict[str, object] = {
+    "irish": irish_lower,
+    "turkish": turkish_lower,
+}
+
+
+def resolve_fold(name: str):
+    """``lowercase=<name>`` seam resolver (see :data:`FOLDS`)."""
+    fn = FOLDS.get(name)
+    if fn is None:
+        raise ValueError(f"unknown lowercase fold {name!r} (one of {sorted(FOLDS)})")
+    return fn
+
 
 def _register_snowball() -> None:
     """Snowball family (oracle.snowball) — the DEFAULT stemmers of the
@@ -1037,6 +1056,16 @@ def _register_lang_pack() -> None:
         {
             "czech": _lp.czech_stem,
             "bulgarian": _lp.bulgarian_stem,
+            # ArabicAnalyzer's post-stop stages: the stop list is NOT
+            # normalized (ar/ArabicAnalyzer.java:127-130), so
+            # normalize+stem compose inside the stemmer seam
+            "arabic": _lp.arabic_chain_stem,
+        }
+    )
+    FOLDS.update(
+        {
+            "arabic": _lp.arabic_fold,
+            "persian": _lp.persian_fold,
         }
     )
 
@@ -1147,6 +1176,24 @@ def analyzer_config(name: str) -> dict:
     configs["czech"] = dict(stopwords=CZECH_STOP_WORDS, stemmer="czech")
     configs["bulgarian"] = dict(
         stopwords=BULGARIAN_STOP_WORDS, stemmer="bulgarian"
+    )
+    # ArabicAnalyzer.java:123-134: LowerCase → DecimalDigit → Stop
+    # (UNnormalized list) → ArabicNormalization → ArabicStemFilter;
+    # the "arabic" fold carries the pre-stop stages, the "arabic"
+    # stemmer the post-stop ones.
+    from lucene_solr_spark.oracle.lang_pack import (
+        ARABIC_STOP_WORDS,
+        PERSIAN_STOP_WORDS,
+    )
+
+    configs["arabic"] = dict(
+        lowercase="arabic", stopwords=ARABIC_STOP_WORDS, stemmer="arabic"
+    )
+    # PersianAnalyzer.java:106-118: ZWNJ char filter → LowerCase →
+    # DecimalDigit → ArabicNorm → PersianNorm → Stop (list ships
+    # pre-normalized); no stem stage.
+    configs["persian"] = dict(
+        zwnj_to_space=True, lowercase="persian", stopwords=PERSIAN_STOP_WORDS
     )
     got = configs.get(name)
     if got is None:
@@ -1440,6 +1487,19 @@ def resolve_with_exclusions(name: str | None, exclusions: frozenset[str] | None)
 
         def wrapped(t: str) -> str:
             return german_normalize(t) if t in exclusions else fn(t)
+
+    elif name == "arabic":
+        # the marker filter sits AFTER ArabicNormalizationFilter
+        # (ar/ArabicAnalyzer.java:130-133), so exclusions match the
+        # NORMALIZED term and skip only the stem
+        def wrapped(t: str) -> str:
+            from lucene_solr_spark.oracle.lang_pack import (
+                arabic_normalize,
+                arabic_stem,
+            )
+
+            n = arabic_normalize(t)
+            return n if n in exclusions else arabic_stem(n)
 
     else:
 

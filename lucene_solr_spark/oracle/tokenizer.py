@@ -180,6 +180,7 @@ def analyze(
     apostrophe: bool = False,
     cjk_bigrams: bool = False,
     cjk_unigrams: bool = False,
+    zwnj_to_space: bool = False,
 ) -> list[Token]:
     """Full analyzer chain. Default = Lucene StandardAnalyzer (lowercase,
     NO stopwords). The EnglishAnalyzer chain
@@ -217,6 +218,7 @@ def analyze(
         apostrophe_strip,
         french_elide,
         irish_lower,
+        resolve_fold,
         turkish_lower,
     )
     from lucene_solr_spark.oracle.light_stemmers import (
@@ -225,6 +227,10 @@ def analyze(
     from lucene_solr_spark.oracle.porter import strip_possessive as _sp
 
     stem = _resolve(stemmer, stem_exclusions)
+    if zwnj_to_space:
+        # PersianCharFilter (fa/PersianCharFilter.java:24-41): ZWNJ →
+        # space BEFORE tokenization, a length-preserving char filter
+        text = text.replace("‌", " ")
     if cjk_bigrams:
         # CJKAnalyzer chain: width fold pre-tokenize (see oracle/cjk.py
         # docstring), lowercase raw tokens, bigram merge (positions
@@ -267,6 +273,10 @@ def analyze(
             term = irish_lower(term)
         elif lowercase == "turkish":
             term = turkish_lower(term)
+        elif isinstance(lowercase, str):
+            # named fold from the FOLDS registry (arabic/persian/… —
+            # the custom LowerCaseFilter(+normalization) chain slot)
+            term = resolve_fold(lowercase)(term)
         else:
             if lowercase:
                 term = term.lower()

@@ -201,3 +201,198 @@ def test_batch_kernel_matches_scalar():
                 scalar.append((i, tok.term, tok.pos))
         got = list(zip(doc_ids.tolist(), terms.tolist(), poss.tolist()))
         assert got == scalar
+
+
+# ---------------------------------------------------------- Arabic/Persian
+
+from lucene_solr_spark.oracle.lang_pack import (  # noqa: E402
+    ARABIC_NORMALIZE_SQL,
+    ARABIC_STEM_SQL,
+    ARABIC_STOP_WORDS,
+    PERSIAN_STOP_WORDS,
+    arabic_fold,
+    arabic_normalize,
+    arabic_stem,
+    decimal_digit_fold,
+    persian_fold,
+    persian_normalize,
+)
+
+_CHECK_RE = re.compile(r'check(?:OneTerm\(\s*\w+\s*)?\(\s*"([^"]*)"\s*,\s*"([^"]*)"\)')
+
+
+def _check_pairs(rel: str) -> list[tuple[str, str]]:
+    txt = open(f"{_REF}/{rel}", encoding="utf-8").read()
+    return _CHECK_RE.findall(txt)
+
+
+def test_arabic_normalizer_goldens():
+    """Every TestArabicNormalizationFilter check() pair (hamza-seated
+    alefs, dotless yeh, teh marbuta, tatweel, all eight harakat)."""
+    pairs = _check_pairs("ar/TestArabicNormalizationFilter.java")
+    assert len(pairs) >= 13
+    for w, e in pairs:
+        assert arabic_normalize(w) == e, (w, e)
+
+
+def test_arabic_stemmer_goldens():
+    """Every TestArabicStemFilter check() pair (the 7 prefixes, the 10
+    suffixes, and the shouldnt-stem length guards)."""
+    pairs = _check_pairs("ar/TestArabicStemFilter.java")
+    assert len(pairs) >= 20
+    for w, e in pairs:
+        assert arabic_stem(w) == e, (w, e)
+
+
+def test_persian_normalizer_goldens():
+    pairs = _check_pairs("fa/TestPersianNormalizationFilter.java")
+    assert len(pairs) >= 6
+    for w, e in pairs:
+        assert persian_normalize(arabic_normalize(w)) == e, (w, e)
+
+
+def test_arabic_analyzer_chain():
+    """TestArabicAnalyzer default-analyzer rows (testBasicFeatures +
+    testEnglishInput) through the named 'arabic' chain (LowerCase+
+    DecimalDigit fold → UNnormalized stop → normalize+stem); the
+    custom-stopword row is excluded (it builds a non-default analyzer)."""
+    skip = ("The quick brown fox.", "كبيرة the quick ساهدهات")
+    rows = [
+        r
+        for r in _analyzer_goldens("ar/TestArabicAnalyzer.java")
+        if r[0] not in skip
+    ]
+    assert len(rows) >= 11
+    for text, expected in rows:
+        cfg = analyzer_config("arabic")
+        got = [t.term for t in analyze(text, **cfg)]
+        assert got == expected, (text, got, expected)
+
+
+def test_arabic_stem_exclusion_chain():
+    """TestArabicAnalyzer.testWithStemExclusionSet: EMPTY stop set;
+    with the exclusion the normalized form survives unstemmed, without
+    it the suffix sweep runs."""
+    text = "كبيرة the quick ساهدهات"
+    toks = analyze(
+        text,
+        lowercase="arabic",
+        stemmer="arabic",
+        stem_exclusions=frozenset({"ساهدهات"}),
+    )
+    assert [t.term for t in toks] == ["كبير", "the", "quick", "ساهدهات"]
+    toks = analyze(text, lowercase="arabic", stemmer="arabic")
+    assert [t.term for t in toks] == ["كبير", "the", "quick", "ساهد"]
+
+
+def test_persian_analyzer_chain():
+    """TestPersianAnalyzer default-analyzer rows (verbs/nouns incl. the
+    ZWNJ char-filter splits of می‌خورد; the pre-normalized stop set then
+    removes می) through the named 'persian' chain; the custom-stopword
+    row is excluded."""
+    rows = [
+        r
+        for r in _analyzer_goldens("fa/TestPersianAnalyzer.java")
+        if r[0] != "The quick brown fox."
+    ]
+    assert len(rows) >= 50
+    for text, expected in rows:
+        cfg = analyzer_config("persian")
+        got = [t.term for t in analyze(text, **cfg)]
+        assert got == expected, (text, got, expected)
+
+
+def test_persian_digit_fold_chain():
+    """TestPersianAnalyzer.testDigits: ۱۲۳۴ → 1234 through the chain."""
+    toks = analyze("۱۲۳۴", **analyzer_config("persian"))
+    assert [t.term for t in toks] == ["1234"]
+
+
+def test_arabic_exclusion_semantics():
+    """SetKeywordMarkerFilter sits AFTER normalization in the Arabic
+    chain: the exclusion matches the NORMALIZED form and skips only the
+    stem (TestArabicStemFilter.testWithKeywordAttribute)."""
+    toks = analyze(
+        "\u0633\u0627\u0647\u062f\u0647\u0627\u062a",
+        lowercase="arabic",
+        stemmer="arabic",
+        stem_exclusions=frozenset({"\u0633\u0627\u0647\u062f\u0647\u0627\u062a"}),
+    )
+    assert [t.term for t in toks] == ["\u0633\u0627\u0647\u062f\u0647\u0627\u062a"]
+
+
+def test_decimal_digit_fold():
+    """core/DecimalDigitFilter: Arabic-Indic + extended digits fold to
+    0-9; ASCII passes untouched."""
+    assert decimal_digit_fold("\u0661\u0662\u0663") == "123"
+    assert decimal_digit_fold("\u06f4\u06f5") == "45"
+    assert decimal_digit_fold("abc123") == "abc123"
+
+
+_AR_FUZZ_ALPHA = (
+    "\u0627\u0644\u0648\u0628\u0643\u0641\u0646\u0647\u064A\u0629"
+    "\u062A\u0645\u0633\u0622\u0623\u0625\u0649\u0640\u064E\u0651"
+)
+
+
+def test_arabic_sql_twin_parity_fuzz():
+    """ARABIC_NORMALIZE_SQL + ARABIC_STEM_SQL ≡ the Python chain over
+    30k random Arabic-alphabet words + every reference golden input."""
+    import duckdb
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice(_AR_FUZZ_ALPHA) for _ in range(rng.randrange(1, 11)))
+        for _ in range(30_000)
+    ]
+    words += [w for w, _e in _check_pairs("ar/TestArabicNormalizationFilter.java")]
+    words += [w for w, _e in _check_pairs("ar/TestArabicStemFilter.java")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w AS SELECT unnest(?) AS term", [words])
+    body = "SELECT term FROM w"
+    for e in (ARABIC_NORMALIZE_SQL,) + ARABIC_STEM_SQL:
+        body = f"SELECT {e} AS term FROM ({body})"
+    got = [r[0] for r in con.execute(body).fetchall()]
+
+    def py(w):
+        return arabic_stem(arabic_normalize(w))
+
+    bad = [(w, g, py(w)) for w, g in zip(words, got) if g != py(w)]
+    assert not bad, bad[:10]
+
+
+def test_arabic_persian_stop_sets_match_reference():
+    res = "/root/reference/lucene/analysis/common/src/resources/org/apache/lucene/analysis"
+
+    def load(path):
+        out = set()
+        for line in open(path, encoding="utf-8"):
+            line = line.split("#")[0].strip()
+            if line:
+                out.add(line)
+        return out
+
+    assert ARABIC_STOP_WORDS == load(f"{res}/ar/stopwords.txt")
+    assert PERSIAN_STOP_WORDS == load(f"{res}/fa/stopwords.txt")
+
+
+def test_arabic_batch_kernel_matches_scalar():
+    from lucene_solr_spark.functions.fast_tokenizer import batch_tokenize
+
+    rng = random.Random(3)
+    texts = [
+        " ".join(
+            "".join(rng.choice(_AR_FUZZ_ALPHA) for _ in range(rng.randrange(1, 9)))
+            for _ in range(rng.randrange(0, 30))
+        )
+        for _ in range(50)
+    ] + ["\u0645\u06cc\u200c\u062e\u0648\u0631\u062f"]
+    for name in ("arabic", "persian"):
+        cfg = analyzer_config(name)
+        doc_ids, terms, poss = batch_tokenize(texts, **cfg)
+        scalar = []
+        for i, t in enumerate(texts):
+            for tok in analyze(t, **cfg):
+                scalar.append((i, tok.term, tok.pos))
+        got = list(zip(doc_ids.tolist(), terms.tolist(), poss.tolist()))
+        assert got == scalar, name
