@@ -343,6 +343,16 @@ _PERSIAN_TEXT_SQL = (
 _FA_GATE_MAP = str.maketrans("abcdefghijklmnopqrstuvwxyz", _FA_ALPHABET)
 _FA_TOKEN_RX = "[0-9ء-يپچژگکیۀہ]+"
 
+#: Latvian-gate corpus: ' a ' → ' un ' injects the real Latvian
+#: conjunction so the lv stop set does position-gap work (the Kreslin
+#: stemmer itself is alphabet-agnostic on the corpus's a-z tokens)
+_LATVIAN_TEXT_SQL = "replace(text, ' a ', ' un ')"
+#: Indonesian-gate corpus: every word gains the verbal suffix '-kan'
+#: (the last word of a doc keeps its bare form) — 'a' becomes the
+#: genuine id stopword 'akan', and every >2-syllable word feeds the
+#: Tala suffix strip with its KE/PENG/PE flag blocking
+_INDONESIAN_TEXT_SQL = "replace(text, ' ', 'kan ')"
+
 
 #: deterministic apostrophe corpus for the FrenchAnalyzer-chain gates:
 #: every word starting 's'/'b' gains an elidable article prefix, giving
@@ -2230,6 +2240,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["persian_chain_topk"] = persian_chain_topk
 
+    def latvian_chain_topk(spark, sf_dir):
+        """FULL LatvianAnalyzer chain (lv/LatvianAnalyzer.java:110-116:
+        Standard → LowerCase → Stop(lv — the injected 'un' conjunction
+        fires with position gaps) → LatvianStemFilter (Kreslin's light
+        stemmer: priority-affix strip gated on WHOLE-word vowel count,
+        declension II/V/VI unpalatalization)). BM25 top-10 for 'tabl'
+        (= latvian_stem('table')); exact SQL twin
+        (oracle.lang_pack.LATVIAN_SQL, golden+fuzz-verified in
+        tests/test_lang_pack.py)."""
+        ex = _named_chain_executor(
+            spark, sf_dir, "latvian", text_sql=_LATVIAN_TEXT_SQL
+        )
+        from lucene_solr_spark.oracle.lang_pack import latvian_stem
+
+        return ex.topk(_T(latvian_stem("table")), k=10).select(
+            "doc_id", "score"
+        )
+
+    out["latvian_chain_topk"] = latvian_chain_topk
+
+    def indonesian_chain_topk(spark, sf_dir):
+        """FULL IndonesianAnalyzer chain (id/IndonesianAnalyzer.java:
+        105-112: Standard → LowerCase → Stop(id) → IndonesianStemFilter
+        (Tala: particle/possessive strips, staged derivational
+        prefix+suffix with >2-syllable gates and flag blocking)) over
+        the '-kan'-suffixed corpus ('a' becomes the real stopword
+        'akan' so Stop does position-gap work; every >2-syllable word
+        feeds the suffix stage). BM25 top-10 for 'customer'
+        (= indonesian_stem('customerkan')); exact SQL twin
+        (oracle.lang_pack.INDONESIAN_SQL — the state-encoded 9-layer
+        chain, fuzz-verified over 68k words)."""
+        ex = _named_chain_executor(
+            spark, sf_dir, "indonesian", text_sql=_INDONESIAN_TEXT_SQL
+        )
+        from lucene_solr_spark.oracle.lang_pack import indonesian_stem
+
+        return ex.topk(_T(indonesian_stem("customerkan")), k=10).select(
+            "doc_id", "score"
+        )
+
+    out["indonesian_chain_topk"] = indonesian_chain_topk
+
     def hungarian_snowball_topk(spark, sf_dir):
         """Hungarian SNOWBALL stemmer (the HungarianAnalyzer DEFAULT):
         BM25 top-10 for 'tabl'; the SQL twin factors the digraph-aware
@@ -3388,6 +3440,16 @@ def oracle_sql() -> dict[str, str]:
         + _lang_topk.format(
             score=_SCORE,
             term=_lp.persian_fold("merge".translate(_FA_GATE_MAP)),
+        )
+    )
+    out["latvian_chain_topk"] = (
+        f"WITH {_ictes_lang(text_col=_LATVIAN_TEXT_SQL, stopwords=tuple(_lp.LATVIAN_STOP_WORDS), term_expr=_lp.LATVIAN_SQL)}"
+        + _lang_topk.format(score=_SCORE, term=_lp.latvian_stem("table"))
+    )
+    out["indonesian_chain_topk"] = (
+        f"WITH {_ictes_lang(text_col=_INDONESIAN_TEXT_SQL, stopwords=tuple(_lp.INDONESIAN_STOP_WORDS), term_expr=_lp.INDONESIAN_SQL)}"
+        + _lang_topk.format(
+            score=_SCORE, term=_lp.indonesian_stem("customerkan")
         )
     )
     out["hungarian_snowball_topk"] = (

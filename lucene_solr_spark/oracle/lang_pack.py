@@ -498,3 +498,400 @@ PERSIAN_FOLD_SQL = (
     "'\u0627\u0627\u0627\u064A\u0647'), "
     "'\u06CC\u06D2\u06A9\u06C0\u06C1\u0654', '\u064A\u064A\u0643\u0647\u0647')"
 )
+
+
+# --------------------------------------------------------------- Latvian
+
+#: lv/LatvianStemmer.java:51-72 — (affix, vowel-count threshold,
+#: palatalizes) in priority order; numVowels is counted on the WHOLE
+#: word once, and the stem must keep >= vc+? vowels (numVowels > vc)
+#: and >= 3 chars beyond the affix
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("ām", 1, False),
+    ("am", 1, False), ("ēm", 1, False), ("īm", 1, False),
+    ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("īs", 1, False),
+    ("ēs", 1, False), ("is", 1, False), ("ie", 1, False),
+    ("u", 1, True), ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False), ("ē", 1, False),
+    ("ī", 1, False), ("ū", 1, False), ("o", 1, False),
+    ("s", 0, False), ("š", 0, False),
+)
+
+_LV_VOWELS = frozenset("aeiouāīēū")
+
+
+def _lv_unpalatalize(t: str, removed0: str) -> str:
+    """lv/LatvianStemmer.java:95-147: undo declension II/V/VI
+    palatalization; the kš→kst / ņņ→nn pair fires only when the removed
+    affix began with 'u' (gen. pl.)."""
+    if removed0 == "u":
+        if t.endswith("kš"):
+            return t[:-1] + "st"
+        if t.endswith("ņņ"):
+            return t[:-2] + "nn"
+    if t.endswith(("pj", "bj", "mj", "vj")):
+        return t[:-1]
+    if t.endswith("šņ"):
+        return t[:-2] + "sn"
+    if t.endswith("žņ"):
+        return t[:-2] + "zn"
+    if t.endswith("šļ"):
+        return t[:-2] + "sl"
+    if t.endswith("žļ"):
+        return t[:-2] + "zl"
+    if t.endswith("ļņ"):
+        return t[:-2] + "ln"
+    if t.endswith("ļļ"):
+        return t[:-2] + "ll"
+    if t.endswith("č"):
+        return t[:-1] + "c"
+    if t.endswith("ļ"):
+        return t[:-1] + "l"
+    if t.endswith("ņ"):
+        return t[:-1] + "n"
+    return t
+
+
+def latvian_stem(term: str) -> str:
+    """Light stemmer for Latvian (``lv/LatvianStemmer.java:36-48`` —
+    Kreslin's algorithm, noun/adjective primary inflections only):
+    first affix in priority order with enough whole-word vowels and a
+    >=3-char remainder strips; declension II/V/VI strips unpalatalize."""
+    nv = sum(1 for c in term if c in _LV_VOWELS)
+    for affix, vc, pal in _LV_AFFIXES:
+        if nv > vc and len(term) >= len(affix) + 3 and term.endswith(affix):
+            t = term[: -len(affix)]
+            return _lv_unpalatalize(t, affix[0]) if pal else t
+    return term
+
+
+#: one-pass SQL twin of latvian_stem, generated from _LV_AFFIXES:
+#: layer 1 strips the first qualifying affix (vowel count computed on
+#: the ORIGINAL term) and marks palatalizing strips with
+#: chr(1)+removed-first-char; layer 2 applies the unpalatalization
+#: rewrites and drops the mark.
+_LV_VC = "(length(term) - length(translate(term, 'aeiouāīēū', '')))"
+
+
+def _lv_layer1() -> str:
+    branches = []
+    for affix, vc, pal in _LV_AFFIXES:
+        n = len(affix)
+        strip = f"left(term, length(term)-{n})"
+        if pal:
+            strip = f"chr(1) || '{affix[0]}' || " + strip
+        branches.append(
+            f"WHEN {_LV_VC} > {vc} AND length(term) >= {n + 3} "
+            f"AND right(term, {n}) = '{affix}' THEN {strip}"
+        )
+    return "CASE\n        " + "\n        ".join(branches) + "\n        ELSE term END"
+
+
+_LV_S = "substr(term, 3)"  # the stem body behind the 2-char mark
+_LV_C0 = "substr(term, 2, 1)"  # first char of the removed affix
+
+LATVIAN_SQL = (
+    _lv_layer1(),
+    # unpalatalize (lv/LatvianStemmer.java:95-147) for marked terms
+    f"""CASE WHEN left(term, 1) <> chr(1) THEN term ELSE
+        CASE
+        WHEN {_LV_C0} = 'u' AND right(term, 2) = 'kš' THEN left({_LV_S}, length(term)-3) || 'st'
+        WHEN {_LV_C0} = 'u' AND right(term, 2) = 'ņņ' THEN left({_LV_S}, length(term)-4) || 'nn'
+        WHEN right(term, 2) IN ('pj', 'bj', 'mj', 'vj') THEN left({_LV_S}, length(term)-3)
+        WHEN right(term, 2) = 'šņ' THEN left({_LV_S}, length(term)-4) || 'sn'
+        WHEN right(term, 2) = 'žņ' THEN left({_LV_S}, length(term)-4) || 'zn'
+        WHEN right(term, 2) = 'šļ' THEN left({_LV_S}, length(term)-4) || 'sl'
+        WHEN right(term, 2) = 'žļ' THEN left({_LV_S}, length(term)-4) || 'zl'
+        WHEN right(term, 2) = 'ļņ' THEN left({_LV_S}, length(term)-4) || 'ln'
+        WHEN right(term, 2) = 'ļļ' THEN left({_LV_S}, length(term)-4) || 'll'
+        WHEN right(term, 1) = 'č' THEN left({_LV_S}, length(term)-3) || 'c'
+        WHEN right(term, 1) = 'ļ' THEN left({_LV_S}, length(term)-3) || 'l'
+        WHEN right(term, 1) = 'ņ' THEN left({_LV_S}, length(term)-3) || 'n'
+        ELSE {_LV_S} END END""",
+)
+
+#: lv/stopwords.txt (161 word entries; the file has bare "#" comment lines that can never match a token)
+LATVIAN_STOP_WORDS = frozenset(
+    (
+        "aiz ap apakš apakšpus ar arī augšpus bet bez bija biji biju "
+        "bijām bijāt būs būsi būsiet būsim būt būšu caur diemžēl "
+        "diezin droši dēļ esam esat esi esmu gan gar iekam iekams "
+        "iekām iekāms iekš iekšpus ik ir it itin iz ja jau jeb jebšu "
+        "jel jo jā ka kamēr kaut kolīdz kopš kā kļuva kļuvi kļuvu "
+        "kļuvām kļuvāt kļūs kļūsi kļūsiet kļūsim kļūst kļūstam "
+        "kļūstat kļūsti kļūstu kļūt kļūšu labad lai lejpus līdz "
+        "līdzko ne nebūt nedz nekā nevis nezin no nu nē otrpus pa par "
+        "pat pie pirms pret priekš pār pēc starp tad tak tapi taps "
+        "tapsi tapsiet tapsim tapt tapāt tapšu taču te tiec tiek "
+        "tiekam tiekat tieku tik tika tikai tiki tikko tiklab tiklīdz "
+        "tiks tiksiet tiksim tikt tiku tikvien tikām tikāt tikšu "
+        "tomēr topat turpretim turpretī tā tādēļ tālab tāpēc un uz "
+        "vai var varat varēja varēji varēju varējām varējāt varēs "
+        "varēsi varēsiet varēsim varēt varēšu vien virs virspus vis "
+        "viņpus zem ārpus šaipus "
+    ).split()
+)
+
+#: id/stopwords.txt ("#"-comment wordlist, 355 entries)
+INDONESIAN_STOP_WORDS = frozenset(
+    (
+        "ada adalah adanya adapun agak agaknya agar akan akankah "
+        "akhirnya aku akulah amat amatlah anda andalah antar antara "
+        "antaranya apa apaan apabila apakah apalagi apatah atau "
+        "ataukah ataupun bagai bagaikan bagaimana bagaimanakah "
+        "bagaimanapun bagi bahkan bahwa bahwasanya banyak beberapa "
+        "begini beginian beginikah beginilah begitu begitukah "
+        "begitulah begitupun belum belumlah berapa berapakah "
+        "berapalah berapapun bermacam bersama betulkah biasa biasanya "
+        "bila bilakah bisa bisakah boleh bolehkah bolehlah buat bukan "
+        "bukankah bukanlah bukannya cuma dahulu dalam dan dapat dari "
+        "daripada dekat demi demikian demikianlah dengan depan di dia "
+        "dialah diantara diantaranya dikarenakan dini diri dirinya "
+        "disini disinilah dong dulu enggak enggaknya entah entahlah "
+        "hal hampir hanya hanyalah harus haruslah harusnya hendak "
+        "hendaklah hendaknya hingga ia ialah ibarat ingin inginkah "
+        "inginkan ini inikah inilah itu itukah itulah jangan "
+        "jangankan janganlah jika jikalau juga justru kala kalau "
+        "kalaulah kalaupun kalian kami kamilah kamu kamulah kan kapan "
+        "kapankah kapanpun karena karenanya ke kecil kemudian kenapa "
+        "kepada kepadanya ketika khususnya kini kinilah kiranya kita "
+        "kitalah kok lagi lagian lah lain lainnya lalu lama lamanya "
+        "lebih macam maka makanya makin malah malahan mampu mampukah "
+        "mana manakala manalagi masih masihkah masing mau maupun "
+        "melainkan melalui memang mengapa mereka merekalah merupakan "
+        "meski meskipun mungkin mungkinkah nah namun nanti nantinya "
+        "nyaris oleh olehnya pada padahal padanya paling pantas para "
+        "pasti pastilah per percuma pernah pula pun rupanya saat "
+        "saatnya saja sajalah saling sama sambil sampai sana sangat "
+        "sangatlah saya sayalah se sebab sebabnya sebagai sebagaimana "
+        "sebagainya sebaliknya sebanyak sebegini sebegitu sebelum "
+        "sebelumnya sebenarnya seberapa sebetulnya sebisanya sebuah "
+        "sedang sedangkan sedemikian sedikit sedikitnya segala "
+        "segalanya segera seharusnya sehingga sejak sejenak sekali "
+        "sekalian sekaligus sekalipun sekarang seketika sekiranya "
+        "sekitar sekitarnya sela selagi selain selaku selalu selama "
+        "selamanya seluruh seluruhnya semacam semakin semasih "
+        "semaunya sementara sempat semua semuanya semula sendiri "
+        "sendirinya seolah seorang sepanjang sepantasnya "
+        "sepantasnyalah seperti sepertinya sering seringnya serta "
+        "serupa sesaat sesama sesegera sesekali seseorang sesuatu "
+        "sesuatunya sesudah sesudahnya setelah seterusnya setiap "
+        "setidaknya sewaktu siapa siapakah siapapun sini sinilah "
+        "suatu sudah sudahkah sudahlah supaya tadi tadinya tak tanpa "
+        "tapi telah tentang tentu tentulah tentunya terdiri terhadap "
+        "terhadapnya terlalu terlebih tersebut tersebutlah tertentu "
+        "tetapi tiap tidak tidakkah tidaklah toh waduh wah wahai "
+        "walau walaupun wong yaitu yakni yang "
+    ).split()
+)
+
+
+# ------------------------------------------------------------ Indonesian
+
+#: suffix-stage flag guards (id/IndonesianStemmer.java:28-35); at
+#: suffix time exactly ONE of these (or none) is set — first-order sets
+#: one of KE/PENG/DI/MENG/TER, second-order BER/PE, and the two stages
+#: never both precede the suffix stage
+_ID_KE, _ID_PENG, _ID_DI, _ID_MENG, _ID_TER, _ID_BER, _ID_PE = (
+    1, 2, 4, 8, 16, 32, 64,
+)
+_ID_VOWELS = frozenset("aeiou")
+
+
+def _id_first_order(s: str, syl: int, flags: int):
+    """id/IndonesianStemmer.java:110-186 (removeFirstOrderPrefix)."""
+    if s.startswith("meng"):
+        return s[4:], syl - 1, flags | _ID_MENG
+    if s.startswith("meny") and len(s) > 4 and s[4] in _ID_VOWELS:
+        return "s" + s[4:], syl - 1, flags | _ID_MENG
+    if s.startswith("men"):
+        return s[3:], syl - 1, flags | _ID_MENG
+    if s.startswith("mem"):
+        return s[3:], syl - 1, flags | _ID_MENG
+    if s.startswith("me"):
+        return s[2:], syl - 1, flags | _ID_MENG
+    if s.startswith("peng"):
+        return s[4:], syl - 1, flags | _ID_PENG
+    if s.startswith("peny") and len(s) > 4 and s[4] in _ID_VOWELS:
+        return "s" + s[4:], syl - 1, flags | _ID_PENG
+    if s.startswith("peny"):
+        return s[4:], syl - 1, flags | _ID_PENG
+    if s.startswith("pen") and len(s) > 3 and s[3] in _ID_VOWELS:
+        return "t" + s[3:], syl - 1, flags | _ID_PENG
+    if s.startswith("pen"):
+        return s[3:], syl - 1, flags | _ID_PENG
+    if s.startswith("pem"):
+        return s[3:], syl - 1, flags | _ID_PENG
+    if s.startswith("di"):
+        return s[2:], syl - 1, flags | _ID_DI
+    if s.startswith("ter"):
+        return s[3:], syl - 1, flags | _ID_TER
+    if s.startswith("ke"):
+        return s[2:], syl - 1, flags | _ID_KE
+    return s, syl, flags
+
+
+def _id_second_order(s: str, syl: int, flags: int):
+    """id/IndonesianStemmer.java:188-224 (removeSecondOrderPrefix);
+    'per' fires without setting a flag."""
+    if s.startswith("ber"):
+        return s[3:], syl - 1, flags | _ID_BER
+    if len(s) == 7 and s.startswith("belajar"):
+        return s[3:], syl - 1, flags | _ID_BER
+    if (
+        s.startswith("be")
+        and len(s) > 4
+        and s[2] not in _ID_VOWELS
+        and s[3] == "e"
+        and s[4] == "r"
+    ):
+        return s[2:], syl - 1, flags | _ID_BER
+    if s.startswith("per"):
+        return s[3:], syl - 1, flags
+    if len(s) == 7 and s.startswith("pelajar"):
+        return s[3:], syl - 1, flags
+    if s.startswith("pe"):
+        return s[2:], syl - 1, flags | _ID_PE
+    return s, syl, flags
+
+
+def _id_suffix(s: str, syl: int, flags: int):
+    """id/IndonesianStemmer.java:226-252 (removeSuffix)."""
+    if s.endswith("kan") and not flags & (_ID_KE | _ID_PENG | _ID_PE):
+        return s[:-3], syl - 1, flags
+    if s.endswith("an") and not flags & (_ID_DI | _ID_MENG | _ID_TER):
+        return s[:-2], syl - 1, flags
+    if (
+        s.endswith("i")
+        and not s.endswith("si")
+        and not flags & (_ID_BER | _ID_KE | _ID_PENG)
+    ):
+        return s[:-1], syl - 1, flags
+    return s, syl, flags
+
+
+def indonesian_stem(term: str, *, stem_derivational: bool = True) -> str:
+    """Stemmer for Indonesian (``id/IndonesianStemmer.java:45-71`` —
+    Tala's algorithm): inflectional particles + possessive pronouns,
+    then (derivational) first-order prefix; if it fired, suffix then —
+    only if the suffix also fired — second-order prefix; if it did not
+    fire, second-order prefix then suffix. Every stage gates on >2
+    remaining syllables (vowel count, decremented per fired rule)."""
+    s = term
+    syl = sum(1 for c in s if c in _ID_VOWELS)
+    flags = 0
+    if syl > 2 and s.endswith(("kah", "lah", "pun")):
+        syl -= 1
+        s = s[:-3]
+    if syl > 2:
+        if s.endswith(("ku", "mu")):
+            syl -= 1
+            s = s[:-2]
+        elif s.endswith("nya"):
+            syl -= 1
+            s = s[:-3]
+    if not stem_derivational:
+        return s
+    old = len(s)
+    if syl > 2:
+        s, syl, flags = _id_first_order(s, syl, flags)
+    if len(s) != old:
+        old = len(s)
+        if syl > 2:
+            s, syl, flags = _id_suffix(s, syl, flags)
+        if len(s) != old and syl > 2:
+            s, syl, flags = _id_second_order(s, syl, flags)
+    else:
+        if syl > 2:
+            s, syl, flags = _id_second_order(s, syl, flags)
+        if syl > 2:
+            s, syl, flags = _id_suffix(s, syl, flags)
+    return s
+
+
+#: state-encoded SQL twin of indonesian_stem (derivational): the term
+#: rides through the layers as <syl><flag><body> where <syl> =
+#: chr(48+remaining syllables) and <flag> marks which single suffix-
+#: guard flag is live plus the path through stemDerivational's
+#: conditionals ('0' none/path-B, '1' KE, '2' PENG, '3' DI, '4' MENG,
+#: '5' TER, '6' BER, '7' PE, '8' path-A suffix fired, '9' path-A done).
+_ID_SYL = "(unicode(left(term, 1)) - 48)"
+_ID_FLAG = "substr(term, 2, 1)"
+_ID_BODY = "substr(term, 3)"
+_ID_DEC = "chr((unicode(left(term, 1)) - 1)::INT)"
+_ID_V = "('a','e','i','o','u')"
+
+INDONESIAN_SQL = (
+    # L0: encode <syllables><flag=0><body>
+    "chr((48 + length(term) - length(translate(term, 'aeiou', '')))::INT) || '0' || term",
+    # L1: removeParticle (id/IndonesianStemmer.java:86-95)
+    f"""CASE
+        WHEN {_ID_SYL} > 2 AND right(term, 3) IN ('kah', 'lah', 'pun') THEN {_ID_DEC} || {_ID_FLAG} || left({_ID_BODY}, length(term)-5)
+        ELSE term END""",
+    # L2: removePossessivePronoun (:97-108)
+    f"""CASE
+        WHEN {_ID_SYL} > 2 AND right(term, 2) IN ('ku', 'mu') THEN {_ID_DEC} || {_ID_FLAG} || left({_ID_BODY}, length(term)-4)
+        WHEN {_ID_SYL} > 2 AND right(term, 3) = 'nya' THEN {_ID_DEC} || {_ID_FLAG} || left({_ID_BODY}, length(term)-5)
+        ELSE term END""",
+    # L3: removeFirstOrderPrefix (:110-186); every branch sets its flag
+    f"""CASE
+        WHEN {_ID_SYL} <= 2 THEN term
+        WHEN substr(term, 3, 4) = 'meng' THEN {_ID_DEC} || '4' || substr(term, 7)
+        WHEN substr(term, 3, 4) = 'meny' AND length(term) > 6 AND substr(term, 7, 1) IN {_ID_V} THEN {_ID_DEC} || '4' || 's' || substr(term, 7)
+        WHEN substr(term, 3, 3) = 'men' THEN {_ID_DEC} || '4' || substr(term, 6)
+        WHEN substr(term, 3, 3) = 'mem' THEN {_ID_DEC} || '4' || substr(term, 6)
+        WHEN substr(term, 3, 2) = 'me' THEN {_ID_DEC} || '4' || substr(term, 5)
+        WHEN substr(term, 3, 4) = 'peng' THEN {_ID_DEC} || '2' || substr(term, 7)
+        WHEN substr(term, 3, 4) = 'peny' AND length(term) > 6 AND substr(term, 7, 1) IN {_ID_V} THEN {_ID_DEC} || '2' || 's' || substr(term, 7)
+        WHEN substr(term, 3, 4) = 'peny' THEN {_ID_DEC} || '2' || substr(term, 7)
+        WHEN substr(term, 3, 3) = 'pen' AND length(term) > 5 AND substr(term, 6, 1) IN {_ID_V} THEN {_ID_DEC} || '2' || 't' || substr(term, 6)
+        WHEN substr(term, 3, 3) = 'pen' THEN {_ID_DEC} || '2' || substr(term, 6)
+        WHEN substr(term, 3, 3) = 'pem' THEN {_ID_DEC} || '2' || substr(term, 6)
+        WHEN substr(term, 3, 2) = 'di' THEN {_ID_DEC} || '3' || substr(term, 5)
+        WHEN substr(term, 3, 3) = 'ter' THEN {_ID_DEC} || '5' || substr(term, 6)
+        WHEN substr(term, 3, 2) = 'ke' THEN {_ID_DEC} || '1' || substr(term, 5)
+        ELSE term END""",
+    # L4: path-A suffix (first-order fired ⇔ flag 1-5); '8' = fired,
+    # '9' = path-A finished without a suffix strip (:42-48, 226-252)
+    f"""CASE
+        WHEN {_ID_FLAG} NOT IN ('1', '2', '3', '4', '5') THEN term
+        WHEN {_ID_SYL} > 2 AND right(term, 3) = 'kan' AND {_ID_FLAG} NOT IN ('1', '2') THEN {_ID_DEC} || '8' || left({_ID_BODY}, length(term)-5)
+        WHEN {_ID_SYL} > 2 AND right(term, 2) = 'an' AND {_ID_FLAG} NOT IN ('3', '4', '5') THEN {_ID_DEC} || '8' || left({_ID_BODY}, length(term)-4)
+        WHEN {_ID_SYL} > 2 AND right(term, 1) = 'i' AND right(term, 2) <> 'si' AND {_ID_FLAG} NOT IN ('1', '2') THEN {_ID_DEC} || '8' || left({_ID_BODY}, length(term)-3)
+        ELSE left(term, 1) || '9' || {_ID_BODY} END""",
+    # L5: path-A second-order, only after a suffix strip (:47-48)
+    f"""CASE
+        WHEN {_ID_FLAG} <> '8' THEN term
+        WHEN {_ID_SYL} > 2 AND substr(term, 3, 3) = 'ber' THEN {_ID_DEC} || '9' || substr(term, 6)
+        WHEN {_ID_SYL} > 2 AND length(term) = 9 AND substr(term, 3) = 'belajar' THEN {_ID_DEC} || '9' || substr(term, 6)
+        WHEN {_ID_SYL} > 2 AND substr(term, 3, 2) = 'be' AND length(term) > 6 AND substr(term, 5, 1) NOT IN {_ID_V} AND substr(term, 6, 1) = 'e' AND substr(term, 7, 1) = 'r' THEN {_ID_DEC} || '9' || substr(term, 5)
+        WHEN {_ID_SYL} > 2 AND substr(term, 3, 3) = 'per' THEN {_ID_DEC} || '9' || substr(term, 6)
+        WHEN {_ID_SYL} > 2 AND length(term) = 9 AND substr(term, 3) = 'pelajar' THEN {_ID_DEC} || '9' || substr(term, 6)
+        WHEN {_ID_SYL} > 2 AND substr(term, 3, 2) = 'pe' THEN {_ID_DEC} || '9' || substr(term, 5)
+        ELSE left(term, 1) || '9' || {_ID_BODY} END""",
+    # L6: path-B second-order (first-order did NOT fire ⇔ flag '0');
+    # 'per'/'pelajar' strip WITHOUT setting a flag (:188-224)
+    f"""CASE
+        WHEN {_ID_FLAG} <> '0' THEN term
+        WHEN {_ID_SYL} > 2 AND substr(term, 3, 3) = 'ber' THEN {_ID_DEC} || '6' || substr(term, 6)
+        WHEN {_ID_SYL} > 2 AND length(term) = 9 AND substr(term, 3) = 'belajar' THEN {_ID_DEC} || '6' || substr(term, 6)
+        WHEN {_ID_SYL} > 2 AND substr(term, 3, 2) = 'be' AND length(term) > 6 AND substr(term, 5, 1) NOT IN {_ID_V} AND substr(term, 6, 1) = 'e' AND substr(term, 7, 1) = 'r' THEN {_ID_DEC} || '6' || substr(term, 5)
+        WHEN {_ID_SYL} > 2 AND substr(term, 3, 3) = 'per' THEN {_ID_DEC} || '0' || substr(term, 6)
+        WHEN {_ID_SYL} > 2 AND length(term) = 9 AND substr(term, 3) = 'pelajar' THEN {_ID_DEC} || '0' || substr(term, 6)
+        WHEN {_ID_SYL} > 2 AND substr(term, 3, 2) = 'pe' THEN {_ID_DEC} || '7' || substr(term, 5)
+        ELSE term END""",
+    # L7: path-B suffix; BER blocks -i, PE blocks -kan (:226-252)
+    f"""CASE
+        WHEN {_ID_FLAG} NOT IN ('0', '6', '7') THEN term
+        WHEN {_ID_SYL} > 2 AND right(term, 3) = 'kan' AND {_ID_FLAG} <> '7' THEN {_ID_DEC} || {_ID_FLAG} || left({_ID_BODY}, length(term)-5)
+        WHEN {_ID_SYL} > 2 AND right(term, 2) = 'an' THEN {_ID_DEC} || {_ID_FLAG} || left({_ID_BODY}, length(term)-4)
+        WHEN {_ID_SYL} > 2 AND right(term, 1) = 'i' AND right(term, 2) <> 'si' AND {_ID_FLAG} <> '6' THEN {_ID_DEC} || {_ID_FLAG} || left({_ID_BODY}, length(term)-3)
+        ELSE term END""",
+    # L8: drop the state header
+    "substr(term, 3)",
+)

@@ -1060,6 +1060,8 @@ def _register_lang_pack() -> None:
             # normalized (ar/ArabicAnalyzer.java:127-130), so
             # normalize+stem compose inside the stemmer seam
             "arabic": _lp.arabic_chain_stem,
+            "latvian": _lp.latvian_stem,
+            "indonesian": _lp.indonesian_stem,
         }
     )
     FOLDS.update(
@@ -1194,6 +1196,17 @@ def analyzer_config(name: str) -> dict:
     # pre-normalized); no stem stage.
     configs["persian"] = dict(
         zwnj_to_space=True, lowercase="persian", stopwords=PERSIAN_STOP_WORDS
+    )
+    # LatvianAnalyzer.java:110-116 / IndonesianAnalyzer.java:105-112:
+    # Standard → LowerCase → Stop → [keyword marker] → StemFilter
+    from lucene_solr_spark.oracle.lang_pack import (
+        INDONESIAN_STOP_WORDS,
+        LATVIAN_STOP_WORDS,
+    )
+
+    configs["latvian"] = dict(stopwords=LATVIAN_STOP_WORDS, stemmer="latvian")
+    configs["indonesian"] = dict(
+        stopwords=INDONESIAN_STOP_WORDS, stemmer="indonesian"
     )
     got = configs.get(name)
     if got is None:

@@ -396,3 +396,139 @@ def test_arabic_batch_kernel_matches_scalar():
                 scalar.append((i, tok.term, tok.pos))
         got = list(zip(doc_ids.tolist(), terms.tolist(), poss.tolist()))
         assert got == scalar, name
+
+
+# ------------------------------------------------------ Latvian/Indonesian
+
+from lucene_solr_spark.oracle.lang_pack import (  # noqa: E402
+    INDONESIAN_SQL,
+    INDONESIAN_STOP_WORDS,
+    LATVIAN_SQL,
+    LATVIAN_STOP_WORDS,
+    indonesian_stem,
+    latvian_stem,
+)
+
+_ONE_TERM_RE = re.compile(
+    r'checkOneTerm\(\s*(\w+)\s*,\s*"([^"]*)"\s*,\s*"([^"]*)"\)'
+)
+
+
+def test_latvian_stemmer_goldens():
+    """Every TestLatvianStemmer checkOneTerm pair (173 rows covering all
+    six declensions, definite adjectives, and the palatalization
+    undo rules); the analyzer trims the two rows with a stray trailing
+    space in the Java source."""
+    txt = open(f"{_REF}/lv/TestLatvianStemmer.java", encoding="utf-8").read()
+    pairs = _ONE_TERM_RE.findall(txt)
+    assert len(pairs) >= 170
+    for _var, w, e in pairs:
+        assert latvian_stem(w.strip()) == e, (w, e)
+
+
+def test_indonesian_stemmer_goldens():
+    """Every TestIndonesianStemmer checkOneTerm pair — var 'a' is the
+    full derivational stemmer, var 'b' inflectional-only
+    (stemDerivational=false)."""
+    txt = open(f"{_REF}/id/TestIndonesianStemmer.java", encoding="utf-8").read()
+    pairs = _ONE_TERM_RE.findall(txt)
+    assert len(pairs) >= 60
+    assert {v for v, _w, _e in pairs} == {"a", "b"}
+    for var, w, e in pairs:
+        got = indonesian_stem(w, stem_derivational=var != "b")
+        assert got == e, (var, w, e, got)
+
+
+def test_latvian_sql_twin_parity_fuzz():
+    import duckdb
+
+    rng = random.Random(11)
+    alpha = "aeiouāīēūsšjmkņļčžbptvdzngl"
+    words = [
+        "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 12)))
+        for _ in range(30_000)
+    ]
+    txt = open(f"{_REF}/lv/TestLatvianStemmer.java", encoding="utf-8").read()
+    words += [w.strip() for _v, w, _e in _ONE_TERM_RE.findall(txt)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w AS SELECT unnest(?) AS term", [words])
+    body = "SELECT term FROM w"
+    for e in LATVIAN_SQL:
+        body = f"SELECT {e} AS term FROM ({body})"
+    got = [r[0] for r in con.execute(body).fetchall()]
+    bad = [(w, g, latvian_stem(w)) for w, g in zip(words, got) if g != latvian_stem(w)]
+    assert not bad, bad[:10]
+
+
+def test_indonesian_sql_twin_parity_fuzz():
+    """The state-encoded (syllable count + single live flag riding a
+    2-char header) SQL chain ≡ the stateful Python stemmer over 48k
+    words incl. systematically composed prefix+root+suffix shapes."""
+    import duckdb
+
+    rng = random.Random(5)
+    alpha = "aeioumnpgkrbdtslyhj"
+    words = [
+        "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 12)))
+        for _ in range(30_000)
+    ]
+    pre = ["meng", "meny", "men", "mem", "me", "peng", "peny", "pen", "pem",
+           "di", "ter", "ke", "ber", "be", "per", "pe", "bel", "pel", ""]
+    suf = ["kah", "lah", "pun", "ku", "mu", "nya", "kan", "an", "i", "si", ""]
+    mid = ["ajar", "erat", "beri", "turun", "ekonomi", "buku", "lari", "s", "a"]
+    for _ in range(8_000):
+        words.append(rng.choice(pre) + rng.choice(mid) + rng.choice(suf))
+    txt = open(f"{_REF}/id/TestIndonesianStemmer.java", encoding="utf-8").read()
+    words += [w for v, w, _e in _ONE_TERM_RE.findall(txt) if v == "a"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w AS SELECT unnest(?) AS term", [words])
+    body = "SELECT term FROM w"
+    for e in INDONESIAN_SQL:
+        body = f"SELECT {e} AS term FROM ({body})"
+    got = [r[0] for r in con.execute(body).fetchall()]
+    bad = [
+        (w, g, indonesian_stem(w)) for w, g in zip(words, got) if g != indonesian_stem(w)
+    ]
+    assert not bad, bad[:10]
+
+
+def test_lv_id_stop_sets_match_reference():
+    res = "/root/reference/lucene/analysis/common/src/resources/org/apache/lucene/analysis"
+
+    def load(path):
+        out = set()
+        for line in open(path, encoding="utf-8"):
+            line = line.split("#")[0].strip()
+            if line:
+                out.add(line)
+        return out
+
+    assert LATVIAN_STOP_WORDS == load(f"{res}/lv/stopwords.txt")
+    assert INDONESIAN_STOP_WORDS == load(f"{res}/id/stopwords.txt")
+
+
+def test_lv_id_chain_and_batch_parity():
+    from lucene_solr_spark.functions.fast_tokenizer import batch_tokenize
+
+    # TestLatvianStemmer/TestIndonesianAnalyzer-style chain rows
+    cfg = analyzer_config("latvian")
+    assert [t.term for t in analyze("tirgiem tirgus un kukaiņi", **cfg)] == [
+        "tirg", "tirg", "kukain",
+    ]
+    cfg = analyzer_config("indonesian")
+    assert [t.term for t in analyze("peledakan dan bukumu", **cfg)] == [
+        "ledak", "buku",
+    ]
+    texts = [
+        "tirgiem tirgus un kukaiņi gribēja",
+        "peledakan pembunuhan bukunya dimakan belajar",
+        "",
+    ]
+    for name in ("latvian", "indonesian"):
+        cfg = analyzer_config(name)
+        doc_ids, terms, poss = batch_tokenize(texts, **cfg)
+        scalar = []
+        for i, t in enumerate(texts):
+            for tok in analyze(t, **cfg):
+                scalar.append((i, tok.term, tok.pos))
+        assert list(zip(doc_ids.tolist(), terms.tolist(), poss.tolist())) == scalar, name
