@@ -195,6 +195,29 @@ def _shingle_executor(spark: SparkSession, sf_dir: str):
     return _CACHE[key]
 
 
+def _ngram_executor(spark: SparkSession, sf_dir: str, *, edge: bool):
+    """Executor over a character-n-gram index (EdgeNGramTokenFilter
+    (2,4) — the search-as-you-type layout — or NGramTokenFilter (3,3),
+    the substring-match trigram layout; ngram/NGramTokenFilter.java,
+    EdgeNGramTokenFilter.java): partial-word lookups become single
+    TermQuery probes; norms discount the stacked grams (only a token's
+    first gram carries posIncr)."""
+    key = f"ng_ix::{edge}::{sf_dir}"
+    if key not in _CACHE:
+        from lucene_solr_spark.operators.index_build import build_index
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ix = build_index(
+            docs,
+            text_col="text",
+            doc_id_col="doc_id",
+            **({"edge_ngram": (2, 4)} if edge else {"ngram": (3, 3)}),
+        ).persist()
+        _CACHE[key] = DFExecutor(ix, mode="double")
+    return _CACHE[key]
+
+
 def _sorted_executor(spark: SparkSession, sf_dir: str):
     """Executor over an INDEX-SORTED build (IndexWriterConfig.setIndexSort
     role): docIDs assigned by (n_chars DESC, original id) — doc order IS
@@ -1717,6 +1740,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ex.topk(_T("fast"), k=10).select("doc_id", "score")
 
     out["synonym_index_topk"] = synonym_index_topk
+
+    def edge_ngram_topk(spark, sf_dir):
+        """EdgeNGramTokenFilter(2,4) index (ngram/EdgeNGramTokenFilter
+        .java — the search-as-you-type layout): the partial word 'tab'
+        is a single TermQuery against the prefix-gram vocabulary; norms
+        discount the stacked grams (posIncr 0 past each token's first),
+        avgdl/ttf count them all."""
+        ex = _ngram_executor(spark, sf_dir, edge=True)
+        return ex.topk(_T("tab"), k=10).select("doc_id", "score")
+
+    out["edge_ngram_topk"] = edge_ngram_topk
+
+    def ngram_trigram_topk(spark, sf_dir):
+        """NGramTokenFilter(3,3) trigram index (ngram/NGramTokenFilter
+        .java — the substring-match layout): the word-internal trigram
+        'abl' (of 'table') is a single TermQuery; same overlap-discount
+        norm contract as edge_ngram_topk."""
+        ex = _ngram_executor(spark, sf_dir, edge=False)
+        return ex.topk(_T("abl"), k=10).select("doc_id", "score")
+
+    out["ngram_trigram_topk"] = ngram_trigram_topk
 
     def index_sorted_topk(spark, sf_dir):
         """Index sorting (IndexWriterConfig.setIndexSort): top-10 by the
@@ -3524,6 +3568,22 @@ def oracle_sql() -> dict[str, str]:
       FROM postings p JOIN term_stats ts USING (term)
       JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
       WHERE p.term = 'fast'
+      ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+
+    from lucene_solr_spark.functions.bm25_sql import index_ctes as _ictes_ng
+
+    out["edge_ngram_topk"] = f"""WITH {_ictes_ng(edge_ngram=(2, 4))}
+      SELECT p.doc_id, {_SCORE} AS score
+      FROM postings p JOIN term_stats ts USING (term)
+      JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      WHERE p.term = 'tab'
+      ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+
+    out["ngram_trigram_topk"] = f"""WITH {_ictes_ng(ngram=(3, 3))}
+      SELECT p.doc_id, {_SCORE} AS score
+      FROM postings p JOIN term_stats ts USING (term)
+      JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      WHERE p.term = 'abl'
       ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
 
     out["index_sorted_topk"] = f"""WITH {_IX}

@@ -278,6 +278,9 @@ def postings_frame(
     with_offsets: bool = False,
     shingles: tuple[int, int] | None = None,
     synonyms: dict | None = None,
+    ngram: tuple[int, int] | None = None,
+    edge_ngram: tuple[int, int] | None = None,
+    ngram_preserve: bool = False,
 ):
     """corpus → (doc_id, term, tf, positions[, start_offsets,
     end_offsets]) posting rows, inverted
@@ -298,11 +301,26 @@ def postings_frame(
     ``synonyms={src: (alt, ...)}`` stacks synonym tokens at the source
     positions (SynonymGraphFilter role — functions.synonyms); the output
     then carries an ``otf`` column (overlap tf per posting) so norms can
-    discount stacked tokens (``BM25Similarity.java:138-148``)."""
+    discount stacked tokens (``BM25Similarity.java:138-148``).
+
+    ``ngram=(min, max)`` / ``edge_ngram=(min, max)`` expand each chain
+    token into its character (edge) n-grams inside the same kernel pass
+    (NGramTokenFilter / EdgeNGramTokenFilter role — functions.ngram);
+    grams of one token stack at its position, so the output carries
+    ``otf`` like synonyms (only a token's first gram has posIncr > 0).
+    ``ngram_preserve`` = the filters' preserveOriginal flag."""
     import numpy as np
 
     if with_offsets and (shingles is not None or synonyms is not None):
         raise ValueError("shingles/synonyms + offsets not supported")
+    if ngram is not None and edge_ngram is not None:
+        raise ValueError("ngram and edge_ngram are exclusive")
+    grams = ngram or edge_ngram
+    if grams is not None and (
+        with_offsets or shingles is not None or synonyms is not None
+    ):
+        raise ValueError("ngram + offsets/shingles/synonyms not supported")
+    has_otf = synonyms is not None or grams is not None
 
     stop = frozenset(stopwords)
     fields = [
@@ -310,7 +328,7 @@ def postings_frame(
         T.StructField("term", T.StringType(), False),
         T.StructField("tf", T.LongType(), False),
     ]
-    if synonyms is not None:
+    if has_otf:
         # overlap tf: how many of this posting's occurrences are stacked
         # (posIncr==0) tokens — norms discount these
         fields.append(T.StructField("otf", T.LongType(), False))
@@ -378,6 +396,19 @@ def postings_frame(
                     tdoc, terms, pos, synonyms
                 )
                 pos = pos.astype(np.int32)
+            if grams is not None and len(tdoc):
+                from lucene_solr_spark.functions.ngram import ngram_expand
+
+                tdoc, terms, pos, overlap = ngram_expand(
+                    tdoc,
+                    terms,
+                    pos,
+                    min_gram=grams[0],
+                    max_gram=grams[1],
+                    edge=edge_ngram is not None,
+                    preserve_original=ngram_preserve,
+                )
+                pos = pos.astype(np.int32)
             if len(tdoc) == 0:
                 yield pd.DataFrame(
                     {
@@ -386,7 +417,7 @@ def postings_frame(
                         "tf": np.empty(0, np.int64),
                         **(
                             {"otf": np.empty(0, np.int64)}
-                            if synonyms is not None
+                            if has_otf
                             else {}
                         ),
                         **(

@@ -121,6 +121,9 @@ def index_ctes(
     term_expr=None,
     raw_stop: tuple = (),
     pre_term_expr: str | None = None,
+    ngram: tuple[int, int] | None = None,
+    edge_ngram: tuple[int, int] | None = None,
+    ngram_preserve: bool = False,
 ) -> str:
     """The inverted-index tables as CTEs over ``table`` (default
     `documents`; pass a subquery to model an index whose deleted docs
@@ -144,6 +147,62 @@ def index_ctes(
     p = prefix
     shingle_cte = ""
     tokens_src = f"{p}tokens"
+    gram_cte = ""
+    normlen_cte = ""
+    norms_src = f"{p}doclen"
+    if ngram is not None or edge_ngram is not None:
+        # NGramTokenFilter / EdgeNGramTokenFilter (ngram/NGramTokenFilter
+        # .java:104-143): every gram of a token sits at the token's
+        # position; only the FIRST (start 0, size minGram — or a
+        # preserved-short original) carries the increment, the rest are
+        # numOverlap overlaps, so norms use the non-overlap count while
+        # avgdl/ttf count every gram (BM25Similarity.java:114-117,138-148).
+        # substr/left/length are character-based in DuckDB, matching the
+        # codePointCount contract. Docs whose every token is shorter than
+        # minGram drop out of doclen — same zero-token caveat as above.
+        if shingles:
+            raise ValueError("ngram + shingles not modeled")
+        mn, mx = ngram or edge_ngram
+        if edge_ngram is not None:
+            gram_body = f"""
+      SELECT doc_id, left(term, g::INT) AS term, pos,
+             (g > {mn}) AS overlap
+      FROM (
+        SELECT doc_id, pos, term,
+               unnest(range({mn}, least({mx}, length(term)) + 1)) AS g
+        FROM {tokens_src} WHERE length(term) >= {mn}
+      )"""
+        else:
+            gram_body = f"""
+      SELECT doc_id, substr(term, s::INT + 1, g::INT) AS term, pos,
+             NOT (s = 0 AND g = {mn}) AS overlap
+      FROM (
+        SELECT doc_id, pos, term, s,
+               unnest(range({mn}, least({mx}, length(term) - s) + 1)) AS g
+        FROM (
+          SELECT doc_id, pos, term,
+                 unnest(range(0, length(term) - {mn} + 1)) AS s
+          FROM {tokens_src} WHERE length(term) >= {mn}
+        )
+      )"""
+        if ngram_preserve:
+            gram_body += f"""
+      UNION ALL
+      SELECT doc_id, term, pos, FALSE AS overlap
+      FROM {tokens_src} WHERE length(term) < {mn}
+      UNION ALL
+      SELECT doc_id, term, pos, TRUE AS overlap
+      FROM {tokens_src} WHERE length(term) > {mx}"""
+        gram_cte = f""",
+    {p}tokens_ng AS ({gram_body}
+    )"""
+        normlen_cte = f""",
+    {p}normlen AS (
+      SELECT doc_id, count(*)::BIGINT AS length FROM {p}tokens_ng
+      WHERE NOT overlap GROUP BY doc_id
+    )"""
+        tokens_src = f"{p}tokens_ng"
+        norms_src = f"{p}normlen"
     if shingles:
         if stopwords:
             raise ValueError("SQL shingle oracle models the no-hole chain only")
@@ -175,12 +234,12 @@ def index_ctes(
             "GROUP BY doc_id"
         )
     lut = f"{norm_lut_sql()},\n    " if with_lut else ""
-    return f"""{lut}{tokens_cte(text_col=text_col, stopwords=stopwords, table=table, name=f"{p}tokens", token_regex=token_regex, elide_regex=elide_regex, term_expr=term_expr, raw_stop=raw_stop, pre_term_expr=pre_term_expr)}{shingle_cte},
+    return f"""{lut}{tokens_cte(text_col=text_col, stopwords=stopwords, table=table, name=f"{p}tokens", token_regex=token_regex, elide_regex=elide_regex, term_expr=term_expr, raw_stop=raw_stop, pre_term_expr=pre_term_expr)}{shingle_cte}{gram_cte},
     {p}postings AS ({postings}),
-    {p}doclen AS ({doclen}),
+    {p}doclen AS ({doclen}){normlen_cte},
     {p}norms AS (
       SELECT d.doc_id, d.length, l.norm, l.declen
-      FROM {p}doclen d JOIN norm_lut l ON d.length >= l.lo AND d.length < l.hi
+      FROM {norms_src} d JOIN norm_lut l ON d.length >= l.lo AND d.length < l.hi
     ),
     {p}gstats AS (
       SELECT count(*)::BIGINT AS doc_count, sum(length)::BIGINT AS sum_ttf,

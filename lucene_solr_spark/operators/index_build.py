@@ -265,6 +265,9 @@ def build_index(
     index_options: str = "positions",  # "positions" | "freqs" | "docs"
     shingles: tuple[int, int] | None = None,
     synonyms: dict | None = None,
+    ngram: tuple[int, int] | None = None,
+    edge_ngram: tuple[int, int] | None = None,
+    ngram_preserve: bool = False,
     scratch: str | None = None,
 ) -> InvertedIndex:
     """Corpus → InvertedIndex. If ``doc_id_col`` is given it is trusted as a
@@ -358,6 +361,9 @@ def build_index(
         with_offsets=with_offsets,
         shingles=shingles,
         synonyms=synonyms,
+        ngram=ngram,
+        edge_ngram=edge_ngram,
+        ngram_preserve=ngram_preserve,
     )
     import tempfile
 
@@ -371,18 +377,20 @@ def build_index(
     # FieldInvertState.length per doc = Σtf (stopwords/overlong never reach
     # the inverter, so length = surviving token count; numOverlap = 0).
     # DOCS-only fields norm by uniqueTermCount (BM25Similarity.java:139-141)
+    has_otf = synonyms is not None or ngram is not None or edge_ngram is not None
     if index_options == "docs":
         doc_len = postings.groupBy("doc_id").agg(F.count("*").alias("length"))
-    elif synonyms is not None:
-        # stacked synonym tokens are overlaps: discountOverlaps norms by
-        # length - numOverlap (BM25Similarity.java:138-148); totalTermFreq
-        # / avgdl still count them (BM25Similarity.java:114-117)
+    elif has_otf:
+        # stacked synonym / n-gram tokens are overlaps: discountOverlaps
+        # norms by length - numOverlap (BM25Similarity.java:138-148);
+        # totalTermFreq / avgdl still count them
+        # (BM25Similarity.java:114-117)
         doc_len = postings.groupBy("doc_id").agg(
             (F.sum("tf") - F.sum("otf")).alias("length")
         )
     else:
         doc_len = postings.groupBy("doc_id").agg(F.sum("tf").alias("length"))
-    if synonyms is not None:
+    if has_otf:
         postings = postings.drop("otf")  # downstream sees the std schema
     keep = [c for c in keep_cols if c in docs_src.columns]
     docs = (
@@ -413,5 +421,5 @@ def build_index(
         doc_count=int(n),
         sum_ttf=int(s or 0),
         parquet_backed=True,
-        norm_from_tf=synonyms is None,
+        norm_from_tf=not has_otf,
     )
