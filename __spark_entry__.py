@@ -218,6 +218,32 @@ def _ngram_executor(spark: SparkSession, sf_dir: str, *, edge: bool):
     return _CACHE[key]
 
 
+#: CommonGrams gate set — 'the'/'a' are the corpus's genuine high-df words
+_COMMON_WORDS = frozenset({"the", "a"})
+
+
+def _commongrams_executor(spark: SparkSession, sf_dir: str):
+    """Executor over a CommonGramsFilter index (commongrams/
+    CommonGramsFilter.java): unigrams plus 'a_b' stopword bigrams
+    stacked at the left member's position — phrase queries touching
+    common words become single gram-term probes; norms discount the
+    stacked grams."""
+    key = f"cg_ix::{sf_dir}"
+    if key not in _CACHE:
+        from lucene_solr_spark.operators.index_build import build_index
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ix = build_index(
+            docs,
+            text_col="text",
+            doc_id_col="doc_id",
+            common_grams=_COMMON_WORDS,
+        ).persist()
+        _CACHE[key] = DFExecutor(ix, mode="double")
+    return _CACHE[key]
+
+
 def _sorted_executor(spark: SparkSession, sf_dir: str):
     """Executor over an INDEX-SORTED build (IndexWriterConfig.setIndexSort
     role): docIDs assigned by (n_chars DESC, original id) — doc order IS
@@ -1761,6 +1787,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ex.topk(_T("abl"), k=10).select("doc_id", "score")
 
     out["ngram_trigram_topk"] = ngram_trigram_topk
+
+    def common_grams_topk(spark, sf_dir):
+        """CommonGramsFilter index + CommonGramsQueryFilter rewrite
+        (commongrams/*.java): the query phrase 'a table' rewrites to the
+        single gram term 'a_table' (the hold-one automaton absorbs both
+        unigrams), probed as one TermQuery against the gram
+        vocabulary."""
+        from lucene_solr_spark.functions.commongrams import (
+            common_grams_query,
+        )
+
+        ex = _commongrams_executor(spark, sf_dir)
+        (gram,) = common_grams_query(["a", "table"], _COMMON_WORDS)
+        return ex.topk(_T(gram), k=10).select("doc_id", "score")
+
+    out["common_grams_topk"] = common_grams_topk
+
+    def common_grams_unigram_topk(spark, sf_dir):
+        """Unigrams survive the CommonGramsFilter unchanged (single
+        terms are still indexed, CommonGramsFilter.java:34-36) but their
+        norms live in the gram-discounted index — TermQuery 'table' on
+        the same index as common_grams_topk."""
+        ex = _commongrams_executor(spark, sf_dir)
+        return ex.topk(_T("table"), k=10).select("doc_id", "score")
+
+    out["common_grams_unigram_topk"] = common_grams_unigram_topk
 
     def index_sorted_topk(spark, sf_dir):
         """Index sorting (IndexWriterConfig.setIndexSort): top-10 by the
@@ -3584,6 +3636,20 @@ def oracle_sql() -> dict[str, str]:
       FROM postings p JOIN term_stats ts USING (term)
       JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
       WHERE p.term = 'abl'
+      ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+
+    _IX_CG = _ictes_ng(common_grams=tuple(_COMMON_WORDS))
+    out["common_grams_topk"] = f"""WITH {_IX_CG}
+      SELECT p.doc_id, {_SCORE} AS score
+      FROM postings p JOIN term_stats ts USING (term)
+      JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      WHERE p.term = 'a_table'
+      ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+    out["common_grams_unigram_topk"] = f"""WITH {_IX_CG}
+      SELECT p.doc_id, {_SCORE} AS score
+      FROM postings p JOIN term_stats ts USING (term)
+      JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      WHERE p.term = 'table'
       ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
 
     out["index_sorted_topk"] = f"""WITH {_IX}

@@ -281,6 +281,7 @@ def postings_frame(
     ngram: tuple[int, int] | None = None,
     edge_ngram: tuple[int, int] | None = None,
     ngram_preserve: bool = False,
+    common_grams: frozenset[str] | None = None,
 ):
     """corpus → (doc_id, term, tf, positions[, start_offsets,
     end_offsets]) posting rows, inverted
@@ -320,7 +321,18 @@ def postings_frame(
         with_offsets or shingles is not None or synonyms is not None
     ):
         raise ValueError("ngram + offsets/shingles/synonyms not supported")
-    has_otf = synonyms is not None or grams is not None
+    if common_grams is not None and (
+        with_offsets
+        or shingles is not None
+        or synonyms is not None
+        or grams is not None
+    ):
+        raise ValueError(
+            "common_grams + offsets/shingles/synonyms/ngram not supported"
+        )
+    has_otf = (
+        synonyms is not None or grams is not None or common_grams is not None
+    )
 
     stop = frozenset(stopwords)
     fields = [
@@ -407,6 +419,15 @@ def postings_frame(
                     max_gram=grams[1],
                     edge=edge_ngram is not None,
                     preserve_original=ngram_preserve,
+                )
+                pos = pos.astype(np.int32)
+            if common_grams is not None and len(tdoc):
+                from lucene_solr_spark.functions.commongrams import (
+                    add_common_grams,
+                )
+
+                tdoc, terms, pos, overlap = add_common_grams(
+                    tdoc, terms, pos, common_grams
                 )
                 pos = pos.astype(np.int32)
             if len(tdoc) == 0:

@@ -124,6 +124,7 @@ def index_ctes(
     ngram: tuple[int, int] | None = None,
     edge_ngram: tuple[int, int] | None = None,
     ngram_preserve: bool = False,
+    common_grams: tuple = (),
 ) -> str:
     """The inverted-index tables as CTEs over ``table`` (default
     `documents`; pass a subquery to model an index whose deleted docs
@@ -202,6 +203,32 @@ def index_ctes(
       WHERE NOT overlap GROUP BY doc_id
     )"""
         tokens_src = f"{p}tokens_ng"
+        norms_src = f"{p}normlen"
+    if common_grams:
+        # CommonGramsFilter (commongrams/CommonGramsFilter.java:98-171):
+        # unigrams pass through; each adjacent pair with a common member
+        # adds 'a_b' at a's position as a posIncr-0 overlap. pos+1
+        # adjacency models the no-hole chain only (like shingles).
+        if shingles or ngram is not None or edge_ngram is not None or stopwords:
+            raise ValueError("common_grams composes with the plain chain only")
+        cg = ", ".join(
+            "'{}'".format(w.replace("'", "''")) for w in sorted(common_grams)
+        )
+        gram_cte = f""",
+    {p}tokens_cg AS (
+      SELECT doc_id, term, pos, FALSE AS overlap FROM {tokens_src}
+      UNION ALL
+      SELECT a.doc_id, a.term || '_' || b.term AS term, a.pos, TRUE AS overlap
+      FROM {tokens_src} a JOIN {tokens_src} b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.term IN ({cg}) OR b.term IN ({cg})
+    )"""
+        normlen_cte = f""",
+    {p}normlen AS (
+      SELECT doc_id, count(*)::BIGINT AS length FROM {p}tokens_cg
+      WHERE NOT overlap GROUP BY doc_id
+    )"""
+        tokens_src = f"{p}tokens_cg"
         norms_src = f"{p}normlen"
     if shingles:
         if stopwords:

@@ -268,6 +268,7 @@ def build_index(
     ngram: tuple[int, int] | None = None,
     edge_ngram: tuple[int, int] | None = None,
     ngram_preserve: bool = False,
+    common_grams: frozenset[str] | None = None,
     scratch: str | None = None,
 ) -> InvertedIndex:
     """Corpus → InvertedIndex. If ``doc_id_col`` is given it is trusted as a
@@ -364,6 +365,7 @@ def build_index(
         ngram=ngram,
         edge_ngram=edge_ngram,
         ngram_preserve=ngram_preserve,
+        common_grams=common_grams,
     )
     import tempfile
 
@@ -377,7 +379,12 @@ def build_index(
     # FieldInvertState.length per doc = Σtf (stopwords/overlong never reach
     # the inverter, so length = surviving token count; numOverlap = 0).
     # DOCS-only fields norm by uniqueTermCount (BM25Similarity.java:139-141)
-    has_otf = synonyms is not None or ngram is not None or edge_ngram is not None
+    has_otf = (
+        synonyms is not None
+        or ngram is not None
+        or edge_ngram is not None
+        or common_grams is not None
+    )
     if index_options == "docs":
         doc_len = postings.groupBy("doc_id").agg(F.count("*").alias("length"))
     elif has_otf:
