@@ -221,6 +221,40 @@ def _ngram_executor(spark: SparkSession, sf_dir: str, *, edge: bool):
 #: CommonGrams gate set — 'the'/'a' are the corpus's genuine high-df words
 _COMMON_WORDS = frozenset({"the", "a"})
 
+#: WDGF-gate corpus: words starting 's' become 'wi-s…' hyphen compounds
+#: so the whitespace→WordDelimiterGraphFilter chain does real splitting
+_WD_TEXT_SQL = "replace(text, ' s', ' wi-s')"
+
+
+def _wd_executor(spark: SparkSession, sf_dir: str):
+    """Executor over a Whitespace → WordDelimiterGraphFilter(
+    GENERATE_WORD_PARTS|GENERATE_NUMBER_PARTS|SPLIT_ON_CASE_CHANGE|
+    SPLIT_ON_NUMERICS|STEM_ENGLISH_POSSESSIVE|CATENATE_WORDS) → LowerCase
+    index (miscellaneous/WordDelimiterGraphFilter.java): 'wi-scan' emits
+    wiscan@p (catenation, first), wi@p (overlap), scan@p+1 — the graph
+    INJECTS a position, so the whole stream renumbers."""
+    key = f"wd_ix::{sf_dir}"
+    if key not in _CACHE:
+        from lucene_solr_spark.functions.word_delimiter import (
+            CATENATE_WORDS,
+            WDGF_DEFAULT,
+        )
+        from lucene_solr_spark.operators.index_build import build_index
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.expr(_WD_TEXT_SQL).alias("text")
+        )
+        ix = build_index(
+            docs,
+            text_col="text",
+            doc_id_col="doc_id",
+            tokenizer="whitespace",
+            word_delimiter=WDGF_DEFAULT | CATENATE_WORDS,
+        ).persist()
+        _CACHE[key] = DFExecutor(ix, mode="double")
+    return _CACHE[key]
+
 
 def _commongrams_executor(spark: SparkSession, sf_dir: str):
     """Executor over a CommonGramsFilter index (commongrams/
@@ -1813,6 +1847,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ex.topk(_T("table"), k=10).select("doc_id", "score")
 
     out["common_grams_unigram_topk"] = common_grams_unigram_topk
+
+    def word_delimiter_topk(spark, sf_dir):
+        """WordDelimiterGraphFilter CATENATE_WORDS: the catenation
+        'wiscan' (of 'wi-scan') as one TermQuery; norms discount the
+        overlap part 'wi' while avgdl counts every emission."""
+        ex = _wd_executor(spark, sf_dir)
+        return ex.topk(_T("wiscan"), k=10).select("doc_id", "score")
+
+    out["word_delimiter_topk"] = word_delimiter_topk
+
+    def word_delimiter_part_topk(spark, sf_dir):
+        """GENERATE_WORD_PARTS: the split part 'scan' merges with the
+        corpus's plain 'scan' tokens into one postings list — TermQuery
+        over the merged stats."""
+        ex = _wd_executor(spark, sf_dir)
+        return ex.topk(_T("scan"), k=10).select("doc_id", "score")
+
+    out["word_delimiter_part_topk"] = word_delimiter_part_topk
+
+    def word_delimiter_phrase_matches(spark, sf_dir):
+        """The graph's INJECTED positions: 'wi-scan' puts wi@p and
+        scan@p+1 in adjacent slots, so the phrase "wi scan" matches
+        inside the single source token (and the whole stream renumbers
+        past it)."""
+        ex = _wd_executor(spark, sf_dir)
+        return ex.matches(ir.PhraseQuery(("wi", "scan"))).select("doc_id")
+
+    out["word_delimiter_phrase_matches"] = word_delimiter_phrase_matches
 
     def index_sorted_topk(spark, sf_dir):
         """Index sorting (IndexWriterConfig.setIndexSort): top-10 by the
@@ -3651,6 +3713,72 @@ def oracle_sql() -> dict[str, str]:
       JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
       WHERE p.term = 'table'
       ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+
+    # WordDelimiterGraphFilter twin — models exactly the gate corpus
+    # (plain words + single-hyphen two-alpha-part 'wi-s…' compounds,
+    # flags WDGF_DEFAULT|CATENATE_WORDS): each compound emits the
+    # catenation at its slot (first, posIncr>0), the left part as an
+    # overlap at the same slot, the right part one slot later, and every
+    # later token of the doc shifts by one injected position. The
+    # general filter (all flags/shapes) is pinned by
+    # tests/test_word_delimiter.py against the reference goldens.
+    _wd_toks = f"regexp_extract_all(lower({_WD_TEXT_SQL}), '[^ ]+')"
+    _WD_IX = f"""{norm_lut_sql()},
+      wd_tokens0 AS (
+        SELECT doc_id, unnest({_wd_toks}) AS term,
+               generate_subscripts({_wd_toks}, 1) - 1 AS pos
+        FROM documents),
+      wd_renum AS (
+        SELECT doc_id, term, (term LIKE '%-%') AS split,
+               pos + COALESCE(SUM(CASE WHEN term LIKE '%-%' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos
+        FROM wd_tokens0),
+      tok_all AS (
+        SELECT doc_id, term, pos, FALSE AS overlap FROM wd_renum WHERE NOT split
+        UNION ALL
+        SELECT doc_id, replace(term, '-', ''), pos, FALSE FROM wd_renum WHERE split
+        UNION ALL
+        SELECT doc_id, split_part(term, '-', 1), pos, TRUE FROM wd_renum WHERE split
+        UNION ALL
+        SELECT doc_id, split_part(term, '-', 2), pos + 1, FALSE FROM wd_renum WHERE split),
+      postings AS (
+        SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok_all
+        GROUP BY term, doc_id),
+      doclen AS (
+        SELECT doc_id, count(*)::BIGINT AS length FROM tok_all GROUP BY doc_id),
+      normlen AS (
+        SELECT doc_id, count(*)::BIGINT AS length FROM tok_all
+        WHERE NOT overlap GROUP BY doc_id),
+      norms AS (
+        SELECT d.doc_id, d.length, l.norm, l.declen
+        FROM normlen d JOIN norm_lut l ON d.length >= l.lo AND d.length < l.hi),
+      gstats AS (
+        SELECT (SELECT count(*) FROM doclen)::BIGINT AS doc_count,
+               (SELECT sum(length) FROM doclen)::BIGINT AS sum_ttf,
+               (SELECT sum(length) FROM doclen)::DOUBLE
+                 / (SELECT count(*) FROM doclen) AS avgdl),
+      term_stats AS (
+        SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+        FROM postings GROUP BY term)"""
+
+    out["word_delimiter_topk"] = f"""WITH {_WD_IX}
+      SELECT p.doc_id, {_SCORE} AS score
+      FROM postings p JOIN term_stats ts USING (term)
+      JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      WHERE p.term = 'wiscan'
+      ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+    out["word_delimiter_part_topk"] = f"""WITH {_WD_IX}
+      SELECT p.doc_id, {_SCORE} AS score
+      FROM postings p JOIN term_stats ts USING (term)
+      JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      WHERE p.term = 'scan'
+      ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+    out["word_delimiter_phrase_matches"] = f"""WITH {_WD_IX}
+      SELECT DISTINCT a.doc_id
+      FROM tok_all a JOIN tok_all b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.term = 'wi' AND b.term = 'scan'"""
 
     out["index_sorted_topk"] = f"""WITH {_IX}
       SELECT p.doc_id, d.n_chars

@@ -282,6 +282,9 @@ def postings_frame(
     edge_ngram: tuple[int, int] | None = None,
     ngram_preserve: bool = False,
     common_grams: frozenset[str] | None = None,
+    tokenizer: str = "standard",
+    word_delimiter: int | None = None,
+    wd_prot_words: frozenset[str] | None = None,
 ):
     """corpus → (doc_id, term, tf, positions[, start_offsets,
     end_offsets]) posting rows, inverted
@@ -330,8 +333,34 @@ def postings_frame(
         raise ValueError(
             "common_grams + offsets/shingles/synonyms/ngram not supported"
         )
+    if word_delimiter is not None and tokenizer != "whitespace":
+        # the graph filter wants delimiters to SURVIVE tokenization
+        # (WordDelimiterGraphFilter.java:83-86)
+        raise ValueError("word_delimiter requires tokenizer='whitespace'")
+    if tokenizer == "whitespace":
+        if (
+            word_delimiter is None
+            or stopwords
+            or shingles is not None
+            or synonyms is not None
+            or grams is not None
+            or common_grams is not None
+            or with_offsets
+            or stemmer is not None
+            or elide is not None
+            or not isinstance(lowercase, bool)
+        ):
+            raise ValueError(
+                "tokenizer='whitespace' supports only the"
+                " word_delimiter + optional-lowercase chain"
+            )
+    elif tokenizer != "standard":
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
     has_otf = (
-        synonyms is not None or grams is not None or common_grams is not None
+        synonyms is not None
+        or grams is not None
+        or common_grams is not None
+        or word_delimiter is not None
     )
 
     stop = frozenset(stopwords)
@@ -362,10 +391,114 @@ def postings_frame(
 
     from lucene_solr_spark.functions.fast_tokenizer import batch_tokenize
 
+    def _invert(doc_ids, tdoc, terms, pos, overlap, t_soff, t_eoff, cols):
+        # vectorized per-doc inversion: dictionary-encode terms, group
+        # rows by (doc, code) with a stable lexsort (keeps positions
+        # ascending inside each group), run-length the boundaries
+        denc = pc.dictionary_encode(terms)
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        dictionary = denc.dictionary
+        if overlap is not None:
+            # stacked tokens share positions with their source — add
+            # pos as the minor sort key so group positions ascend
+            order = np.lexsort((pos, codes, tdoc))
+        else:
+            order = np.lexsort((codes, tdoc))
+        sd, sc, sp = tdoc[order], codes[order], pos[order]
+        newgrp = np.r_[True, (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])]
+        gstart = np.nonzero(newgrp)[0]
+        tf = np.diff(np.r_[gstart, len(sd)])
+        data = {
+            "doc_id": doc_ids[sd[gstart]],
+            "term": pd.Series(
+                dictionary.take(pa.array(sc[gstart], pa.int64())),
+                dtype=pd.ArrowDtype(pa.string()),
+            ),
+            "tf": tf,
+        }
+        if overlap is not None:
+            data["otf"] = np.add.reduceat(
+                overlap[order].astype(np.int64), gstart
+            )
+        if with_positions:
+            offs = np.r_[gstart, len(sd)].astype(np.int32)
+            plists = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(sp, pa.int32())
+            )
+            data["positions"] = pd.Series(
+                plists, dtype=pd.ArrowDtype(pa.list_(pa.int32()))
+            )
+        if with_offsets:
+            offs = np.r_[gstart, len(sd)].astype(np.int32)
+            for name, arr in (
+                ("start_offsets", t_soff),
+                ("end_offsets", t_eoff),
+            ):
+                lists = pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()),
+                    pa.array(arr[order], pa.int32()),
+                )
+                data[name] = pd.Series(
+                    lists, dtype=pd.ArrowDtype(pa.list_(pa.int32()))
+                )
+        yield pd.DataFrame(data, columns=cols)
+
     def fn(iterator):
         cols = [f.name for f in fields]
         for pdf in iterator:
             doc_ids = pdf[id_col].to_numpy(np.int64)
+            if tokenizer == "whitespace":
+                # Whitespace → WordDelimiterGraphFilter → [LowerCase]:
+                # the classic Solr WDGF chain (the graph filter must see
+                # intra-word delimiters the standard tokenizer strips)
+                from lucene_solr_spark.functions.word_delimiter import (
+                    apply_word_delimiter,
+                    batch_whitespace_tokenize,
+                )
+
+                tdoc, terms, pos = batch_whitespace_tokenize(
+                    pdf[text_col].tolist(), max_token_length
+                )
+                tdoc, terms, pos, overlap = apply_word_delimiter(
+                    tdoc,
+                    terms,
+                    pos,
+                    flags=word_delimiter,
+                    prot_words=wd_prot_words,
+                )
+                if lowercase:
+                    terms = pc.utf8_lower(terms)
+                pos = pos.astype(np.int32)
+                t_soff = t_eoff = None
+                if len(tdoc) == 0:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.empty(0, np.int64),
+                            "term": pd.Series(
+                                [], dtype=pd.ArrowDtype(pa.string())
+                            ),
+                            "tf": np.empty(0, np.int64),
+                            "otf": np.empty(0, np.int64),
+                            **(
+                                {
+                                    "positions": pd.Series(
+                                        [],
+                                        dtype=pd.ArrowDtype(
+                                            pa.list_(pa.int32())
+                                        ),
+                                    )
+                                }
+                                if with_positions
+                                else {}
+                            ),
+                        },
+                        columns=cols,
+                    )
+                    continue
+                yield from _invert(
+                    doc_ids, tdoc, terms, pos, overlap, t_soff, t_eoff, cols
+                )
+                continue
             tok = batch_tokenize(
                 pdf[text_col].tolist(),
                 lowercase=lowercase,
@@ -465,55 +598,8 @@ def postings_frame(
                     columns=cols,
                 )
                 continue
-            # vectorized per-doc inversion: dictionary-encode terms, group
-            # rows by (doc, code) with a stable lexsort (keeps positions
-            # ascending inside each group), run-length the boundaries
-            denc = pc.dictionary_encode(terms)
-            codes = np.asarray(denc.indices, dtype=np.int64)
-            dictionary = denc.dictionary
-            if overlap is not None:
-                # stacked tokens share positions with their source — add
-                # pos as the minor sort key so group positions ascend
-                order = np.lexsort((pos, codes, tdoc))
-            else:
-                order = np.lexsort((codes, tdoc))
-            sd, sc, sp = tdoc[order], codes[order], pos[order]
-            newgrp = np.r_[True, (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])]
-            gstart = np.nonzero(newgrp)[0]
-            tf = np.diff(np.r_[gstart, len(sd)])
-            data = {
-                "doc_id": doc_ids[sd[gstart]],
-                "term": pd.Series(
-                    dictionary.take(pa.array(sc[gstart], pa.int64())),
-                    dtype=pd.ArrowDtype(pa.string()),
-                ),
-                "tf": tf,
-            }
-            if overlap is not None:
-                data["otf"] = np.add.reduceat(
-                    overlap[order].astype(np.int64), gstart
-                )
-            if with_positions:
-                offs = np.r_[gstart, len(sd)].astype(np.int32)
-                plists = pa.ListArray.from_arrays(
-                    pa.array(offs, pa.int32()), pa.array(sp, pa.int32())
-                )
-                data["positions"] = pd.Series(
-                    plists, dtype=pd.ArrowDtype(pa.list_(pa.int32()))
-                )
-            if with_offsets:
-                offs = np.r_[gstart, len(sd)].astype(np.int32)
-                for name, arr in (
-                    ("start_offsets", t_soff),
-                    ("end_offsets", t_eoff),
-                ):
-                    lists = pa.ListArray.from_arrays(
-                        pa.array(offs, pa.int32()),
-                        pa.array(arr[order], pa.int32()),
-                    )
-                    data[name] = pd.Series(
-                        lists, dtype=pd.ArrowDtype(pa.list_(pa.int32()))
-                    )
-            yield pd.DataFrame(data, columns=cols)
+            yield from _invert(
+                doc_ids, tdoc, terms, pos, overlap, t_soff, t_eoff, cols
+            )
 
     return docs.select(id_col, text_col).mapInPandas(fn, schema=schema)

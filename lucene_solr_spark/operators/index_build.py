@@ -269,6 +269,9 @@ def build_index(
     edge_ngram: tuple[int, int] | None = None,
     ngram_preserve: bool = False,
     common_grams: frozenset[str] | None = None,
+    tokenizer: str = "standard",
+    word_delimiter: int | None = None,
+    wd_prot_words: frozenset[str] | None = None,
     scratch: str | None = None,
 ) -> InvertedIndex:
     """Corpus → InvertedIndex. If ``doc_id_col`` is given it is trusted as a
@@ -366,6 +369,9 @@ def build_index(
         edge_ngram=edge_ngram,
         ngram_preserve=ngram_preserve,
         common_grams=common_grams,
+        tokenizer=tokenizer,
+        word_delimiter=word_delimiter,
+        wd_prot_words=wd_prot_words,
     )
     import tempfile
 
@@ -384,6 +390,7 @@ def build_index(
         or ngram is not None
         or edge_ngram is not None
         or common_grams is not None
+        or word_delimiter is not None
     )
     if index_options == "docs":
         doc_len = postings.groupBy("doc_id").agg(F.count("*").alias("length"))
