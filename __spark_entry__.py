@@ -278,6 +278,27 @@ def _commongrams_executor(spark: SparkSession, sf_dir: str):
     return _CACHE[key]
 
 
+def _tf_executor(spark: SparkSession, sf_dir: str, key: str, token_filters):
+    """Executor over an index built with a miscellaneous token-filter
+    chain (functions/token_filters.py — Length/Reverse/Truncate/
+    Capitalization/KeywordRepeat specs applied after the standard
+    chain)."""
+    ck = f"tf_ix::{key}::{sf_dir}"
+    if ck not in _CACHE:
+        from lucene_solr_spark.operators.index_build import build_index
+        from lucene_solr_spark.plans.df_executor import DFExecutor
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ix = build_index(
+            docs,
+            text_col="text",
+            doc_id_col="doc_id",
+            token_filters=token_filters,
+        ).persist()
+        _CACHE[ck] = DFExecutor(ix, mode="double")
+    return _CACHE[ck]
+
+
 def _sorted_executor(spark: SparkSession, sf_dir: str):
     """Executor over an INDEX-SORTED build (IndexWriterConfig.setIndexSort
     role): docIDs assigned by (n_chars DESC, original id) — doc order IS
@@ -1875,6 +1896,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ex.matches(ir.PhraseQuery(("wi", "scan"))).select("doc_id")
 
     out["word_delimiter_phrase_matches"] = word_delimiter_phrase_matches
+
+    def length_filter_topk(spark, sf_dir):
+        """LengthFilter(2,6) (miscellaneous/LengthFilter.java — a
+        FilteringTokenFilter: 'a' and 7+-char words drop with position
+        gaps, norms shrink accordingly). BM25 top-10 for 'table'."""
+        ex = _tf_executor(spark, sf_dir, "len26", (("length", 2, 6),))
+        return ex.topk(_T("table"), k=10).select("doc_id", "score")
+
+    out["length_filter_topk"] = length_filter_topk
+
+    def reverse_term_topk(spark, sf_dir):
+        """ReverseStringFilter (reverse/ReverseStringFilter.java — the
+        leading-wildcard index layout). TermQuery for 'elbat'
+        (= reverse('table'))."""
+        ex = _tf_executor(spark, sf_dir, "rev", (("reverse",),))
+        return ex.topk(_T("elbat"), k=10).select("doc_id", "score")
+
+    out["reverse_term_topk"] = reverse_term_topk
+
+    def truncate_topk(spark, sf_dir):
+        """TruncateTokenFilter(4) (miscellaneous/TruncateTokenFilter
+        .java — fixed-prefix stemming): 'table' and 'tables' merge into
+        'tabl'. TermQuery for 'tabl'."""
+        ex = _tf_executor(spark, sf_dir, "trunc4", (("truncate", 4),))
+        return ex.topk(_T("tabl"), k=10).select("doc_id", "score")
+
+    out["truncate_topk"] = truncate_topk
+
+    def capitalize_topk(spark, sf_dir):
+        """CapitalizationFilter default config (miscellaneous/
+        CapitalizationFilter.java:54-57 — first word's first letter
+        upper, rest lower). TermQuery for 'Table'."""
+        ex = _tf_executor(spark, sf_dir, "cap", (("capitalize",),))
+        return ex.topk(_T("Table"), k=10).select("doc_id", "score")
+
+    out["capitalize_topk"] = capitalize_topk
+
+    def keyword_repeat_topk(spark, sf_dir):
+        """KeywordRepeatFilter → GermanLightStem → RemoveDuplicates
+        (miscellaneous/KeywordRepeatFilter.java + RemoveDuplicates
+        TokenFilter.java): original + stem stacked at one position when
+        they differ ('table' + 'tabl'), single token when equal
+        ('batch'); the stemmed copy is a norm-discounted overlap.
+        TermQuery for 'tabl' (stem-side postings)."""
+        ex = _tf_executor(
+            spark, sf_dir, "krde", (("keyword_repeat", "german_light"),)
+        )
+        return ex.topk(_T("tabl"), k=10).select("doc_id", "score")
+
+    out["keyword_repeat_topk"] = keyword_repeat_topk
 
     def index_sorted_topk(spark, sf_dir):
         """Index sorting (IndexWriterConfig.setIndexSort): top-10 by the
@@ -3779,6 +3850,72 @@ def oracle_sql() -> dict[str, str]:
       FROM tok_all a JOIN tok_all b
         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
       WHERE a.term = 'wi' AND b.term = 'scan'"""
+
+    _lang_topk10 = """
+      SELECT p.doc_id, {score} AS score
+      FROM postings p JOIN term_stats ts USING (term)
+      JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      WHERE p.term = '{term}'
+      ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+    out["length_filter_topk"] = (
+        f"WITH {_ictes_ng(term_where='length(term) BETWEEN 2 AND 6')}"
+        + _lang_topk10.format(score=_SCORE, term="table")
+    )
+    out["reverse_term_topk"] = (
+        f"WITH {_ictes_ng(term_expr='reverse(term)')}"
+        + _lang_topk10.format(score=_SCORE, term="elbat")
+    )
+    out["truncate_topk"] = (
+        f"WITH {_ictes_ng(term_expr='left(term, 4)')}"
+        + _lang_topk10.format(score=_SCORE, term="tabl")
+    )
+    out["capitalize_topk"] = (
+        f"WITH {_ictes_ng(term_expr='upper(left(term, 1)) || lower(substr(term, 2))')}"
+        + _lang_topk10.format(score=_SCORE, term="Table")
+    )
+    # KeywordRepeat → GermanLightStem → RemoveDuplicates: stem the
+    # DISTINCT vocabulary through the GERMAN_LIGHT_SQL layer cascade,
+    # then stack stem≠orig copies as overlaps
+    from lucene_solr_spark.oracle import light_stemmers as _ls_kr
+
+    _kr_layers = "".join(
+        f",\n      kr{i + 1} AS (SELECT orig, {expr} AS term FROM kr{i})"
+        for i, expr in enumerate(_ls_kr.GERMAN_LIGHT_SQL)
+    )
+    _KR_IX = f"""{norm_lut_sql()},
+      {_tokens_cte()},
+      vocab AS (SELECT DISTINCT term FROM tokens),
+      kr0 AS (SELECT term AS orig, term FROM vocab){_kr_layers},
+      krmap AS (SELECT orig, term AS stem
+                FROM kr{len(_ls_kr.GERMAN_LIGHT_SQL)}),
+      tok_all AS (
+        SELECT doc_id, term, pos, FALSE AS overlap FROM tokens
+        UNION ALL
+        SELECT t.doc_id, m.stem, t.pos, TRUE
+        FROM tokens t JOIN krmap m ON t.term = m.orig
+        WHERE m.stem <> m.orig),
+      postings AS (
+        SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok_all
+        GROUP BY term, doc_id),
+      doclen AS (
+        SELECT doc_id, count(*)::BIGINT AS length FROM tok_all GROUP BY doc_id),
+      normlen AS (
+        SELECT doc_id, count(*)::BIGINT AS length FROM tok_all
+        WHERE NOT overlap GROUP BY doc_id),
+      norms AS (
+        SELECT d.doc_id, d.length, l.norm, l.declen
+        FROM normlen d JOIN norm_lut l ON d.length >= l.lo AND d.length < l.hi),
+      gstats AS (
+        SELECT (SELECT count(*) FROM doclen)::BIGINT AS doc_count,
+               (SELECT sum(length) FROM doclen)::BIGINT AS sum_ttf,
+               (SELECT sum(length) FROM doclen)::DOUBLE
+                 / (SELECT count(*) FROM doclen) AS avgdl),
+      term_stats AS (
+        SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+        FROM postings GROUP BY term)"""
+    out["keyword_repeat_topk"] = f"WITH {_KR_IX}" + _lang_topk10.format(
+        score=_SCORE, term="tabl"
+    )
 
     out["index_sorted_topk"] = f"""WITH {_IX}
       SELECT p.doc_id, d.n_chars

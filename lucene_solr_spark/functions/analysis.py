@@ -285,6 +285,7 @@ def postings_frame(
     tokenizer: str = "standard",
     word_delimiter: int | None = None,
     wd_prot_words: frozenset[str] | None = None,
+    token_filters: tuple = (),
 ):
     """corpus → (doc_id, term, tf, positions[, start_offsets,
     end_offsets]) posting rows, inverted
@@ -356,11 +357,14 @@ def postings_frame(
             )
     elif tokenizer != "standard":
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    if token_filters and with_offsets:
+        raise ValueError("token_filters + offsets not supported")
     has_otf = (
         synonyms is not None
         or grams is not None
         or common_grams is not None
         or word_delimiter is not None
+        or any(s[0] == "keyword_repeat" for s in token_filters)
     )
 
     stop = frozenset(stopwords)
@@ -563,6 +567,17 @@ def postings_frame(
                     tdoc, terms, pos, common_grams
                 )
                 pos = pos.astype(np.int32)
+            if token_filters and len(tdoc):
+                from lucene_solr_spark.functions.token_filters import (
+                    apply_token_filters,
+                )
+
+                tdoc, terms, pos, overlap = apply_token_filters(
+                    tdoc, terms, pos, token_filters, overlap
+                )
+                pos = pos.astype(np.int32)
+                if overlap is None and has_otf:
+                    overlap = np.zeros(len(tdoc), np.uint8)
             if len(tdoc) == 0:
                 yield pd.DataFrame(
                     {

@@ -125,6 +125,7 @@ def index_ctes(
     edge_ngram: tuple[int, int] | None = None,
     ngram_preserve: bool = False,
     common_grams: tuple = (),
+    term_where: str | None = None,
 ) -> str:
     """The inverted-index tables as CTEs over ``table`` (default
     `documents`; pass a subquery to model an index whose deleted docs
@@ -230,6 +231,14 @@ def index_ctes(
     )"""
         tokens_src = f"{p}tokens_cg"
         norms_src = f"{p}normlen"
+    if term_where:
+        # post-chain FilteringTokenFilter slot (LengthFilter etc.):
+        # dropped tokens keep their position gaps
+        gram_cte += f""",
+    {p}tokens_tw AS (
+      SELECT * FROM {tokens_src} WHERE {term_where}
+    )"""
+        tokens_src = f"{p}tokens_tw"
     if shingles:
         if stopwords:
             raise ValueError("SQL shingle oracle models the no-hole chain only")

@@ -272,6 +272,7 @@ def build_index(
     tokenizer: str = "standard",
     word_delimiter: int | None = None,
     wd_prot_words: frozenset[str] | None = None,
+    token_filters: tuple = (),
     scratch: str | None = None,
 ) -> InvertedIndex:
     """Corpus → InvertedIndex. If ``doc_id_col`` is given it is trusted as a
@@ -372,6 +373,7 @@ def build_index(
         tokenizer=tokenizer,
         word_delimiter=word_delimiter,
         wd_prot_words=wd_prot_words,
+        token_filters=token_filters,
     )
     import tempfile
 
@@ -391,6 +393,7 @@ def build_index(
         or edge_ngram is not None
         or common_grams is not None
         or word_delimiter is not None
+        or any(s[0] == "keyword_repeat" for s in token_filters)
     )
     if index_options == "docs":
         doc_len = postings.groupBy("doc_id").agg(F.count("*").alias("length"))
