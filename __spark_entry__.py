@@ -1947,6 +1947,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["keyword_repeat_topk"] = keyword_repeat_topk
 
+    def path_facet_counts_gate(spark, sf_dir):
+        """PathHierarchyTokenizer facet counting (path/
+        PathHierarchyTokenizer.java): '/lang/source' paths explode to
+        every ancestor prefix JVM-side; each doc counts once under each
+        level — the tokenizer's classic drill-down use. Exhaustive
+        tokenizer goldens (incl. skip/replacement/reverse) live in
+        tests/test_path_hierarchy.py."""
+        from lucene_solr_spark.functions.path_hierarchy import (
+            path_facet_counts,
+        )
+
+        docs = _docs(spark, sf_dir).sparkSession.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        )
+        paths = docs.select(
+            F.concat(
+                F.lit("/"), F.col("lang"), F.lit("/"), F.col("source")
+            ).alias("path")
+        )
+        return path_facet_counts(paths, "path").orderBy(
+            F.desc("df"), F.asc("term")
+        )
+
+    out["path_facet_counts"] = path_facet_counts_gate
+
+    def pattern_replace_topk(spark, sf_dir):
+        """PatternReplaceFilter (pattern/PatternReplaceFilter.java):
+        vowel-strip regex over every token ('table'→'tbl'), all-matches
+        mode. TermQuery for 'tbl'."""
+        ex = _tf_executor(
+            spark, sf_dir, "pre", (("pattern_replace", "[aeiou]", "", True),)
+        )
+        return ex.topk(_T("tbl"), k=10).select("doc_id", "score")
+
+    out["pattern_replace_topk"] = pattern_replace_topk
+
+    def pattern_capture_topk(spark, sf_dir):
+        """PatternCaptureGroupTokenFilter + preserveOriginal (pattern/
+        PatternCaptureGroupTokenFilter.java): the '(^..)' capture stacks
+        each token's 2-char prefix at its position (whole-token captures
+        skipped), norm-discounted. TermQuery for 'ta'."""
+        ex = _tf_executor(
+            spark, sf_dir, "pcap", (("pattern_capture", ("(^..)",), True),)
+        )
+        return ex.topk(_T("ta"), k=10).select("doc_id", "score")
+
+    out["pattern_capture_topk"] = pattern_capture_topk
+
     def index_sorted_topk(spark, sf_dir):
         """Index sorting (IndexWriterConfig.setIndexSort): top-10 by the
         index sort field = the first 10 matching docIDs — no score sort,
@@ -3916,6 +3964,49 @@ def oracle_sql() -> dict[str, str]:
     out["keyword_repeat_topk"] = f"WITH {_KR_IX}" + _lang_topk10.format(
         score=_SCORE, term="tabl"
     )
+
+    out["pattern_replace_topk"] = (
+        f"""WITH {_ictes_ng(term_expr="regexp_replace(term, '[aeiou]', '', 'g')")}"""
+        + _lang_topk10.format(score=_SCORE, term="tbl")
+    )
+    # pattern_capture '(^..)' + preserveOriginal: 2-char prefix stacked
+    # for every token longer than 2 (a whole-token capture is skipped)
+    _PC_IX = f"""{norm_lut_sql()},
+      {_tokens_cte()},
+      tok_all AS (
+        SELECT doc_id, term, pos, FALSE AS overlap FROM tokens
+        UNION ALL
+        SELECT doc_id, left(term, 2), pos, TRUE FROM tokens
+        WHERE length(term) > 2),
+      postings AS (
+        SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok_all
+        GROUP BY term, doc_id),
+      doclen AS (
+        SELECT doc_id, count(*)::BIGINT AS length FROM tok_all GROUP BY doc_id),
+      normlen AS (
+        SELECT doc_id, count(*)::BIGINT AS length FROM tok_all
+        WHERE NOT overlap GROUP BY doc_id),
+      norms AS (
+        SELECT d.doc_id, d.length, l.norm, l.declen
+        FROM normlen d JOIN norm_lut l ON d.length >= l.lo AND d.length < l.hi),
+      gstats AS (
+        SELECT (SELECT count(*) FROM doclen)::BIGINT AS doc_count,
+               (SELECT sum(length) FROM doclen)::BIGINT AS sum_ttf,
+               (SELECT sum(length) FROM doclen)::DOUBLE
+                 / (SELECT count(*) FROM doclen) AS avgdl),
+      term_stats AS (
+        SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+        FROM postings GROUP BY term)"""
+    out["pattern_capture_topk"] = f"WITH {_PC_IX}" + _lang_topk10.format(
+        score=_SCORE, term="ta"
+    )
+
+    out["path_facet_counts"] = """WITH lvl AS (
+        SELECT '/' || lang AS term FROM documents
+        UNION ALL
+        SELECT '/' || lang || '/' || source FROM documents)
+      SELECT term, count(*)::BIGINT AS df FROM lvl
+      GROUP BY term ORDER BY df DESC, term ASC"""
 
     out["index_sorted_topk"] = f"""WITH {_IX}
       SELECT p.doc_id, d.n_chars

@@ -364,7 +364,10 @@ def postings_frame(
         or grams is not None
         or common_grams is not None
         or word_delimiter is not None
-        or any(s[0] == "keyword_repeat" for s in token_filters)
+        or any(
+            s[0] in ("keyword_repeat", "pattern_capture")
+            for s in token_filters
+        )
     )
 
     stop = frozenset(stopwords)

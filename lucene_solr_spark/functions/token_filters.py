@@ -21,6 +21,19 @@ Specs are ``(kind, *args)`` tuples applied in order:
   ``CapitalizationFilter.java:54-57``), including the boundary-scan
   index-skip quirk (``:118-130``: after a delimiter the scan jumps two
   chars, so of two consecutive delimiters only the first is seen).
+- ``("pattern_replace", pattern, replacement, all)`` —
+  PatternReplaceFilter (``pattern/PatternReplaceFilter.java``): regex
+  replace per token, first-match or all-matches. Executed by Arrow's
+  RE2 (``\\1`` backrefs), not Java regex — patterns using Java-only
+  syntax (lookbehind) are rejected by RE2 at kernel time.
+- ``("pattern_capture", patterns, preserve_original)`` —
+  PatternCaptureGroupTokenFilter (``pattern/
+  PatternCaptureGroupTokenFilter.java``): every capture-group span of
+  every pattern stacks at the token's position, interleaved across
+  patterns by start offset (the ``nextCapture`` min-offset walk,
+  ``:89-119``); with ``preserve_original`` the original comes first and
+  whole-token captures are skipped, without it the first capture
+  replaces the original (no captures → original passes).
 - ``("keyword_repeat", stemmer)`` — the KeywordRepeatFilter → stem →
   RemoveDuplicatesTokenFilter composition
   (``KeywordRepeatFilter.java:44-58``, ``RemoveDuplicates…java:47-63``):
@@ -39,7 +52,66 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["apply_token_filters", "capitalize_term"]
+__all__ = ["apply_token_filters", "capitalize_term", "pattern_captures"]
+
+
+def pattern_captures(
+    term: str, patterns, preserve_original: bool
+) -> list[tuple[str, bool]]:
+    """Scalar PatternCaptureGroupTokenFilter for one token: ordered
+    ``[(text, overlap), ...]`` emissions (first = posIncr>0). Direct
+    port of the interleaved min-offset group walk
+    (``PatternCaptureGroupTokenFilter.java:89-165``)."""
+    import re
+
+    matchers = [re.compile(p) if isinstance(p, str) else p for p in patterns]
+    group_counts = [m.groups for m in matchers]
+    iters = [m.finditer(term) for m in matchers]
+    match = [None] * len(matchers)
+    group = [-1] * len(matchers)
+
+    def next_capture():
+        # returns (matcher_idx, span) of the minimal-start capture
+        best, best_start = -1, None
+        i = 0
+        while i < len(matchers):
+            if group[i] == -1:
+                match[i] = next(iters[i], None)
+                group[i] = 1 if match[i] is not None else 0
+            if group[i] != 0:
+                while group[i] < group_counts[i] + 1:
+                    start, end = match[i].span(group[i])
+                    if start == end or (
+                        preserve_original and start == 0 and end == len(term)
+                    ):
+                        group[i] += 1
+                        continue
+                    if best_start is None or start < best_start:
+                        best_start, best = start, i
+                    break
+                if group[i] == group_counts[i] + 1:
+                    group[i] = -1
+                    continue  # same matcher, next find (the Java i--)
+            i += 1
+        return best
+
+    out: list[tuple[str, bool]] = []
+    if preserve_original:
+        out.append((term, False))
+    else:
+        i = next_capture()
+        if i == -1:
+            return [(term, False)]
+        s, e = match[i].span(group[i])
+        out.append((term[s:e], False))
+        group[i] += 1
+    while True:
+        i = next_capture()
+        if i == -1:
+            return out
+        s, e = match[i].span(group[i])
+        out.append((term[s:e], True))
+        group[i] += 1
 
 
 def capitalize_term(term: str) -> str:
@@ -134,6 +206,42 @@ def apply_token_filters(doc_idx, terms, pos, specs, overlap=None):
             terms = out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
         elif kind == "capitalize":
             per_unique(capitalize_term)
+        elif kind == "pattern_replace":
+            pat, repl, all_ = spec[1], spec[2], bool(spec[3])
+            out = pc.replace_substring_regex(
+                terms,
+                pattern=pat,
+                replacement="" if repl is None else repl,
+                max_replacements=None if all_ else 1,
+            )
+            terms = out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+        elif kind == "pattern_capture":
+            pats, preserve = spec[1], bool(spec[2])
+            if len(terms) == 0:
+                continue
+            denc = pc.dictionary_encode(terms)
+            codes = np.asarray(denc.indices, np.int64)
+            vocab = denc.dictionary.to_pylist()
+            ems = [pattern_captures(t, pats, preserve) for t in vocab]
+            vtexts, vov, voff = [], [], [0]
+            for e in ems:
+                for t, ov in e:
+                    vtexts.append(t)
+                    vov.append(1 if ov else 0)
+                voff.append(len(vtexts))
+            k = np.diff(np.array(voff, np.int64))[codes]
+            occ = np.repeat(np.arange(len(codes)), k)
+            within = np.arange(len(occ)) - np.repeat(np.cumsum(k) - k, k)
+            vidx = np.array(voff, np.int64)[codes[occ]] + within
+            out = pa.array(vtexts, pa.string()).take(
+                pa.array(vidx, pa.int64())
+            )
+            terms = out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+            new_ov = np.array(vov, np.uint8)[vidx]
+            if overlap is not None:
+                new_ov |= overlap[occ]
+            overlap = new_ov
+            doc_idx, pos = doc_idx[occ], pos[occ]
         elif kind == "keyword_repeat":
             from lucene_solr_spark.oracle.light_stemmers import resolve
 

@@ -393,7 +393,10 @@ def build_index(
         or edge_ngram is not None
         or common_grams is not None
         or word_delimiter is not None
-        or any(s[0] == "keyword_repeat" for s in token_filters)
+        or any(
+            s[0] in ("keyword_repeat", "pattern_capture")
+            for s in token_filters
+        )
     )
     if index_options == "docs":
         doc_len = postings.groupBy("doc_id").agg(F.count("*").alias("length"))
