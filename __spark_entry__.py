@@ -1995,6 +1995,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["pattern_capture_topk"] = pattern_capture_topk
 
+    def html_strip_topk(spark, sf_dir):
+        """HTMLStripCharFilter (charfilter/HTMLStripCharFilter.jflex):
+        the corpus wrapped in real HTML — block div tags, a script
+        element with decoy tokens, an entity, a comment, a <br> — must
+        strip back to EXACTLY the plain text stream, so the resulting
+        index is value-identical to the plain index (any tag/script/
+        entity leak changes df/norms and fails the hash). Scanner
+        goldens live in tests/test_html_strip.py."""
+        key = f"html_ix::{sf_dir}"
+        if key not in _CACHE:
+            from lucene_solr_spark.functions.html_strip import (
+                html_strip_frame,
+            )
+            from lucene_solr_spark.operators.index_build import build_index
+            from lucene_solr_spark.plans.df_executor import DFExecutor
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id",
+                F.concat(
+                    F.lit('<div class="x">'),
+                    F.col("text"),
+                    F.lit(
+                        "</div><script>decoy tokens zzz</script>"
+                        " &amp; <!-- zap --><br>"
+                    ),
+                ).alias("text"),
+            )
+            ix = build_index(
+                html_strip_frame(docs),
+                text_col="text",
+                doc_id_col="doc_id",
+            ).persist()
+            _CACHE[key] = DFExecutor(ix, mode="double")
+        return _CACHE[key].topk(_T("table"), k=10).select("doc_id", "score")
+
+    out["html_strip_topk"] = html_strip_topk
+
     def index_sorted_topk(spark, sf_dir):
         """Index sorting (IndexWriterConfig.setIndexSort): top-10 by the
         index sort field = the first 10 matching docIDs — no score sort,
@@ -3999,6 +4036,12 @@ def oracle_sql() -> dict[str, str]:
         FROM postings GROUP BY term)"""
     out["pattern_capture_topk"] = f"WITH {_PC_IX}" + _lang_topk10.format(
         score=_SCORE, term="ta"
+    )
+
+    # html_strip_topk: the stripped index must equal the PLAIN index —
+    # the oracle is the unwrapped corpus
+    out["html_strip_topk"] = f"WITH {_ictes_ng()}" + _lang_topk10.format(
+        score=_SCORE, term="table"
     )
 
     out["path_facet_counts"] = """WITH lvl AS (
