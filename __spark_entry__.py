@@ -2032,6 +2032,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["html_strip_topk"] = html_strip_topk
 
+    def _classic_executor(spark, sf_dir):
+        """Index over the ClassicAnalyzer chain (classic/
+        ClassicTokenizer.jflex): ' s'-words gain a 'u.s.a.' acronym and
+        a 'bob@mail.com' email neighbour — classic keeps them as single
+        tokens (dots stripped from the acronym) where the standard
+        tokenizer would shatter them."""
+        key = f"classic_ix::{sf_dir}"
+        if key not in _CACHE:
+            from lucene_solr_spark.operators.index_build import build_index
+            from lucene_solr_spark.plans.df_executor import DFExecutor
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id",
+                F.expr(
+                    "replace(text, ' s', ' u.s.a. bob@mail.com s')"
+                ).alias("text"),
+            )
+            ix = build_index(
+                docs, text_col="text", doc_id_col="doc_id", tokenizer="classic"
+            ).persist()
+            _CACHE[key] = DFExecutor(ix, mode="double")
+        return _CACHE[key]
+
+    def classic_acronym_topk(spark, sf_dir):
+        """ACRONYM rule + ClassicFilter dot-strip: 'u.s.a.' indexes as
+        the single term 'usa'. Tokenizer goldens (hosts, emails, NUM
+        serials, apostrophes, AT&T) in tests/test_classic.py."""
+        ex = _classic_executor(spark, sf_dir)
+        return ex.topk(_T("usa"), k=10).select("doc_id", "score")
+
+    out["classic_acronym_topk"] = classic_acronym_topk
+
+    def classic_email_topk(spark, sf_dir):
+        """EMAIL rule: 'bob@mail.com' is ONE classic token (the
+        standard tokenizer splits it) — single TermQuery probe."""
+        ex = _classic_executor(spark, sf_dir)
+        return ex.topk(_T("bob@mail.com"), k=10).select("doc_id", "score")
+
+    out["classic_email_topk"] = classic_email_topk
+
     def index_sorted_topk(spark, sf_dir):
         """Index sorting (IndexWriterConfig.setIndexSort): top-10 by the
         index sort field = the first 10 matching docIDs — no score sort,
@@ -4042,6 +4082,20 @@ def oracle_sql() -> dict[str, str]:
     # the oracle is the unwrapped corpus
     out["html_strip_topk"] = f"WITH {_ictes_ng()}" + _lang_topk10.format(
         score=_SCORE, term="table"
+    )
+
+    # classic gates: whitespace-split the transformed corpus; the only
+    # classic-vs-whitespace difference on it is the acronym dot-strip
+    _CLASSIC_IX = _ictes_ng(
+        text_col="replace(text, ' s', ' u.s.a. bob@mail.com s')",
+        token_regex="[^ ]+",
+        term_expr="CASE WHEN term = 'u.s.a.' THEN 'usa' ELSE term END",
+    )
+    out["classic_acronym_topk"] = f"WITH {_CLASSIC_IX}" + _lang_topk10.format(
+        score=_SCORE, term="usa"
+    )
+    out["classic_email_topk"] = f"WITH {_CLASSIC_IX}" + _lang_topk10.format(
+        score=_SCORE, term="bob@mail.com"
     )
 
     out["path_facet_counts"] = """WITH lvl AS (

@@ -355,6 +355,24 @@ def postings_frame(
                 "tokenizer='whitespace' supports only the"
                 " word_delimiter + optional-lowercase chain"
             )
+    elif tokenizer == "classic":
+        # ClassicAnalyzer chain: tokenizer → ClassicFilter → lower →
+        # stop; the other chain stages target the standard kernel
+        if (
+            shingles is not None
+            or synonyms is not None
+            or grams is not None
+            or common_grams is not None
+            or with_offsets
+            or stemmer is not None
+            or elide is not None
+            or token_filters
+            or not isinstance(lowercase, bool)
+        ):
+            raise ValueError(
+                "tokenizer='classic' supports the"
+                " ClassicFilter + lowercase + stop chain only"
+            )
     elif tokenizer != "standard":
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
     if token_filters and with_offsets:
@@ -504,6 +522,46 @@ def postings_frame(
                     continue
                 yield from _invert(
                     doc_ids, tdoc, terms, pos, overlap, t_soff, t_eoff, cols
+                )
+                continue
+            if tokenizer == "classic":
+                from lucene_solr_spark.functions.classic import (
+                    batch_classic_tokenize,
+                )
+
+                tdoc, terms, pos = batch_classic_tokenize(
+                    pdf[text_col].tolist(),
+                    max_token_length=max_token_length,
+                    lowercase=bool(lowercase),
+                    stopwords=stop,
+                )
+                pos = pos.astype(np.int32)
+                if len(tdoc) == 0:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.empty(0, np.int64),
+                            "term": pd.Series(
+                                [], dtype=pd.ArrowDtype(pa.string())
+                            ),
+                            "tf": np.empty(0, np.int64),
+                            **(
+                                {
+                                    "positions": pd.Series(
+                                        [],
+                                        dtype=pd.ArrowDtype(
+                                            pa.list_(pa.int32())
+                                        ),
+                                    )
+                                }
+                                if with_positions
+                                else {}
+                            ),
+                        },
+                        columns=cols,
+                    )
+                    continue
+                yield from _invert(
+                    doc_ids, tdoc, terms, pos, None, None, None, cols
                 )
                 continue
             tok = batch_tokenize(

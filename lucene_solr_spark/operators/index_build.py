@@ -269,7 +269,7 @@ def build_index(
     edge_ngram: tuple[int, int] | None = None,
     ngram_preserve: bool = False,
     common_grams: frozenset[str] | None = None,
-    tokenizer: str = "standard",
+    tokenizer: str = "standard",  # "standard" | "whitespace" | "classic"
     word_delimiter: int | None = None,
     wd_prot_words: frozenset[str] | None = None,
     token_filters: tuple = (),
