@@ -2072,6 +2072,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["classic_email_topk"] = classic_email_topk
 
+    def dictionary_compound_topk(spark, sf_dir):
+        """DictionaryCompoundWordTokenFilter (compound/
+        DictionaryCompoundWordTokenFilter.java): ' s'-words gain a
+        'tablescan' compound neighbour; the brute-force dictionary scan
+        stacks 'table' and 'scan' subwords at its position
+        (norm-discounted), merging with the plain postings. TermQuery
+        'table'; Swedish reference goldens in
+        tests/test_token_filters.py."""
+        key = f"dcomp_docs::{sf_dir}"
+        if key not in _CACHE:
+            from lucene_solr_spark.operators.index_build import build_index
+            from lucene_solr_spark.plans.df_executor import DFExecutor
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id",
+                F.expr("replace(text, ' s', ' tablescan s')").alias("text"),
+            )
+            ix = build_index(
+                docs,
+                text_col="text",
+                doc_id_col="doc_id",
+                token_filters=(
+                    ("dictionary_compound", frozenset({"table", "scan"})),
+                ),
+            ).persist()
+            _CACHE[key] = DFExecutor(ix, mode="double")
+        return _CACHE[key].topk(_T("table"), k=10).select("doc_id", "score")
+
+    out["dictionary_compound_topk"] = dictionary_compound_topk
+
     def index_sorted_topk(spark, sf_dir):
         """Index sorting (IndexWriterConfig.setIndexSort): top-10 by the
         index sort field = the first 10 matching docIDs — no score sort,
@@ -4081,6 +4111,48 @@ def oracle_sql() -> dict[str, str]:
     # html_strip_topk: the stripped index must equal the PLAIN index —
     # the oracle is the unwrapped corpus
     out["html_strip_topk"] = f"WITH {_ictes_ng()}" + _lang_topk10.format(
+        score=_SCORE, term="table"
+    )
+
+    # dictionary_compound: 'tablescan' stacks its two dictionary
+    # subwords; everything else passes (no other corpus word embeds a
+    # dictionary entry and 'scan' itself is under minWordSize)
+    _DC_IX = f"""{norm_lut_sql()},
+      {_tokens_cte(text_col="replace(text, ' s', ' tablescan s')")},
+      tok_all AS (
+        SELECT doc_id, term, pos, FALSE AS overlap FROM tokens
+        UNION ALL
+        SELECT doc_id, 'table' AS term, pos, TRUE FROM tokens
+        WHERE term = 'tablescan'
+        UNION ALL
+        SELECT doc_id, 'scan' AS term, pos, TRUE FROM tokens
+        WHERE term = 'tablescan'
+        UNION ALL
+        -- 'table' is itself >= minWordSize and in the dictionary: the
+        -- reference decompose has NO whole-token guard, so it stacks a
+        -- duplicate of itself (DictionaryCompoundWordTokenFilter.java:
+        -- 68-96)
+        SELECT doc_id, term, pos, TRUE FROM tokens WHERE term = 'table'),
+      postings AS (
+        SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok_all
+        GROUP BY term, doc_id),
+      doclen AS (
+        SELECT doc_id, count(*)::BIGINT AS length FROM tok_all GROUP BY doc_id),
+      normlen AS (
+        SELECT doc_id, count(*)::BIGINT AS length FROM tok_all
+        WHERE NOT overlap GROUP BY doc_id),
+      norms AS (
+        SELECT d.doc_id, d.length, l.norm, l.declen
+        FROM normlen d JOIN norm_lut l ON d.length >= l.lo AND d.length < l.hi),
+      gstats AS (
+        SELECT (SELECT count(*) FROM doclen)::BIGINT AS doc_count,
+               (SELECT sum(length) FROM doclen)::BIGINT AS sum_ttf,
+               (SELECT sum(length) FROM doclen)::DOUBLE
+                 / (SELECT count(*) FROM doclen) AS avgdl),
+      term_stats AS (
+        SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+        FROM postings GROUP BY term)"""
+    out["dictionary_compound_topk"] = f"WITH {_DC_IX}" + _lang_topk10.format(
         score=_SCORE, term="table"
     )
 

@@ -383,7 +383,7 @@ def postings_frame(
         or common_grams is not None
         or word_delimiter is not None
         or any(
-            s[0] in ("keyword_repeat", "pattern_capture")
+            s[0] in ("keyword_repeat", "pattern_capture", "dictionary_compound")
             for s in token_filters
         )
     )

@@ -34,6 +34,14 @@ Specs are ``(kind, *args)`` tuples applied in order:
   ``:89-119``); with ``preserve_original`` the original comes first and
   whole-token captures are skipped, without it the first capture
   replaces the original (no captures → original passes).
+- ``("dictionary_compound", words, min_word, min_sub, max_sub,
+  only_longest)`` — DictionaryCompoundWordTokenFilter
+  (``compound/DictionaryCompoundWordTokenFilterBase.java:100-137``,
+  ``DictionaryCompoundWordTokenFilter.java:68-96``): the original token
+  always passes; every dictionary subword found by the brute-force
+  (start × length) scan stacks at posIncr 0 (norm-discounted), longest
+  per start when ``only_longest``; tokens shorter than ``min_word``
+  skip the scan. Defaults mirror the reference (5/2/15).
 - ``("keyword_repeat", stemmer)`` — the KeywordRepeatFilter → stem →
   RemoveDuplicatesTokenFilter composition
   (``KeywordRepeatFilter.java:44-58``, ``RemoveDuplicates…java:47-63``):
@@ -52,7 +60,46 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["apply_token_filters", "capitalize_term", "pattern_captures"]
+__all__ = [
+    "apply_token_filters",
+    "capitalize_term",
+    "pattern_captures",
+    "dictionary_decompose",
+]
+
+
+def dictionary_decompose(
+    term: str,
+    words: frozenset[str],
+    min_word: int = 5,
+    min_sub: int = 2,
+    max_sub: int = 15,
+    only_longest: bool = False,
+    ignore_case: bool = False,
+) -> list[tuple[str, bool]]:
+    """Scalar DictionaryCompoundWordTokenFilter for one token: the
+    original (posIncr kept) then its dictionary subwords (posIncr 0).
+    ``ignore_case`` models a CharArraySet(ignoreCase=true) dictionary;
+    emitted subwords keep the ORIGINAL slice casing either way."""
+    out = [(term, False)]
+    n = len(term)
+    if n < min_word:
+        return out
+    key = term.lower() if ignore_case else term
+    vocab = {w.lower() for w in words} if ignore_case else words
+    for i in range(0, n - min_sub + 1):
+        longest = None
+        for j in range(min_sub, max_sub + 1):
+            if i + j > n:
+                break
+            if key[i : i + j] in vocab:
+                if only_longest:
+                    longest = term[i : i + j]
+                else:
+                    out.append((term[i : i + j], True))
+        if only_longest and longest is not None:
+            out.append((longest, True))
+    return out
 
 
 def pattern_captures(
@@ -215,14 +262,28 @@ def apply_token_filters(doc_idx, terms, pos, specs, overlap=None):
                 max_replacements=None if all_ else 1,
             )
             terms = out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
-        elif kind == "pattern_capture":
-            pats, preserve = spec[1], bool(spec[2])
+        elif kind in ("pattern_capture", "dictionary_compound"):
             if len(terms) == 0:
                 continue
             denc = pc.dictionary_encode(terms)
             codes = np.asarray(denc.indices, np.int64)
             vocab = denc.dictionary.to_pylist()
-            ems = [pattern_captures(t, pats, preserve) for t in vocab]
+            if kind == "pattern_capture":
+                pats, preserve = spec[1], bool(spec[2])
+                ems = [pattern_captures(t, pats, preserve) for t in vocab]
+            else:
+                words = frozenset(spec[1])
+                mw, ms, xs = (
+                    (int(spec[2]), int(spec[3]), int(spec[4]))
+                    if len(spec) > 4
+                    else (5, 2, 15)
+                )
+                longest = bool(spec[5]) if len(spec) > 5 else False
+                ign = bool(spec[6]) if len(spec) > 6 else False
+                ems = [
+                    dictionary_decompose(t, words, mw, ms, xs, longest, ign)
+                    for t in vocab
+                ]
             vtexts, vov, voff = [], [], [0]
             for e in ems:
                 for t, ov in e:

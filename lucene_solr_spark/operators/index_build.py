@@ -394,7 +394,7 @@ def build_index(
         or common_grams is not None
         or word_delimiter is not None
         or any(
-            s[0] in ("keyword_repeat", "pattern_capture")
+            s[0] in ("keyword_repeat", "pattern_capture", "dictionary_compound")
             for s in token_filters
         )
     )

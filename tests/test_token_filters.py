@@ -87,3 +87,63 @@ def test_compose_order():
     # filters apply in order: truncate(4) then reverse
     got = run([(0, "tables", 0)], (("truncate", 4), ("reverse",)))
     assert got[0][1] == "lbat"
+
+
+# --------------------------------------- DictionaryCompoundWordTokenFilter
+
+from lucene_solr_spark.functions.token_filters import (  # noqa: E402
+    dictionary_decompose,
+)
+
+_SE_DICT = frozenset(
+    "Bil Dörr Motor Tak Borr Slag Hammar Pelar Glas Ögon Fodral Bas Fiol"
+    " Makare Gesäll Sko Vind Rute Torkare Blad".split()
+)
+
+
+def _flat(term, dic, **kw):
+    return [t for t, _ in dictionary_decompose(term, dic, ignore_case=True, **kw)]
+
+
+def test_compound_swedish_goldens():
+    # TestCompoundWordTokenFilter.testDumbCompoundWordsSE (per token)
+    cases = {
+        "Bildörr": ["Bildörr", "Bil", "dörr"],
+        "Bilmotor": ["Bilmotor", "Bil", "motor"],
+        "Biltak": ["Biltak", "Bil", "tak"],
+        "Slagborr": ["Slagborr", "Slag", "borr"],
+        "Hammarborr": ["Hammarborr", "Hammar", "borr"],
+        "Pelarborr": ["Pelarborr", "Pelar", "borr"],
+        "Glasögonfodral": ["Glasögonfodral", "Glas", "ögon", "fodral"],
+        "Basfiolsfodral": ["Basfiolsfodral", "Bas", "fiol", "fodral"],
+        "Basfiolsfodralmakaregesäll": [
+            "Basfiolsfodralmakaregesäll", "Bas", "fiol", "fodral",
+            "makare", "gesäll",
+        ],
+        "Skomakare": ["Skomakare", "Sko", "makare"],
+        "Vindrutetorkare": ["Vindrutetorkare", "Vind", "rute", "torkare"],
+        "Vindrutetorkarblad": ["Vindrutetorkarblad", "Vind", "rute", "blad"],
+        "abba": ["abba"],  # < minWordSize: untouched
+    }
+    for term, want in cases.items():
+        assert _flat(term, _SE_DICT) == want, term
+
+
+def test_compound_longest_match_golden():
+    dic = frozenset(_SE_DICT - {"Fiol"} | {"Fiols", "Fiolsfodral"})
+    got = _flat("Basfiolsfodralmakaregesäll", dic, only_longest=True)
+    assert got == [
+        "Basfiolsfodralmakaregesäll", "Bas", "fiolsfodral", "fodral",
+        "makare", "gesäll",
+    ]
+
+
+def test_compound_overlap_flags_batch():
+    got = run([(0, "Bildörr", 0), (0, "abba", 1)],
+              (("dictionary_compound", _SE_DICT, 5, 2, 15, False, True),))
+    assert got == [
+        (0, "Bildörr", 0, False),
+        (0, "Bil", 0, True),
+        (0, "dörr", 0, True),
+        (0, "abba", 1, False),
+    ]
