@@ -447,6 +447,17 @@ _PERSIAN_TEXT_SQL = (
 _FA_GATE_MAP = str.maketrans("abcdefghijklmnopqrstuvwxyz", _FA_ALPHABET)
 _FA_TOKEN_RX = "[0-9ء-يپچژگکیۀہ]+"
 
+#: Sorani-gate corpus: a-z → Sorani incl. normalizer-active codepoints
+#: (e→ة teh marbuta, i→ي yeh, k→ك kaf, h→ھ doachashmee, y→ى dotless
+#: yeh, r→ر word-initial reh) so the normalization chain does real work
+#: and mapped word endings feed the stemmer cascade
+_CKB_ALPHABET = "ابچدةفگھيجلكمنۆپقرستوڤڵخىز"
+_SORANI_TEXT_SQL = (
+    f"translate(text, 'abcdefghijklmnopqrstuvwxyz', '{_CKB_ALPHABET}')"
+)
+_CKB_GATE_MAP = str.maketrans("abcdefghijklmnopqrstuvwxyz", _CKB_ALPHABET)
+_CKB_TOKEN_RX = "[0-9ء-يچھۆپگڤڵ]+"
+
 #: Latvian-gate corpus: ' a ' → ' un ' injects the real Latvian
 #: conjunction so the lv stop set does position-gap work (the Kreslin
 #: stemmer itself is alphabet-agnostic on the corpus's a-z tokens)
@@ -2624,6 +2635,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["persian_chain_topk"] = persian_chain_topk
 
+    def sorani_chain_topk(spark, sf_dir):
+        """FULL SoraniAnalyzer chain (ckb/SoraniAnalyzer.java:106-118:
+        Standard → SoraniNormalization → LowerCase → DecimalDigit →
+        Stop → SoraniStemFilter) over the pseudo-Sorani corpus
+        (teh-marbuta/kaf/yeh/doachashmee/initial-reh mapped in so the
+        normalizer does real work; mapped endings feed the stemmer
+        cascade). BM25 top-10 for the chain image of 'table'; exact SQL
+        twin (oracle.lang_pack SORANI_FOLD_SQL + SORANI_STEM_SQL,
+        50k-word fuzz-proven)."""
+        ex = _named_chain_executor(
+            spark, sf_dir, "sorani", text_sql=_SORANI_TEXT_SQL
+        )
+        from lucene_solr_spark.oracle.lang_pack import (
+            sorani_fold,
+            sorani_stem,
+        )
+
+        q = sorani_stem(sorani_fold("table".translate(_CKB_GATE_MAP)))
+        return ex.topk(_T(q), k=10).select("doc_id", "score")
+
+    out["sorani_chain_topk"] = sorani_chain_topk
+
     def latvian_chain_topk(spark, sf_dir):
         """FULL LatvianAnalyzer chain (lv/LatvianAnalyzer.java:110-116:
         Standard → LowerCase → Stop(lv — the injected 'un' conjunction
@@ -3824,6 +3857,17 @@ def oracle_sql() -> dict[str, str]:
         + _lang_topk.format(
             score=_SCORE,
             term=_lp.persian_fold("merge".translate(_FA_GATE_MAP)),
+        )
+    )
+    # Sorani: normalization (the fold) BEFORE the (pre-normalized) stop
+    # list, stemming after — the reference chain order
+    out["sorani_chain_topk"] = (
+        f"WITH {_ictes_lang(text_col=_SORANI_TEXT_SQL, token_regex=_CKB_TOKEN_RX, pre_term_expr=_lp.SORANI_FOLD_SQL, stopwords=tuple(_lp.SORANI_STOP_WORDS), term_expr=_lp.SORANI_STEM_SQL)}"
+        + _lang_topk.format(
+            score=_SCORE,
+            term=_lp.sorani_stem(
+                _lp.sorani_fold("table".translate(_CKB_GATE_MAP))
+            ),
         )
     )
     out["latvian_chain_topk"] = (

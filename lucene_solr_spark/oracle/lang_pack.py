@@ -895,3 +895,181 @@ INDONESIAN_SQL = (
     # L8: drop the state header
     "substr(term, 3)",
 )
+
+
+# --------------------------------------------------------------- Sorani
+
+_CKB_HARAKAT = "ـًٌٍَُِّْ"
+
+
+def sorani_normalize(term: str) -> str:
+    """SoraniNormalizer (``ckb/SoraniNormalizer.java:72-129``): yeh
+    forms → farsi yeh, kaf → keheh, heh+ZWNJ → ae, final heh → ae, teh
+    marbuta → ae, heh doachashmee → heh, initial reh / reh-with-v-above
+    → rreh, harakat/tatweel/format chars deleted — a SEQUENTIAL scan
+    (deletions shift, the final-heh test sees the CURRENT buffer)."""
+    import unicodedata
+
+    s = list(term)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in "يى":
+            s[i] = "ی"
+        elif c == "ك":
+            s[i] = "ک"
+        elif c == "‌":
+            if i > 0 and s[i - 1] == "ه":
+                s[i - 1] = "ە"
+            del s[i]
+            continue
+        elif c == "ه":
+            if i == len(s) - 1:
+                s[i] = "ە"
+        elif c == "ة":
+            s[i] = "ە"
+        elif c == "ھ":
+            s[i] = "ه"
+        elif c == "ر":
+            if i == 0:
+                s[i] = "ڕ"
+        elif c == "ڒ":
+            s[i] = "ڕ"
+        elif c in _CKB_HARAKAT:
+            del s[i]
+            continue
+        elif unicodedata.category(c) == "Cf":
+            del s[i]
+            continue
+        i += 1
+    return "".join(s)
+
+
+def sorani_stem(term: str) -> str:
+    """SoraniStemmer (``ckb/SoraniStemmer.java:31-110``): postposition
+    block, possessive-pronoun block, then the first-match ezafe /
+    definite / plural / demonstrative cascade."""
+    s = term
+    n = len(s)
+    # postposition
+    if n > 5 and s.endswith("دا"):  # -dA
+        s = s[:-2]
+    elif n > 4 and s.endswith("نا"):  # -nA: drops ONE char
+        s = s[:-1]
+    elif n > 6 and s.endswith("ەوە"):  # -awa
+        s = s[:-3]
+    n = len(s)
+    # possessive pronoun
+    if n > 6 and (
+        s.endswith("مان")
+        or s.endswith("یان")
+        or s.endswith("تان")
+    ):
+        s = s[:-3]
+    n = len(s)
+    for cond, suf, cut in (
+        (n > 6, "ێکی", 3),  # indefinite singular ezafe
+        (n > 7, "یەکی", 4),
+        (n > 5, "ێک", 2),  # indefinite singular
+        (n > 6, "یەک", 3),
+        (n > 6, "ەکە", 3),  # definite singular
+        (n > 5, "کە", 2),
+        (n > 7, "ەکان", 4),  # definite plural
+        (n > 6, "کان", 3),
+        (n > 7, "یانی", 4),  # indef plural ezafe
+        (n > 6, "انی", 3),
+        (n > 6, "یان", 3),  # indefinite plural
+        (n > 5, "ان", 2),
+        (n > 7, "یانە", 4),  # demonstrative plural
+        (n > 6, "انە", 3),
+        (n > 5, "ایە", 2),  # demonstrative singular -Aya
+        (n > 5, "ەیە", 2),  # -aya
+        (n > 4, "ە", 1),
+        (n > 4, "ی", 1),  # absolute singular ezafe
+    ):
+        if cond and s.endswith(suf):
+            return s[:-cut]
+    return s
+
+
+def sorani_fold(term: str) -> str:
+    """The SoraniAnalyzer chain minus stop/stem
+    (``ckb/SoraniAnalyzer.java:106-118``): SoraniNormalization →
+    LowerCase → DecimalDigit, all BEFORE the stop filter."""
+    return decimal_digit_fold(sorani_normalize(term).lower())
+
+
+def sorani_chain_stem(term: str) -> str:
+    """Stemmer slot for the named chain: the stop filter sees folded
+    tokens, so only the stem composes here."""
+    return sorani_stem(term)
+
+
+#: ckb/stopwords.txt ("#"-comment wordlist, 63 word entries; the file
+#: ships in normalized orthography)
+SORANI_STOP_WORDS = frozenset(
+    (
+        "و کە ی کرد ئەوەی سەر دوو هەروەها لەو دەکات چەند هەر ئەو ئەم "
+        "من ئێمە تۆ ئێوە ئەو ئەوان بە پێ بەبێ بەدەم بەلای بەپێی بەرلە "
+        "بەرەوی بەرەوە بەردەم بێ بێجگە بۆ دە تێ دەگەڵ دوای جگە لە لێ "
+        "لەبەر لەبەینی لەبابەت لەبارەی لەباتی لەبن لەبرێتی لەدەم "
+        "لەگەڵ لەلایەن لەناو لەنێو لەپێناوی لەرەوی لەرێ لەرێگا لەسەر "
+        "لەژێر ناو نێوان پاش پێش وەک "
+    ).split()
+)
+
+
+#: one-expression SQL twin of sorani_fold for the gate corpora (no
+#: exotic decimal digits): created-pair ھ+ZWNJ and plain ه+ZWNJ → ە
+#: first (the ZWNJ case reads the CURRENT buffer), then the scan-time
+#: final-heh test (BEFORE deletions/maps — a final ھ maps to ه, never
+#: ە, and a heh followed by deletable marks stays ه), then the
+#: map+delete translate (ZWNJ/ZWJ/LRM/RLM/ALM + tatweel/harakat
+#: deleted — the enumerable Cf subset the corpora use), then the
+#: initial-reh promotion on the deletion-shifted string.
+SORANI_FOLD_SQL = (
+    "regexp_replace(translate(regexp_replace(regexp_replace(term, "
+    "'[\u06be\u0647][\u0640\u064b-\u0652\u200d-\u200f\u061c]*\u200c', '\u06d5', 'g'), "
+    "'\u0647$', '\u06d5'), "
+    "'\u064a\u0649\u0643\u0629\u06be\u0692"
+    "\u200c\u200d\u200e\u200f\u061c"
+    "\u0640\u064b\u064c\u064d\u064e\u064f\u0650\u0651\u0652', "
+    "'\u06cc\u06cc\u06a9\u06d5\u0647\u0695'), "
+    "'^\u0631', '\u0695')"
+)
+
+#: layered SQL twin of sorani_stem: postposition, possessive, cascade
+SORANI_STEM_SQL = (
+    # L1: postposition (ckb/SoraniStemmer.java:33-40)
+    """CASE
+      WHEN length(term) > 5 AND right(term, 2) = 'دا' THEN left(term, length(term)-2)
+      WHEN length(term) > 4 AND right(term, 2) = 'نا' THEN left(term, length(term)-1)
+      WHEN length(term) > 6 AND right(term, 3) = 'ەوە' THEN left(term, length(term)-3)
+      ELSE term END""",
+    # L2: possessive pronoun (:43-46)
+    """CASE
+      WHEN length(term) > 6 AND right(term, 3) IN ('مان', 'یان', 'تان')
+      THEN left(term, length(term)-3)
+      ELSE term END""",
+    # L3: first-match cascade (:49-109)
+    """CASE
+      WHEN length(term) > 6 AND right(term, 3) = 'ـــ' THEN term
+      WHEN length(term) > 6 AND right(term, 3) = 'ێکی' THEN left(term, length(term)-3)
+      WHEN length(term) > 7 AND right(term, 4) = 'یەکی' THEN left(term, length(term)-4)
+      WHEN length(term) > 5 AND right(term, 2) = 'ێک' THEN left(term, length(term)-2)
+      WHEN length(term) > 6 AND right(term, 3) = 'یەک' THEN left(term, length(term)-3)
+      WHEN length(term) > 6 AND right(term, 3) = 'ەکە' THEN left(term, length(term)-3)
+      WHEN length(term) > 5 AND right(term, 2) = 'کە' THEN left(term, length(term)-2)
+      WHEN length(term) > 7 AND right(term, 4) = 'ەکان' THEN left(term, length(term)-4)
+      WHEN length(term) > 6 AND right(term, 3) = 'کان' THEN left(term, length(term)-3)
+      WHEN length(term) > 7 AND right(term, 4) = 'یانی' THEN left(term, length(term)-4)
+      WHEN length(term) > 6 AND right(term, 3) = 'انی' THEN left(term, length(term)-3)
+      WHEN length(term) > 6 AND right(term, 3) = 'یان' THEN left(term, length(term)-3)
+      WHEN length(term) > 5 AND right(term, 2) = 'ان' THEN left(term, length(term)-2)
+      WHEN length(term) > 7 AND right(term, 4) = 'یانە' THEN left(term, length(term)-4)
+      WHEN length(term) > 6 AND right(term, 3) = 'انە' THEN left(term, length(term)-3)
+      WHEN length(term) > 5 AND right(term, 3) IN ('ایە', 'ەیە') THEN left(term, length(term)-2)
+      WHEN length(term) > 4 AND right(term, 1) = 'ە' THEN left(term, length(term)-1)
+      WHEN length(term) > 4 AND right(term, 1) = 'ی' THEN left(term, length(term)-1)
+      ELSE term END""",
+)

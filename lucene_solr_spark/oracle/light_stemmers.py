@@ -1062,12 +1062,15 @@ def _register_lang_pack() -> None:
             "arabic": _lp.arabic_chain_stem,
             "latvian": _lp.latvian_stem,
             "indonesian": _lp.indonesian_stem,
+            # SoraniAnalyzer stems AFTER its (normalized) stop list
+            "sorani": _lp.sorani_chain_stem,
         }
     )
     FOLDS.update(
         {
             "arabic": _lp.arabic_fold,
             "persian": _lp.persian_fold,
+            "sorani": _lp.sorani_fold,
         }
     )
 
@@ -1207,6 +1210,13 @@ def analyzer_config(name: str) -> dict:
     configs["latvian"] = dict(stopwords=LATVIAN_STOP_WORDS, stemmer="latvian")
     configs["indonesian"] = dict(
         stopwords=INDONESIAN_STOP_WORDS, stemmer="indonesian"
+    )
+    # SoraniAnalyzer.java:106-118: Standard → SoraniNormalization →
+    # LowerCase → DecimalDigit → Stop → [keyword] → SoraniStemFilter
+    from lucene_solr_spark.oracle.lang_pack import SORANI_STOP_WORDS
+
+    configs["sorani"] = dict(
+        lowercase="sorani", stopwords=SORANI_STOP_WORDS, stemmer="sorani"
     )
     got = configs.get(name)
     if got is None:

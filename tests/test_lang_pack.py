@@ -532,3 +532,98 @@ def test_lv_id_chain_and_batch_parity():
             for tok in analyze(t, **cfg):
                 scalar.append((i, tok.term, tok.pos))
         assert list(zip(doc_ids.tolist(), terms.tolist(), poss.tolist())) == scalar, name
+
+
+# ------------------------------------------------------------- Sorani
+
+from lucene_solr_spark.oracle.lang_pack import (  # noqa: E402
+    SORANI_FOLD_SQL,
+    SORANI_STEM_SQL,
+    SORANI_STOP_WORDS,
+    sorani_fold,
+    sorani_normalize,
+    sorani_stem,
+)
+
+
+def test_sorani_normalizer_goldens():
+    """Every TestSoraniNormalizationFilter checkOneTerm pair."""
+    txt = open(f"{_REF}/ckb/TestSoraniNormalizationFilter.java", encoding="utf-8").read()
+    pairs = re.findall(r'checkOneTerm\(\s*a\s*,\s*"([^"]*)"\s*,\s*"([^"]*)"\)', txt)
+    assert len(pairs) >= 20
+    for w, e in pairs:
+        w = w.encode().decode("unicode_escape") if "\\u" in w else w
+        e = e.encode().decode("unicode_escape") if "\\u" in e else e
+        assert sorani_normalize(w) == e, (w.encode("unicode_escape"), e)
+
+
+def test_sorani_stemmer_goldens():
+    """Every TestSoraniStemFilter checkOneTerm pair — the test analyzer
+    is the FULL SoraniAnalyzer, so normalize composes before stem."""
+    txt = open(f"{_REF}/ckb/TestSoraniStemFilter.java", encoding="utf-8").read()
+    pairs = re.findall(r'checkOneTerm\(\s*a\s*,\s*"([^"]*)"\s*,\s*"([^"]*)"\)', txt)
+    assert len(pairs) >= 15
+    for w, e in pairs:
+        got = sorani_stem(sorani_fold(w))
+        assert got == e, (w, e, got)
+
+
+def test_sorani_stop_set_matches_reference():
+    res = (
+        "/root/reference/lucene/analysis/common/src/resources/org/apache/"
+        "lucene/analysis/ckb/stopwords.txt"
+    )
+    want = set()
+    for line in open(res, encoding="utf-8"):
+        line = line.split("#")[0].strip()
+        if line:
+            want.add(line)
+    assert SORANI_STOP_WORDS == want
+
+
+def test_sorani_sql_twin_parity_fuzz():
+    """fold+stem SQL ≡ Python over alphabet-random words drawn from the
+    normalizer-active and suffix-forming characters."""
+    import duckdb
+
+    rng = random.Random(23)
+    alpha = "ابچدةفگھيجكلمنۆپقرستوڤڵخىزەیکێ‌ًَ"
+    words = [
+        "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 10)))
+        for _ in range(40_000)
+    ]
+    suf = ["دا", "نا", "ەوە", "مان", "یان", "تان", "ێکی", "یەکی", "ێک",
+           "ەکە", "کە", "ەکان", "کان", "انی", "ان", "انە", "ایە", "ە", "ی", ""]
+    for _ in range(10_000):
+        base = "".join(rng.choice("ابجدلمنسته") for _ in range(rng.randrange(2, 8)))
+        words.append(base + rng.choice(suf) + rng.choice(suf))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w AS SELECT unnest(?) AS term", [words])
+    body = f"SELECT {SORANI_FOLD_SQL} AS term FROM w"
+    for e in SORANI_STEM_SQL:
+        body = f"SELECT {e} AS term FROM ({body})"
+    got = [r[0] for r in con.execute(body).fetchall()]
+    bad = [
+        (w.encode("unicode_escape"), g, sorani_stem(sorani_fold(w)))
+        for w, g in zip(words, got)
+        if g != sorani_stem(sorani_fold(w))
+    ]
+    assert not bad, (len(bad), bad[:5])
+
+
+def test_sorani_chain_and_batch_parity():
+    from lucene_solr_spark.functions.fast_tokenizer import batch_tokenize
+
+    cfg = analyzer_config("sorani")
+    texts = ["پیاوێک و دەرگایەک", "ھ‌ك ررر کتاویە", ""]
+    for t in texts:
+        pass
+    doc_ids, terms, poss = batch_tokenize(texts, **cfg)
+    scalar = []
+    for i, t in enumerate(texts):
+        for tok in analyze(t, **cfg):
+            scalar.append((i, tok.term, tok.pos))
+    assert list(zip(doc_ids.tolist(), terms.tolist(), poss.tolist())) == scalar
+    assert [t.term for t in analyze("پیاوێک و دەرگایەک", **cfg)] == [
+        "پیاو", "دەرگا",
+    ]
