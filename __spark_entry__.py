@@ -458,6 +458,37 @@ _SORANI_TEXT_SQL = (
 _CKB_GATE_MAP = str.maketrans("abcdefghijklmnopqrstuvwxyz", _CKB_ALPHABET)
 _CKB_TOKEN_RX = "[0-9ء-يچھۆپگڤڵ]+"
 
+#: Hindi-gate corpus: a-z → Devanagari incl. normalizer-active
+#: codepoints (k→क़ nukta-precomposed, e→ी long-I matra, i→ई long
+#: independent I, o→औ AU, u→ॅ candra-E matra — 'qu' becomes अॅ, the
+#: Indic compose pair अ+ॅ→ॲ which Hindi then folds to अ); needs the
+#: tokenizer's UAX#29 Extend support (matras are Mn)
+_HI_ALPHABET = "बभचदीफगहईजक़लमनऔपअरसतॅवडखयझ"
+_HINDI_TEXT_SQL = (
+    f"translate(text, 'abcdefghijklmnopqrstuvwxyz', '{_HI_ALPHABET}')"
+)
+_HI_GATE_MAP = str.maketrans("abcdefghijklmnopqrstuvwxyz", _HI_ALPHABET)
+_HI_TOKEN_RX = "[0-9ऀ-ॿ]+"
+#: gate-corpus twin of oracle.indic.hindi_fold: the single Indic
+#: compose rule this alphabet can trigger, then the Hindi char folds
+#: (fuzz-proven ≡ Python over the gate alphabet in tests/test_indic.py)
+_HINDI_FOLD_SQL = (
+    "translate(replace(term, 'अॅ', 'ॲ'), 'क़ईऔॅीॲ', 'कइओेिअ')"
+)
+
+#: Bengali-gate corpus: a-z → Bengali incl. normalizer-active
+#: codepoints (e→ী long kar → short, q→শ/s→ষ sh-class → স, n→ণ → ন)
+#: and suffix-forming endings
+_BN_ALPHABET = "বভচদীফগহইজকলমণওপশরষতুথডখযঝ"
+_BENGALI_TEXT_SQL = (
+    f"translate(text, 'abcdefghijklmnopqrstuvwxyz', '{_BN_ALPHABET}')"
+)
+_BN_GATE_MAP = str.maketrans("abcdefghijklmnopqrstuvwxyz", _BN_ALPHABET)
+_BN_TOKEN_RX = "[0-9ঀ-৿]+"
+#: gate-corpus twin of oracle.indic.bengali_fold (the char folds this
+#: alphabet can trigger; fuzz-proven in tests/test_indic.py)
+_BENGALI_FOLD_SQL = "translate(term, 'ীশষণ', 'িসসন')"
+
 #: Latvian-gate corpus: ' a ' → ' un ' injects the real Latvian
 #: conjunction so the lv stop set does position-gap work (the Kreslin
 #: stemmer itself is alphabet-agnostic on the corpus's a-z tokens)
@@ -2657,6 +2688,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["sorani_chain_topk"] = sorani_chain_topk
 
+    def hindi_chain_topk(spark, sf_dir):
+        """FULL HindiAnalyzer chain (hi/HindiAnalyzer.java:114-124:
+        Standard → LowerCase → DecimalDigit → IndicNormalization →
+        HindiNormalization → Stop → HindiStemFilter) over the
+        pseudo-Devanagari corpus (matras exercise the tokenizer's
+        Extend support; nukta/long-vowel/candra folds and the अ+ॅ→ॲ
+        Indic composition do real work; mapped endings feed the
+        Ramanathan & Rao cascade). BM25 top-10 for the chain image of
+        'table'."""
+        ex = _named_chain_executor(
+            spark, sf_dir, "hindi", text_sql=_HINDI_TEXT_SQL
+        )
+        from lucene_solr_spark.oracle.indic import hindi_fold, hindi_stem
+
+        q = hindi_stem(hindi_fold("table".translate(_HI_GATE_MAP)))
+        return ex.topk(_T(q), k=10).select("doc_id", "score")
+
+    out["hindi_chain_topk"] = hindi_chain_topk
+
+    def bengali_chain_topk(spark, sf_dir):
+        """FULL BengaliAnalyzer chain (bn/BengaliAnalyzer.java:112-123:
+        Standard → LowerCase → DecimalDigit → IndicNormalization →
+        BengaliNormalization → Stop → BengaliStemFilter) over the
+        pseudo-Bengali corpus (long-kar/sh-class/na folds active;
+        mapped endings feed the Sengupta & Chaudhuri cascade). BM25
+        top-10 for the chain image of 'table'."""
+        ex = _named_chain_executor(
+            spark, sf_dir, "bengali", text_sql=_BENGALI_TEXT_SQL
+        )
+        from lucene_solr_spark.oracle.indic import bengali_fold, bengali_stem
+
+        q = bengali_stem(bengali_fold("table".translate(_BN_GATE_MAP)))
+        return ex.topk(_T(q), k=10).select("doc_id", "score")
+
+    out["bengali_chain_topk"] = bengali_chain_topk
+
     def latvian_chain_topk(spark, sf_dir):
         """FULL LatvianAnalyzer chain (lv/LatvianAnalyzer.java:110-116:
         Standard → LowerCase → Stop(lv — the injected 'un' conjunction
@@ -3867,6 +3934,26 @@ def oracle_sql() -> dict[str, str]:
             score=_SCORE,
             term=_lp.sorani_stem(
                 _lp.sorani_fold("table".translate(_CKB_GATE_MAP))
+            ),
+        )
+    )
+    from lucene_solr_spark.oracle import indic as _indic
+
+    out["hindi_chain_topk"] = (
+        f"WITH {_ictes_lang(text_col=_HINDI_TEXT_SQL, token_regex=_HI_TOKEN_RX, pre_term_expr=_HINDI_FOLD_SQL, stopwords=tuple(_indic.HINDI_STOP_WORDS), term_expr=_indic.HINDI_STEM_SQL)}"
+        + _lang_topk.format(
+            score=_SCORE,
+            term=_indic.hindi_stem(
+                _indic.hindi_fold("table".translate(_HI_GATE_MAP))
+            ),
+        )
+    )
+    out["bengali_chain_topk"] = (
+        f"WITH {_ictes_lang(text_col=_BENGALI_TEXT_SQL, token_regex=_BN_TOKEN_RX, pre_term_expr=_BENGALI_FOLD_SQL, stopwords=tuple(_indic.BENGALI_STOP_WORDS), term_expr=_indic.BENGALI_STEM_SQL)}"
+        + _lang_topk.format(
+            score=_SCORE,
+            term=_indic.bengali_stem(
+                _indic.bengali_fold("table".translate(_BN_GATE_MAP))
             ),
         )
     )

@@ -67,7 +67,12 @@ def _build_luts():
     mid_any = np.zeros(n, np.bool_)
     for ch in _otok._MID_ALL:
         mid_any[ord(ch)] = True
-    letter = alpha & ~ideo & ~mid_any
+    # UAX#29 Extend subset (the oracle's _EXTEND class): marks continue
+    # a token but never start one
+    ext = np.zeros(n, np.bool_)
+    for m in re.finditer(rf"[{_otok._EXTEND}]", all_chars):
+        ext[m.start()] = True
+    letter = (alpha | ext) & ~ideo & ~mid_any
     lower = np.arange(n, dtype=np.uint32)
     bad_lower = np.zeros(n, np.bool_)
     lowered = [ch.lower() for ch in all_chars]
@@ -89,7 +94,10 @@ def _build_luts():
     # _TOKEN_RE candidates are \w runs, so a non-word _IDEO char (the
     # combining marks U+3099/U+309A) never becomes a token there
     single_char = (ideo & word) | (emoji & ~word)
-    return run_char, single_char, letter, digit, mid_l, mid_n, lower, bad_lower, utf8len
+    return (
+        run_char, single_char, letter, digit, mid_l, mid_n, lower,
+        bad_lower, utf8len, ext,
+    )
 
 
 _LUT_NAMES = (
@@ -102,6 +110,7 @@ _LUT_NAMES = (
     "lower",
     "bad_lower",
     "utf8len",
+    "ext",
 )
 
 
@@ -113,7 +122,7 @@ def _load_or_build_luts():
     import tempfile
 
     path = os.path.join(
-        tempfile.gettempdir(), f"lss_tokenizer_luts_v2_{FAST_LIMIT:x}.npz"
+        tempfile.gettempdir(), f"lss_tokenizer_luts_v3_{FAST_LIMIT:x}.npz"
     )
     if os.path.exists(path):
         try:
@@ -142,6 +151,7 @@ def _load_or_build_luts():
     _LOWER,
     _BAD_LOWER,
     _UTF8LEN,
+    _EXT,
 ) = _load_or_build_luts()
 
 
@@ -275,11 +285,23 @@ def batch_tokenize(
         join_l = _MID_L[cpi] & _shift_prev(is_letter) & _shift_next(is_letter)
         join_n = _MID_N[cpi] & _shift_prev(is_digit) & _shift_next(is_digit)
         tok = is_run | join_l | join_n
+        ext = _EXT[cpi] & in_range
+        if ext.any():
+            # WB4: Extend marks continue the token of the char they
+            # follow and never start one — a mark run attaches iff its
+            # nearest preceding non-Extend char is a token char
+            idx = np.arange(len(cp), dtype=np.int64)
+            prev_nonext = np.maximum.accumulate(np.where(~ext, idx, -1))
+            join_ext = ext & (prev_nonext >= 0)
+            join_ext[join_ext] = tok[prev_nonext[join_ext]]
+            tok = tok | join_ext
 
         d = np.diff(np.r_[np.int8(0), tok.view(np.int8), np.int8(0)])
         starts = np.nonzero(d == 1)[0]
         tlen = np.nonzero(d == -1)[0] - starts
-        singles = np.nonzero(_SINGLE[cpi] & in_range)[0]
+        # an emoji-class char that ALSO joined a word run as an Extend
+        # mark (VS16) is not a standalone single there
+        singles = np.nonzero(_SINGLE[cpi] & in_range & ~tok)[0]
         if singles.size:
             starts = np.concatenate([starts, singles])
             tlen = np.concatenate([tlen, np.ones(singles.size, np.int64)])

@@ -1066,11 +1066,18 @@ def _register_lang_pack() -> None:
             "sorani": _lp.sorani_chain_stem,
         }
     )
+    from lucene_solr_spark.oracle import indic as _indic
+
+    STEMMERS.update(
+        {"hindi": _indic.hindi_stem, "bengali": _indic.bengali_stem}
+    )
     FOLDS.update(
         {
             "arabic": _lp.arabic_fold,
             "persian": _lp.persian_fold,
             "sorani": _lp.sorani_fold,
+            "hindi": _indic.hindi_fold,
+            "bengali": _indic.bengali_fold,
         }
     )
 
@@ -1217,6 +1224,20 @@ def analyzer_config(name: str) -> dict:
 
     configs["sorani"] = dict(
         lowercase="sorani", stopwords=SORANI_STOP_WORDS, stemmer="sorani"
+    )
+    # HindiAnalyzer.java:114-124: Standard → LowerCase → DecimalDigit →
+    # IndicNormalization → HindiNormalization → Stop → HindiStemFilter
+    from lucene_solr_spark.oracle.indic import HINDI_STOP_WORDS
+
+    configs["hindi"] = dict(
+        lowercase="hindi", stopwords=HINDI_STOP_WORDS, stemmer="hindi"
+    )
+    # BengaliAnalyzer.java:112-123: same shape as Hindi with the bn
+    # normalizer/stemmer pair
+    from lucene_solr_spark.oracle.indic import BENGALI_STOP_WORDS
+
+    configs["bengali"] = dict(
+        lowercase="bengali", stopwords=BENGALI_STOP_WORDS, stemmer="bengali"
     )
     got = configs.get(name)
     if got is None:

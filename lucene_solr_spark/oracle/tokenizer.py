@@ -74,10 +74,47 @@ _MID_LETTER = ".:'’"  # MidLetter ∪ MidNumLet ∪ SingleQuote (letters ctx)
 _MID_NUM = ".,;'’"  # MidNum ∪ MidNumLet ∪ SingleQuote (digits ctx)
 _MID_ALL = ".:'’,;"
 
-# A raw candidate: word chars, with single mid-chars only in the interior.
-# Validation of mid-char context (letter vs digit) happens in _split_candidate.
+
+def _build_extend_class() -> str:
+    """UAX#29 Extend subset: combining marks (Mn/Mc/Me) join the token
+    of the character they follow (WB4: X × Extend) — the piece of the
+    word-break spec Indic scripts need (Devanagari matras are Mn/Mc and
+    not ``\\w``). Scope: BMP-and-below up to the batch kernel's LUT
+    limit (0x1FC00); the katakana voiced marks U+3099/309A keep their
+    pinned CJK handling and NFC-covered Latin marks change nothing on
+    precomposed text. Returns a compressed regex range class."""
+    import unicodedata
+
+    cps = []
+    for cp in range(0x1FC00):
+        ch = chr(cp)
+        if cp in (0x3099, 0x309A):
+            continue
+        if unicodedata.category(ch) in ("Mn", "Mc", "Me") and not ch.isalnum():
+            cps.append(cp)
+    # compress to ranges
+    out = []
+    i = 0
+    while i < len(cps):
+        j = i
+        while j + 1 < len(cps) and cps[j + 1] == cps[j] + 1:
+            j += 1
+        if j > i:
+            out.append(f"{chr(cps[i])}-{chr(cps[j])}")
+        else:
+            out.append(chr(cps[i]))
+        i = j + 1
+    return "".join(out)
+
+
+_EXTEND = _build_extend_class()
+_EXTEND_RE = re.compile(rf"^[{_EXTEND}]+")
+
+# A raw candidate: word chars (Extend marks may continue but never start
+# a token), with single mid-chars only in the interior. Validation of
+# mid-char context (letter vs digit) happens in _split_candidate.
 _TOKEN_RE = re.compile(
-    rf"[\w](?:[\w]|[{_MID_ALL}][\w])*"  # word-ish run
+    rf"[\w](?:[\w{_EXTEND}]|[{_MID_ALL}][\w{_EXTEND}])*"  # word-ish run
     rf"|[{_EMOJI}]",  # emoji single
     re.UNICODE,
 )
@@ -87,9 +124,16 @@ _IDEO_RE = re.compile(rf"[{_IDEO}]")
 _KATA_RE = re.compile(rf"[{_KATA}]+|[^{_KATA}]+")
 
 
+_EXT_SET_RE = re.compile(rf"[{_EXTEND}]")
+
+
 def _is_letter(ch: str) -> bool:
     # ALetter approximation: a Unicode letter that is not CJK/Katakana.
-    return ch.isalpha() and not _IDEO_RE.match(ch) and ch not in _MID_SET
+    # Extend marks count (WB4 attaches them to the preceding letter, so
+    # a mid-char whose neighbour carries a mark still joins).
+    return (
+        ch.isalpha() or _EXT_SET_RE.match(ch) is not None
+    ) and not _IDEO_RE.match(ch) and ch not in _MID_SET
 
 
 def _split_candidate(cand: str) -> list[str]:
@@ -140,7 +184,12 @@ def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH_DEFAULT) -> lis
         if len(cand) == 1 or not (set(cand) & _MID_SET or _IDEO_RE.search(cand)):
             raw.append(cand)
         else:
-            raw.extend(_split_candidate(cand))
+            # split parts may start with Extend marks (the char after an
+            # invalid mid): marks never START a token — trim, drop empty
+            for p in _split_candidate(cand):
+                p = _EXTEND_RE.sub("", p)
+                if p:
+                    raw.append(p)
     out: list[Token] = []
     for pos, term in enumerate(raw):
         if len(term) > max_token_length:
