@@ -476,6 +476,23 @@ _HINDI_FOLD_SQL = (
     "translate(replace(term, 'अॅ', 'ॲ'), 'क़ईऔॅीॲ', 'कइओेिअ')"
 )
 
+#: Greek-gate corpus: a-z → Greek incl. fold-active codepoints (v→ά
+#: alpha-tonos, y→ύ upsilon-tonos, w→Ώ CAPITAL omega-tonos — the
+#: GreekLowerCaseFilter must strip tonos and lower)
+_EL_ALPHABET = "αβψδεφγηιξκλμνοπθρστυάΏχύζ"
+_GREEK_TEXT_SQL = (
+    f"translate(text, 'abcdefghijklmnopqrstuvwxyz', '{_EL_ALPHABET}')"
+)
+_EL_GATE_MAP = str.maketrans("abcdefghijklmnopqrstuvwxyz", _EL_ALPHABET)
+_EL_TOKEN_RX = "[Ͱ-Ͽ]+"
+#: exact SQL twin of oracle.greek.greek_lower: the explicit fold table
+#: in ONE translate pass (the reserved ΢→ς row is single-pass — not
+#: re-folded to σ, GreekLowerCaseFilter.java:105-107), then lower()
+_GREEK_FOLD_SQL = (
+    "lower(translate(term, 'ςΆάΈέΉήΊΪίϊΐΎΫύϋΰΌόΏώ΢', "
+    "'σααεεηηιιιιιυυυυυοοωως'))"
+)
+
 #: Bengali-gate corpus: a-z → Bengali incl. normalizer-active
 #: codepoints (e→ী long kar → short, q→শ/s→ষ sh-class → স, n→ণ → ন)
 #: and suffix-forming endings
@@ -2724,6 +2741,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bengali_chain_topk"] = bengali_chain_topk
 
+    def greek_fold_counts(spark, sf_dir):
+        """GreekLowerCaseFilter + stop, VALUE-exact (the pre-stem
+        GreekAnalyzer stages): term/df/tf/sum_pos over the pseudo-Greek
+        corpus — tonos strips and the sigma merge must agree exactly
+        with the one-translate SQL twin."""
+        from lucene_solr_spark.functions.analysis import tokens_frame
+        from lucene_solr_spark.oracle.greek import GREEK_STOP_WORDS
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.expr(_GREEK_TEXT_SQL).alias("text")
+        )
+        toks = tokens_frame(
+            docs,
+            text_col="text",
+            lowercase="greek",
+            stopwords=GREEK_STOP_WORDS,
+        )
+        return (
+            toks.groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count("*").alias("tf"),
+                F.sum("pos").alias("sum_pos"),
+            )
+            .orderBy(F.desc("df"), F.desc("tf"), F.asc("term"))
+            .limit(20)
+        )
+
+    out["greek_fold_counts"] = greek_fold_counts
+
+    def greek_chain_topk(spark, sf_dir):
+        """FULL GreekAnalyzer chain (el/GreekAnalyzer.java:103-109:
+        Standard → GreekLowerCase → Stop → GreekStemFilter). The
+        22-rule Ntais/Saroukos stemmer is not SQL-expressible in this
+        harness (rows-only by design, like the Turkish Snowball); it is
+        pinned by all 343 reference goldens in tests/test_greek.py and
+        the pre-stem stages are value-exact via greek_fold_counts."""
+        ex = _named_chain_executor(
+            spark, sf_dir, "greek", text_sql=_GREEK_TEXT_SQL
+        )
+        from lucene_solr_spark.oracle.greek import greek_lower, greek_stem
+
+        q = greek_stem(greek_lower("table".translate(_EL_GATE_MAP)))
+        return ex.topk(_T(q), k=10).select("doc_id", "score")
+
+    out["greek_chain_topk"] = greek_chain_topk
+
     def latvian_chain_topk(spark, sf_dir):
         """FULL LatvianAnalyzer chain (lv/LatvianAnalyzer.java:110-116:
         Standard → LowerCase → Stop(lv — the injected 'un' conjunction
@@ -3748,6 +3812,23 @@ def oracle_sql() -> dict[str, str]:
         )
         + _counts_tail
     )
+    from lucene_solr_spark.oracle import greek as _el
+
+    out["greek_fold_counts"] = (
+        "WITH "
+        + _tokens_lang(
+            text_col=_GREEK_TEXT_SQL,
+            token_regex=_EL_TOKEN_RX,
+            pre_term_expr=_GREEK_FOLD_SQL,
+            stopwords=tuple(_el.GREEK_STOP_WORDS),
+        )
+        + _counts_tail
+    )
+    # greek_chain_topk: intentionally NO oracle entry — the 22-rule
+    # Ntais/Saroukos machine is not SQL-expressible here; rows-only by
+    # documented design (343 reference goldens pin the stemmer, the
+    # pre-stem stages are value-exact via greek_fold_counts).
+
     out["french_elision_counts"] = (
         "WITH "
         + _tokens_lang(

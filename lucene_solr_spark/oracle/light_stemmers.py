@@ -1071,6 +1071,9 @@ def _register_lang_pack() -> None:
     STEMMERS.update(
         {"hindi": _indic.hindi_stem, "bengali": _indic.bengali_stem}
     )
+    from lucene_solr_spark.oracle import greek as _el
+
+    STEMMERS.update({"greek": _el.greek_stem})
     FOLDS.update(
         {
             "arabic": _lp.arabic_fold,
@@ -1078,6 +1081,7 @@ def _register_lang_pack() -> None:
             "sorani": _lp.sorani_fold,
             "hindi": _indic.hindi_fold,
             "bengali": _indic.bengali_fold,
+            "greek": _el.greek_lower,
         }
     )
 
@@ -1238,6 +1242,13 @@ def analyzer_config(name: str) -> dict:
 
     configs["bengali"] = dict(
         lowercase="bengali", stopwords=BENGALI_STOP_WORDS, stemmer="bengali"
+    )
+    # GreekAnalyzer.java:103-109: Standard → GreekLowerCase → Stop →
+    # GreekStemFilter (the stop list ships pre-folded)
+    from lucene_solr_spark.oracle.greek import GREEK_STOP_WORDS
+
+    configs["greek"] = dict(
+        lowercase="greek", stopwords=GREEK_STOP_WORDS, stemmer="greek"
     )
     got = configs.get(name)
     if got is None:
