@@ -2788,6 +2788,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["greek_chain_topk"] = greek_chain_topk
 
+    def brazilian_chain_topk(spark, sf_dir):
+        """FULL BrazilianAnalyzer chain (br/BrazilianAnalyzer.java:
+        101-108: Standard → LowerCase → Stop(pt-BR) → BrazilianStem).
+        The transpiled 160-rule RSLP cascade has no SQL twin
+        (rows-only by design, Greek/Turkish precedent); it is pinned by
+        all 92 TestBrazilianAnalyzer goldens in
+        tests/test_brazilian.py. Corpus accent transform (e→é) makes
+        the changeTerm fold do real work on every e-bearing token."""
+        ex = _named_chain_executor(
+            spark,
+            sf_dir,
+            "brazilian",
+            text_sql="translate(text, 'e', 'é')",
+        )
+        from lucene_solr_spark.oracle.brazilian import brazilian_chain_stem
+
+        q = brazilian_chain_stem("table".translate({ord("e"): "é"}))
+        return ex.topk(_T(q), k=10).select("doc_id", "score")
+
+    out["brazilian_chain_topk"] = brazilian_chain_topk
+
     def latvian_chain_topk(spark, sf_dir):
         """FULL LatvianAnalyzer chain (lv/LatvianAnalyzer.java:110-116:
         Standard → LowerCase → Stop(lv — the injected 'un' conjunction
@@ -3828,6 +3849,8 @@ def oracle_sql() -> dict[str, str]:
     # Ntais/Saroukos machine is not SQL-expressible here; rows-only by
     # documented design (343 reference goldens pin the stemmer, the
     # pre-stem stages are value-exact via greek_fold_counts).
+    # brazilian_chain_topk: same policy — the transpiled RSLP cascade
+    # has no SQL twin; 92 TestBrazilianAnalyzer goldens pin it.
 
     out["french_elision_counts"] = (
         "WITH "

@@ -1074,6 +1074,10 @@ def _register_lang_pack() -> None:
     from lucene_solr_spark.oracle import greek as _el
 
     STEMMERS.update({"greek": _el.greek_stem})
+    from lucene_solr_spark.oracle import brazilian as _br
+
+    # BrazilianStemFilter keeps the original on a null stem
+    STEMMERS.update({"brazilian": _br.brazilian_chain_stem})
     FOLDS.update(
         {
             "arabic": _lp.arabic_fold,
@@ -1249,6 +1253,14 @@ def analyzer_config(name: str) -> dict:
 
     configs["greek"] = dict(
         lowercase="greek", stopwords=GREEK_STOP_WORDS, stemmer="greek"
+    )
+    # BrazilianAnalyzer.java:101-108: Standard → LowerCase → Stop →
+    # BrazilianStemFilter (the stemmer folds accents itself; the stop
+    # list matches the merely-lowercased tokens)
+    from lucene_solr_spark.oracle.brazilian import BRAZILIAN_STOP_WORDS
+
+    configs["brazilian"] = dict(
+        stopwords=BRAZILIAN_STOP_WORDS, stemmer="brazilian"
     )
     got = configs.get(name)
     if got is None:
