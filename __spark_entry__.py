@@ -2809,6 +2809,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["brazilian_chain_topk"] = brazilian_chain_topk
 
+    def galician_chain_topk(spark, sf_dir):
+        """FULL GalicianAnalyzer chain (gl/GalicianAnalyzer.java:
+        110-117: Standard → LowerCase → Stop(gl) → GalicianStemFilter).
+        The RSLP grammar engine has no SQL twin (rows-only, same policy
+        as Greek/Brazilian); it is bit-exact on the reference's FULL
+        9,416-pair gl.txt vocabulary in tests/test_rslp.py."""
+        ex = _named_chain_executor(spark, sf_dir, "galician")
+        from lucene_solr_spark.oracle.rslp import galician_stem
+
+        return ex.topk(_T(galician_stem("tables")), k=10).select(
+            "doc_id", "score"
+        )
+
+    out["galician_chain_topk"] = galician_chain_topk
+
+    def portuguese_rslp_topk(spark, sf_dir):
+        """PortugueseStemFilter — the pt RSLP variant (pt/
+        PortugueseStemmer.java), the analyzer's alternative to its
+        default light stemmer. Rows-only (no SQL twin); bit-exact on
+        the FULL 32,016-pair ptrslp.txt vocabulary."""
+        ex = _light_stem_executor(spark, sf_dir, "portuguese_rslp")
+        from lucene_solr_spark.oracle.rslp import portuguese_rslp_stem
+
+        return ex.topk(_T(portuguese_rslp_stem("tables")), k=10).select(
+            "doc_id", "score"
+        )
+
+    out["portuguese_rslp_topk"] = portuguese_rslp_topk
+
     def latvian_chain_topk(spark, sf_dir):
         """FULL LatvianAnalyzer chain (lv/LatvianAnalyzer.java:110-116:
         Standard → LowerCase → Stop(lv — the injected 'un' conjunction

@@ -1078,6 +1078,16 @@ def _register_lang_pack() -> None:
 
     # BrazilianStemFilter keeps the original on a null stem
     STEMMERS.update({"brazilian": _br.brazilian_chain_stem})
+    from lucene_solr_spark.oracle import rslp as _rslp
+
+    STEMMERS.update(
+        {
+            "galician": _rslp.galician_stem,
+            # the pt RSLP variant (PortugueseStemFilter) — an alternative
+            # to the analyzer-default portuguese_light
+            "portuguese_rslp": _rslp.portuguese_rslp_stem,
+        }
+    )
     FOLDS.update(
         {
             "arabic": _lp.arabic_fold,
@@ -1261,6 +1271,13 @@ def analyzer_config(name: str) -> dict:
 
     configs["brazilian"] = dict(
         stopwords=BRAZILIAN_STOP_WORDS, stemmer="brazilian"
+    )
+    # GalicianAnalyzer.java:110-117: Standard → LowerCase → Stop →
+    # GalicianStemFilter
+    from lucene_solr_spark.oracle.rslp import GALICIAN_STOP_WORDS
+
+    configs["galician"] = dict(
+        stopwords=GALICIAN_STOP_WORDS, stemmer="galician"
     )
     got = configs.get(name)
     if got is None:
