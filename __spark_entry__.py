@@ -476,6 +476,22 @@ _HINDI_FOLD_SQL = (
     "translate(replace(term, 'अॅ', 'ॲ'), 'क़ईऔॅीॲ', 'कइओेिअ')"
 )
 
+#: Serbian-gate corpus: a-z → Serbian Cyrillic incl. the digraph
+#: sources (q→џ, w→љ, y→њ — they expand to dz/lj/nj in the fold)
+_SR_ALPHABET = "абцдефгхијклмнопџрстувљжњз"
+_SERBIAN_TEXT_SQL = (
+    f"translate(text, 'abcdefghijklmnopqrstuvwxyz', '{_SR_ALPHABET}')"
+)
+_SR_TOKEN_RX = "[а-џ0-9]+"
+#: exact SQL twin of oracle.lang_pack.serbian_fold (digraph replaces
+#: first, then the 1:1 translate incl. the regional-Latin diacritics)
+_SERBIAN_FOLD_SQL = (
+    "translate(replace(replace(replace(replace(replace(term, "
+    "'љ', 'lj'), 'њ', 'nj'), 'ђ', 'dj'), 'џ', 'dz'), 'đ', 'dj'), "
+    "'абвгдежзијклмнопрстћцчуфхшžčćš', "
+    "'abvgdezzijklmnoprstcccufhszccs')"
+)
+
 #: Greek-gate corpus: a-z → Greek incl. fold-active codepoints (v→ά
 #: alpha-tonos, y→ύ upsilon-tonos, w→Ώ CAPITAL omega-tonos — the
 #: GreekLowerCaseFilter must strip tonos and lower)
@@ -2771,6 +2787,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["greek_fold_counts"] = greek_fold_counts
 
+    def serbian_fold_counts(spark, sf_dir):
+        """SerbianNormalizationFilter (sr/SerbianNormalizationFilter
+        .java — the 'bald' Cyrillic+regional-Latin → ASCII fold with
+        lj/nj/dj/dz digraph expansion) over the pseudo-Serbian corpus:
+        term/df/tf/sum_pos VALUE-exact vs the replace+translate twin.
+        Both filters' reference goldens (Cyrillic and Latin rows +
+        the Regular variant) in tests/test_lang_pack.py."""
+        from lucene_solr_spark.functions.analysis import tokens_frame
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.expr(_SERBIAN_TEXT_SQL).alias("text")
+        )
+        toks = tokens_frame(docs, text_col="text", lowercase="serbian")
+        return (
+            toks.groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count("*").alias("tf"),
+                F.sum("pos").alias("sum_pos"),
+            )
+            .orderBy(F.desc("df"), F.desc("tf"), F.asc("term"))
+            .limit(20)
+        )
+
+    out["serbian_fold_counts"] = serbian_fold_counts
+
     def greek_chain_topk(spark, sf_dir):
         """FULL GreekAnalyzer chain (el/GreekAnalyzer.java:103-109:
         Standard → GreekLowerCase → Stop → GreekStemFilter). The
@@ -2837,6 +2879,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["portuguese_rslp_topk"] = portuguese_rslp_topk
+
+    def portuguese_minimal_topk(spark, sf_dir):
+        """PortugueseMinimalStemmer (pt/PortugueseMinimalStemmer.java —
+        the RSLP Plural step alone): VALUE-exact via the
+        grammar-GENERATED one-CASE SQL twin (rslp.step_to_sql,
+        fuzz-proven over the full 20k ptminimal vocabulary). BM25
+        top-10 for minimal('tables')."""
+        ex = _light_stem_executor(
+            spark, sf_dir, "portuguese_minimal",
+            text_sql="replace(text, 'e ', 'es ')",
+        )
+        from lucene_solr_spark.oracle.rslp import portuguese_minimal_stem
+
+        return ex.topk(_T(portuguese_minimal_stem("tables")), k=10).select(
+            "doc_id", "score"
+        )
+
+    out["portuguese_minimal_topk"] = portuguese_minimal_topk
+
+    def galician_minimal_topk(spark, sf_dir):
+        """GalicianMinimalStemmer (gl/GalicianMinimalStemmer.java):
+        same generated-SQL-twin contract over the gl Plural step."""
+        ex = _light_stem_executor(
+            spark, sf_dir, "galician_minimal",
+            text_sql="replace(text, 'e ', 'es ')",
+        )
+        from lucene_solr_spark.oracle.rslp import galician_minimal_stem
+
+        return ex.topk(_T(galician_minimal_stem("tables")), k=10).select(
+            "doc_id", "score"
+        )
+
+    out["galician_minimal_topk"] = galician_minimal_topk
 
     def latvian_chain_topk(spark, sf_dir):
         """FULL LatvianAnalyzer chain (lv/LatvianAnalyzer.java:110-116:
@@ -3874,12 +3949,43 @@ def oracle_sql() -> dict[str, str]:
         )
         + _counts_tail
     )
+    out["serbian_fold_counts"] = (
+        "WITH "
+        + _tokens_lang(
+            text_col=_SERBIAN_TEXT_SQL,
+            token_regex=_SR_TOKEN_RX,
+            pre_term_expr=_SERBIAN_FOLD_SQL,
+        )
+        + _counts_tail
+    )
     # greek_chain_topk: intentionally NO oracle entry — the 22-rule
     # Ntais/Saroukos machine is not SQL-expressible here; rows-only by
     # documented design (343 reference goldens pin the stemmer, the
     # pre-stem stages are value-exact via greek_fold_counts).
     # brazilian_chain_topk: same policy — the transpiled RSLP cascade
     # has no SQL twin; 92 TestBrazilianAnalyzer goldens pin it.
+    # galician_chain_topk / portuguese_rslp_topk: same policy (full
+    # multi-step RSLP flows); both bit-exact on the reference's FULL
+    # vocabularies. The MINIMAL (Plural-only) variants below DO have
+    # generated SQL twins and are value-exact.
+    from lucene_solr_spark.oracle import rslp as _rslp
+
+    # the minimal-gate corpora pluralize e-final words so the Plural
+    # step has real work (the base vocabulary has no s-final words)
+    _PLURAL_TEXT_SQL = "replace(text, 'e ', 'es ')"
+
+    out["portuguese_minimal_topk"] = (
+        f"WITH {_ictes_lang(text_col=_PLURAL_TEXT_SQL, term_expr=_rslp.PORTUGUESE_MINIMAL_SQL)}"
+        + _lang_topk.format(
+            score=_SCORE, term=_rslp.portuguese_minimal_stem("tables")
+        )
+    )
+    out["galician_minimal_topk"] = (
+        f"WITH {_ictes_lang(text_col=_PLURAL_TEXT_SQL, term_expr=_rslp.GALICIAN_MINIMAL_SQL)}"
+        + _lang_topk.format(
+            score=_SCORE, term=_rslp.galician_minimal_stem("tables")
+        )
+    )
 
     out["french_elision_counts"] = (
         "WITH "

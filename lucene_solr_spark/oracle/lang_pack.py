@@ -1073,3 +1073,47 @@ SORANI_STEM_SQL = (
       WHEN length(term) > 4 AND right(term, 1) = 'ی' THEN left(term, length(term)-1)
       ELSE term END""",
 )
+
+
+# -------------------------------------------------------------- Serbian
+
+#: SerbianNormalizationFilter (sr/SerbianNormalizationFilter.java:40-166)
+#: — Cyrillic AND regional-Latin → "bald" ASCII Latin, digraphs expand
+_SR_BALD = {ord(k): v for k, v in {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d",
+    "ђ": "dj", "đ": "dj",
+    "е": "e", "ж": "z", "з": "z", "ž": "z", "и": "i", "ј": "j",
+    "к": "k", "л": "l", "љ": "lj", "м": "m", "н": "n", "њ": "nj",
+    "о": "o", "п": "p", "р": "r", "с": "s", "т": "t",
+    "ћ": "c", "ц": "c", "ч": "c", "č": "c", "ć": "c",
+    "у": "u", "ф": "f", "х": "h", "џ": "dz", "ш": "s", "š": "s",
+}.items()}
+
+#: SerbianNormalizationRegularFilter (sr/SerbianNormalizationRegular
+#: Filter.java:43-156) — Cyrillic → standard Latin orthography
+_SR_REGULAR = {ord(k): v for k, v in {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "ђ": "đ",
+    "е": "e", "ж": "ž", "з": "z", "и": "i", "ј": "j", "к": "k",
+    "л": "l", "љ": "lj", "м": "m", "н": "n", "њ": "nj", "о": "o",
+    "п": "p", "р": "r", "с": "s", "т": "t", "ћ": "ć", "у": "u",
+    "ф": "f", "х": "h", "ц": "c", "ч": "č", "џ": "dž", "ш": "š",
+}.items()}
+
+
+def serbian_normalize(term: str) -> str:
+    """The 'bald' fold: expects lowercased input like the reference."""
+    return term.translate(_SR_BALD)
+
+
+def serbian_normalize_regular(term: str) -> str:
+    """The standard-orthography Cyrillic→Latin fold."""
+    return term.translate(_SR_REGULAR)
+
+
+def serbian_fold(term: str) -> str:
+    """LowerCase → SerbianNormalization chain slot."""
+    return serbian_normalize(term.lower())
+
+
+def serbian_regular_fold(term: str) -> str:
+    return serbian_normalize_regular(term.lower())

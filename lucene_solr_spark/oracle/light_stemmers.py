@@ -1086,6 +1086,9 @@ def _register_lang_pack() -> None:
             # the pt RSLP variant (PortugueseStemFilter) — an alternative
             # to the analyzer-default portuguese_light
             "portuguese_rslp": _rslp.portuguese_rslp_stem,
+            # the Plural-step-only minimal variants
+            "portuguese_minimal": _rslp.portuguese_minimal_stem,
+            "galician_minimal": _rslp.galician_minimal_stem,
         }
     )
     FOLDS.update(
@@ -1096,6 +1099,8 @@ def _register_lang_pack() -> None:
             "hindi": _indic.hindi_fold,
             "bengali": _indic.bengali_fold,
             "greek": _el.greek_lower,
+            "serbian": _lp.serbian_fold,
+            "serbian_regular": _lp.serbian_regular_fold,
         }
     )
 

@@ -1298,3 +1298,60 @@ GALICIAN_STOP_WORDS = frozenset(
         "vosas voso vosos vós "
     ).split()
 )
+
+
+def portuguese_minimal_stem(term: str) -> str:
+    """PortugueseMinimalStemmer (``pt/PortugueseMinimalStemmer.java:
+    29-37``): ONLY the pt grammar's Plural step."""
+    return _PT["Plural"].apply(term)
+
+
+def galician_minimal_stem(term: str) -> str:
+    """GalicianMinimalStemmer (``gl/GalicianMinimalStemmer.java``):
+    ONLY the gl grammar's Plural step."""
+    return _GL["Plural"].apply(term)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def step_to_sql(step: _Step) -> str:
+    """One-layer DuckDB CASE twin of a single RSLP step over a column
+    named ``term`` — rule order preserved (first match fires), min-stem
+    gates, whole-word/suffix exception modes, the step's entry-suffix
+    and min-length guards folded into every branch."""
+    guards = [f"length(term) >= {step.min}"]
+    if step.suffixes:
+        ors = " OR ".join(
+            f"right(term, {len(sfx)}) = {_sql_quote(sfx)}"
+            for sfx in step.suffixes
+        )
+        guards.append(f"({ors})")
+    guard = " AND ".join(guards)
+    branches = []
+    for r in step.rules:
+        conds = [
+            guard,
+            f"length(term) - {len(r.suffix)} >= {r.min}",
+            f"right(term, {len(r.suffix)}) = {_sql_quote(r.suffix)}",
+        ]
+        if r.exceptions:
+            if r.whole_word:
+                lst = ", ".join(_sql_quote(e) for e in sorted(r.exceptions))
+                conds.append(f"term NOT IN ({lst})")
+            else:
+                for e in r.exceptions:
+                    conds.append(
+                        f"right(term, {len(e)}) <> {_sql_quote(e)}"
+                    )
+        action = f"left(term, length(term) - {len(r.suffix)})"
+        if r.replacement:
+            action += f" || {_sql_quote(r.replacement)}"
+        branches.append(f"WHEN {' AND '.join(conds)} THEN {action}")
+    return "CASE\n      " + "\n      ".join(branches) + "\n      ELSE term END"
+
+
+#: one-layer SQL twins of the two minimal (Plural-step-only) stemmers
+PORTUGUESE_MINIMAL_SQL = (step_to_sql(_PT["Plural"]),)
+GALICIAN_MINIMAL_SQL = (step_to_sql(_GL["Plural"]),)

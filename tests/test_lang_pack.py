@@ -627,3 +627,37 @@ def test_sorani_chain_and_batch_parity():
     assert [t.term for t in analyze("پیاوێک و دەرگایەک", **cfg)] == [
         "پیاو", "دەرگا",
     ]
+
+
+# ------------------------------------------------------------- Serbian
+
+from lucene_solr_spark.oracle.lang_pack import (  # noqa: E402
+    serbian_normalize,
+    serbian_normalize_regular,
+)
+
+
+def test_serbian_normalization_goldens():
+    # TestSerbianNormalizationFilter.java:53-64
+    assert serbian_normalize("абвгдђежзијклљмнњопрстћуфхцчџш") == (
+        "abvgddjezzijklljmnnjoprstcufhccdzs"
+    )
+    assert serbian_normalize("ђура")[:4] == "djur"
+    # the regional-Latin diacritics fold too (đ ž č ć š)
+    assert serbian_normalize("đinđić") == "djindjic"
+    assert serbian_normalize("žižić") == "zizic"
+    assert serbian_normalize("čolić šešelj") == "colic seselj"
+
+
+def test_serbian_regular_goldens():
+    # TestSerbianNormalizationRegularFilter.java:53
+    assert serbian_normalize_regular("абвгдђежзијклљмнњопрстћуфхцчџш") == (
+        "abvgdđežzijklljmnnjoprstćufhcčdžš"
+    )
+
+
+def test_serbian_latin_golden():
+    # TestSerbianNormalizationFilter testLatin (:56-59)
+    assert serbian_normalize("abcčćddžđefghijklljmnnjoprsštuvzž") == (
+        "abcccddzdjefghijklljmnnjoprsstuvzz"
+    )

@@ -78,3 +78,47 @@ def test_stop_set_matches_reference():
         if line:
             want.add(line)
     assert GALICIAN_STOP_WORDS == want
+
+
+def test_portuguese_minimal_full_vocabulary():
+    from lucene_solr_spark.oracle.rslp import portuguese_minimal_stem
+
+    bad = []
+    n = 0
+    for w, e in _vocab(f"{_T}/pt/ptminimaltestdata.zip", "ptminimal.txt"):
+        n += 1
+        got = portuguese_minimal_stem(w)
+        if got != e:
+            bad.append((w, e, got))
+    assert n > 20000
+    assert not bad, (len(bad), bad[:5])
+
+
+def test_minimal_sql_twins_fuzz():
+    """The generated one-CASE twins ≡ the Plural-step engine over the
+    full reference vocabularies (every rule + exception exercised)."""
+    import duckdb
+
+    from lucene_solr_spark.oracle.rslp import (
+        GALICIAN_MINIMAL_SQL,
+        PORTUGUESE_MINIMAL_SQL,
+        galician_minimal_stem,
+        portuguese_minimal_stem,
+    )
+
+    cases = (
+        (f"{_T}/pt/ptminimaltestdata.zip", "ptminimal.txt",
+         PORTUGUESE_MINIMAL_SQL, portuguese_minimal_stem),
+        (f"{_T}/gl/gltestdata.zip", "gl.txt",
+         GALICIAN_MINIMAL_SQL, galician_minimal_stem),
+    )
+    con = duckdb.connect()
+    for zp, name, sql, fn in cases:
+        words = [w for w, _ in _vocab(zp, name)]
+        con.execute("CREATE OR REPLACE TABLE w AS SELECT unnest(?) AS term", [words])
+        body = "SELECT term FROM w"
+        for e in sql:
+            body = f"SELECT {e} AS term FROM ({body})"
+        got = [r[0] for r in con.execute(body).fetchall()]
+        bad = [(w, g, fn(w)) for w, g in zip(words, got) if g != fn(w)]
+        assert not bad, (name, len(bad), bad[:5])
