@@ -105,9 +105,17 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "facet_on_query", "group_topk_on_query", "collapse_topk",
     "join_parent_child",
     "block_join_parent_topk",
+    # round 5 (cont.): the misc analysis-component families get
+    # in-window hard-oracle representatives — word_delimiter_topk
+    # (WordDelimiterGraphFilter catenation over the whitespace chain)
+    # and edge_ngram_topk (EdgeNGramTokenFilter with overlap-discounted
+    # norms). Demoted to make room: simhash_sig (the dedup family keeps
+    # dedup_exact + minhash_near_dups in-window) and quality_score (the
+    # text-analysis family keeps token_stats); both stay green locally.
+    "word_delimiter_topk", "edge_ngram_topk",
     # LLM-data-pipeline ops
-    "dedup_exact", "minhash_near_dups", "simhash_sig", "ivf_ann_topk",
-    "token_stats", "quality_score",
+    "dedup_exact", "minhash_near_dups", "ivf_ann_topk",
+    "token_stats",
 )
 
 
