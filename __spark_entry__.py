@@ -51,8 +51,10 @@ def _B(*cs, msm: int = 0) -> ir.BooleanQuery:
 # tools/check_correctness.py).  Keys not yet registered are skipped; keys
 # not listed keep their registration order after the prioritized block.
 _GATE_PRIORITY: tuple[str, ...] = (
-    # core scored search
-    "term_topk", "and2_topk", "or2_topk", "req_opt_topk", "dismax_topk",
+    # core scored search (req_opt_topk demoted round 5 cont. — component
+    # #30 ReqExcl/ReqOptSum keeps bool_not_set in-window; req_opt stays
+    # green locally — to make room for the new monitor family's gate)
+    "term_topk", "and2_topk", "or2_topk", "dismax_topk",
     "synonym_topk", "boost_topk", "bool_not_set", "filter_set", "msm2_set",
     "sort_by_field_topk", "docs_only_topk",
     # per-field indexing + field-qualified parsing (round 4)
@@ -113,6 +115,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # dedup_exact + minhash_near_dups in-window) and quality_score (the
     # text-analysis family keeps token_stats); both stay green locally.
     "word_delimiter_topk", "edge_ngram_topk",
+    # monitor module (reverse search / percolator — round 5 cont.):
+    # presearcher candidates + per-doc verify vs a 5-query registration
+    "monitor_matches",
     # LLM-data-pipeline ops
     "dedup_exact", "minhash_near_dups", "ivf_ann_topk",
     "token_stats",
@@ -3282,7 +3287,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["highlight_offsets"] = highlight_offsets
 
+    # ---- monitor module (reverse search / percolator) --------------------
+    # lucene/monitor: register queries, stream documents, report which
+    # queries match each document (QueryDecomposer + TermFilteredPresearcher
+    # candidates confirmed against a per-document index).
+    def monitor_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.operators.monitor import Monitor
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return Monitor(_monitor_queryset()).match(docs).select(
+            "doc_id", "query_id"
+        )
+
+    out["monitor_matches"] = monitor_matches
+
+    def monitor_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.operators.monitor import Monitor
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        qs = {
+            "qs_term": _T("dup"),
+            "qs_or": _B(_C(_O.SHOULD, _T("merge")), _C(_O.SHOULD, _T("window"))),
+        }
+        return Monitor(qs).match(docs, mode="scoring").select(
+            "doc_id", "query_id", "score"
+        )
+
+    out["monitor_scored"] = monitor_scored
+
     return _prioritize(out)
+
+
+def _monitor_queryset() -> dict[str, ir.Query]:
+    """Fixed SQL-expressible monitor registration used by the gates."""
+    return {
+        "q_term": _T("dup"),
+        "q_or": _B(_C(_O.SHOULD, _T("merge")), _C(_O.SHOULD, _T("window"))),
+        "q_and": _B(_C(_O.MUST, _T("hash")), _C(_O.MUST, _T("join"))),
+        "q_phrase": ir.PhraseQuery(("table", "scan")),
+        "q_not": _B(_C(_O.MUST, _T("scan")), _C(_O.MUST_NOT, _T("filter"))),
+    }
 
 
 # ---------------------------------------------------------------- oracle SQL
@@ -5258,5 +5302,45 @@ def oracle_sql() -> dict[str, str]:
     # re-analysis source (shared passage rule), so the oracle is the same
     # relational form with the gate's query term
     out["highlight_offsets"] = out["highlight_topk"].replace("'merge'", "'window'")
+
+    # monitor (reverse search): matches of the fixed registration
+    # (_monitor_queryset) over every document — each registered query's
+    # match set expressed directly; UNION dedups within and across parts
+    out["monitor_matches"] = f"""WITH {_IX}
+      SELECT doc_id, 'q_term' AS query_id FROM postings WHERE term = 'dup'
+      UNION
+      SELECT doc_id, 'q_or' FROM postings WHERE term IN ('merge', 'window')
+      UNION
+      SELECT doc_id, 'q_and' FROM (
+        SELECT doc_id FROM postings WHERE term = 'hash'
+        INTERSECT SELECT doc_id FROM postings WHERE term = 'join')
+      UNION
+      SELECT a.doc_id, 'q_phrase' FROM tokens a JOIN tokens b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'table' AND b.term = 'scan'
+      UNION
+      SELECT doc_id, 'q_not' FROM (
+        SELECT doc_id FROM postings WHERE term = 'scan'
+        EXCEPT SELECT doc_id FROM postings WHERE term = 'filter')"""
+
+    # monitor scoring mode: each doc is its own index (DocumentBatch.of —
+    # docCount = 1, df = 1, avgdl = the doc's exact length), so
+    # w = ln(1 + 0.5/1.5) and inv = 1/(k1·((1−b) + b·declen/dl));
+    # decomposed parts of q_or sum per doc (ScoringMatch.java:42-45)
+    out["monitor_scored"] = f"""WITH {_IX},
+      dstat AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id),
+      part AS (
+        SELECT p.doc_id, p.term,
+          ln(1.0 + 0.5/1.5) - ln(1.0 + 0.5/1.5)
+            / (1.0 + p.tf::DOUBLE * (1.0 / (1.2 * (0.25 + 0.75 * n.declen / d.dl)))) AS s
+        FROM postings p
+        JOIN norms n ON n.doc_id = p.doc_id
+        JOIN dstat d ON d.doc_id = p.doc_id
+        WHERE p.term IN ('dup', 'merge', 'window')
+      )
+      SELECT doc_id, 'qs_term' AS query_id, s AS score FROM part WHERE term = 'dup'
+      UNION ALL
+      SELECT doc_id, 'qs_or', sum(s) FROM part
+        WHERE term IN ('merge', 'window') GROUP BY doc_id"""
 
     return _prioritize(out)
