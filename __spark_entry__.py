@@ -55,7 +55,10 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # #30 ReqExcl/ReqOptSum keeps bool_not_set in-window; req_opt stays
     # green locally — to make room for the new monitor family's gate)
     "term_topk", "and2_topk", "or2_topk", "dismax_topk",
-    "synonym_topk", "boost_topk", "bool_not_set", "filter_set", "msm2_set",
+    # (msm2_set demoted round 5 cont. — the BooleanQuery family keeps
+    # and2/or2/filter_set/bool_not_set in-window; msm stays green locally
+    # — to make room for the new classification family's gate)
+    "synonym_topk", "boost_topk", "bool_not_set", "filter_set",
     "sort_by_field_topk", "docs_only_topk",
     # per-field indexing + field-qualified parsing (round 4)
     "field_term_topk", "multi_field_bool_topk",
@@ -118,6 +121,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # monitor module (reverse search / percolator — round 5 cont.):
     # presearcher candidates + per-doc verify vs a 5-query registration
     "monitor_matches",
+    # classification module (round 5 cont.): SimpleNaiveBayes train +
+    # normalized classify; knn_classify stays outside the window
+    "nb_classify",
     # LLM-data-pipeline ops
     "dedup_exact", "minhash_near_dups", "ivf_ann_topk",
     "token_stats",
@@ -3315,6 +3321,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["monitor_scored"] = monitor_scored
 
+    # ---- classification module (lucene/classification) -------------------
+    # SimpleNaiveBayesClassifier: train on the whole corpus (class =
+    # lang), classify the first 40 docs' own token streams; normalized
+    # 0-1 scores for EVERY class per input.
+    def nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.functions.classification import (
+            naive_bayes_classify,
+            naive_bayes_train,
+        )
+
+        ex = _executor(spark, sf_dir)
+        classes = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.col("lang").alias("cls"))
+        )
+        model = naive_bayes_train(ex.index.postings_slim, classes)
+        inputs = ex.index.postings_slim.filter(F.col("doc_id") < 40).select(
+            F.col("doc_id").alias("id"), "term", "tf"
+        )
+        return naive_bayes_classify(model, inputs).select("id", "cls", "score")
+
+    out["nb_classify"] = nb_classify
+
+    # KNearestNeighborClassifier: boosted MLT(k=10) neighbors of doc 7,
+    # rank-weighted class vote over lang.
+    def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.functions.classification import knn_classes
+
+        ex = _executor(spark, sf_dir)
+        classes = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.col("lang").alias("cls"))
+        )
+        return knn_classes(ex, classes, 7, k=10).select("cls", "score")
+
+    out["knn_classify"] = knn_classify
+
     return _prioritize(out)
 
 
@@ -5327,6 +5370,86 @@ def oracle_sql() -> dict[str, str]:
     # docCount = 1, df = 1, avgdl = the doc's exact length), so
     # w = ln(1 + 0.5/1.5) and inv = 1/(k1·((1−b) + b·declen/dl));
     # decomposed parts of q_or sum per doc (ScoringMatch.java:42-45)
+    # classification: SimpleNaiveBayes over class = lang. The model is
+    # pure aggregation (priors, per-class doc-frequency of each word,
+    # the avgUniqueTerms·df(c)+docsWithClass denominator); per-token
+    # contributions and exp addends round to REAL before the double sum
+    # and the final normalized score rounds to REAL — the engine's
+    # order-independence/library-independence contract.
+    out["nb_classify"] = f"""WITH {_IX},
+      cls AS (SELECT doc_id, lang AS cls FROM documents),
+      g2 AS (SELECT count(*)::DOUBLE AS dwc FROM cls),
+      np AS (SELECT count(*)::DOUBLE AS np FROM postings),
+      cs AS (SELECT cls, count(*)::DOUBLE AS df_c FROM cls GROUP BY cls),
+      cs2 AS (
+        SELECT cls, ln(df_c) - ln(g2.dwc) AS prior,
+               (np.np / g2.dwc) * df_c + g2.dwc AS den
+        FROM cs, g2, np
+      ),
+      ct AS (
+        SELECT c.cls, p.term, count(*)::DOUBLE AS wdf
+        FROM postings p JOIN cls c USING (doc_id) GROUP BY c.cls, p.term
+      ),
+      inp AS (SELECT doc_id AS id, term, tf FROM postings WHERE doc_id < 40),
+      contrib AS (
+        SELECT i.id, s.cls,
+          CAST(i.tf::DOUBLE * ln((coalesce(ct.wdf, 0.0) + 1.0) / s.den) AS REAL)::DOUBLE AS c
+        FROM inp i CROSS JOIN cs2 s
+        LEFT JOIN ct ON ct.cls = s.cls AND ct.term = i.term
+      ),
+      ll AS (SELECT id, cls, sum(c) AS ll FROM contrib GROUP BY id, cls),
+      raw AS (SELECT ll.id, ll.cls, s.prior + ll.ll AS score
+              FROM ll JOIN cs2 s USING (cls)),
+      r2 AS (SELECT id, cls, score,
+                    max(score) OVER (PARTITION BY id) AS smax FROM raw),
+      r3 AS (SELECT id, cls, score, smax,
+                    sum(CAST(exp(score - smax) AS REAL)::DOUBLE)
+                      OVER (PARTITION BY id) AS se FROM r2)
+      SELECT id, cls,
+             CAST(exp(score - (smax + ln(se))) AS REAL)::DOUBLE AS score
+      FROM r3"""
+
+    # KNN classifier: boosted-MLT top-10 (per-term boost mscore/best —
+    # MoreLikeThis setBoost(true)) → rank-weighted class vote
+    _knn_w = (
+        "(sel.mscore / b.m) * "
+        "ln(1.0 + (g.doc_count - ts.df + 0.5) / (ts.df + 0.5))"
+    )
+    out["knn_classify"] = f"""WITH {_IX},
+      src AS (SELECT term, tf FROM postings WHERE doc_id = 7),
+      cand AS (
+        SELECT s.term,
+               s.tf::DOUBLE * (ln((g.doc_count + 1) / (ts.df + 1.0)) + 1.0) AS mscore
+        FROM src s JOIN term_stats ts USING (term) CROSS JOIN gstats g
+        WHERE s.tf >= 2 AND ts.df >= 5
+      ),
+      sel AS (SELECT term, mscore FROM cand ORDER BY mscore DESC, term ASC LIMIT 25),
+      b AS (SELECT max(mscore) AS m FROM sel),
+      leaves AS (
+        SELECT p.doc_id,
+               CAST({bm25_score_sql(w_expr=_knn_w)} AS REAL)::DOUBLE AS s
+        FROM postings p
+        JOIN sel ON sel.term = p.term
+        JOIN term_stats ts ON ts.term = p.term
+        JOIN norms n ON n.doc_id = p.doc_id
+        CROSS JOIN gstats g CROSS JOIN b
+      ),
+      knn AS (SELECT doc_id, SUM(s) AS score FROM leaves GROUP BY doc_id
+              ORDER BY score DESC, doc_id ASC LIMIT 10),
+      mx AS (SELECT max(score) AS m FROM knn),
+      hits AS (SELECT k.doc_id,
+                      CAST(k.score / mx.m AS REAL)::DOUBLE AS nb,
+                      d.lang AS cls
+               FROM knn k JOIN documents d USING (doc_id) CROSS JOIN mx),
+      agg AS (SELECT cls, count(*)::DOUBLE AS cnt, sum(nb) AS bsum
+              FROM hits GROUP BY cls),
+      tot AS (SELECT sum(cnt) AS sumdoc FROM agg)
+      SELECT cls,
+             CASE WHEN tot.sumdoc < 10
+                  THEN (bsum / 10.0) * (10.0 / tot.sumdoc)
+                  ELSE bsum / 10.0 END AS score
+      FROM agg CROSS JOIN tot"""
+
     out["monitor_scored"] = f"""WITH {_IX},
       dstat AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokens GROUP BY doc_id),
       part AS (

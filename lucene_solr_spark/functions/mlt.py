@@ -108,7 +108,15 @@ def mlt_query(
     return ir.BooleanQuery(tuple(clauses), 0)
 
 
-def mlt_topk(executor, doc_id: int, k: int = 10, **kw) -> DataFrame:
+def mlt_topk(
+    executor,
+    doc_id: int,
+    k: int = 10,
+    *,
+    boost: bool = False,
+    boost_factor: float = 1.0,
+    **kw,
+) -> DataFrame:
     """MoreLikeThis top-k through a SINGLE pruned postings scan.
 
     Instead of |terms| scans + union (what the generic boolean evaluator
@@ -131,9 +139,18 @@ def mlt_topk(executor, doc_id: int, k: int = 10, **kw) -> DataFrame:
     terms = [t for t, _s, _tf, _df in sel]
     for t in terms:
         executor._df(t)
+    # per-term boost = boostFactor · score/bestScore when enabled
+    # (MoreLikeThis.java:591-616 setBoost path — the KNN classifier's
+    # default, KNearestNeighborClassifier.java:156 setBoost(true))
+    best = sel[0][1]
     weights = {
-        t: float(executor._term_weight(1.0, *executor._stats_cache[t]))
-        for t in terms
+        t: float(
+            executor._term_weight(
+                boost_factor * s / best if boost else 1.0,
+                *executor._stats_cache[t],
+            )
+        )
+        for t, s, _tf, _df in sel
     }
     rows = ix.postings_slim.filter(F.col("term").isin(terms)).join(
         executor._norms(), "doc_id"

@@ -1,0 +1,201 @@
+"""Classification module (lucene/classification): SimpleNaiveBayes and
+KNearestNeighbor classifiers vs scalar re-implementations of the
+reference math (TestSimpleNaiveBayesClassifier / TestKNearestNeighbor
+model)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.functions.classification import (
+    knn_classes,
+    naive_bayes_classify,
+    naive_bayes_train,
+)
+
+
+def _cls_of(i: int) -> str:
+    return f"c{i % 3}"
+
+
+@pytest.fixture(scope="module")
+def trained(spark, tiny_corpus_rows):
+    from lucene_solr_spark.operators.index_build import build_index
+    from lucene_solr_spark.plans.df_executor import DFExecutor
+
+    docs = spark.createDataFrame(
+        [(i, r["content"]) for i, r in enumerate(tiny_corpus_rows)],
+        "doc_id: long, text: string",
+    )
+    ix = build_index(docs, text_col="text", doc_id_col="doc_id").persist()
+    classes = spark.createDataFrame(
+        [(i, _cls_of(i)) for i in range(len(tiny_corpus_rows))],
+        "doc_id: long, cls: string",
+    )
+    model = naive_bayes_train(ix.postings_slim, classes)
+    return DFExecutor(ix, mode="double"), classes, model
+
+
+def _scalar_nb(tiny_oracle, classes: dict[int, str], tokens: list[str]):
+    """SimpleNaiveBayesClassifier.java:137-325 re-done with dicts,
+    including the engine's pinned determinism contract (per-term
+    contributions and exp addends rounded to float32 before the double
+    sum, making the distributed aggregation order-independent)."""
+    from collections import Counter
+
+    import numpy as np
+
+    docs_with_class = len(classes)
+    # wdf[c][w] = #docs of class c containing w
+    by_class_docs: dict[str, set[int]] = {}
+    for d, c in classes.items():
+        by_class_docs.setdefault(c, set()).add(d)
+    n_postings = sum(len(p) for p in tiny_oracle.postings.values())
+    avg_unique = n_postings / docs_with_class
+    raw = {}
+    for c, cdocs in by_class_docs.items():
+        prior = math.log(len(cdocs)) - math.log(docs_with_class)
+        den = avg_unique * len(cdocs) + docs_with_class
+        ll = 0.0
+        for w, r in Counter(tokens).items():
+            hits = len(
+                [d for d in tiny_oracle.postings.get(w, ()) if d in cdocs]
+            )
+            ll += float(np.float32(r * math.log((hits + 1) / den)))
+        raw[c] = prior + ll
+    # normClassificationResults
+    smax = max(raw.values())
+    loga = smax + math.log(
+        sum(float(np.float32(math.exp(v - smax))) for v in raw.values())
+    )
+    # final scores round to f32 (engine determinism contract)
+    return {c: float(np.float32(math.exp(v - loga))) for c, v in raw.items()}
+
+
+def test_nb_matches_scalar_reference(spark, trained, tiny_oracle):
+    ex, classes, model = trained
+    inputs = ex.index.postings_slim.filter(F.col("doc_id") < 15).select(
+        F.col("doc_id").alias("id"), "term", "tf"
+    )
+    got = {
+        (r.id, r.cls): r.score
+        for r in naive_bayes_classify(model, inputs).collect()
+    }
+    cls_map = {i: _cls_of(i) for i in range(tiny_oracle.doc_count)}
+    from lucene_solr_spark.oracle.tokenizer import analyze
+
+    for d in range(15):
+        # reconstruct the token multiset from the oracle postings
+        toks = []
+        for t, posting in tiny_oracle.postings.items():
+            toks.extend([t] * posting.get(d, 0))
+        want = _scalar_nb(tiny_oracle, cls_map, toks)
+        for c, v in want.items():
+            assert got[(d, c)] == pytest.approx(v, rel=1e-9), (d, c)
+
+
+def test_nb_scores_normalize_to_one(spark, trained):
+    ex, classes, model = trained
+    inputs = ex.index.postings_slim.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("id"), "term", "tf"
+    )
+    sums = (
+        naive_bayes_classify(model, inputs)
+        .groupBy("id")
+        .agg(F.sum("score").alias("s"))
+        .collect()
+    )
+    assert len(sums) == 10
+    for r in sums:
+        # exp addends are float32-rounded (determinism contract), so the
+        # partition sums to 1 within f32 precision
+        assert r.s == pytest.approx(1.0, rel=1e-6)
+
+
+def test_nb_unseen_words_use_smoothing(spark, trained):
+    ex, classes, model = trained
+    inputs = spark.createDataFrame(
+        [(99999, "zzzunseenzzz", 3)], "id: long, term: string, tf: long"
+    )
+    rows = naive_bayes_classify(model, inputs, normalize=False).collect()
+    # every class still gets a finite score: prior + 3·ln(1/den)
+    assert len(rows) == 3
+    stats = {r.cls: (r.prior, r.den) for r in model.class_stats.collect()}
+    for r in rows:
+        prior, den = stats[r.cls]
+        want = prior + float(
+            __import__("numpy").float32(3.0 * math.log(1.0 / den))
+        )
+        assert r.score == pytest.approx(want, rel=1e-12)
+
+
+def test_knn_vote_matches_topdocs_math(spark, trained):
+    from lucene_solr_spark.functions.mlt import mlt_topk
+
+    ex, classes, model = trained
+    top = mlt_topk(ex, 3, k=10, boost=True, min_term_freq=1, min_doc_freq=2).collect()
+    assert len(top) == 10
+    max_score = top[0].score
+    counts: dict[str, int] = {}
+    boosts: dict[str, float] = {}
+    for r in top:
+        c = _cls_of(r.doc_id)
+        counts[c] = counts.get(c, 0) + 1
+        boosts[c] = boosts.get(c, 0.0) + float(np.float32(r.score / max_score))
+    want = {c: boosts[c] / 10.0 for c in counts}  # sumdoc == k
+    got = {r.cls: r.score for r in knn_classes(ex, classes, 3, k=10, min_term_freq=1, min_doc_freq=2).collect()}
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c] == pytest.approx(want[c], rel=1e-12)
+
+
+def test_knn_sumdoc_correction(spark, trained):
+    """When neighbors lack a class value, scores scale by k/sumdoc
+    (KNearestNeighborClassifier.java:222-232)."""
+    from lucene_solr_spark.functions.mlt import mlt_topk
+
+    ex, classes, model = trained
+    top = mlt_topk(ex, 3, k=10, boost=True, min_term_freq=1, min_doc_freq=2).collect()
+    keep = {r.doc_id for r in top[:6]}  # declass 4 of the 10 neighbors
+    classes2 = classes.withColumn(
+        "cls",
+        F.when(
+            F.col("doc_id").isin([int(d) for d in keep])
+            | ~F.col("doc_id").isin([int(r.doc_id) for r in top]),
+            F.col("cls"),
+        ),
+    )
+    got = {
+        r.cls: r.score for r in knn_classes(ex, classes2, 3, k=10, min_term_freq=1, min_doc_freq=2).collect()
+    }
+    max_score = top[0].score
+    counts: dict[str, int] = {}
+    boosts: dict[str, float] = {}
+    for r in top:
+        if r.doc_id not in keep:
+            continue
+        c = _cls_of(r.doc_id)
+        counts[c] = counts.get(c, 0) + 1
+        boosts[c] = boosts.get(c, 0.0) + float(np.float32(r.score / max_score))
+    sumdoc = sum(counts.values())
+    want = {c: (boosts[c] / 10.0) * (10.0 / sumdoc) for c in counts}
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c] == pytest.approx(want[c], rel=1e-12)
+
+
+def test_knn_boost_changes_ranking_inputs(spark, trained):
+    """setBoost(true) actually weights terms: boosted and unboosted MLT
+    score columns differ."""
+    from lucene_solr_spark.functions.mlt import mlt_topk
+
+    ex, classes, model = trained
+    a = {r.doc_id: r.score for r in mlt_topk(ex, 3, k=10, boost=True, min_term_freq=1, min_doc_freq=2).collect()}
+    b = {r.doc_id: r.score for r in mlt_topk(ex, 3, k=10, min_term_freq=1, min_doc_freq=2).collect()}
+    assert any(
+        a[d] != b[d] for d in set(a) & set(b)
+    ), "boosted weights had no effect"
