@@ -55,10 +55,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # #30 ReqExcl/ReqOptSum keeps bool_not_set in-window; req_opt stays
     # green locally — to make room for the new monitor family's gate)
     "term_topk", "and2_topk", "or2_topk", "dismax_topk",
-    # (msm2_set demoted round 5 cont. — the BooleanQuery family keeps
-    # and2/or2/filter_set/bool_not_set in-window; msm stays green locally
-    # — to make room for the new classification family's gate)
-    "synonym_topk", "boost_topk", "bool_not_set", "filter_set",
+    # (msm2_set + filter_set demoted round 5 cont. — the BooleanQuery
+    # family keeps and2/or2/bool_not_set in-window; both stay green
+    # locally — making room for the new classification + phonetic
+    # family gates)
+    "synonym_topk", "boost_topk", "bool_not_set",
     "sort_by_field_topk", "docs_only_topk",
     # per-field indexing + field-qualified parsing (round 4)
     "field_term_topk", "multi_field_bool_topk",
@@ -124,6 +125,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # classification module (round 5 cont.): SimpleNaiveBayes train +
     # normalized classify; knn_classify stays outside the window
     "nb_classify",
+    # phonetic module (round 5 cont.): value-exact soundex family rep;
+    # inject/metaphone/double-metaphone variants stay outside
+    "soundex_topk",
     # LLM-data-pipeline ops
     "dedup_exact", "minhash_near_dups", "ivf_ann_topk",
     "token_stats",
@@ -3358,6 +3362,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["knn_classify"] = knn_classify
 
+    # ---- phonetic module (lucene/analysis/phonetic) ----------------------
+    # PhoneticFilter over the commons-codec-compatible encoders; the
+    # index stores codes (replace) or codes + stacked originals (inject).
+    def soundex_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ex = _tf_executor(spark, sf_dir, "sdx", (("phonetic", "soundex", False),))
+        return ex.topk(_T("M620"), k=10).select("doc_id", "score")
+
+    out["soundex_topk"] = soundex_topk
+
+    def soundex_inject_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ex = _tf_executor(
+            spark, sf_dir, "sdxi", (("phonetic", "soundex", True),)
+        )
+        return ex.topk(_T("M620"), k=10).select("doc_id", "score")
+
+    out["soundex_inject_topk"] = soundex_inject_topk
+
+    def metaphone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.oracle.phonetic import metaphone
+
+        ex = _tf_executor(
+            spark, sf_dir, "mtp", (("phonetic", "metaphone", False),)
+        )
+        return ex.topk(_T(metaphone("merge")), k=10).select("doc_id", "score")
+
+    out["metaphone_topk"] = metaphone_topk
+
+    def double_metaphone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.oracle.phonetic import double_metaphone
+
+        ex = _tf_executor(
+            spark, sf_dir, "dmtp", (("double_metaphone", 4, False),)
+        )
+        code = double_metaphone("window")[0]
+        return ex.topk(_T(code), k=10).select("doc_id", "score")
+
+    out["double_metaphone_topk"] = double_metaphone_topk
+
     return _prioritize(out)
 
 
@@ -5465,5 +5507,55 @@ def oracle_sql() -> dict[str, str]:
       UNION ALL
       SELECT doc_id, 'qs_or', sum(s) FROM part
         WHERE term IN ('merge', 'window') GROUP BY doc_id"""
+
+    # phonetic: replace-mode soundex index — each token becomes its
+    # soundex code via the layered RE2 twin (oracle/phonetic.py
+    # soundex_sql_expr; pre-H/W swallow unreachable on this vocabulary,
+    # asserted by tests/test_phonetic.py); 'merge' indexes as M620
+    from lucene_solr_spark.oracle.phonetic import soundex_sql_expr
+
+    out["soundex_topk"] = (
+        f"WITH {_ictes_ng(term_expr=soundex_sql_expr())}"
+        + _lang_topk10.format(score=_SCORE, term="M620")
+    )
+
+    # inject mode: the code takes the token's position, the ORIGINAL
+    # stacks behind it as a norm-discounted overlap
+    # (PhoneticFilter.java:84-95)
+    _sdx = soundex_sql_expr("term")
+    _SDX_IX = f"""{norm_lut_sql()},
+      {_tokens_cte()},
+      tok_all AS (
+        SELECT doc_id, {_sdx} AS term, pos, FALSE AS overlap FROM tokens
+        UNION ALL
+        SELECT doc_id, term, pos, TRUE FROM tokens
+        WHERE {_sdx} <> term),
+      postings AS (
+        SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok_all
+        GROUP BY term, doc_id),
+      doclen AS (
+        SELECT doc_id, count(*)::BIGINT AS length FROM tok_all GROUP BY doc_id),
+      normlen AS (
+        SELECT doc_id, count(*)::BIGINT AS length FROM tok_all
+        WHERE NOT overlap GROUP BY doc_id),
+      norms AS (
+        SELECT d.doc_id, d.length, l.norm, l.declen
+        FROM normlen d JOIN norm_lut l ON d.length >= l.lo AND d.length < l.hi),
+      gstats AS (
+        SELECT (SELECT count(*) FROM doclen)::BIGINT AS doc_count,
+               (SELECT sum(length) FROM doclen)::BIGINT AS sum_ttf,
+               (SELECT sum(length) FROM doclen)::DOUBLE
+                 / (SELECT count(*) FROM doclen) AS avgdl),
+      term_stats AS (
+        SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS ttf
+        FROM postings GROUP BY term)"""
+    out["soundex_inject_topk"] = f"WITH {_SDX_IX}" + _lang_topk10.format(
+        score=_SCORE, term="M620"
+    )
+
+    # metaphone_topk / double_metaphone_topk intentionally carry NO SQL
+    # oracle (rows-only driver check): the cascades are not
+    # SQL-expressible; both encoders are pinned bit-exact by the golden
+    # suites in tests/test_phonetic.py instead (the Porter precedent).
 
     return _prioritize(out)

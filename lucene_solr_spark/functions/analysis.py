@@ -377,15 +377,14 @@ def postings_frame(
         raise ValueError(f"unknown tokenizer {tokenizer!r}")
     if token_filters and with_offsets:
         raise ValueError("token_filters + offsets not supported")
+    from lucene_solr_spark.functions.token_filters import STACKING_SPECS
+
     has_otf = (
         synonyms is not None
         or grams is not None
         or common_grams is not None
         or word_delimiter is not None
-        or any(
-            s[0] in ("keyword_repeat", "pattern_capture", "dictionary_compound")
-            for s in token_filters
-        )
+        or any(s[0] in STACKING_SPECS for s in token_filters)
     )
 
     stop = frozenset(stopwords)

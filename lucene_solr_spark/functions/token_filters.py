@@ -60,7 +60,20 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+#: spec kinds that can STACK tokens at one position (their postings
+#: carry an ``otf`` overlap column and norms discount the overlaps)
+STACKING_SPECS = frozenset(
+    {
+        "keyword_repeat",
+        "pattern_capture",
+        "dictionary_compound",
+        "phonetic",
+        "double_metaphone",
+    }
+)
+
 __all__ = [
+    "STACKING_SPECS",
     "apply_token_filters",
     "capitalize_term",
     "pattern_captures",
@@ -262,7 +275,12 @@ def apply_token_filters(doc_idx, terms, pos, specs, overlap=None):
                 max_replacements=None if all_ else 1,
             )
             terms = out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
-        elif kind in ("pattern_capture", "dictionary_compound"):
+        elif kind in (
+            "pattern_capture",
+            "dictionary_compound",
+            "phonetic",
+            "double_metaphone",
+        ):
             if len(terms) == 0:
                 continue
             denc = pc.dictionary_encode(terms)
@@ -271,6 +289,17 @@ def apply_token_filters(doc_idx, terms, pos, specs, overlap=None):
             if kind == "pattern_capture":
                 pats, preserve = spec[1], bool(spec[2])
                 ems = [pattern_captures(t, pats, preserve) for t in vocab]
+            elif kind == "phonetic":
+                from lucene_solr_spark.oracle.phonetic import ENCODERS
+
+                enc, inject = ENCODERS[spec[1]], bool(spec[2])
+                ems = [phonetic_emissions(t, enc, inject) for t in vocab]
+            elif kind == "double_metaphone":
+                max_len, inject = int(spec[1]), bool(spec[2])
+                ems = [
+                    double_metaphone_emissions(t, max_len, inject)
+                    for t in vocab
+                ]
             else:
                 words = frozenset(spec[1])
                 mw, ms, xs = (
@@ -333,3 +362,47 @@ def apply_token_filters(doc_idx, terms, pos, specs, overlap=None):
         else:
             raise ValueError(f"unknown token filter {kind!r}")
     return doc_idx, terms, pos, overlap
+
+
+def phonetic_emissions(term: str, encode, inject: bool) -> list[tuple[str, bool]]:
+    """PhoneticFilter emission for one token
+    (``phonetic/PhoneticFilter.java:54-95``): the encoded form replaces
+    the token, or — with ``inject`` — is emitted at the token's position
+    with the ORIGINAL stacked behind it at posIncr 0 (the original is
+    the overlap).  An empty or identical code passes the original
+    through untouched."""
+    try:
+        code = encode(term)
+    except Exception:
+        code = ""
+    if not code or code == term:
+        return [(term, False)]
+    if inject:
+        return [(code, False), (term, True)]
+    return [(code, False)]
+
+
+def double_metaphone_emissions(
+    term: str, max_code_len: int, inject: bool
+) -> list[tuple[str, bool]]:
+    """DoubleMetaphoneFilter emission
+    (``phonetic/DoubleMetaphoneFilter.java:48-106``): primary and — when
+    it differs — alternate codes; with ``inject`` the original leads and
+    both codes stack at posIncr 0, without it the primary takes the
+    token's position and only the alternate stacks."""
+    from lucene_solr_spark.oracle.phonetic import double_metaphone
+
+    p, a = double_metaphone(term, max_code_len)
+    ems: list[tuple[str, bool]] = []
+    if inject:
+        ems.append((term, False))
+    emitted = False
+    if p and p != term:
+        ems.append((p, inject))
+        emitted = True
+    if a and a != p and p != term:
+        ems.append((a, inject or emitted))
+        emitted = True
+    if not emitted:
+        return [(term, False)]
+    return ems

@@ -387,6 +387,8 @@ def build_index(
     # FieldInvertState.length per doc = Σtf (stopwords/overlong never reach
     # the inverter, so length = surviving token count; numOverlap = 0).
     # DOCS-only fields norm by uniqueTermCount (BM25Similarity.java:139-141)
+    from lucene_solr_spark.functions.token_filters import STACKING_SPECS
+
     has_otf = (
         synonyms is not None
         or ngram is not None
@@ -394,8 +396,7 @@ def build_index(
         or common_grams is not None
         or word_delimiter is not None
         or any(
-            s[0] in ("keyword_repeat", "pattern_capture", "dictionary_compound")
-            for s in token_filters
+            s[0] in STACKING_SPECS for s in token_filters
         )
     )
     if index_options == "docs":
