@@ -3400,6 +3400,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["double_metaphone_topk"] = double_metaphone_topk
 
+    def daitch_mokotoff_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.oracle.phonetic import daitch_mokotoff
+
+        ex = _tf_executor(
+            spark, sf_dir, "dmk", (("daitch_mokotoff", True),)
+        )
+        code = daitch_mokotoff("merge")[0]
+        return ex.topk(_T(code), k=10).select("doc_id", "score")
+
+    out["daitch_mokotoff_topk"] = daitch_mokotoff_topk
+
     return _prioritize(out)
 
 

@@ -69,6 +69,7 @@ STACKING_SPECS = frozenset(
         "dictionary_compound",
         "phonetic",
         "double_metaphone",
+        "daitch_mokotoff",
     }
 )
 
@@ -280,6 +281,7 @@ def apply_token_filters(doc_idx, terms, pos, specs, overlap=None):
             "dictionary_compound",
             "phonetic",
             "double_metaphone",
+            "daitch_mokotoff",
         ):
             if len(terms) == 0:
                 continue
@@ -300,6 +302,9 @@ def apply_token_filters(doc_idx, terms, pos, specs, overlap=None):
                     double_metaphone_emissions(t, max_len, inject)
                     for t in vocab
                 ]
+            elif kind == "daitch_mokotoff":
+                inject = bool(spec[1])
+                ems = [daitch_mokotoff_emissions(t, inject) for t in vocab]
             else:
                 words = frozenset(spec[1])
                 mw, ms, xs = (
@@ -406,3 +411,19 @@ def double_metaphone_emissions(
     if not emitted:
         return [(term, False)]
     return ems
+
+
+def daitch_mokotoff_emissions(term: str, inject: bool) -> list[tuple[str, bool]]:
+    """DaitchMokotoffSoundexFilter emission
+    (``phonetic/DaitchMokotoffSoundexFilter.java:62-92``): every branch
+    code of the word; with ``inject`` the original leads and all codes
+    stack at posIncr 0, without it the first code takes the token's
+    position and the rest stack (an unencodable word passes through)."""
+    from lucene_solr_spark.oracle.phonetic import daitch_mokotoff
+
+    codes = daitch_mokotoff(term)
+    if inject:
+        return [(term, False)] + [(c, True) for c in codes]
+    if not codes:
+        return [(term, False)]
+    return [(codes[0], False)] + [(c, True) for c in codes[1:]]

@@ -1065,3 +1065,163 @@ def soundex_sql_expr(col: str = "term") -> str:
         f"CASE WHEN {letters} = '' THEN {col} "
         f"WHEN {code} = {col} THEN {col} ELSE {code} END"
     )
+
+
+# --------------------------------------------------------------------------
+# Daitch–Mokotoff Soundex (Daitch & Mokotoff 1985, the standard published
+# coding table; branching alternatives produce MULTIPLE codes per word —
+# the commons-codec encoder behind DaitchMokotoffSoundexFilter)
+# --------------------------------------------------------------------------
+
+#: pattern -> (at_start, before_vowel, other); each context is a tuple of
+#: alternatives ("" = no code); adjacent identical codes collapse unless
+#: something (e.g. an uncoded vowel) resets the run, and directly
+#: adjacent M/N force both codes (the 'MN'/'NM' = 66 rule)
+_DM_RULES_LIST: tuple[tuple[str, tuple, tuple, tuple], ...] = tuple(
+    (pat, s if isinstance(s, tuple) else (s,), v if isinstance(v, tuple) else (v,), o if isinstance(o, tuple) else (o,))
+    for pat, s, v, o in [
+        ("ai", "0", "1", ""), ("aj", "0", "1", ""), ("ay", "0", "1", ""),
+        ("au", "0", "7", ""),
+        ("a", "0", "", ""),
+        ("b", "7", "7", "7"),
+        ("chs", "5", "54", "54"),
+        ("ch", ("4", "5"), ("4", "5"), ("4", "5")),
+        ("ck", ("5", "45"), ("5", "45"), ("5", "45")),
+        ("cz", "4", "4", "4"), ("cs", "4", "4", "4"),
+        ("csz", "4", "4", "4"), ("czs", "4", "4", "4"),
+        ("c", ("4", "5"), ("4", "5"), ("4", "5")),
+        ("drz", "4", "4", "4"), ("drs", "4", "4", "4"),
+        ("ds", "4", "4", "4"), ("dsh", "4", "4", "4"),
+        ("dsz", "4", "4", "4"),
+        ("dz", "4", "4", "4"), ("dzh", "4", "4", "4"),
+        ("dzs", "4", "4", "4"),
+        ("dt", "3", "3", "3"), ("d", "3", "3", "3"),
+        ("ei", "0", "1", ""), ("ej", "0", "1", ""), ("ey", "0", "1", ""),
+        ("eu", "1", "1", ""),
+        ("e", "0", "", ""),
+        ("fb", "7", "7", "7"), ("f", "7", "7", "7"),
+        ("g", "5", "5", "5"),
+        ("h", "5", "5", ""),
+        ("ia", "1", "", ""), ("ie", "1", "", ""),
+        ("io", "1", "", ""), ("iu", "1", "", ""),
+        ("i", "0", "", ""),
+        ("j", ("1", "4"), ("1", "4"), ("1", "4")),
+        ("ks", "5", "54", "54"),
+        ("kh", "5", "5", "5"), ("k", "5", "5", "5"),
+        ("l", "8", "8", "8"),
+        ("m", "6", "6", "6"), ("n", "6", "6", "6"),
+        ("oi", "0", "1", ""), ("oj", "0", "1", ""), ("oy", "0", "1", ""),
+        ("o", "0", "", ""),
+        ("pf", "7", "7", "7"), ("ph", "7", "7", "7"), ("p", "7", "7", "7"),
+        ("q", "5", "5", "5"),
+        ("rs", ("94", "4"), ("94", "4"), ("94", "4")),
+        ("rz", ("94", "4"), ("94", "4"), ("94", "4")),
+        ("r", "9", "9", "9"),
+        ("schtsch", "2", "4", "4"), ("schtsh", "2", "4", "4"),
+        ("schtch", "2", "4", "4"),
+        ("schd", "2", "43", "43"), ("scht", "2", "43", "43"),
+        ("sch", "4", "4", "4"),
+        ("shtch", "2", "4", "4"), ("shch", "2", "4", "4"),
+        ("shtsh", "2", "4", "4"),
+        ("sht", "2", "43", "43"), ("shd", "2", "43", "43"),
+        ("sh", "4", "4", "4"),
+        ("stch", "2", "4", "4"), ("stsch", "2", "4", "4"),
+        ("sc", "2", "4", "4"),
+        ("strz", "2", "4", "4"), ("strs", "2", "4", "4"),
+        ("stsh", "2", "4", "4"),
+        ("st", "2", "43", "43"),
+        ("szcz", "2", "4", "4"), ("szcs", "2", "4", "4"),
+        ("szt", "2", "43", "43"), ("szd", "2", "43", "43"),
+        ("sd", "2", "43", "43"),
+        ("sz", "4", "4", "4"),
+        ("s", "4", "4", "4"),
+        ("ttsch", "4", "4", "4"), ("tsch", "4", "4", "4"),
+        ("ttch", "4", "4", "4"), ("tch", "4", "4", "4"),
+        ("th", "3", "3", "3"),
+        ("trz", "4", "4", "4"), ("trs", "4", "4", "4"),
+        ("tsh", "4", "4", "4"),
+        ("ttsz", "4", "4", "4"), ("tts", "4", "4", "4"),
+        ("tsz", "4", "4", "4"), ("ts", "4", "4", "4"),
+        ("tc", "4", "4", "4"),
+        ("ttz", "4", "4", "4"), ("tzs", "4", "4", "4"),
+        ("tz", "4", "4", "4"),
+        ("t", "3", "3", "3"),
+        ("ui", "0", "1", ""), ("uj", "0", "1", ""), ("uy", "0", "1", ""),
+        ("ue", "0", "", ""),
+        ("u", "0", "", ""),
+        ("v", "7", "7", "7"), ("w", "7", "7", "7"),
+        ("x", "5", "54", "54"),
+        ("y", "1", "", ""),
+        ("zhdzh", "2", "4", "4"), ("zdzh", "2", "4", "4"),
+        ("zdz", "2", "4", "4"),
+        ("zhd", "2", "43", "43"), ("zd", "2", "43", "43"),
+        ("zsch", "4", "4", "4"), ("zsh", "4", "4", "4"),
+        ("zh", "4", "4", "4"), ("zs", "4", "4", "4"),
+        ("z", "4", "4", "4"),
+    ]
+)
+
+_DM_BY_FIRST: dict[str, list] = {}
+for _r in _DM_RULES_LIST:
+    _DM_BY_FIRST.setdefault(_r[0][0], []).append(_r)
+for _lst in _DM_BY_FIRST.values():
+    _lst.sort(key=lambda r: -len(r[0]))
+
+_DM_CODE_LEN = 6
+
+
+def daitch_mokotoff(term: str) -> tuple[str, ...]:
+    """All branch codes for one word, first-fork-first order, 6 digits
+    0-padded; () when nothing encodable."""
+    s = "".join(ch for ch in term.lower() if "a" <= ch <= "z")
+    if not s:
+        return ()
+    # branches: (code_so_far, last_replacement)
+    branches: list[tuple[str, str | None]] = [("", None)]
+    index = 0
+    last_char = ""
+    while index < len(s):
+        ch = s[index]
+        rules = _DM_BY_FIRST.get(ch, ())
+        matched = None
+        for pat, at_start, before_vowel, other in rules:
+            if s.startswith(pat, index):
+                matched = (pat, at_start, before_vowel, other)
+                break
+        if matched is None:
+            last_char = ch
+            index += 1
+            continue
+        pat, at_start, before_vowel, other = matched
+        if index == 0:
+            reps = at_start
+        elif (
+            index + len(pat) < len(s)
+            and s[index + len(pat)] in "aeiou"
+        ):
+            reps = before_vowel
+        else:
+            reps = other
+        # 'mn'/'nm' force both codes even when adjacent (the 66 rule)
+        force = (last_char == "m" and ch == "n") or (
+            last_char == "n" and ch == "m"
+        )
+        nxt: list[tuple[str, str | None]] = []
+        seen: set[tuple[str, str | None]] = set()
+        for code, last in branches:
+            for rep in reps:
+                add = last is None or not last.endswith(rep) or force
+                ncode = code + rep if add and rep else code
+                nb = (ncode, rep)
+                if nb not in seen:
+                    seen.add(nb)
+                    nxt.append(nb)
+        branches = nxt
+        last_char = ch
+        index += len(pat)
+    out: list[str] = []
+    for code, _last in branches:
+        padded = (code + "0" * _DM_CODE_LEN)[:_DM_CODE_LEN]
+        if padded not in out:
+            out.append(padded)
+    return tuple(out)

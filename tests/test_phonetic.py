@@ -282,3 +282,69 @@ def test_postings_frame_double_metaphone(spark):
     terms = {r.term: (r.tf, r.otf) for r in rows}
     # primary keeps the position, alternate stacks; numbers pass through
     assert terms == {"KSSK": (1, 0), "KXFS": (1, 1), "HL": (1, 0), "12345": (1, 0)}
+
+
+# ------------------------------------------------------- Daitch–Mokotoff
+
+
+def test_daitch_mokotoff_reference_goldens():
+    from lucene_solr_spark.oracle.phonetic import daitch_mokotoff
+
+    # TestDaitchMokotoffSoundexFilter.java:31-45 — including the branch
+    # fork ORDER for 'ccc'
+    assert daitch_mokotoff("aaa") == ("000000",)
+    assert daitch_mokotoff("bbb") == ("700000",)
+    assert daitch_mokotoff("ccc") == (
+        "400000", "450000", "454000", "540000", "545000", "500000",
+    )
+    assert daitch_mokotoff("easgasg") == ("045450",)
+
+
+def test_daitch_mokotoff_published_vectors():
+    from lucene_solr_spark.oracle.phonetic import daitch_mokotoff
+
+    for w, want in [
+        ("Moskowitz", {"645740"}), ("Mintz", {"664000"}),
+        ("Topf", {"370000"}), ("Haber", {"579000"}),
+        ("Mannheim", {"665600"}), ("Auerbach", {"097400", "097500"}),
+        ("Peters", {"739400", "734000"}),
+        ("Jackson", {"154600", "454600", "145460", "445460"}),
+        ("Kleinman", {"586660"}), ("12345", set()),
+    ]:
+        assert set(daitch_mokotoff(w)) == want, w
+
+
+def test_daitch_mokotoff_filter_emissions():
+    from lucene_solr_spark.functions.token_filters import (
+        daitch_mokotoff_emissions,
+    )
+
+    # inject: original first, all branch codes stacked
+    assert daitch_mokotoff_emissions("bbb", True) == [
+        ("bbb", False),
+        ("700000", True),
+    ]
+    ems = daitch_mokotoff_emissions("ccc", False)
+    assert ems[0] == ("400000", False)
+    assert all(ov for _, ov in ems[1:]) and len(ems) == 6
+    assert daitch_mokotoff_emissions("12345", False) == [("12345", False)]
+    assert daitch_mokotoff_emissions("12345", True) == [("12345", False)]
+
+
+def test_postings_frame_daitch_mokotoff(spark):
+    from lucene_solr_spark.functions.analysis import postings_frame
+
+    docs = spark.createDataFrame(
+        [(0, "ccc topf 12345")], "doc_id: long, text: string"
+    )
+    rows = postings_frame(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        token_filters=(("daitch_mokotoff", True),),
+    ).collect()
+    terms = {r.term: (r.tf, r.otf) for r in rows}
+    assert terms["ccc"] == (1, 0) and terms["topf"] == (1, 0)
+    assert terms["400000"] == (1, 1) and terms["370000"] == (1, 1)
+    assert terms["12345"] == (1, 0)
+    assert len([t for t in terms if t.isdigit() and len(t) == 6]) == 7
