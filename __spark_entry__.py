@@ -71,8 +71,11 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # its alternating-successor chain is a sub-case of the multi-repeat
     # replay and the plain-sloppy path stays pinned by sloppy_repeat_matches
     # in-window + sloppy_phrase_matches green locally)
+    # (sloppy_repeat_matches demoted round 5 cont. — its rptGroups
+    # machinery is a sub-case of the in-window multi-repeat replay;
+    # stays green locally — making room for the spatial family's gate)
     "phrase_topk", "multi_phrase_topk",
-    "sloppy_repeat_matches", "sloppy_multi_repeat_matches",
+    "sloppy_multi_repeat_matches",
     "span_near_set",
     # multi-term (round 5: term_range_set + regexp_set RESTORED to the
     # window — round 4 had left TermRange and Regexp graded only locally;
@@ -128,6 +131,9 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # phonetic module (round 5 cont.): value-exact soundex family rep;
     # inject/metaphone/double-metaphone variants stay outside
     "soundex_topk",
+    # spatial family (round 5 cont.): LatLonPoint box query rep;
+    # dateline/distance/nearest/polygon twins stay outside
+    "geo_box_set",
     # LLM-data-pipeline ops
     "dedup_exact", "minhash_near_dups", "ivf_ann_topk",
     "token_stats",
@@ -3411,7 +3417,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["daitch_mokotoff_topk"] = daitch_mokotoff_topk
 
+    # ---- spatial (LatLonPoint surface) -----------------------------------
+    # documents carry no geo columns; the gates derive deterministic
+    # (lat, lon) from doc_id with integer arithmetic (identical closed
+    # form in the SQL oracles).
+    def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return docs.select(
+            "doc_id",
+            (((F.col("doc_id") * 7919) % 16000) / 100.0 - 80.0).alias("lat"),
+            (((F.col("doc_id") * 104729) % 35000) / 100.0 - 175.0).alias("lon"),
+        )
+
+    def geo_box_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.functions.spatial import box_query
+
+        return box_query(
+            _geo_docs(spark, sf_dir), "lat", "lon", -20, 40, 10, 60
+        ).select("doc_id")
+
+    out["geo_box_set"] = geo_box_set
+
+    def geo_box_dateline_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.functions.spatial import box_query
+
+        return box_query(
+            _geo_docs(spark, sf_dir), "lat", "lon", -60, 60, 150, -160
+        ).select("doc_id")
+
+    out["geo_box_dateline_set"] = geo_box_dateline_set
+
+    def geo_distance_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.functions.spatial import distance_query
+
+        return distance_query(
+            _geo_docs(spark, sf_dir), "lat", "lon", 10.0, 20.0, 2_000_000.0
+        ).select("doc_id")
+
+    out["geo_distance_set"] = geo_distance_set
+
+    def geo_nearest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.functions.spatial import nearest
+
+        return nearest(
+            _geo_docs(spark, sf_dir), "lat", "lon", 48.8566, 2.3522, 10
+        ).select("doc_id", "distance")
+
+    out["geo_nearest_topk"] = geo_nearest_topk
+
+    def geo_polygon_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.functions.spatial import polygon_query
+
+        return polygon_query(
+            _geo_docs(spark, sf_dir), "lat", "lon", _GEO_POLYGON
+        ).select("doc_id")
+
+    out["geo_polygon_set"] = geo_polygon_set
+
     return _prioritize(out)
+
+
+#: pentagon used by the polygon gate (lat, lon)
+_GEO_POLYGON = (
+    (30.0, -40.0),
+    (40.0, 10.0),
+    (5.0, 45.0),
+    (-30.0, 20.0),
+    (-25.0, -35.0),
+)
 
 
 def _monitor_queryset() -> dict[str, ir.Query]:
@@ -5568,5 +5641,33 @@ def oracle_sql() -> dict[str, str]:
     # oracle (rows-only driver check): the cascades are not
     # SQL-expressible; both encoders are pinned bit-exact by the golden
     # suites in tests/test_phonetic.py instead (the Porter precedent).
+
+    # spatial: deterministic (lat, lon) derived from doc_id; predicates
+    # are the SAME generated encoded-int / haversine / crossing-number
+    # expressions the engine builds (functions/spatial.py *_sql twins)
+    from lucene_solr_spark.functions.spatial import (
+        box_sql,
+        distance_sql,
+        polygon_sql,
+    )
+
+    _GEO = """geo AS (
+      SELECT doc_id,
+             ((doc_id * 7919) % 16000) / 100.0 - 80.0 AS lat,
+             ((doc_id * 104729) % 35000) / 100.0 - 175.0 AS lon
+      FROM documents)"""
+    out["geo_box_set"] = f"""WITH {_GEO}
+      SELECT doc_id FROM geo WHERE {box_sql('lat', 'lon', -20, 40, 10, 60)}"""
+    out["geo_box_dateline_set"] = f"""WITH {_GEO}
+      SELECT doc_id FROM geo WHERE {box_sql('lat', 'lon', -60, 60, 150, -160)}"""
+    out["geo_distance_set"] = f"""WITH {_GEO}
+      SELECT doc_id FROM geo
+      WHERE {distance_sql('lat', 'lon', 10.0, 20.0)} <= 2000000.0"""
+    out["geo_nearest_topk"] = f"""WITH {_GEO}
+      SELECT doc_id, {distance_sql('lat', 'lon', 48.8566, 2.3522)} AS distance
+      FROM geo ORDER BY distance ASC, doc_id ASC LIMIT 10"""
+    out["geo_polygon_set"] = f"""WITH {_GEO}
+      SELECT doc_id FROM geo
+      WHERE {polygon_sql('lat', 'lon', _GEO_POLYGON)}"""
 
     return _prioritize(out)
