@@ -3368,6 +3368,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["knn_classify"] = knn_classify
 
+    # BM25NBClassifier: per (class, word) "probability" = top-1 BM25 of
+    # MUST(class:c) SHOULD(text:w) — a per-class constant class-field
+    # leaf + groupBy-max over the text leaves.
+    def bm25_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.functions.classification import (
+            bm25_nb_classify,
+        )
+
+        ex = _executor(spark, sf_dir)
+        classes = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.col("lang").alias("cls"))
+        )
+        inputs = ex.index.postings_slim.filter(F.col("doc_id") < 40).select(
+            F.col("doc_id").alias("id"), "term", "tf"
+        )
+        return bm25_nb_classify(ex, classes, inputs).select(
+            "id", "cls", "score"
+        )
+
+    out["bm25_nb_classify"] = bm25_nb
+
     # ---- phonetic module (lucene/analysis/phonetic) ----------------------
     # PhoneticFilter over the commons-codec-compatible encoders; the
     # index stores codes (replace) or codes + stacked originals (inject).
@@ -5491,6 +5513,48 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, 'q_not' FROM (
         SELECT doc_id FROM postings WHERE term = 'scan'
         EXCEPT SELECT doc_id FROM postings WHERE term = 'filter')"""
+
+    # BM25NB: sc(c) = the constant class-field leaf (length-1 field →
+    # inv = 1/(k1·((1−b)+b)) = 1/k1); per-(class, word) max text leaf;
+    # contributions/normalization rounded like nb_classify
+    _inv1 = 1.0 / (1.2 * ((1.0 - 0.75) + (0.75 * 1.0) / 1.0))
+    out["bm25_nb_classify"] = f"""WITH {_IX},
+      cls AS (SELECT doc_id, lang AS cls FROM documents),
+      cs AS (SELECT cls, count(*)::DOUBLE AS df_c FROM cls GROUP BY cls),
+      scs AS (
+        SELECT cls, wc - wc / (1.0 + 1.0 * {_inv1!r}) AS sc,
+               ln(wc - wc / (1.0 + 1.0 * {_inv1!r})) AS prior
+        FROM (SELECT cls,
+                     ln(1.0 + (g.doc_count - df_c + 0.5) / (df_c + 0.5)) AS wc
+              FROM cs CROSS JOIN gstats g)
+      ),
+      ts2 AS (
+        SELECT p.term, p.doc_id, {_SCORE} AS s
+        FROM postings p JOIN term_stats ts USING (term)
+        JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      ),
+      pcm AS (
+        SELECT c.cls, t.term, max(t.s) AS mx
+        FROM ts2 t JOIN cls c USING (doc_id) GROUP BY c.cls, t.term
+      ),
+      inp AS (SELECT doc_id AS id, term, tf FROM postings WHERE doc_id < 40),
+      contrib AS (
+        SELECT i.id, s.cls,
+          CAST(i.tf::DOUBLE * ln(s.sc + coalesce(p.mx, 0.0)) AS REAL)::DOUBLE AS c
+        FROM inp i CROSS JOIN scs s
+        LEFT JOIN pcm p ON p.cls = s.cls AND p.term = i.term
+      ),
+      ll AS (SELECT id, cls, sum(c) AS ll FROM contrib GROUP BY id, cls),
+      raw AS (SELECT ll.id, ll.cls, s.prior + ll.ll AS score
+              FROM ll JOIN scs s USING (cls)),
+      r2 AS (SELECT id, cls, score,
+                    max(score) OVER (PARTITION BY id) AS smax FROM raw),
+      r3 AS (SELECT id, cls, score, smax,
+                    sum(CAST(exp(score - smax) AS REAL)::DOUBLE)
+                      OVER (PARTITION BY id) AS se FROM r2)
+      SELECT id, cls,
+             CAST(exp(score - (smax + ln(se))) AS REAL)::DOUBLE AS score
+      FROM r3"""
 
     # monitor scoring mode: each doc is its own index (DocumentBatch.of —
     # docCount = 1, df = 1, avgdl = the doc's exact length), so

@@ -41,6 +41,7 @@ __all__ = [
     "naive_bayes_train",
     "naive_bayes_classify",
     "knn_classes",
+    "bm25_nb_classify",
 ]
 
 
@@ -207,3 +208,110 @@ def knn_classes(
             * (F.lit(float(k)) / sumdoc.cast("double")),
         ).otherwise(F.col("boost_sum") / F.lit(float(k))),
     ).select("cls", "score")
+
+
+def bm25_nb_classify(
+    executor,
+    classes: DataFrame,  # (doc_id, cls)
+    tokens: DataFrame,  # (id, term, tf)
+    *,
+    normalize: bool = True,
+) -> DataFrame:
+    """BM25NBClassifier (``BM25NBClassifier.java:198-231``): the
+    "probability" of word w given class c is the TOP-1 BM25 score of
+    ``MUST(class:c) SHOULD(text:w)`` over a two-field index whose class
+    field holds one token per doc.
+
+    Re-expression: a length-1 field gives every doc the same class-leaf
+    score, so top-1 = sc(c) + max over class-c docs of the text leaf
+    score of w — the whole (class × word) grid is ONE groupBy-max over
+    ``postings ⋈ classes`` instead of a search per pair.  Priors are
+    ``ln sc(c)`` (:222-231), likelihood ``Σ tf·ln(sc + max)`` with the
+    absent-word probability degenerating to sc (the class term always
+    matches), normalization as in SimpleNaiveBayes.
+    """
+    import math
+
+    from ..oracle import bm25 as _bm25
+
+    ix = executor.index
+    k1, b = float(executor.k1), float(executor.b)
+    n_docs = ix.doc_count
+    cls_rows = (
+        classes.filter(F.col("cls").isNotNull())
+        .groupBy("cls")
+        .agg(F.countDistinct("doc_id").alias("df_c"))
+        .collect()
+    )
+    # class-field leaf: df = df_c, tf = 1, dl = declen = avgdl = 1
+    inv1 = 1.0 / (k1 * ((1.0 - b) + (b * 1.0) / 1.0))
+    sc = {}
+    for r in cls_rows:
+        w = math.log(1.0 + (n_docs - r.df_c + 0.5) / (r.df_c + 0.5))
+        sc[r.cls] = (r.cls, w - w / (1.0 + 1.0 * inv1), math.log(w - w / (1.0 + 1.0 * inv1)))
+    spark = tokens.sparkSession
+    sc_df = F.broadcast(
+        spark.createDataFrame(
+            list(sc.values()), "cls: string, sc: double, prior: double"
+        )
+    )
+    # text-field leaf score per (term, doc) — the engine's double chain
+    # (bm25_score_sql twin, same shape as mlt_topk's single-scan leaf)
+    lut = F.lit(_bm25.LENGTH_TABLE_F32.astype(float).tolist())
+    declen = F.element_at(lut, F.col("norm").cast("int") + 1)
+    inv = F.lit(1.0) / (
+        F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * declen / F.lit(executor._avgdl_double))
+    )
+    w_col = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    leaf = (w_col - w_col / (F.lit(1.0) + F.col("tf").cast("double") * inv)).alias("s")
+    text_scores = (
+        ix.postings_slim.join(ix.term_stats.select("term", "df"), "term")
+        .join(executor._norms(), "doc_id")
+        .select("term", "doc_id", leaf)
+    )
+    per_class_max = (
+        text_scores.join(
+            F.broadcast(classes.filter(F.col("cls").isNotNull())), "doc_id"
+        )
+        .groupBy("cls", "term")
+        .agg(F.max("s").alias("mx"))
+    )
+    grid = tokens.select("id", "term", "tf").crossJoin(
+        sc_df.select("cls", "sc")
+    )
+    contrib = (
+        grid.join(per_class_max, ["cls", "term"], "left")
+        .withColumn(
+            "c",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("sc") + F.coalesce(F.col("mx"), F.lit(0.0)))
+            )
+            .cast("float")
+            .cast("double"),
+        )
+    )
+    scored = (
+        contrib.groupBy("id", "cls")
+        .agg(F.sum("c").alias("ll"))
+        .join(sc_df.select("cls", "prior"), "cls")
+        .withColumn("score", F.col("prior") + F.col("ll"))
+        .select("id", "cls", "score")
+    )
+    if not normalize:
+        return scored
+    w = Window.partitionBy("id")
+    smax = F.max("score").over(w)
+    sumexp = F.sum(
+        F.exp(F.col("score") - smax).cast("float").cast("double")
+    ).over(w)
+    return scored.withColumn(
+        "score",
+        F.exp(F.col("score") - (smax + F.log(sumexp)))
+        .cast("float")
+        .cast("double"),
+    )

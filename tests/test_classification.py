@@ -199,3 +199,44 @@ def test_knn_boost_changes_ranking_inputs(spark, trained):
     assert any(
         a[d] != b[d] for d in set(a) & set(b)
     ), "boosted weights had no effect"
+
+
+def test_bm25_nb_classify(spark, trained):
+    """BM25NB: scores normalize to 1; an unseen word's probability
+    degenerates to the class-leaf score sc(c) (the MUST class term
+    always matches — BM25NBClassifier.java:205-220)."""
+    import math
+
+    from lucene_solr_spark.functions.classification import bm25_nb_classify
+
+    ex, classes, _model = trained
+    inputs = ex.index.postings_slim.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("id"), "term", "tf"
+    )
+    rows = bm25_nb_classify(ex, classes, inputs).collect()
+    sums: dict[int, float] = {}
+    for r in rows:
+        sums[r.id] = sums.get(r.id, 0.0) + r.score
+    assert len(sums) == 6
+    for v in sums.values():
+        assert v == pytest.approx(1.0, rel=1e-6)
+    # unseen word: score = prior + tf*ln(sc) for every class
+    unseen = spark.createDataFrame(
+        [(7777, "zzzunseenzzz", 2)], "id: long, term: string, tf: long"
+    )
+    raw = {
+        r.cls: r.score
+        for r in bm25_nb_classify(ex, classes, unseen, normalize=False).collect()
+    }
+    k1, b = float(ex.k1), float(ex.b)
+    n = ex.index.doc_count
+    df_c = {
+        r.cls: r.cnt
+        for r in classes.groupBy("cls").agg(F.count("*").alias("cnt")).collect()
+    }
+    inv1 = 1.0 / (k1 * ((1.0 - b) + (b * 1.0) / 1.0))
+    for c, got in raw.items():
+        w = math.log(1.0 + (n - df_c[c] + 0.5) / (df_c[c] + 0.5))
+        sc = w - w / (1.0 + 1.0 * inv1)
+        want = math.log(sc) + float(np.float32(2.0 * math.log(sc + 0.0)))
+        assert got == pytest.approx(want, rel=1e-12), c
