@@ -3439,6 +3439,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["daitch_mokotoff_topk"] = daitch_mokotoff_topk
 
+    # ---- SimpleQueryParser (queryparser/simple) --------------------------
+    # the error-tolerant human syntax parsed to IR, run through the
+    # standard executor; structure pinned by tests/test_simple_parser.py
+    from lucene_solr_spark.plans.simple_parser import parse_simple
+
+    out["simple_query_topk"] = _topk(
+        parse_simple("dup + (merge | window)", default_operator=_O.MUST), 10
+    )
+    out["simple_query_not_set"] = _match_set(
+        parse_simple("scan + -filter", default_operator=_O.MUST)
+    )
+
     # ---- spatial (LatLonPoint surface) -----------------------------------
     # documents carry no geo columns; the gates derive deterministic
     # (lat, lon) from doc_id with integer arithmetic (identical closed
@@ -5705,6 +5717,21 @@ def oracle_sql() -> dict[str, str]:
     # oracle (rows-only driver check): the cascades are not
     # SQL-expressible; both encoders are pinned bit-exact by the golden
     # suites in tests/test_phonetic.py instead (the Porter precedent).
+
+    # SimpleQueryParser: 'dup + (merge | window)' = MUST(dup) +
+    # MUST(SHOULD-sum subquery); 'scan + -filter' = scan ∧ ¬filter
+    # (the NOT wrapper's MatchAll SHOULD adds score 0 in set terms)
+    out["simple_query_topk"] = f"""WITH {_IX},
+      sa AS ({_leaf_scores('dup')}),
+      u AS (SELECT * FROM ({_leaf_scores('merge')})
+            UNION ALL SELECT * FROM ({_leaf_scores('window')})),
+      sb AS (SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id)
+      SELECT sa.doc_id, sa.score + sb.score AS score
+      FROM sa JOIN sb USING (doc_id)
+      ORDER BY score DESC, sa.doc_id ASC LIMIT 10"""
+    out["simple_query_not_set"] = f"""WITH {_IX}
+      SELECT doc_id FROM postings WHERE term = 'scan'
+      EXCEPT SELECT doc_id FROM postings WHERE term = 'filter'"""
 
     # spatial: deterministic (lat, lon) derived from doc_id; predicates
     # are the SAME generated encoded-int / haversine / crossing-number
