@@ -3439,6 +3439,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["daitch_mokotoff_topk"] = daitch_mokotoff_topk
 
+    # ---- sandbox: CoveringQuery + PhraseWildcardQuery --------------------
+    # CoveringQuery: per-doc dynamic minimum-should-match from a long
+    # source (here 1 + doc_id % 3), score = sum of matching clauses
+    out["covering_topk"] = _topk(
+        ir.CoveringQuery(
+            (_T("merge"), _T("window"), _T("scan")), "1 + doc_id % 3"
+        ),
+        10,
+    )
+
+    # PhraseWildcardQuery: "table s*" — the prefix slot expands against
+    # the dictionary and lowers to MultiPhraseQuery
+    def phrase_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.functions.phrase_wildcard import (
+            phrase_wildcard_query,
+        )
+
+        ex = _executor(spark, sf_dir)
+        q = phrase_wildcard_query(ex.index, ["table", ir.PrefixQuery("s")])
+        return ex.topk(q, k=10).select("doc_id", "score")
+
+    out["phrase_wildcard_topk"] = phrase_wildcard_topk
+
     # ---- SimpleQueryParser (queryparser/simple) --------------------------
     # the error-tolerant human syntax parsed to IR, run through the
     # standard executor; structure pinned by tests/test_simple_parser.py
@@ -5717,6 +5740,43 @@ def oracle_sql() -> dict[str, str]:
     # oracle (rows-only driver check): the cascades are not
     # SQL-expressible; both encoders are pinned bit-exact by the golden
     # suites in tests/test_phonetic.py instead (the Porter precedent).
+
+    # CoveringQuery: float32 leaf scores summed in double (the Scorer
+    # float contract), count >= per-doc source clamped to 1
+    out["covering_topk"] = f"""WITH {_IX},
+      u AS (SELECT * FROM ({_leaf_scores('merge')})
+            UNION ALL SELECT * FROM ({_leaf_scores('window')})
+            UNION ALL SELECT * FROM ({_leaf_scores('scan')})),
+      agg AS (
+        SELECT doc_id, count(*)::BIGINT AS n,
+               sum(CAST(score AS REAL)::DOUBLE) AS score
+        FROM u GROUP BY doc_id),
+      thr AS (SELECT doc_id, greatest(1 + doc_id % 3, 1)::BIGINT AS mm
+              FROM documents)
+      SELECT a.doc_id, a.score
+      FROM agg a JOIN thr t USING (doc_id)
+      WHERE a.n >= t.mm
+      ORDER BY score DESC, a.doc_id ASC LIMIT 10"""
+
+    # PhraseWildcardQuery "table s*": the expansion is the corpus's six
+    # s-terms (identical vocabulary at every SF — the generator's fixed
+    # word list; enumerated here in the engine's sorted-expansion order
+    # so the summed-idf weight adds in the same sequence)
+    _pw_terms = ["scan", "slow", "small", "sort", "spark", "stream"]
+    _pw_w = "(" + " + ".join(
+        [idf_sql("table")] + [idf_sql(t) for t in _pw_terms]
+    ) + ")"
+    out["phrase_wildcard_topk"] = f"""WITH {_IX},
+      g0 AS (SELECT DISTINCT doc_id, pos FROM tokens WHERE term = 'table'),
+      g1 AS (SELECT DISTINCT doc_id, pos FROM tokens WHERE term LIKE 's%'),
+      ph AS (
+        SELECT a.doc_id, count(*)::BIGINT AS tf
+        FROM g0 a JOIN g1 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.doc_id
+      )
+      SELECT p.doc_id, {bm25_score_sql(tf_expr='p.tf', w_expr=_pw_w)} AS score
+      FROM ph p JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
 
     # SimpleQueryParser: 'dup + (merge | window)' = MUST(dup) +
     # MUST(SHOULD-sum subquery); 'scan + -filter' = scan ∧ ¬filter

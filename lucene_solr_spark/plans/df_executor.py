@@ -649,6 +649,39 @@ class DFExecutor:
             return rows.select("doc_id").distinct().select(
                 "doc_id", F.lit(float(_f32(boost))).cast(self._score_type()).alias("score")
             )
+        if isinstance(q, ir.CoveringQuery):
+            # CoveringQuery (sandbox/search/CoveringQuery.java:44-84 +
+            # CoveringScorer): count matching sub queries per doc, keep
+            # docs where the count reaches the per-doc long source
+            # (clamped to >= 1; NULL never matches), score = sum of the
+            # matching clauses.  One union + one groupBy — the dynamic
+            # minimum never becomes a per-doc loop.
+            subs = [self._eval(s, boost) for s in q.queries]
+            u = subs[0]
+            for s in subs[1:]:
+                u = u.unionByName(s)
+            # float leaf scores, double accumulator — Scorer.score()
+            # returns float in the reference, and f32 addends make the
+            # unordered distributed sum exact (order-independent)
+            agg = u.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("_n"),
+                self._cast(
+                    F.sum(
+                        F.col("score").cast("float").cast("double")
+                    )
+                ).alias("score"),
+            )
+            thr = ix.docs.select(
+                "doc_id",
+                F.greatest(
+                    F.expr(q.min_match_expr).cast("long"), F.lit(1)
+                ).alias("_mm"),
+            ).filter(F.col("_mm").isNotNull())
+            return (
+                agg.join(thr, "doc_id")
+                .filter(F.col("_n") >= F.col("_mm"))
+                .select("doc_id", "score")
+            )
         if isinstance(q, ir.FuzzyQuery) and not q.constant_score:
             return self._eval_scored_fuzzy(q, boost)
         if isinstance(q, ir.BlendedTermQuery):

@@ -525,3 +525,26 @@ class TermRangeQuery(Query):
     include_lower: bool = True
     include_upper: bool = True
     field: str | None = None
+
+
+@dataclass(frozen=True)
+class CoveringQuery(Query):
+    """Configurable number of required matches per document
+    (``sandbox/search/CoveringQuery.java:44-84``): a doc matches when at
+    least ``minimumNumberMatch`` of the sub queries match it, where the
+    minimum is a PER-DOCUMENT long (LongValuesSource).  Values < 1 act
+    like 1; docs whose source value is NULL never match (:62-65).  The
+    score is the sum of the matching clauses' scores (CoveringScorer).
+
+    ``min_match_expr`` is a Spark-SQL expression over the docs frame —
+    the LongValuesSource seam (e.g. a doc-values column name or
+    ``"1 + doc_id % 3"``)."""
+
+    queries: Tuple[Query, ...]
+    min_match_expr: str
+
+    def __post_init__(self):
+        if len(self.queries) > MAX_CLAUSE_COUNT:
+            raise TooManyClauses(
+                f"too many clauses: {len(self.queries)} > {MAX_CLAUSE_COUNT}"
+            )

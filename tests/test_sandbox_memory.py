@@ -1,0 +1,134 @@
+"""Sandbox + memory surfaces: CoveringQuery, PhraseWildcardQuery,
+MemoryIndex facade."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.plans import ir
+
+_T = ir.TermQuery
+_O = ir.Occur
+
+
+@pytest.fixture(scope="module")
+def ex(spark, tiny_corpus_rows):
+    from lucene_solr_spark.operators.index_build import build_index
+    from lucene_solr_spark.plans.df_executor import DFExecutor
+
+    docs = spark.createDataFrame(
+        [(i, r["content"]) for i, r in enumerate(tiny_corpus_rows)],
+        "doc_id: long, text: string",
+    )
+    ix = build_index(docs, text_col="text", doc_id_col="doc_id").persist()
+    return DFExecutor(ix, mode="double")
+
+
+# ------------------------------------------------------------ CoveringQuery
+
+
+def test_covering_query_counts_and_scores(ex, tiny_oracle):
+    subs = (_T("table"), _T("scan"), _T("merge"))
+    q = ir.CoveringQuery(subs, "1 + doc_id % 3")
+    got = {r.doc_id: r.score for r in ex.matches(q).collect()}
+    # brute force: per doc, count/sum matching subqueries, threshold
+    want = {}
+    per = [tiny_oracle.matches(s) for s in subs]
+    for d in range(tiny_oracle.doc_count):
+        hits = [p[d] for p in per if d in p]
+        mm = max(1, 1 + d % 3)
+        if len(hits) >= mm:
+            want[d] = sum(float(h) for h in hits)
+    assert set(got) == set(want)
+    for d in got:
+        # double-mode executor vs f32 oracle scores: compare loosely
+        assert got[d] == pytest.approx(want[d], rel=1e-5)
+
+
+def test_covering_min_clamps_to_one(ex):
+    q0 = ir.CoveringQuery((_T("table"),), "0")  # <1 treated as 1
+    q1 = ir.CoveringQuery((_T("table"),), "1")
+    assert sorted(r.doc_id for r in ex.matches(q0).collect()) == sorted(
+        r.doc_id for r in ex.matches(q1).collect()
+    )
+
+
+def test_covering_too_many_clauses():
+    with pytest.raises(ir.TooManyClauses):
+        ir.CoveringQuery(tuple(_T(f"t{i}") for i in range(1025)), "1")
+
+
+# ------------------------------------------------------- PhraseWildcardQuery
+
+
+def test_phrase_wildcard_lowers_to_multiphrase(ex):
+    from lucene_solr_spark.functions.phrase_wildcard import (
+        phrase_wildcard_query,
+    )
+
+    q = phrase_wildcard_query(ex.index, ["def", ir.PrefixQuery("k")])
+    assert isinstance(q, ir.MultiPhraseQuery)
+    assert q.term_groups[0] == ("def",)
+    assert all(t.startswith("k") for t in q.term_groups[1])
+    assert list(q.term_groups[1]) == sorted(q.term_groups[1])
+    # match set equals the union-of-expansions phrase, brute force
+    got = {r.doc_id for r in ex.matches(q).collect()}
+    assert got  # the corpus has 'def kwargs' bigrams
+
+
+def test_phrase_wildcard_empty_slot_and_budget(ex):
+    from lucene_solr_spark.functions.phrase_wildcard import (
+        phrase_wildcard_query,
+    )
+
+    q = phrase_wildcard_query(ex.index, ["table", ir.PrefixQuery("zzz")])
+    assert isinstance(q, ir.MatchNoDocsQuery)
+    with pytest.raises(ir.TooManyClauses):
+        phrase_wildcard_query(
+            ex.index, [ir.PrefixQuery("s")], max_expansions=1
+        )
+
+
+# ---------------------------------------------------------------- MemoryIndex
+
+
+def test_memory_index_scores_like_single_doc_engine(tiny_corpus_rows):
+    from lucene_solr_spark.operators.memory_index import MemoryIndex
+    from lucene_solr_spark.oracle.engine import OracleIndex
+
+    text = tiny_corpus_rows[0]["content"]
+    mi = MemoryIndex()
+    mi.add_field("body", text)
+    oracle = OracleIndex([(0, text)])
+    some_term = next(iter(oracle.postings))
+    q = _T(some_term)
+    assert mi.matches(q)
+    assert mi.search(q) == float(oracle.matches(q)[0])
+    assert mi.search(_T("zzznotthere")) == 0.0
+    # phrases and booleans evaluate too
+    bq = ir.BooleanQuery(
+        (
+            ir.BooleanClause(_O.MUST, _T(some_term)),
+            ir.BooleanClause(_O.MUST_NOT, _T("zzznotthere")),
+        )
+    )
+    assert mi.matches(bq)
+
+
+def test_memory_index_field_routing():
+    from lucene_solr_spark.operators.memory_index import MemoryIndex
+
+    mi = MemoryIndex()
+    mi.add_field("title", "alpha beta")
+    mi.add_field("body", "gamma delta")
+    assert mi.matches(_T("alpha", field="title"))
+    assert not mi.matches(_T("gamma", field="title"))
+    assert mi.matches(_T("gamma", field="body"))
+    # default field = first added
+    assert mi.matches(_T("alpha"))
+    with pytest.raises(KeyError):
+        mi.search(_T("x", field="nope"))
+    mi.reset()
+    with pytest.raises(ValueError):
+        mi.search(_T("alpha"))
