@@ -3462,6 +3462,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["phrase_wildcard_topk"] = phrase_wildcard_topk
 
+    # CombinedFieldQuery (BM25F simple variant): body weight 1 + title
+    # weight 2 score as one synthetic field (pseudo stats, weighted
+    # freqs, re-encoded combined norms)
+    def combined_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.functions.combined_field import (
+            combined_field_topk as _cft,
+        )
+
+        ex = _mf_executor(spark, sf_dir)
+        return _cft(
+            ex.mf, ["merge", "window"], {"text": 1.0, "title": 2.0}, k=10
+        ).select("doc_id", "score")
+
+    out["combined_field_topk"] = combined_field_topk
+
     # ---- SimpleQueryParser (queryparser/simple) --------------------------
     # the error-tolerant human syntax parsed to IR, run through the
     # standard executor; structure pinned by tests/test_simple_parser.py
@@ -5777,6 +5792,51 @@ def oracle_sql() -> dict[str, str]:
       SELECT p.doc_id, {bm25_score_sql(tf_expr='p.tf', w_expr=_pw_w)} AS score
       FROM ph p JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
       ORDER BY score DESC, p.doc_id ASC LIMIT 10"""
+
+    # CombinedFieldQuery: pseudo stats (df = max over (term, field)
+    # pairs, weighted collection ttf), per-doc weighted freq union,
+    # combined norm re-encoded through the same norm_lut buckets
+    out["combined_field_topk"] = f"""WITH {_IX}, {_TITLE_IX},
+      ps AS (
+        SELECT
+          greatest(
+            coalesce((SELECT max(df) FROM term_stats
+                      WHERE term IN ('merge','window')), 0),
+            coalesce((SELECT max(df) FROM t_term_stats
+                      WHERE term IN ('merge','window')), 0)
+          )::DOUBLE AS dfm,
+          (SELECT doc_count FROM gstats)::DOUBLE AS n,
+          ((SELECT sum_ttf FROM gstats) * 1.0
+           + (SELECT sum_ttf FROM t_gstats) * 2.0) AS sttf
+      ),
+      wq AS (SELECT ln(1.0 + (n - dfm + 0.5) / (dfm + 0.5)) AS w,
+                    sttf / n AS avgdl FROM ps),
+      freq AS (
+        SELECT doc_id, sum(CAST(wtf AS REAL)::DOUBLE) AS freq FROM (
+          SELECT doc_id, tf::DOUBLE * 1.0 AS wtf FROM postings
+          WHERE term IN ('merge','window')
+          UNION ALL
+          SELECT doc_id, tf::DOUBLE * 2.0 FROM t_postings
+          WHERE term IN ('merge','window')
+        ) GROUP BY doc_id
+      ),
+      comb AS (
+        SELECT doc_id, sum(CAST(wlen AS REAL)::DOUBLE) AS wl FROM (
+          SELECT doc_id, declen * 1.0 AS wlen FROM norms
+          UNION ALL
+          SELECT doc_id, declen * 2.0 FROM t_norms
+        ) GROUP BY doc_id
+      ),
+      clen AS (SELECT doc_id,
+                      CAST(floor(CAST(wl AS REAL) + 0.5) AS BIGINT) AS clen
+               FROM comb),
+      cn AS (SELECT c.doc_id, l.declen FROM clen c
+             JOIN norm_lut l ON c.clen >= l.lo AND c.clen < l.hi)
+      SELECT f.doc_id,
+             w.w - w.w / (1.0 + f.freq
+               * (1.0 / (1.2 * (0.25 + (0.75 * cn.declen) / w.avgdl)))) AS score
+      FROM freq f JOIN cn ON cn.doc_id = f.doc_id CROSS JOIN wq w
+      ORDER BY score DESC, f.doc_id ASC LIMIT 10"""
 
     # SimpleQueryParser: 'dup + (merge | window)' = MUST(dup) +
     # MUST(SHOULD-sum subquery); 'scan + -filter' = scan ∧ ¬filter

@@ -132,3 +132,97 @@ def test_memory_index_field_routing():
     mi.reset()
     with pytest.raises(ValueError):
         mi.search(_T("alpha"))
+
+
+# ----------------------------------------------------------- CombinedField
+
+
+@pytest.fixture(scope="module")
+def mf_index(spark, tiny_corpus_rows):
+    from lucene_solr_spark.operators.multi_field import (
+        build_multi_field_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, r["content"]) for i, r in enumerate(tiny_corpus_rows)],
+        "doc_id: long, text: string",
+    ).withColumn("title", F.expr("substring(text, 1, 30)"))
+    return build_multi_field_index(
+        docs, {"text": {"col": "text"}, "title": {"col": "title"}},
+        doc_id_col="doc_id",
+    ).persist()
+
+
+def test_combined_field_brute_force(spark, mf_index):
+    import math
+
+    import numpy as np
+
+    from lucene_solr_spark.functions.combined_field import (
+        combined_field_scores,
+    )
+    from lucene_solr_spark.oracle import bm25, smallfloat
+
+    weights = {"text": 1.0, "title": 2.0}
+    terms = ["def", "class"]
+    got = {
+        r.doc_id: r.score
+        for r in combined_field_scores(mf_index, terms, weights).collect()
+    }
+    # scalar brute force from the per-field frames
+    tf = {}
+    for f, w in weights.items():
+        for r in (
+            mf_index.fields[f]
+            .postings_slim.filter(F.col("term").isin(terms))
+            .collect()
+        ):
+            tf[r.doc_id] = tf.get(r.doc_id, 0.0) + w * r.tf
+    norms = {f: {r.doc_id: r.norm for r in mf_index.fields[f].norms.collect()} for f in weights}
+    df_max = 0
+    ttf = 0
+    for t in terms:
+        for f in sorted(weights):
+            row = (
+                mf_index.fields[f]
+                .term_stats.filter(F.col("term") == t)
+                .collect()
+            )
+            if row:
+                df_max = max(df_max, row[0].df)
+                ttf = int(ttf + weights[f] * row[0].ttf)
+    doc_count = max(ix.doc_count for ix in mf_index.fields.values())
+    sum_ttf = 0
+    for f in sorted(weights):
+        sum_ttf = int(sum_ttf + weights[f] * mf_index.fields[f].sum_ttf)
+    avgdl = sum_ttf / doc_count
+    wq = math.log(1.0 + (doc_count - df_max + 0.5) / (df_max + 0.5))
+    want = {}
+    for d, freq in tf.items():
+        clen = math.floor(
+            float(
+                np.float32(
+                    sum(
+                        weights[f]
+                        * float(bm25.LENGTH_TABLE_F32[norms[f][d]])
+                        for f in weights
+                    )
+                )
+            )
+            + 0.5
+        )
+        declen = float(bm25.LENGTH_TABLE_F32[smallfloat.int_to_byte4(int(clen))])
+        inv = 1.0 / (1.2 * (0.25 + (0.75 * declen) / avgdl))
+        want[d] = wq - wq / (1.0 + freq * inv)
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], rel=1e-12), d
+
+
+def test_combined_field_weight_validation(mf_index):
+    from lucene_solr_spark.functions.combined_field import (
+        combined_field_scores,
+    )
+
+    with pytest.raises(ValueError):
+        combined_field_scores(mf_index, ["def"], {"text": 0.5})
