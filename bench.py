@@ -36,6 +36,11 @@ PIPELINE_OPS = [
     "doc_fingerprint",
     "ann_cosine_topk",
     "events_window",
+    # round 5 (cont.) module phases — the legacy phases above keep their
+    # definitions for cross-round comparability
+    "monitor_matches",
+    "nb_classify",
+    "geo_distance_set",
 ]
 
 

@@ -538,63 +538,79 @@ class Monitor:
         out_schema = StructType(out_fields)
 
         def verify(batches):
+            import numpy as np
             import pandas as pd
+
+            from ..functions.fast_tokenizer import batch_tokenize
+            from ..oracle.engine import OracleIndex
 
             subqueries = pickle.loads(subq_bc.value)
             for pdf in batches:
+                # ONE batch-kernel tokenize pass for the whole Arrow
+                # batch (the per-doc scalar analyzer was the hot spot)
+                tdoc, terms, pos = batch_tokenize(
+                    pdf["text"].tolist(), **ana_kwargs
+                )
+                doc_ids = pdf["doc_id"].to_numpy(np.int64)
+                cands = [
+                    [(c["query_id"], int(c["sub_ord"])) for c in cand]
+                    for cand in pdf["cands"]
+                ]
                 rows: list[tuple] = []
-                for doc_id, text, cand in zip(
-                    pdf["doc_id"], pdf["text"], pdf["cands"]
-                ):
-                    doc_id = int(doc_id)
-                    per_q = _match_one_doc(
-                        text,
-                        [(c["query_id"], int(c["sub_ord"])) for c in cand],
-                        subqueries,
-                        scoring=scoring,
-                        analyzer_kwargs=ana_kwargs,
-                    )
-                    if scoring:
-                        rows.extend(
-                            (doc_id, qid, s) for qid, s in sorted(per_q.items())
+                if not scoring:
+                    # match mode is stats-independent: ONE vectorized
+                    # index over the batch (DocumentBatch role), each
+                    # distinct candidate subquery evaluated once,
+                    # intersected with its candidate docs
+                    ix = OracleIndex.from_flat(doc_ids, tdoc, terms, pos)
+                    distinct = sorted({key for cl in cands for key in cl})
+                    matched = {
+                        key: set(ix.matches(subqueries[key]))
+                        for key in distinct
+                    }
+                    for did, cl in zip(doc_ids, cands):
+                        did = int(did)
+                        hit = sorted(
+                            {q for (q, so) in cl if did in matched[(q, so)]}
                         )
-                    else:
-                        rows.extend((doc_id, qid) for qid in sorted(per_q))
+                        rows.extend((did, qid) for qid in hit)
+                else:
+                    tdoc = np.asarray(tdoc, np.int64)
+                    terms_py = (
+                        terms.to_pylist()
+                        if hasattr(terms, "to_pylist")
+                        else list(terms)
+                    )
+                    bounds = np.searchsorted(
+                        tdoc, np.arange(len(pdf) + 1)
+                    )
+                    for i, (did, cl) in enumerate(zip(doc_ids, cands)):
+                        did = int(did)
+                        toks = list(
+                            zip(
+                                terms_py[bounds[i] : bounds[i + 1]],
+                                [
+                                    int(p)
+                                    for p in pos[bounds[i] : bounds[i + 1]]
+                                ],
+                            )
+                        )
+                        ix = OracleIndex([(0, toks)], pre_tokenized=True)
+                        per_q: dict[str, float] = {}
+                        for qid, sub_ord in cl:
+                            sub = subqueries[(qid, sub_ord)]
+                            if 0 not in ix.matches(sub):
+                                continue
+                            sc = _score_double_one_doc(sub, ix)
+                            per_q[qid] = per_q.get(qid, 0.0) + sc
+                        rows.extend(
+                            (did, qid, s)
+                            for qid, s in sorted(per_q.items())
+                            if s > 0.0
+                        )
                 yield pd.DataFrame(rows, columns=[f.name for f in out_fields])
 
         return payload.mapInPandas(verify, schema=out_schema)
-
-
-def _match_one_doc(
-    text: str,
-    cand: list[tuple[str, int]],
-    subqueries: dict[tuple[str, int], ir.Query],
-    *,
-    scoring: bool,
-    analyzer_kwargs: dict,
-):
-    """MemoryIndex role: verify each candidate subquery against a
-    one-document index built with the same analyzer chain; returns
-    {query_id} (match mode) or {query_id: summed double score}."""
-    from ..oracle.engine import OracleIndex
-
-    ix = OracleIndex([(0, text)], **analyzer_kwargs)
-    matched: dict[str, float] = {}
-    hit: set[str] = set()
-    for qid, sub_ord in cand:
-        sub = subqueries[(qid, sub_ord)]
-        res = ix.matches(sub)
-        if 0 not in res:
-            continue
-        if not scoring:
-            hit.add(qid)
-            continue
-        score = _score_double_one_doc(sub, ix)
-        matched[qid] = matched.get(qid, 0.0) + score
-    if not scoring:
-        return hit
-    # CollectingMatcher drops score<=0 (ScoringMatch.java:36-39)
-    return {q: s for q, s in matched.items() if s > 0.0}
 
 
 def _score_double_one_doc(q: ir.Query, ix, boost: float = 1.0) -> float:

@@ -49,6 +49,13 @@ def _f32(x) -> np.float32:
     return np.float32(x)
 
 
+class _PreTok:
+    __slots__ = ("term", "pos")
+
+    def __init__(self, term: str, pos: int):
+        self.term, self.pos = term, pos
+
+
 class OracleIndex:
     """In-memory inverted index over (doc_id, text) with BM25 search."""
 
@@ -64,7 +71,12 @@ class OracleIndex:
         strip_possessive: bool = False,
         stemmer: str | None = None,
         index_options: str = "positions",
+        pre_tokenized: bool = False,
     ) -> None:
+        """``pre_tokenized=True`` takes ``docs`` as
+        ``(doc_id, [(term, pos), ...])`` — the batch-kernel fast path
+        (tokens from functions.fast_tokenizer, pinned identical to
+        ``analyze``); analyzer kwargs are ignored then."""
         self.k1, self.b = k1, b
         self.index_options = index_options
         # postings: term -> {doc_id: tf}; positions: term -> {doc_id: [pos...]}
@@ -75,14 +87,17 @@ class OracleIndex:
         self.sum_ttf = 0  # sumTotalTermFreq = total surviving tokens
         self.all_docs: list[int] = []
         for doc_id, text in docs:
-            toks = analyze(
-                text,
-                lowercase=lowercase,
-                stopwords=stopwords,
-                max_token_length=max_token_length,
-                strip_possessive=strip_possessive,
-                stemmer=stemmer,
-            )
+            if pre_tokenized:
+                toks = [_PreTok(t, p) for t, p in text]
+            else:
+                toks = analyze(
+                    text,
+                    lowercase=lowercase,
+                    stopwords=stopwords,
+                    max_token_length=max_token_length,
+                    strip_possessive=strip_possessive,
+                    stemmer=stemmer,
+                )
             tf = Counter(t.term for t in toks)
             for term, f in tf.items():
                 self.postings[term][doc_id] = 1 if index_options == "docs" else f
@@ -99,6 +114,71 @@ class OracleIndex:
         self.all_docs.sort()
         self.avgdl = bm25.avg_field_length(self.sum_ttf, self.doc_count) if self.doc_count else _f32(0)
         self.cache = bm25.norm_inverse_cache(self.k1, self.b, self.avgdl)
+
+    @classmethod
+    def from_flat(
+        cls,
+        doc_ids,
+        tdoc,
+        terms,
+        pos,
+        *,
+        k1: float = bm25.K1_DEFAULT,
+        b: float = bm25.B_DEFAULT,
+    ) -> "OracleIndex":
+        """Vectorized constructor from the batch tokenizer's flat arrays
+        (``functions.fast_tokenizer.batch_tokenize`` output): one numpy
+        sort + reduceat instead of per-token Python — the monitor's
+        per-batch DocumentBatch index at kernel speed."""
+        import numpy as np
+
+        self = cls.__new__(cls)
+        self.k1, self.b = k1, b
+        self.index_options = "positions"
+        self.postings = defaultdict(dict)
+        self.positions = defaultdict(dict)
+        self.norms = {}
+        doc_ids = np.asarray(doc_ids, np.int64)
+        tdoc = np.asarray(tdoc, np.int64)
+        pos = np.asarray(pos, np.int64)
+        lengths = np.bincount(tdoc, minlength=len(doc_ids)).astype(np.int64)
+        for i, d in enumerate(doc_ids):
+            self.norms[int(d)] = int(smallfloat.int_to_byte4(int(lengths[i])))
+        self.doc_count = int(len(doc_ids))
+        self.sum_ttf = int(lengths.sum())
+        self.all_docs = sorted(int(d) for d in doc_ids)
+        self.avgdl = (
+            bm25.avg_field_length(self.sum_ttf, self.doc_count)
+            if self.doc_count
+            else _f32(0)
+        )
+        self.cache = bm25.norm_inverse_cache(self.k1, self.b, self.avgdl)
+        if len(tdoc) == 0:
+            return self
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if not isinstance(terms, (pa.Array, pa.ChunkedArray)):
+            terms = pa.array(list(terms), pa.string())
+        denc = pc.dictionary_encode(terms)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = np.asarray(denc.indices, np.int64)
+        vocab = denc.dictionary.to_pylist()
+        order = np.lexsort((pos, codes, tdoc))
+        sd, sc, sp = tdoc[order], codes[order], pos[order]
+        new_group = np.empty(len(sd), bool)
+        new_group[0] = True
+        new_group[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+        starts = np.flatnonzero(new_group)
+        counts = np.diff(np.append(starts, len(sd)))
+        split_pos = np.split(sp, starts[1:])
+        for s0, n, plist in zip(starts, counts, split_pos):
+            term = vocab[sc[s0]]
+            did = int(doc_ids[sd[s0]])
+            self.postings[term][did] = int(n)
+            self.positions[term][did] = [int(x) for x in plist]
+        return self
 
     # ---- stats ----
     def df(self, term: str) -> int:
