@@ -3439,6 +3439,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["daitch_mokotoff_topk"] = daitch_mokotoff_topk
 
+    # ---- surround parser (queryparser/surround) --------------------------
+    # span-oriented human syntax parsed onto the span IR and run through
+    # the standard executor; grammar pinned by tests/test_surround_parser
+    from lucene_solr_spark.plans.surround_parser import parse_surround
+
+    out["surround_near_set"] = _match_set(
+        parse_surround("(table OR hash) 2W scan")
+    )
+    out["surround_bool_set"] = _match_set(
+        parse_surround("scan AND table NOT filter")
+    )
+
     # ---- sandbox: CoveringQuery + PhraseWildcardQuery --------------------
     # CoveringQuery: per-doc dynamic minimum-should-match from a long
     # source (here 1 + doc_id % 3), score = sum of matching clauses
@@ -5755,6 +5767,19 @@ def oracle_sql() -> dict[str, str]:
     # oracle (rows-only driver check): the cascades are not
     # SQL-expressible; both encoders are pinned bit-exact by the golden
     # suites in tests/test_phonetic.py instead (the Porter precedent).
+
+    # surround: '(table OR hash) 2W scan' = ordered near within
+    # distance 2 (slop 1) where the first slot is either term;
+    # 'scan AND table NOT filter' = scan ∧ table ∧ ¬filter
+    out["surround_near_set"] = f"""WITH {_IX}
+      SELECT DISTINCT a.doc_id
+      FROM tokens a JOIN tokens b ON a.doc_id = b.doc_id
+      WHERE a.term IN ('table', 'hash') AND b.term = 'scan'
+        AND b.pos > a.pos AND b.pos - a.pos - 1 <= 1"""
+    out["surround_bool_set"] = f"""WITH {_IX}
+      SELECT doc_id FROM postings WHERE term = 'scan'
+      INTERSECT SELECT doc_id FROM postings WHERE term = 'table'
+      EXCEPT SELECT doc_id FROM postings WHERE term = 'filter'"""
 
     # CoveringQuery: float32 leaf scores summed in double (the Scorer
     # float contract), count >= per-doc source clamped to 1
