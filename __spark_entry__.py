@@ -5632,11 +5632,12 @@ def oracle_sql() -> dict[str, str]:
       cls AS (SELECT doc_id, lang AS cls FROM documents),
       g2 AS (SELECT count(*)::DOUBLE AS dwc FROM cls),
       np AS (SELECT count(*)::DOUBLE AS np FROM postings),
+      fdc AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM postings),
       cs AS (SELECT cls, count(*)::DOUBLE AS df_c FROM cls GROUP BY cls),
       cs2 AS (
         SELECT cls, ln(df_c) - ln(g2.dwc) AS prior,
-               (np.np / g2.dwc) * df_c + g2.dwc AS den
-        FROM cs, g2, np
+               (np.np / fdc.n) * df_c + g2.dwc AS den
+        FROM cs, g2, np, fdc
       ),
       ct AS (
         SELECT c.cls, p.term, count(*)::DOUBLE AS wdf

@@ -85,10 +85,13 @@ def naive_bayes_train(
         tagged.groupBy("cls", "term")
         .agg(F.count(F.lit(1)).alias("wdf"))  # postings are distinct per doc
     )
-    # avg # of unique terms per doc = sumDocFreq / docCount, over the
-    # TRAINING docs (the reader the reference sees)
+    # avg # of unique terms per doc = sumDocFreq / docCount of the TEXT
+    # field itself (SimpleNaiveBayesClassifier.java:244-255 reads both
+    # from MultiTerms over the whole reader — unlabeled docs count here,
+    # only the +docsWithClass smoothing uses the labeled count)
     n_postings = postings.count()
-    avg_unique = n_postings / docs_with_class
+    field_doc_count = postings.select("doc_id").distinct().count()
+    avg_unique = n_postings / field_doc_count
     class_stats = (
         classes.groupBy("cls")
         .agg(F.countDistinct("doc_id").alias("df_c"))
@@ -187,13 +190,19 @@ def knn_classes(
     top = mlt_topk(executor, doc_id, k=k, boost=boost, **mlt_kwargs).select(
         "doc_id", "score"
     )
+    # normalize by the GLOBAL top-1 neighbor score — computed over the
+    # full top-k BEFORE the class join (topDocs.scoreDocs[0].score,
+    # KNearestNeighborClassifier.java:185): an unlabeled best neighbor
+    # still sets the scale, it just casts no vote
+    top = top.withColumn(
+        "_mx", F.max("score").over(Window.partitionBy(F.lit(1)))
+    )
     hits = top.join(
         classes.filter(F.col("cls").isNotNull()), "doc_id", "inner"
     )
-    max_score = F.max("score").over(Window.partitionBy(F.lit(1)))
     # f32-rounded addends → order-independent double sum (see module doc)
     voted = hits.withColumn(
-        "nb", (F.col("score") / max_score).cast("float").cast("double")
+        "nb", (F.col("score") / F.col("_mx")).cast("float").cast("double")
     )
     agg = voted.groupBy("cls").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("nb").alias("boost_sum")

@@ -38,21 +38,26 @@ def _pseudo_stats(mf, terms, field_weights):
     """Driver-side pseudo term + collection statistics (small lookups —
     one pruned dictionary probe per (term, field))."""
     fields = sorted(field_weights)
+    # ONE pruned dictionary probe per field (not per (term, field) pair)
+    stats: dict[str, dict[str, tuple[int, int]]] = {}
+    for f in fields:
+        stats[f] = {
+            r.term: (int(r.df), int(r.ttf))
+            for r in mf.fields[f]
+            .term_stats.filter(F.col("term").isin(list(terms)))
+            .select("term", "df", "ttf")
+            .collect()
+        }
     df_max = 0
     ttf_run = 0
     for t in terms:
         for f in fields:
-            ix = mf.fields[f]
-            row = (
-                ix.term_stats.filter(F.col("term") == t)
-                .select("df", "ttf")
-                .collect()
-            )
-            if row and int(row[0].df) > 0:
-                df_max = max(df_max, int(row[0].df))
+            df, ttf = stats[f].get(t, (0, 0))
+            if df > 0:
+                df_max = max(df_max, df)
                 # Java: totalTermFreq += (double) weight * ttf (long
                 # compound assignment truncates the running double)
-                ttf_run = int(ttf_run + field_weights[f] * int(row[0].ttf))
+                ttf_run = int(ttf_run + field_weights[f] * ttf)
     doc_count = 0
     sum_ttf_run = 0
     for f in fields:

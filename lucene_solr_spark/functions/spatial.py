@@ -59,7 +59,11 @@ _LON_DECODE = 360.0 / (1 << 32)
 def _enc(value, decode: float, ceil: bool):
     if isinstance(value, Column):
         f = F.ceil if ceil else F.floor
-        return f(value / F.lit(decode)).cast("long")
+        # clamp exactly like the reference's +90/+180 nextDown nudge:
+        # only lat == 90.0 / lon == 180.0 can reach 2^31
+        return F.least(
+            f(value / F.lit(decode)).cast("long"), F.lit((1 << 31) - 1)
+        )
     return int(math.ceil(value / decode) if ceil else math.floor(value / decode))
 
 
@@ -127,8 +131,8 @@ def box_sql(
     max_lon: float,
 ) -> str:
     """SQL twin of ``box_query`` (same encoded-int comparisons)."""
-    lat_e = f"CAST(floor({lat_col} / {_LAT_DECODE!r}) AS BIGINT)"
-    lon_e = f"CAST(floor({lon_col} / {_LON_DECODE!r}) AS BIGINT)"
+    lat_e = f"least(CAST(floor({lat_col} / {_LAT_DECODE!r}) AS BIGINT), 2147483647)"
+    lon_e = f"least(CAST(floor({lon_col} / {_LON_DECODE!r}) AS BIGINT), 2147483647)"
     lat_pred = (
         f"{lat_e} >= {encode_lat(min_lat, ceil=True)}"
         f" AND {lat_e} <= {encode_lat(max_lat)}"
@@ -168,8 +172,8 @@ def distance_col(lat_col: str, lon_col: str, lat: float, lon: float) -> Column:
 def distance_sql(lat_col: str, lon_col: str, lat: float, lon: float) -> str:
     """SQL twin of ``distance_col`` (float32-rounded like the Column,
     absorbing trig-library 1-ulp differences)."""
-    p_lat = f"(CAST(floor({lat_col} / {_LAT_DECODE!r}) AS BIGINT) * {_LAT_DECODE!r} * {_D2R!r})"
-    p_lon = f"(CAST(floor({lon_col} / {_LON_DECODE!r}) AS BIGINT) * {_LON_DECODE!r} * {_D2R!r})"
+    p_lat = f"(least(CAST(floor({lat_col} / {_LAT_DECODE!r}) AS BIGINT), 2147483647) * {_LAT_DECODE!r} * {_D2R!r})"
+    p_lon = f"(least(CAST(floor({lon_col} / {_LON_DECODE!r}) AS BIGINT), 2147483647) * {_LON_DECODE!r} * {_D2R!r})"
     q_lat, q_lon = repr(lat * _D2R), repr(lon * _D2R)
     sdlat = f"sin(({p_lat} - {q_lat}) / 2.0)"
     sdlon = f"sin(({p_lon} - {q_lon}) / 2.0)"
@@ -273,8 +277,8 @@ def polygon_query(
 
 def polygon_sql(lat_col: str, lon_col: str, polygon) -> str:
     """SQL twin of ``polygon_query`` — the same generated edge terms."""
-    y = f"(CAST(floor({lat_col} / {_LAT_DECODE!r}) AS BIGINT) * {_LAT_DECODE!r})"
-    x = f"(CAST(floor({lon_col} / {_LON_DECODE!r}) AS BIGINT) * {_LON_DECODE!r})"
+    y = f"(least(CAST(floor({lat_col} / {_LAT_DECODE!r}) AS BIGINT), 2147483647) * {_LAT_DECODE!r})"
+    x = f"(least(CAST(floor({lon_col} / {_LON_DECODE!r}) AS BIGINT), 2147483647) * {_LON_DECODE!r})"
     terms = []
     for (y1, x1), (y2, x2) in _polygon_edges(polygon):
         if y2 == y1:

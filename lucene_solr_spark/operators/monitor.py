@@ -417,6 +417,25 @@ class Monitor:
             raise ValueError("duplicate query_id in monitor registration")
         self.passes = int(passes)
         self.analyzer_kwargs = dict(analyzer_kwargs or {})
+        # presearch tokenizes via postings_frame, verify via the batch
+        # kernel — accept only kwargs BOTH understand, and fail at
+        # registration instead of inside an executor task
+        if self.analyzer_kwargs:
+            import inspect
+
+            from ..functions.analysis import postings_frame
+            from ..functions.fast_tokenizer import batch_tokenize
+
+            allowed = (
+                set(inspect.signature(batch_tokenize).parameters)
+                & set(inspect.signature(postings_frame).parameters)
+            )
+            bad = sorted(set(self.analyzer_kwargs) - allowed)
+            if bad:
+                raise ValueError(
+                    f"unsupported monitor analyzer kwargs: {bad} "
+                    f"(both tokenize paths must accept them)"
+                )
         # registration: decompose → per-subquery anchor rows
         self.subqueries: dict[tuple[str, int], ir.Query] = {}
         rows: list[tuple[str, int, int, str]] = []  # (qid, sub, pass, term)
@@ -652,7 +671,20 @@ def _score_double_one_doc(q: ir.Query, ix, boost: float = 1.0) -> float:
             ww = w(df, bst)
             return ww - ww / (1.0 + tf * inv)
         if isinstance(q, (ir.PhraseQuery,)):
-            freq = ix._phrase_freq(q, 0)
+            if any(ix.df(t) == 0 for t in q.terms):
+                return 0.0
+            if q.slop == 0:
+                freq = float(ix._phrase_freq(q, 0))
+            else:
+                # sloppy matches carry the SloppyPhraseMatcher float freq
+                from ..oracle.sloppy import sloppy_phrase_freq
+
+                freq = sloppy_phrase_freq(
+                    [ix.positions[t][0] for t in q.terms],
+                    list(q.positions),
+                    q.slop,
+                    terms=list(q.terms),
+                )
             if freq <= 0:
                 return 0.0
             ww = sum(w(ix.df(t), bst) for t in q.terms)

@@ -214,6 +214,57 @@ def _clause_terms(c) -> tuple:
     )
 
 
+def near_spans_general(
+    clause_spans: list, slop: int, in_order: bool
+) -> list[Span]:
+    """Span-near over GENERAL sub-span lists (nested SpanNearClauseQuery
+    clauses — e.g. the surround parser's chained distance operators):
+    pick one span per clause, mutually non-overlapping, total gap
+    ``(last_end − first_start) − Σ widths`` ≤ slop; ordered additionally
+    requires clause order.  Matches are enumerated exhaustively with
+    gap pruning (single-document lists — the percolation/oracle path).
+    The engine's unordered contract requires DISJOINT picks (the same
+    honest restriction as the overlapping-terms reject)."""
+    n = len(clause_spans)
+    if n == 0:
+        return []
+    lists = [sorted(set(cs)) for cs in clause_spans]
+    if any(not cs for cs in lists):
+        return []
+    out: set = set()
+
+    def rec_ordered(idx: int, first_start: int, prev_end: int, gap: int):
+        if idx == n:
+            out.add((first_start, prev_end, gap))
+            return
+        for st, en, _w in lists[idx]:
+            if st < prev_end:
+                continue
+            g = gap + (st - prev_end)
+            if g > slop:
+                break  # sorted by start: later spans only widen the gap
+            rec_ordered(idx + 1, first_start, en, g)
+
+    if in_order:
+        for st, en, _w in lists[0]:
+            rec_ordered(1, st, en, 0)
+    else:
+        import itertools
+
+        for combo in itertools.product(*lists):
+            picked = sorted(combo)
+            ok = all(
+                picked[i + 1][0] >= picked[i][1] for i in range(n - 1)
+            )
+            if not ok:
+                continue
+            total_len = sum(e - s for s, e, _ in picked)
+            gap = (picked[-1][1] - picked[0][0]) - total_len
+            if gap <= slop:
+                out.add((picked[0][0], picked[-1][1], gap))
+    return sorted(out)
+
+
 def eval_spans(node, term_pos: dict) -> list[Span]:
     """Evaluate a span-query IR tree (plans.ir Span* nodes) over one
     document's ``term -> sorted positions array`` map. The single-node
@@ -231,8 +282,17 @@ def eval_spans(node, term_pos: dict) -> list[Span]:
     if isinstance(node, ir.SpanNearClauseQuery):
         # clause-based near (SpanNearQuery over SpanQuery clauses): a
         # clause's positions are the UNION of its terms' width-1 spans —
-        # exactly SpanOrQuery's ordered union of sub-spans
-        groups = [_clause_terms(c) for c in node.clauses]
+        # exactly SpanOrQuery's ordered union of sub-spans.  Clauses
+        # beyond term/or-of-terms (nested nears, span algebra) take the
+        # general sub-span matcher.
+        try:
+            groups = [_clause_terms(c) for c in node.clauses]
+        except TypeError:
+            return near_spans_general(
+                [eval_spans(c, term_pos) for c in node.clauses],
+                node.slop,
+                node.in_order,
+            )
         if not node.in_order:
             seen: set[str] = set()
             for g in groups:

@@ -671,12 +671,18 @@ class DFExecutor:
                     )
                 ).alias("score"),
             )
-            thr = ix.docs.select(
-                "doc_id",
-                F.greatest(
-                    F.expr(q.min_match_expr).cast("long"), F.lit(1)
-                ).alias("_mm"),
-            ).filter(F.col("_mm").isNotNull())
+            # NULL source values never match (CoveringQuery.java:62-65):
+            # filter BEFORE clamping — Spark's greatest() skips NULLs,
+            # so clamp-then-filter would resurrect them
+            raw_mm = F.expr(q.min_match_expr).cast("long")
+            thr = (
+                ix.docs.select("doc_id", raw_mm.alias("_raw"))
+                .filter(F.col("_raw").isNotNull())
+                .select(
+                    "doc_id",
+                    F.greatest(F.col("_raw"), F.lit(1)).alias("_mm"),
+                )
+            )
             return (
                 agg.join(thr, "doc_id")
                 .filter(F.col("_n") >= F.col("_mm"))

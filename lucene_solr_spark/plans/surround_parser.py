@@ -133,26 +133,21 @@ class _Parser:
         return self._distance(self.primary, want_ordered=True)
 
     def _distance(self, sub, want_ordered: bool) -> ir.Query:
-        first = sub()
-        operands = [first]
-        dist: int | None = None
+        # each operator token builds a BINARY DistanceQuery, nesting
+        # left-associatively (the W/N productions re-wrap per token —
+        # QueryParser.jj:320-350): "a 3w b 3w c" is ((a 3w b) 3w c),
+        # each PAIR within distance 3, not one 3-span window
+        q = sub()
         while True:
             tok = self.peek()
             op = _dist_op(tok) if tok is not None else None
             if op is None or op[1] != want_ordered:
                 break
             d, _ordered = op
-            if dist is not None and d != dist:
-                # differing distances nest left (ComposedQuery carries
-                # ONE operator)
-                left = self._make_distance(operands, dist, want_ordered)
-                operands = [left]
-            dist = d
             self.pop()
-            operands.append(sub())
-        if dist is None:
-            return first
-        return self._make_distance(operands, dist, want_ordered)
+            rhs = sub()
+            q = self._make_distance([q, rhs], d, want_ordered)
+        return q
 
     def _make_distance(self, operands, dist: int, ordered: bool) -> ir.Query:
         clauses = tuple(_to_span(q) for q in operands)
@@ -207,6 +202,8 @@ class _Parser:
                         for q in args[1:]
                     )
                 )
+            # prefix distance form IS n-ary: dW(a, b, c) puts all
+            # operands in ONE DistanceQuery (ComposedQuery list)
             d, ordered = _dist_op(tok)
             return self._make_distance(args, d, ordered)
         self.pop()

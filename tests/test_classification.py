@@ -55,7 +55,11 @@ def _scalar_nb(tiny_oracle, classes: dict[int, str], tokens: list[str]):
     for d, c in classes.items():
         by_class_docs.setdefault(c, set()).add(d)
     n_postings = sum(len(p) for p in tiny_oracle.postings.values())
-    avg_unique = n_postings / docs_with_class
+    # sumDocFreq / docCount of the text FIELD (the whole reader)
+    field_docs = set()
+    for p in tiny_oracle.postings.values():
+        field_docs.update(p)
+    avg_unique = n_postings / len(field_docs)
     raw = {}
     for c, cdocs in by_class_docs.items():
         prior = math.log(len(cdocs)) - math.log(docs_with_class)
@@ -240,3 +244,61 @@ def test_bm25_nb_classify(spark, trained):
         sc = w - w / (1.0 + 1.0 * inv1)
         want = math.log(sc) + float(np.float32(2.0 * math.log(sc + 0.0)))
         assert got == pytest.approx(want, rel=1e-12), c
+
+
+def test_knn_global_max_includes_unlabeled_top_hit(spark, trained):
+    """Normalization divides by the OVERALL top-1 neighbor score even
+    when that neighbor carries no class
+    (KNearestNeighborClassifier.java:185)."""
+    from lucene_solr_spark.functions.mlt import mlt_topk
+
+    ex, classes, _model = trained
+    top = mlt_topk(ex, 3, k=10, boost=True, min_term_freq=1, min_doc_freq=2).collect()
+    best = top[0]
+    classes2 = classes.withColumn(
+        "cls",
+        F.when(F.col("doc_id") != int(best.doc_id), F.col("cls")),
+    )
+    got = {
+        r.cls: r.score
+        for r in knn_classes(
+            ex, classes2, 3, k=10, min_term_freq=1, min_doc_freq=2
+        ).collect()
+    }
+    counts: dict[str, int] = {}
+    boosts: dict[str, float] = {}
+    for r in top[1:]:
+        c = _cls_of(r.doc_id)
+        counts[c] = counts.get(c, 0) + 1
+        boosts[c] = boosts.get(c, 0.0) + float(np.float32(r.score / best.score))
+    sumdoc = sum(counts.values())
+    want = {c: (boosts[c] / 10.0) * (10.0 / sumdoc) for c in counts}
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c] == pytest.approx(want[c], rel=1e-12)
+
+
+def test_nb_avg_unique_uses_field_doc_count(spark, trained):
+    """avgUniqueTermsPerDoc divides by the TEXT field's docCount, so an
+    unlabeled doc still counts in the denominator
+    (SimpleNaiveBayesClassifier.java:244-255)."""
+    ex, classes, _model = trained
+    # drop one doc's label: den must use ALL docs with text
+    classes2 = classes.withColumn(
+        "cls", F.when(F.col("doc_id") != 0, F.col("cls"))
+    )
+    model2 = naive_bayes_train(ex.index.postings_slim, classes2)
+    stats = {r.cls: r.den for r in model2.class_stats.collect()}
+    n_post = ex.index.postings_slim.count()
+    n_field_docs = ex.index.postings_slim.select("doc_id").distinct().count()
+    dwc = classes2.filter(F.col("cls").isNotNull()).count()
+    df_c = {
+        r.cls: r.n
+        for r in classes2.filter(F.col("cls").isNotNull())
+        .groupBy("cls")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for c, den in stats.items():
+        want = (n_post / n_field_docs) * df_c[c] + dwc
+        assert den == pytest.approx(want, rel=1e-12)

@@ -388,3 +388,20 @@ def test_fuzz_presearch_soundness(spark, tiny_corpus_rows, tiny_oracle):
     truth = _brute_matches(tiny_oracle, mon, len(tiny_corpus_rows))
     assert truth <= cands
     assert got == truth
+
+
+def test_scoring_mode_sloppy_phrase_not_dropped(spark, docs_df):
+    """A slop-matched phrase must appear in scoring mode with the
+    SloppyPhraseMatcher float freq — not score 0 and vanish (the exact
+    matcher only counts slop=0 occurrences)."""
+    q = ir.PhraseQuery(("kwargs", "env"), slop=2)
+    mon = Monitor({"qp": q})
+    match_docs = {r.doc_id for r in mon.match(docs_df).collect()}
+    scored = {r.doc_id: r.score for r in mon.match(docs_df, mode="scoring").collect()}
+    assert set(scored) == match_docs and match_docs
+    assert all(s > 0.0 for s in scored.values())
+
+
+def test_unsupported_analyzer_kwargs_fail_at_registration():
+    with pytest.raises(ValueError, match="unsupported monitor analyzer"):
+        Monitor({"q": _T("a")}, analyzer_kwargs={"synonyms": {"a": ("b",)}})

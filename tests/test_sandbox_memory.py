@@ -226,3 +226,14 @@ def test_combined_field_weight_validation(mf_index):
 
     with pytest.raises(ValueError):
         combined_field_scores(mf_index, ["def"], {"text": 0.5})
+
+
+def test_covering_null_source_never_matches(ex):
+    q = ir.CoveringQuery(
+        (_T("table"),),
+        "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE NULL END",
+    )
+    got = {r.doc_id for r in ex.matches(q).collect()}
+    base = {r.doc_id for r in ex.matches(_T("table")).collect()}
+    assert got == {d for d in base if d % 2 == 0}
+    assert not any(d % 2 for d in got)

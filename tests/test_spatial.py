@@ -144,3 +144,20 @@ def test_distance_query_prefilter_pushes_down(spark, geo_df):
     # the coarse box predicate is plain column comparisons (codegen
     # filter), not hidden behind the trig expression
     assert "Filter" in plan
+
+
+def test_pole_and_dateline_points_match_inclusive_boxes(spark):
+    """lat=90 / lon=180 points encode through the reference's nextDown
+    clamp on BOTH the document and query sides, so a box ending at the
+    pole contains the pole."""
+    df = spark.createDataFrame(
+        [(0, 90.0, 180.0), (1, 89.0, 179.0), (2, -90.0, -180.0)],
+        "doc_id: long, lat: double, lon: double",
+    )
+    got = {r.doc_id for r in box_query(df, "lat", "lon", 85, 90, 170, 180).collect()}
+    assert got == {0, 1}
+    got = {
+        r.doc_id
+        for r in box_query(df, "lat", "lon", -90, -85, -180, -170).collect()
+    }
+    assert got == {2}

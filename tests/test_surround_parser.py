@@ -121,8 +121,14 @@ def test_parse_shapes():
     )
     q = parse_surround("a n b")
     assert q.in_order is False and q.slop == 0
-    # n-ary same-operator composition
-    q = parse_surround("a W b W c")
+    # infix distance ops nest BINARY left-associatively (each operator
+    # token builds its own pair — per-pair distance, not one window)
+    q = parse_surround("a 3w b 3w c")
+    assert len(q.clauses) == 2 and q.slop == 2
+    assert isinstance(q.clauses[0], ir.SpanNearClauseQuery)
+    assert q.clauses[0].slop == 2
+    # the PREFIX distance form is n-ary (ComposedQuery operand list)
+    q = parse_surround("w(a, b, c)")
     assert len(q.clauses) == 3 and q.slop == 0
 
 
@@ -151,3 +157,12 @@ def test_w_binds_tighter_than_n_and_booleans():
     q = parse_surround("a w b AND c")
     assert isinstance(q, ir.BooleanQuery)
     assert isinstance(q.clauses[0].query, ir.SpanNearClauseQuery)
+
+
+def test_infix_distance_chain_is_per_pair():
+    """'a 3w b 3w c' constrains each PAIR to distance 3 — doc
+    'a x x b x x c' (each gap 3) matches, which the flat single-window
+    reading (total span <= 3) would reject."""
+    db = OracleIndex([(0, "a x1 x2 b y1 y2 c"), (1, "a b c"), (2, "a c b")])
+    q = parse_surround("a 3w b 3w c")
+    assert sorted(db.matches(q)) == [0, 1]
