@@ -3451,6 +3451,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         parse_surround("scan AND table NOT filter")
     )
 
+    # ---- ComplexPhraseQueryParser (queryparser/complexPhrase) ------------
+    # wildcards and groups INSIDE quoted phrases, rewritten onto spans
+    from lucene_solr_spark.plans.complex_phrase import parse_complex_phrase
+
+    out["complex_phrase_set"] = _match_set(parse_complex_phrase('"table s*"'))
+    out["complex_phrase_group_set"] = _match_set(
+        parse_complex_phrase('"(table hash) s*"')
+    )
+
     # ---- sandbox: CoveringQuery + PhraseWildcardQuery --------------------
     # CoveringQuery: per-doc dynamic minimum-should-match from a long
     # source (here 1 + doc_id % 3), score = sum of matching clauses
@@ -5768,6 +5777,19 @@ def oracle_sql() -> dict[str, str]:
     # oracle (rows-only driver check): the cascades are not
     # SQL-expressible; both encoders are pinned bit-exact by the golden
     # suites in tests/test_phonetic.py instead (the Porter precedent).
+
+    # complex phrase: '"table s*"' = table immediately followed by any
+    # s-term; the group variant ORs the first slot
+    out["complex_phrase_set"] = f"""WITH {_IX}
+      SELECT DISTINCT a.doc_id
+      FROM tokens a JOIN tokens b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.term = 'table' AND b.term LIKE 's%'"""
+    out["complex_phrase_group_set"] = f"""WITH {_IX}
+      SELECT DISTINCT a.doc_id
+      FROM tokens a JOIN tokens b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.term IN ('table', 'hash') AND b.term LIKE 's%'"""
 
     # surround: '(table OR hash) 2W scan' = ordered near within
     # distance 2 (slop 1) where the first slot is either term;
