@@ -3331,6 +3331,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["monitor_scored"] = monitor_scored
 
+    def monitor_highlights(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.operators.monitor import Monitor
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        qs = {
+            "h_term": _T("dup"),
+            "h_phrase": ir.PhraseQuery(("table", "scan")),
+            "h_or": _B(_C(_O.SHOULD, _T("hash")), _C(_O.SHOULD, _T("window"))),
+        }
+        return Monitor(qs).match(docs, mode="highlights").select(
+            "doc_id", "query_id", "start_pos", "end_pos"
+        )
+
+    out["monitor_highlights"] = monitor_highlights
+
     # ---- classification module (lucene/classification) -------------------
     # SimpleNaiveBayesClassifier: train on the whole corpus (class =
     # lang), classify the first 40 docs' own token streams; normalized
@@ -5584,6 +5599,21 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, 'q_not' FROM (
         SELECT doc_id FROM postings WHERE term = 'scan'
         EXCEPT SELECT doc_id FROM postings WHERE term = 'filter')"""
+
+    # monitor highlights: one row per hit span (end exclusive) — term
+    # occurrences, phrase alignments, OR parts unioned
+    out["monitor_highlights"] = f"""WITH {_IX}
+      SELECT doc_id, 'h_term' AS query_id,
+             pos AS start_pos, pos + 1 AS end_pos
+      FROM tokens WHERE term = 'dup'
+      UNION ALL
+      SELECT a.doc_id, 'h_phrase', a.pos, a.pos + 2
+      FROM tokens a JOIN tokens b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.term = 'table' AND b.term = 'scan'
+      UNION ALL
+      SELECT doc_id, 'h_or', pos, pos + 1
+      FROM tokens WHERE term IN ('hash', 'window')"""
 
     # BM25NB: sc(c) = the constant class-field leaf (length-1 field →
     # inv = 1/(k1·((1−b)+b)) = 1/k1); per-(class, word) max text leaf;

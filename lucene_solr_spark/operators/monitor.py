@@ -533,7 +533,7 @@ class Monitor:
         decomposed query summed and score≤0 dropped
         (ScoringMatch.java:36-45).
         """
-        if mode not in ("match", "scoring"):
+        if mode not in ("match", "scoring", "highlights"):
             raise ValueError(f"bad mode {mode!r}")
         spark = docs.sparkSession
         cands = self.presearch(docs, doc_id_col=doc_id_col, text_col=text_col)
@@ -548,12 +548,17 @@ class Monitor:
         ana_kwargs = dict(self.analyzer_kwargs)
         scoring = mode == "scoring"
 
+        highlights = mode == "highlights"
         out_fields = [
             StructField("doc_id", LongType(), False),
             StructField("query_id", StringType(), False),
         ]
         if scoring:
             out_fields.append(StructField("score", DoubleType(), False))
+        if highlights:
+            # one row per hit span (end exclusive) — HighlightsMatch.Hit
+            out_fields.append(StructField("start_pos", LongType(), False))
+            out_fields.append(StructField("end_pos", LongType(), False))
         out_schema = StructType(out_fields)
 
         def verify(batches):
@@ -576,7 +581,38 @@ class Monitor:
                     for cand in pdf["cands"]
                 ]
                 rows: list[tuple] = []
-                if not scoring:
+                if highlights:
+                    tdoc = np.asarray(tdoc, np.int64)
+                    terms_py = (
+                        terms.to_pylist()
+                        if hasattr(terms, "to_pylist")
+                        else list(terms)
+                    )
+                    bounds = np.searchsorted(tdoc, np.arange(len(pdf) + 1))
+                    for i, (did, cl) in enumerate(zip(doc_ids, cands)):
+                        did = int(did)
+                        toks = list(
+                            zip(
+                                terms_py[bounds[i] : bounds[i + 1]],
+                                [
+                                    int(p)
+                                    for p in pos[bounds[i] : bounds[i + 1]]
+                                ],
+                            )
+                        )
+                        ix = OracleIndex([(0, toks)], pre_tokenized=True)
+                        per_q: dict[str, set] = {}
+                        for qid, sub_ord in cl:
+                            h = match_hits(subqueries[(qid, sub_ord)], ix)
+                            if h is None:
+                                continue
+                            per_q.setdefault(qid, set()).update(h)
+                        for qid in sorted(per_q):
+                            rows.extend(
+                                (did, qid, sp, ep)
+                                for sp, ep in sorted(per_q[qid])
+                            )
+                elif not scoring:
                     # match mode is stats-independent: ONE vectorized
                     # index over the batch (DocumentBatch role), each
                     # distinct candidate subquery evaluated once,
@@ -718,3 +754,115 @@ def _score_double_one_doc(q: ir.Query, ix, boost: float = 1.0) -> float:
         return float(res.get(0, 0.0))
 
     return score(q, boost)
+
+
+def match_hits(q: ir.Query, ix) -> list[tuple[int, int]] | None:
+    """HighlightsMatch role (``monitor/HighlightsMatch.java``): the hit
+    spans ``(start_pos, end_pos)`` of ``q`` in the single-doc index
+    ``ix`` (end exclusive), or None when the doc does not match.  Term /
+    multi-term / synonym leaves yield their occurrences, exact phrases
+    their alignments, the span algebra its enumerated spans, booleans
+    the union over their matching positive clauses (the reference's
+    Matches union); sloppy phrases are not supported (honest reject —
+    their matcher reports frequency, not spans, in this engine)."""
+
+    def spans_of(node: ir.Query) -> list[tuple[int, int]]:
+        from ..oracle.spans import eval_spans
+        from ..plans.span_rewrite import expand_span_wrappers
+
+        node = expand_span_wrappers(node, ix.expand_multiterm)
+        term_pos = {
+            t: ix.positions[t][0]
+            for t in _span_terms(node)
+            if 0 in ix.positions.get(t, {})
+        }
+        return [(s, e) for s, e, _w in eval_spans(node, term_pos)]
+
+    def hits(node: ir.Query) -> list[tuple[int, int]]:
+        if isinstance(node, ir.TermQuery):
+            return [
+                (p, p + 1) for p in ix.positions.get(node.term, {}).get(0, [])
+            ]
+        if isinstance(node, (ir.SynonymQuery, ir.TermInSetQuery)):
+            out = []
+            for t in node.terms:
+                out.extend(
+                    (p, p + 1) for p in ix.positions.get(t, {}).get(0, [])
+                )
+            return sorted(set(out))
+        if isinstance(node, (ir.PrefixQuery, ir.WildcardQuery,
+                             ir.FuzzyQuery, ir.TermRangeQuery)):
+            out = []
+            for t in ix.expand_multiterm(node):
+                out.extend(
+                    (p, p + 1) for p in ix.positions.get(t, {}).get(0, [])
+                )
+            return sorted(set(out))
+        if isinstance(node, ir.PhraseQuery):
+            if node.slop != 0:
+                raise NotImplementedError(
+                    "sloppy-phrase highlight hits are not supported"
+                )
+            plists = [
+                set(ix.positions.get(t, {}).get(0, []))
+                for t in node.terms
+            ]
+            base = node.positions[0]
+            width = max(node.positions) - base + 1
+            out = []
+            for p0 in sorted(plists[0]):
+                if all(
+                    (p0 - base + off) in plists[i]
+                    for i, off in enumerate(node.positions)
+                ):
+                    out.append((p0, p0 + width))
+            return out
+        if isinstance(node, (ir.SpanNearQuery, ir.SpanNearClauseQuery,
+                             ir.SpanTermQuery, ir.SpanOrQuery,
+                             ir.SpanNotQuery, ir.SpanWithinQuery,
+                             ir.SpanContainingQuery, ir.SpanFirstQuery,
+                             ir.SpanNotContainingQuery,
+                             ir.SpanNotWithinQuery)):
+            if isinstance(node, ir.SpanNearQuery):
+                node = ir.SpanNearClauseQuery(
+                    tuple(ir.SpanTermQuery(t) for t in node.terms),
+                    node.slop,
+                    node.in_order,
+                )
+            return spans_of(node)
+        if isinstance(node, (ir.BoostQuery, ir.ConstantScoreQuery)):
+            return hits(node.query)
+        if isinstance(node, ir.BooleanQuery):
+            out: list[tuple[int, int]] = []
+            for c in node.clauses:
+                if c.occur == ir.Occur.MUST_NOT:
+                    continue
+                if 0 in ix.matches(c.query):
+                    out.extend(hits(c.query))
+            return sorted(set(out))
+        raise NotImplementedError(
+            f"highlight hits for {type(node).__name__}"
+        )
+
+    if 0 not in ix.matches(q):
+        return None
+    return sorted(set(hits(q)))
+
+
+def _span_terms(node: ir.Query) -> set[str]:
+    if isinstance(node, ir.SpanTermQuery):
+        return {node.term}
+    out: set[str] = set()
+    for attr in ("clauses", "include", "exclude", "big", "little",
+                 "minuend", "subtrahend", "match"):
+        v = getattr(node, attr, None)
+        if v is None:
+            continue
+        if isinstance(v, tuple):
+            for c in v:
+                out |= _span_terms(c)
+        else:
+            out |= _span_terms(v)
+    if isinstance(node, ir.SpanNearQuery):
+        out |= set(node.terms)
+    return out

@@ -405,3 +405,44 @@ def test_scoring_mode_sloppy_phrase_not_dropped(spark, docs_df):
 def test_unsupported_analyzer_kwargs_fail_at_registration():
     with pytest.raises(ValueError, match="unsupported monitor analyzer"):
         Monitor({"q": _T("a")}, analyzer_kwargs={"synonyms": {"a": ("b",)}})
+
+
+def test_highlights_mode(spark, docs_df, tiny_oracle):
+    """HighlightsMatch: one row per hit span; term hits are the term's
+    occurrences, phrase hits the alignments, parts of a decomposed
+    query union (HighlightsMatch.java merge semantics)."""
+    mon = Monitor(
+        {
+            "h_term": _T("merge"),
+            "h_phrase": ir.PhraseQuery(("table", "scan")),
+            "h_or": _B((_O.SHOULD, _T("hash")), (_O.SHOULD, _T("window"))),
+        }
+    )
+    rows = mon.match(docs_df, mode="highlights").collect()
+    got = {}
+    for r in rows:
+        got.setdefault((r.doc_id, r.query_id), set()).add(
+            (r.start_pos, r.end_pos)
+        )
+    # spot-check against oracle positions
+    for d in range(60):
+        occ = tiny_oracle.positions.get("merge", {}).get(d)
+        if occ:
+            assert got[(d, "h_term")] == {(p, p + 1) for p in occ}, d
+        else:
+            assert (d, "h_term") not in got
+    # phrase spans are width 2 and every hit aligns table→scan
+    for (d, qid), spans in got.items():
+        if qid != "h_phrase":
+            continue
+        tp = set(tiny_oracle.positions.get("table", {}).get(d, []))
+        sp_ = set(tiny_oracle.positions.get("scan", {}).get(d, []))
+        for s, e in spans:
+            assert e == s + 2 and s in tp and (s + 1) in sp_
+    # the OR decomposes: hits union the parts
+    for d in range(60):
+        want = set()
+        for t in ("hash", "window"):
+            want |= {(p, p + 1) for p in tiny_oracle.positions.get(t, {}).get(d, [])}
+        if want:
+            assert got[(d, "h_or")] == want, d
