@@ -251,17 +251,17 @@ def near_spans_general(
     else:
         import itertools
 
+        # NearSpansUnordered: sub-spans MAY overlap (each clause iterates
+        # its own spans independently); match when
+        # (max end − min start) − Σ lengths ≤ slop
+        # (spans/NearSpansUnordered.java width computation)
         for combo in itertools.product(*lists):
-            picked = sorted(combo)
-            ok = all(
-                picked[i + 1][0] >= picked[i][1] for i in range(n - 1)
-            )
-            if not ok:
-                continue
-            total_len = sum(e - s for s, e, _ in picked)
-            gap = (picked[-1][1] - picked[0][0]) - total_len
+            starts = [c[0] for c in combo]
+            ends = [c[1] for c in combo]
+            total_len = sum(e - st for st, e, _ in combo)
+            gap = (max(ends) - min(starts)) - total_len
             if gap <= slop:
-                out.add((picked[0][0], picked[-1][1], gap))
+                out.add((min(starts), max(ends), max(gap, 0)))
     return sorted(out)
 
 
@@ -274,6 +274,17 @@ def eval_spans(node, term_pos: dict) -> list[Span]:
     if isinstance(node, ir.SpanTermQuery):
         return term_spans(term_pos.get(node.term, ()))
     if isinstance(node, ir.SpanNearQuery):
+        if not node.in_order and len(set(node.terms)) != len(node.terms):
+            # repeated terms unordered: NearSpansUnordered lets one
+            # occurrence serve several clauses — general matcher
+            return near_spans_general(
+                [
+                    term_spans(term_pos.get(t, ()))
+                    for t in node.terms
+                ],
+                node.slop,
+                node.in_order,
+            )
         return near_spans(
             [np.asarray(term_pos.get(t, ()), np.int64) for t in node.terms],
             node.slop,
@@ -294,14 +305,22 @@ def eval_spans(node, term_pos: dict) -> list[Span]:
                 node.in_order,
             )
         if not node.in_order:
-            seen: set[str] = set()
+            seen0: set[str] = set()
+            overlap = False
             for g in groups:
-                if seen & set(g):
-                    raise ValueError(
-                        "unordered span-near with overlapping clause terms "
-                        "is not supported"
-                    )
-                seen |= set(g)
+                if seen0 & set(g):
+                    overlap = True
+                    break
+                seen0 |= set(g)
+            if overlap:
+                # clauses sharing terms: the reference's unordered near
+                # allows the SAME occurrence to serve several clauses —
+                # evaluate through the general sub-span matcher
+                return near_spans_general(
+                    [eval_spans(c, term_pos) for c in node.clauses],
+                    node.slop,
+                    node.in_order,
+                )
         lists = []
         for g in groups:
             if len(g) == 1:

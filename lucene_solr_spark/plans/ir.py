@@ -181,12 +181,6 @@ class SpanNearQuery(Query):
     slop: int = 0
     in_order: bool = True
 
-    def __post_init__(self):
-        if not self.in_order and len(set(self.terms)) != len(self.terms):
-            raise ValueError(
-                "unordered span-near with repeated terms is not supported"
-            )
-
 
 @dataclass(frozen=True)
 class SpanTermQuery(Query):

@@ -68,9 +68,14 @@ def test_freq_accumulation_float32():
     assert bits(f) == bits(expected)
 
 
-def test_unordered_duplicate_terms_rejected():
-    with pytest.raises(ValueError):
-        ir.SpanNearQuery(("x", "x"), slop=2, in_order=False)
+def test_unordered_duplicate_terms_follow_reference():
+    """Repeated terms unordered: one occurrence may serve both clauses
+    (NearSpansUnordered overlap semantics) — a single 'x' matches."""
+    from lucene_solr_spark.oracle.spans import eval_spans
+
+    q = ir.SpanNearQuery(("x", "x"), slop=2, in_order=False)
+    spans = eval_spans(q, {"x": np.array([3])})
+    assert (3, 4, 0) in spans
 
 
 # ------------------------------------------------------------ engines
@@ -291,8 +296,10 @@ def test_wrapper_inside_span_or(span_setup, tiny_oracle):
     assert got == want and got
 
 
-def test_clause_near_unordered_overlap_rejected():
-    """Unordered near with overlapping clause term sets stays rejected."""
+def test_clause_near_unordered_overlap_matches_like_reference():
+    """Unordered near with overlapping clause term sets follows
+    NearSpansUnordered: the SAME occurrence may serve both clauses
+    ((max end − min start) − Σ lengths ≤ slop, overlap allowed)."""
     from lucene_solr_spark.oracle.spans import eval_spans
 
     q = ir.SpanNearClauseQuery(
@@ -303,5 +310,7 @@ def test_clause_near_unordered_overlap_rejected():
         slop=2,
         in_order=False,
     )
-    with pytest.raises(ValueError, match="overlapping"):
-        eval_spans(q, {"a": np.array([0, 5]), "b": np.array([2])})
+    spans = eval_spans(q, {"a": np.array([0, 5]), "b": np.array([2])})
+    # a@0 serving both clauses → (0,1); b@2+a@0 gap 1 → (0,3); a@5 alone
+    assert (0, 1, 0) in spans and (5, 6, 0) in spans
+    assert any(s == 0 and e == 3 for s, e, _ in spans)

@@ -66,6 +66,8 @@ DISTANCE_GOLDENS = [
     ("word2 w word*", [0, 3]),
     ("word1* w word2*", [0]),
     ("word1* N word2*", [0]),
+    ("word* n word2", [0, 3]),
+    ("word2 n word*", [0, 3]),
     ("kxork* w kxor*", []),
     ("kxork* 99n kxor*", []),
     ("word2* 2W word1*", []),
@@ -97,16 +99,13 @@ def test_distance_goldens(db1, query, expected):
     assert sorted(db1.matches(q)) == expected, query
 
 
-def test_unordered_overlapping_expansion_is_honestly_rejected(db1):
-    """'word* n word2' — the wildcard expansion CONTAINS the other
-    clause's term, and the engine's unordered span matcher honestly
-    rejects overlapping clause terms (the same documented limit as
-    unordered repeats); the reference matches [0, 3] here.  Pinned as an
-    explicit raise so the divergence is visible, not silent."""
-    for query in ("word* n word2", "word2 n word*"):
-        q = parse_surround(query)
-        with pytest.raises(ValueError, match="overlapping|repeated"):
-            db1.matches(q)
+def test_unordered_overlap_allows_shared_occurrence(db1):
+    """NearSpansUnordered lets the SAME occurrence serve two clauses —
+    a doc containing just 'word2' matches 'word* n word2'
+    (spans/NearSpansUnordered.java width semantics)."""
+    db = OracleIndex([(0, "zz word2 yy"), (1, "zz yy")])
+    q = parse_surround("word* n word2")
+    assert sorted(db.matches(q)) == [0]
 
 
 def test_parse_shapes():
