@@ -218,13 +218,14 @@ def near_spans_general(
     clause_spans: list, slop: int, in_order: bool
 ) -> list[Span]:
     """Span-near over GENERAL sub-span lists (nested SpanNearClauseQuery
-    clauses — e.g. the surround parser's chained distance operators):
-    pick one span per clause, mutually non-overlapping, total gap
-    ``(last_end − first_start) − Σ widths`` ≤ slop; ordered additionally
-    requires clause order.  Matches are enumerated exhaustively with
-    gap pruning (single-document lists — the percolation/oracle path).
-    The engine's unordered contract requires DISJOINT picks (the same
-    honest restriction as the overlapping-terms reject)."""
+    clauses, overlapping clause terms, repeated unordered terms): pick
+    one span per clause; ordered requires non-overlapping clause-order
+    picks with total gap ``Σ (next_start − prev_end)`` ≤ slop
+    (NearSpansOrdered); unordered allows OVERLAP — the same occurrence
+    may serve several clauses — with
+    ``(max end − min start) − Σ lengths`` ≤ slop (NearSpansUnordered).
+    Matches are enumerated exhaustively with gap pruning
+    (single-document lists — the percolation/oracle path)."""
     n = len(clause_spans)
     if n == 0:
         return []
