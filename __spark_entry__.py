@@ -3454,6 +3454,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["daitch_mokotoff_topk"] = daitch_mokotoff_topk
 
+    # ---- ICU folding (analysis/icu subset) -------------------------------
+    # the corpus's a/e vowels are replaced with á/é BEFORE indexing; the
+    # ICUFoldingFilter stage folds them back, so the index must equal
+    # the PLAIN index — the oracle is the unfolded corpus
+    def icu_folding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = f"icu_ix::{sf_dir}"
+        if key not in _CACHE:
+            from lucene_solr_spark.operators.index_build import build_index
+            from lucene_solr_spark.plans.df_executor import DFExecutor
+
+            docs = (
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .withColumn("text", F.translate("text", "ae", "áé"))
+            )
+            ix = build_index(
+                docs,
+                text_col="text",
+                doc_id_col="doc_id",
+                token_filters=(("icu_folding",),),
+            ).persist()
+            _CACHE[key] = DFExecutor(ix, mode="double")
+        return _CACHE[key].topk(_T("table"), k=10).select("doc_id", "score")
+
+    out["icu_folding_topk"] = icu_folding_topk
+
     # ---- surround parser (queryparser/surround) --------------------------
     # span-oriented human syntax parsed onto the span IR and run through
     # the standard executor; grammar pinned by tests/test_surround_parser
@@ -5820,6 +5845,10 @@ def oracle_sql() -> dict[str, str]:
       FROM tokens a JOIN tokens b
         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
       WHERE a.term IN ('table', 'hash') AND b.term LIKE 's%'"""
+
+    # ICU folding: the fold inverts the á/é substitution exactly, so
+    # the folded index IS the plain index
+    out["icu_folding_topk"] = _topk_sql("'table'")
 
     # surround: '(table OR hash) 2W scan' = ordered near within
     # distance 2 (slop 1) where the first slot is either term;

@@ -267,6 +267,14 @@ def apply_token_filters(doc_idx, terms, pos, specs, overlap=None):
             terms = out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
         elif kind == "capitalize":
             per_unique(capitalize_term)
+        elif kind == "icu_folding":
+            from lucene_solr_spark.oracle.icu_fold import icu_fold
+
+            per_unique(icu_fold)
+        elif kind == "icu_normalize":
+            from lucene_solr_spark.oracle.icu_fold import icu_normalize
+
+            per_unique(icu_normalize)
         elif kind == "pattern_replace":
             pat, repl, all_ = spec[1], spec[2], bool(spec[3])
             out = pc.replace_substring_regex(
