@@ -3454,6 +3454,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["daitch_mokotoff_topk"] = daitch_mokotoff_topk
 
+    # ---- DocValues set queries (sandbox) ---------------------------------
+    # DocValuesTermsQuery / DocValuesNumbersQuery are Catalyst-native set
+    # membership on a doc-values column — the whole point of the
+    # re-expression: no custom operator needed, the filter pushes down
+    def docvalues_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return (
+            _docs(spark, sf_dir)
+            .filter(F.col("lang").isin("en", "fr"))
+            .select("doc_id")
+        )
+
+    out["docvalues_terms_set"] = docvalues_terms_set
+
+    def docvalues_numbers_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return (
+            _docs(spark, sf_dir)
+            .filter((F.col("n_chars") % 7) == 0)
+            .select("doc_id")
+        )
+
+    out["docvalues_numbers_set"] = docvalues_numbers_set
+
+    # ---- DiversifiedTopDocsCollector (misc/search) -----------------------
+    # global top-k with at most maxHitsPerKey hits per key
+    def diversified_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.functions.collapse import diversified_topk
+
+        ex = _executor(spark, sf_dir)
+        q = _B(_C(_O.SHOULD, _T("merge")), _C(_O.SHOULD, _T("window")))
+        keys = _docs(spark, sf_dir).select(
+            "doc_id", F.col("lang").alias("key")
+        )
+        return diversified_topk(ex.matches(q), keys, 10, 2).select(
+            "doc_id", "score", "key"
+        )
+
+    out["diversified_topk"] = diversified_topk_gate
+
     # ---- ICU folding (analysis/icu subset) -------------------------------
     # the corpus's a/e vowels are replaced with á/é BEFORE indexing; the
     # ICUFoldingFilter stage folds them back, so the index must equal
@@ -5849,6 +5887,27 @@ def oracle_sql() -> dict[str, str]:
     # ICU folding: the fold inverts the á/é substitution exactly, so
     # the folded index IS the plain index
     out["icu_folding_topk"] = _topk_sql("'table'")
+
+    # docvalues set queries: native column predicates
+    out["docvalues_terms_set"] = (
+        "SELECT doc_id FROM documents WHERE lang IN ('en', 'fr')"
+    )
+    out["docvalues_numbers_set"] = (
+        "SELECT doc_id FROM documents WHERE n_chars % 7 = 0"
+    )
+
+    # diversified top-k: per-key rank cap, then global top-k
+    out["diversified_topk"] = f"""WITH {_IX},
+      u AS (SELECT * FROM ({_leaf_scores('merge')})
+            UNION ALL SELECT * FROM ({_leaf_scores('window')})),
+      scored AS (SELECT doc_id, sum(score) AS score FROM u GROUP BY doc_id),
+      keyed AS (SELECT s.doc_id, s.score, d.lang AS key
+                FROM scored s JOIN documents d USING (doc_id)),
+      rk AS (SELECT *, row_number() OVER (
+               PARTITION BY key ORDER BY score DESC, doc_id ASC) AS rn
+             FROM keyed)
+      SELECT doc_id, score, key FROM rk WHERE rn <= 2
+      ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
     # surround: '(table OR hash) 2W scan' = ordered near within
     # distance 2 (slop 1) where the first slot is either term;

@@ -61,3 +61,37 @@ def collapse_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def diversified_topk(
+    scored: "DataFrame",
+    keys: "DataFrame",
+    k: int,
+    max_hits_per_key: int,
+    key_col: str = "key",
+) -> "DataFrame":
+    """DiversifiedTopDocsCollector (``misc/search/
+    DiversifiedTopDocsCollector.java:36-81``): the global top-k with at
+    most ``maxHitsPerKey`` hits per key — the streaming collector's
+    greedy per-key eviction converges to exactly "per key keep its top
+    maxHitsPerKey, then global top-k", which is the declarative form
+    here: one window rank per key, one global top-k.  ``scored`` is any
+    (doc_id, score) frame; ``keys`` maps doc_id → key (a doc with no
+    key never matches the diversity constraint and is dropped, like a
+    missing docvalue)."""
+    from pyspark.sql import Window, functions as F
+
+    ranked = (
+        scored.join(keys, "doc_id")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(key_col).orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= int(max_hits_per_key))
+        .drop("_rn")
+    )
+    return ranked.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))

@@ -78,3 +78,43 @@ def test_null_policy(spark):
     assert rows("collapse") == [(1, "a"), (2, None), (5, "b")]
     with pytest.raises(ValueError, match="null_policy"):
         rows("bogus")
+
+
+def test_diversified_topk_brute_force(spark, tiny_oracle):
+    """DiversifiedTopDocsCollector: global top-k with <= maxHitsPerKey
+    per key == per-key top-N then global top-k (the greedy collector's
+    fixed point)."""
+    from lucene_solr_spark.functions.collapse import diversified_topk
+    from lucene_solr_spark.plans import ir
+
+    q = ir.BooleanQuery(
+        (
+            ir.BooleanClause(ir.Occur.SHOULD, ir.TermQuery("def")),
+            ir.BooleanClause(ir.Occur.SHOULD, ir.TermQuery("class")),
+        )
+    )
+    scores = tiny_oracle.matches(q)
+    rows = [(d, float(s)) for d, s in scores.items()]
+    scored = spark.createDataFrame(rows, "doc_id: long, score: double")
+    keys = spark.createDataFrame(
+        [(d, f"k{d % 4}") for d in range(tiny_oracle.doc_count)],
+        "doc_id: long, key: string",
+    )
+    got = [
+        (r.doc_id, r.key)
+        for r in diversified_topk(scored, keys, 10, 2).collect()
+    ]
+    # brute force
+    per_key: dict[str, list] = {}
+    for d, s in sorted(scores.items(), key=lambda x: (-x[1], x[0])):
+        per_key.setdefault(f"k{d % 4}", []).append((d, s))
+    pool = []
+    for kk, lst in per_key.items():
+        pool.extend((d, s, kk) for d, s in lst[:2])
+    pool.sort(key=lambda x: (-x[1], x[0]))
+    want = [(d, kk) for d, _s, kk in pool[:10]]
+    assert got == want
+    # diversity constraint holds
+    from collections import Counter
+
+    assert max(Counter(k for _, k in got).values()) <= 2

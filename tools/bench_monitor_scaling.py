@@ -65,14 +65,18 @@ ranked = [
 ]
 head = ranked[100:140] if len(ranked) >= 140 else ranked[-40:]
 _T, _C, _O = ir.TermQuery, ir.BooleanClause, ir.Occur
+# SELECTIVE registration (alerts, not analytics): conjunctions,
+# phrases and exclusions only — percolation output is rare hits, so the
+# leg measures presearch + verify compute, not 10M-row emission
 qs = {}
-for i in range(12):
+for i in range(20):
     a, b = head[i], head[(i + 13) % len(head)]
-    qs[f"t{i}"] = _T(a)
-    qs[f"and{i}"] = ir.BooleanQuery((_C(_O.MUST, _T(a)), _C(_O.MUST, _T(b))))
-    qs[f"or{i}"] = ir.BooleanQuery((_C(_O.SHOULD, _T(a)), _C(_O.SHOULD, _T(b))))
+    c = head[(i + 7) % len(head)]
+    qs[f"and{i}"] = ir.BooleanQuery((_C(_O.MUST, _T(a)), _C(_O.MUST, _T(b)), _C(_O.MUST, _T(c))))
     qs[f"ph{i}"] = ir.PhraseQuery((a, b))
-    qs[f"not{i}"] = ir.BooleanQuery((_C(_O.MUST, _T(a)), _C(_O.MUST_NOT, _T(b))))
+    qs[f"not{i}"] = ir.BooleanQuery(
+        (_C(_O.MUST, _T(a)), _C(_O.MUST, _T(b)), _C(_O.MUST_NOT, _T(c)))
+    )
 mon = Monitor(qs)
 
 t0 = time.perf_counter()
