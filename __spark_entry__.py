@@ -3405,6 +3405,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bm25_nb_classify"] = bm25_nb
 
+    # KNearestFuzzyClassifier / NearestFuzzyQuery: fuzzy-expanded
+    # pseudo-MLT neighbors (artificial df=1 term scores) + the shared
+    # rank-weighted vote
+    def nearest_fuzzy_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.functions.classification import (
+            nearest_fuzzy_topk,
+        )
+
+        ex = _executor(spark, sf_dir)
+        return nearest_fuzzy_topk(ex, 7, k=10).select("doc_id", "score")
+
+    out["nearest_fuzzy_topk"] = nearest_fuzzy_topk_gate
+
+    def knn_fuzzy_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.functions.classification import (
+            knn_fuzzy_classes,
+        )
+
+        ex = _executor(spark, sf_dir)
+        classes = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.col("lang").alias("cls"))
+        )
+        return knn_fuzzy_classes(ex, classes, 7, k=10).select("cls", "score")
+
+    out["knn_fuzzy_classify"] = knn_fuzzy_classify
+
     # ---- phonetic module (lucene/analysis/phonetic) ----------------------
     # PhoneticFilter over the commons-codec-compatible encoders; the
     # index stores codes (replace) or codes + stacked originals (inject).
@@ -5719,6 +5746,65 @@ def oracle_sql() -> dict[str, str]:
       SELECT id, cls,
              CAST(exp(score - (smax + ln(se))) AS REAL)::DOUBLE AS score
       FROM r3"""
+
+    # NearestFuzzyQuery: per-source fuzzy variants (DL ≤ 1 == OSA ≤ 1 at
+    # this distance, shared 2-prefix), boost²·idf with the source-or-
+    # integer-avg df, documents scored as artificial-df-1 term leaves
+    _nf_wdf1 = "ln(1.0 + (g.doc_count - 1 + 0.5) / (1 + 0.5))"
+    _NF_TOP = f"""
+      src AS (SELECT DISTINCT term FROM postings WHERE doc_id = 7),
+      vars AS (
+        SELECT s.term AS src, ts.term AS v, ts.df::BIGINT AS df,
+               1.0 - damerau_levenshtein(s.term, ts.term)::DOUBLE
+                     / least(length(s.term), length(ts.term)) AS boost
+        FROM src s JOIN term_stats ts
+          ON substr(ts.term, 1, 2) = substr(s.term, 1, 2)
+         AND damerau_levenshtein(s.term, ts.term) <= 1
+      ),
+      dfs AS (
+        SELECT src,
+               coalesce(max(CASE WHEN v = src THEN df END), 0) AS exact_df,
+               sum(df) // count(*) AS avg_df
+        FROM vars GROUP BY src
+      ),
+      wts AS (
+        SELECT v.v,
+               sum(v.boost * v.boost
+                   * (ln((g.doc_count + 1)
+                         / (CASE WHEN d.exact_df > 0 THEN d.exact_df
+                                 ELSE d.avg_df END + 1.0)) + 1.0)) AS tscore
+        FROM vars v JOIN dfs d USING (src) CROSS JOIN gstats g
+        GROUP BY v.v
+      ),
+      leaves AS (
+        SELECT p.doc_id,
+               CAST((wts.tscore * {_nf_wdf1})
+                 - (wts.tscore * {_nf_wdf1})
+                   / (1.0 + p.tf::DOUBLE
+                      * (1.0 / (1.2 * (0.25 + (0.75 * n.declen) / g.avgdl))))
+                 AS REAL)::DOUBLE AS s
+        FROM postings p JOIN wts ON wts.v = p.term
+        JOIN norms n ON n.doc_id = p.doc_id CROSS JOIN gstats g
+      ),
+      nf AS (SELECT doc_id, SUM(s) AS score FROM leaves GROUP BY doc_id
+             ORDER BY score DESC, doc_id ASC LIMIT 10)"""
+    out["nearest_fuzzy_topk"] = f"""WITH {_IX},{_NF_TOP}
+      SELECT doc_id, score FROM nf
+      ORDER BY score DESC, doc_id ASC"""
+    out["knn_fuzzy_classify"] = f"""WITH {_IX},{_NF_TOP},
+      mx AS (SELECT max(score) AS m FROM nf),
+      hits AS (SELECT k.doc_id,
+                      CAST(k.score / mx.m AS REAL)::DOUBLE AS nb,
+                      d.lang AS cls
+               FROM nf k JOIN documents d USING (doc_id) CROSS JOIN mx),
+      agg AS (SELECT cls, count(*)::DOUBLE AS cnt, sum(nb) AS bsum
+              FROM hits GROUP BY cls),
+      tot AS (SELECT sum(cnt) AS sumdoc FROM agg)
+      SELECT cls,
+             CASE WHEN tot.sumdoc < 10
+                  THEN (bsum / 10.0) * (10.0 / tot.sumdoc)
+                  ELSE bsum / 10.0 END AS score
+      FROM agg CROSS JOIN tot"""
 
     # monitor scoring mode: each doc is its own index (DocumentBatch.of —
     # docCount = 1, df = 1, avgdl = the doc's exact length), so

@@ -324,3 +324,150 @@ def bm25_nb_classify(
         .cast("float")
         .cast("double"),
     )
+
+
+def nearest_fuzzy_topk(
+    executor,
+    doc_id: int,
+    *,
+    k: int = 10,
+    max_edits: int = 1,
+    prefix_length: int = 2,
+    max_variants_per_term: int = 50,
+) -> DataFrame:
+    """NearestFuzzyQuery (``classification/utils/NearestFuzzyQuery.java``)
+    — the fuzzy analog of MoreLikeThis: every distinct source-doc term
+    fuzzy-expands (edit distance ≤ 1, 2-char shared prefix, :53-55),
+    each variant scored ``boost² · idf`` where boost is the fuzzy
+    ``1 − ed/min(len)`` and idf uses the SOURCE term's df (or the
+    integer-average variant df when the source is unindexed,
+    :172-178); variants then score documents as TermQueries with an
+    ARTIFICIAL df of 1 (:203-221 newTermQuery builds df=ttf=1 term
+    states), boosted by their variant score, summed as nested SHOULDs.
+
+    Single pruned dictionary probe (prefix in-list) + one postings scan;
+    float32 leaves, exact double sum (the engine contract)."""
+    import math
+
+    from ..oracle import bm25 as _bm25
+    from ..oracle.editdist import osa_distance
+
+    ix = executor.index
+    n_docs = ix.doc_count
+    src_terms = sorted(
+        r.term
+        for r in ix.postings_slim.filter(F.col("doc_id") == int(doc_id))
+        .select("term")
+        .distinct()
+        .collect()
+    )
+    spark = ix.postings.sparkSession
+    if not src_terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    prefixes = sorted({t[:prefix_length] for t in src_terms})
+    cand = (
+        ix.term_stats.filter(
+            F.substring("term", 1, prefix_length).isin(prefixes)
+        )
+        .select("term", "df")
+        .collect()
+    )
+    by_prefix: dict[str, list] = {}
+    for r in cand:
+        by_prefix.setdefault(r.term[:prefix_length], []).append(
+            (r.term, int(r.df))
+        )
+    # per source term: variants, boost, df policy, variant score
+    weights: dict[str, float] = {}
+    for src in src_terms:
+        variants = []
+        exact_df = 0
+        total_df = 0
+        for term, df in by_prefix.get(src[:prefix_length], ()):
+            ed = osa_distance(src, term)
+            if ed > max_edits:
+                continue
+            boost = 1.0 - ed / min(len(src), len(term))
+            variants.append((term, boost))
+            total_df += df
+            if term == src:
+                exact_df = df
+        if not variants:
+            continue
+        variants.sort(key=lambda x: (-x[1], x[0]))
+        variants = variants[:max_variants_per_term]
+        df = exact_df if exact_df > 0 else total_df // len(variants)
+        idf = math.log((n_docs + 1) / (df + 1.0)) + 1.0
+        for term, boost in variants:
+            # a term can be a variant of several source terms: the
+            # nested SHOULD groups sum, so weights accumulate
+            weights[term] = weights.get(term, 0.0) + boost * boost * idf
+    if not weights:
+        return spark.createDataFrame([], "doc_id long, score double")
+    # document scoring: TermQuery with ARTIFICIAL df = 1
+    w_df1 = math.log(1.0 + (n_docs - 1 + 0.5) / (1 + 0.5))
+    wmap = F.create_map(
+        *[
+            x
+            for t, s in sorted(weights.items())
+            for x in (F.lit(t), F.lit(s * w_df1))
+        ]
+    )
+    rows = ix.postings_slim.filter(
+        F.col("term").isin(list(weights))
+    ).join(executor._norms(), "doc_id")
+    lut = F.lit(_bm25.LENGTH_TABLE_F32.astype(float).tolist())
+    declen = F.element_at(lut, F.col("norm").cast("int") + 1)
+    inv = F.lit(1.0) / (
+        F.lit(float(executor.k1))
+        * (
+            F.lit(1.0 - executor.b)
+            + F.lit(float(executor.b)) * declen / F.lit(executor._avgdl_double)
+        )
+    )
+    w = wmap[F.col("term")]
+    leaf = (
+        w - w / (F.lit(1.0) + F.col("tf").cast("double") * inv)
+    ).cast("float").cast("double")
+    return (
+        rows.select("doc_id", leaf.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
+def knn_fuzzy_classes(
+    executor,
+    classes: DataFrame,
+    doc_id: int,
+    *,
+    k: int = 10,
+    **nf_kwargs,
+) -> DataFrame:
+    """KNearestFuzzyClassifier (``KNearestFuzzyClassifier.java``): the
+    NearestFuzzyQuery top-k neighbors voted exactly like
+    KNearestNeighborClassifier (shared buildListFromTopDocs math)."""
+    top = nearest_fuzzy_topk(executor, doc_id, k=k, **nf_kwargs)
+    top = top.withColumn(
+        "_mx", F.max("score").over(Window.partitionBy(F.lit(1)))
+    )
+    hits = top.join(
+        classes.filter(F.col("cls").isNotNull()), "doc_id", "inner"
+    )
+    voted = hits.withColumn(
+        "nb", (F.col("score") / F.col("_mx")).cast("float").cast("double")
+    )
+    agg = voted.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("nb").alias("boost_sum")
+    )
+    sumdoc = F.sum("cnt").over(Window.partitionBy(F.lit(1)))
+    return agg.withColumn(
+        "score",
+        F.when(
+            sumdoc < F.lit(int(k)),
+            (F.col("boost_sum") / F.lit(float(k)))
+            * (F.lit(float(k)) / sumdoc.cast("double")),
+        ).otherwise(F.col("boost_sum") / F.lit(float(k))),
+    ).select("cls", "score")

