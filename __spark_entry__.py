@@ -3432,6 +3432,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["knn_fuzzy_classify"] = knn_fuzzy_classify
 
+    # BooleanPerceptronClassifier: sequential trainer (driver-side, the
+    # reference's inherently ordered pass), distributed classify.
+    # NO SQL oracle by design (the trained weights ARE the model;
+    # training pinned by the hand-case tests) — rows-only check.
+    def boolean_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.functions.classification import (
+            boolean_perceptron_classify,
+            boolean_perceptron_train,
+        )
+
+        ex = _executor(spark, sf_dir)
+        classes = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.when(F.col("lang") == "en", "true").otherwise("false").alias("cls"),
+        )
+        weights, bias = boolean_perceptron_train(ex, classes)
+        inputs = ex.index.postings_slim.filter(F.col("doc_id") < 40).select(
+            F.col("doc_id").alias("id"), "term", "tf"
+        )
+        return boolean_perceptron_classify(weights, bias, inputs).select(
+            "id", "assigned", "score"
+        )
+
+    out["boolean_perceptron_classify"] = boolean_perceptron
+
     # ---- phonetic module (lucene/analysis/phonetic) ----------------------
     # PhoneticFilter over the commons-codec-compatible encoders; the
     # index stores codes (replace) or codes + stacked originals (inject).

@@ -471,3 +471,95 @@ def knn_fuzzy_classes(
             * (F.lit(float(k)) / sumdoc.cast("double")),
         ).otherwise(F.col("boost_sum") / F.lit(float(k))),
     ).select("cls", "score")
+
+
+def boolean_perceptron_train(
+    executor,
+    classes: DataFrame,  # (doc_id, cls) with cls in {"true", anything}
+    *,
+    batch_size: int = 1,
+    bias: float | None = None,
+) -> tuple[dict[str, int], float]:
+    """BooleanPerceptronClassifier training
+    (``BooleanPerceptronClassifier.java:74-160, 200-236``): weights
+    start at each term's total term frequency (LONGS — the FST output
+    type), bias defaults to sumTotalTermFreq/docCount; docs stream in
+    docID order, each predicted with the CURRENT FST (refreshed only
+    every ``batch_size`` docs — within a batch, corrections re-derive
+    from the stale FST value, the reference's exact quirk), and a
+    misprediction shifts every doc term by ``modifier · tf`` clamped at
+    0.  Sequential by construction (the reference walks one stored-field
+    search); the training pass runs driver-side over the collected
+    per-doc postings — the model is a term table, the input one pass of
+    (doc, term, tf) rows.  Returns (weights, bias)."""
+    ix = executor.index
+    if bias is None or bias == 0.0:
+        bias = ix.sum_ttf / ix.doc_count
+    weights: dict[str, int] = {
+        r.term: int(r.ttf) for r in ix.term_stats.select("term", "ttf").collect()
+    }
+    fst: dict[str, int] = dict(weights)  # the compiled snapshot
+    labels = {
+        r.doc_id: (str(r.cls).lower() == "true")
+        for r in classes.filter(F.col("cls").isNotNull()).collect()
+    }
+    rows = (
+        ix.postings_slim.select("doc_id", "term", "tf")
+        .filter(F.col("doc_id").isin([int(d) for d in labels]))
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(int(r.doc_id), []).append((r.term, int(r.tf)))
+    batch_count = 0
+    for doc_id in sorted(by_doc):
+        toks = by_doc[doc_id]
+        output = sum(fst.get(t, 0) * tf for t, tf in toks)
+        assigned = output >= bias
+        correct = labels[doc_id]
+        modifier = (1 if correct else 0) - (1 if assigned else 0)
+        if modifier != 0:
+            for t, tf in sorted(toks):
+                prev = fst.get(t)
+                weights[t] = 0 if prev is None else max(0, prev + modifier * tf)
+            if batch_count % int(batch_size) == 0:
+                fst = dict(weights)
+        batch_count += 1
+    return dict(fst), float(bias)
+
+
+def boolean_perceptron_classify(
+    weights: dict[str, int],
+    bias: float,
+    tokens: DataFrame,  # (id, term, tf)
+) -> DataFrame:
+    """(id, assigned, score): output = Σ weight(token)·tf, assigned =
+    output ≥ bias, score = 1 − e^(−|bias − output|/bias)
+    (BooleanPerceptronClassifier.java:218-235) — one broadcast join."""
+    spark = tokens.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(t, int(w)) for t, w in sorted(weights.items())],
+            "term: string, w: long",
+        )
+    )
+    out = (
+        tokens.join(wdf, "term", "left")
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("w"), F.lit(0)) * F.col("tf")
+            ).alias("output")
+        )
+    )
+    score = F.lit(1.0) - F.exp(
+        -F.abs(F.lit(float(bias)) - F.col("output").cast("double"))
+        / F.lit(float(bias))
+    )
+    return out.select(
+        "id",
+        (F.col("output").cast("double") >= F.lit(float(bias))).alias(
+            "assigned"
+        ),
+        score.alias("score"),
+    )

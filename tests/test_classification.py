@@ -349,3 +349,69 @@ def test_nearest_fuzzy_topk_expansion_and_scoring(spark, trained):
     # neighbor scored at the max
     assert 0.0 < total <= 1.0
     assert {r.cls for r in got} <= {"c0", "c1", "c2"}
+
+
+def test_boolean_perceptron_hand_case(spark):
+    """Hand-built two-doc case pinning the exact update rule: ttf-seeded
+    weights, docID-order pass, modifier·tf clamp at 0, stale-FST batch
+    refresh (BooleanPerceptronClassifier.java quirks)."""
+    from lucene_solr_spark.functions.classification import (
+        boolean_perceptron_classify,
+        boolean_perceptron_train,
+    )
+    from lucene_solr_spark.operators.index_build import build_index
+    from lucene_solr_spark.plans.df_executor import DFExecutor
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa bb"), (1, "bb cc cc cc")],
+        "doc_id: long, text: string",
+    )
+    ix = build_index(docs, text_col="text", doc_id_col="doc_id").persist()
+    ex = DFExecutor(ix, mode="double")
+    classes = spark.createDataFrame(
+        [(0, "true"), (1, "false")], "doc_id: long, cls: string"
+    )
+    weights, bias = boolean_perceptron_train(ex, classes)
+    # seed weights: aa=2 bb=2 cc=3; bias = 7/2 = 3.5
+    assert bias == 3.5
+    # doc0: output = 2*2 + 2 = 6 >= 3.5 -> assigned true == correct; no update
+    # doc1: output = 2 + 3*3 = 11 >= 3.5 -> true, correct false -> modifier -1
+    #   bb: max(0, 2 - 1*1) = 1 ; cc: max(0, 3 - 1*3) = 0
+    assert weights == {"aa": 2, "bb": 1, "cc": 0}
+    got = {
+        r.id: (r.assigned, r.score)
+        for r in boolean_perceptron_classify(
+            weights,
+            bias,
+            ix.postings_slim.selectExpr("doc_id AS id", "term", "tf"),
+        ).collect()
+    }
+    import math
+
+    # doc0: 2*2+1 = 5 >= 3.5 true; doc1: 1 + 0 = 1 < 3.5 false
+    assert got[0][0] is True and got[1][0] is False
+    assert got[0][1] == pytest.approx(1 - math.exp(-abs(3.5 - 5) / 3.5))
+    assert got[1][1] == pytest.approx(1 - math.exp(-abs(3.5 - 1) / 3.5))
+
+
+def test_boolean_perceptron_batch_refresh_quirk(spark):
+    """batch_size > 1: within a batch corrections re-derive from the
+    STALE snapshot; the refreshed model differs from batch_size=1."""
+    from lucene_solr_spark.functions.classification import (
+        boolean_perceptron_train,
+    )
+    from lucene_solr_spark.operators.index_build import build_index
+    from lucene_solr_spark.plans.df_executor import DFExecutor
+
+    docs = spark.createDataFrame(
+        [(0, "xx yy"), (1, "xx yy"), (2, "yy zz zz")],
+        "doc_id: long, text: string",
+    )
+    ix = build_index(docs, text_col="text", doc_id_col="doc_id").persist()
+    ex = DFExecutor(ix, mode="double")
+    classes = spark.createDataFrame(
+        [(0, "false"), (1, "false"), (2, "false")], "doc_id: long, cls: string"
+    )
+    w1, _ = boolean_perceptron_train(ex, classes, batch_size=1)
+    w3, _ = boolean_perceptron_train(ex, classes, batch_size=3)
+    assert w1 != w3  # the stale-snapshot semantics are real
