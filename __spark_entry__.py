@@ -3432,6 +3432,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["knn_fuzzy_classify"] = knn_fuzzy_classify
 
+    # ConfusionMatrixGenerator: NB argmax vs the gold lang labels over
+    # the first 40 docs — the whole evaluation as one plan
+    def nb_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_solr_spark.functions.classification import (
+            argmax_classes,
+            confusion_matrix,
+            naive_bayes_classify,
+            naive_bayes_train,
+        )
+
+        ex = _executor(spark, sf_dir)
+        classes = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.col("lang").alias("cls"))
+        )
+        model = naive_bayes_train(ex.index.postings_slim, classes)
+        inputs = ex.index.postings_slim.filter(F.col("doc_id") < 40).select(
+            F.col("doc_id").alias("id"), "term", "tf"
+        )
+        predicted = argmax_classes(naive_bayes_classify(model, inputs))
+        truth = classes.select(F.col("doc_id").alias("id"), "cls").filter(
+            F.col("id") < 40
+        )
+        return confusion_matrix(predicted, truth).select(
+            "actual", "predicted", "n"
+        )
+
+    out["nb_confusion_matrix"] = nb_confusion_matrix
+
     # BooleanPerceptronClassifier: sequential trainer (driver-side, the
     # reference's inherently ordered pass), distributed classify.
     # NO SQL oracle by design (the trained weights ARE the model;
@@ -5874,6 +5903,20 @@ def oracle_sql() -> dict[str, str]:
       SELECT id, cls,
              CAST(exp(score - (smax + ln(se))) AS REAL)::DOUBLE AS score
       FROM r3"""
+
+    # confusion matrix: the nb_classify oracle's normalized scores →
+    # per-id argmax (ties to smallest class) joined to gold labels
+    out["nb_confusion_matrix"] = f"""WITH scored AS ({out['nb_classify']}),
+      pred AS (
+        SELECT id, cls FROM (
+          SELECT id, cls,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY score DESC, cls ASC) AS rn
+          FROM scored) WHERE rn = 1
+      )
+      SELECT t.lang AS actual, p.cls AS predicted, count(*)::BIGINT AS n
+      FROM pred p JOIN documents t ON t.doc_id = p.id
+      GROUP BY t.lang, p.cls"""
 
     # KNN classifier: boosted-MLT top-10 (per-term boost mscore/best —
     # MoreLikeThis setBoost(true)) → rank-weighted class vote

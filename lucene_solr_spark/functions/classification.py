@@ -563,3 +563,52 @@ def boolean_perceptron_classify(
         ),
         score.alias("score"),
     )
+
+
+def argmax_classes(scored: DataFrame) -> DataFrame:
+    """(id, cls) — assignClass over a (id, cls, score) frame: the
+    max-score class per input, ties to the lexicographically smallest
+    class (the reference's HashMap iteration leaves ties unspecified;
+    a total order is pinned for determinism)."""
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("cls"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "cls")
+    )
+
+
+def confusion_matrix(
+    predicted: DataFrame,  # (id, cls) — classifier assignments
+    truth: DataFrame,  # (id, cls) — gold labels
+) -> DataFrame:
+    """ConfusionMatrixGenerator (``classification/utils/
+    ConfusionMatrixGenerator.java``): the (actual, predicted, count)
+    grid — one join + groupBy; accuracy/precision/recall derive from it
+    relationally (the reference walks documents one classify() at a
+    time; here the whole evaluation is a single plan)."""
+    return (
+        truth.select("id", F.col("cls").alias("actual"))
+        .join(predicted.select("id", F.col("cls").alias("predicted")), "id")
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dataset_splitter(
+    docs: DataFrame,
+    *,
+    test_ratio: float,
+    cv_ratio: float = 0.0,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """DatasetSplitter (``classification/utils/DatasetSplitter.java``):
+    (train, test, cross-validation) split.  The reference hashes docs
+    into three sub-indexes by ratio; here a seeded randomSplit —
+    deterministic for a fixed seed and input partitioning."""
+    if test_ratio + cv_ratio >= 1.0:
+        raise ValueError("test + cv ratios must leave room for training")
+    train, test, cv = docs.randomSplit(
+        [1.0 - test_ratio - cv_ratio, test_ratio, cv_ratio], seed=seed
+    )
+    return train, test, cv

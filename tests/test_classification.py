@@ -415,3 +415,34 @@ def test_boolean_perceptron_batch_refresh_quirk(spark):
     w1, _ = boolean_perceptron_train(ex, classes, batch_size=1)
     w3, _ = boolean_perceptron_train(ex, classes, batch_size=3)
     assert w1 != w3  # the stale-snapshot semantics are real
+
+
+def test_confusion_matrix_and_splitter(spark, trained):
+    from lucene_solr_spark.functions.classification import (
+        argmax_classes,
+        confusion_matrix,
+        dataset_splitter,
+        naive_bayes_classify,
+    )
+
+    ex, classes, model = trained
+    inputs = ex.index.postings_slim.filter(F.col("doc_id") < 30).select(
+        F.col("doc_id").alias("id"), "term", "tf"
+    )
+    pred = argmax_classes(naive_bayes_classify(model, inputs))
+    truth = classes.select(F.col("doc_id").alias("id"), "cls").filter(
+        F.col("id") < 30
+    )
+    cm = confusion_matrix(pred, truth).collect()
+    assert sum(r.n for r in cm) == 30  # one prediction per doc
+    # splitter partitions without overlap and is seed-deterministic
+    docs = classes
+    tr, te, cv = dataset_splitter(docs, test_ratio=0.2, cv_ratio=0.1, seed=7)
+    n = docs.count()
+    assert tr.count() + te.count() + cv.count() == n
+    tr2, te2, cv2 = dataset_splitter(docs, test_ratio=0.2, cv_ratio=0.1, seed=7)
+    assert sorted(r.doc_id for r in te.collect()) == sorted(
+        r.doc_id for r in te2.collect()
+    )
+    with pytest.raises(ValueError):
+        dataset_splitter(docs, test_ratio=0.7, cv_ratio=0.4)
